@@ -1,0 +1,166 @@
+"""Vectorized computational geometry (pure numpy) — the exact-refine kernel.
+
+Role model: GeoWave's spatial predicate set
+(`core/geotime/.../store/query/filter/SpatialQueryFilter.java:47-140` and the
+filter-expression tree `.../filter/expression/spatial/*.java` in
+/root/reference) which refines candidate rows with exact JTS geometry tests
+after the index range scan.  shapely is unavailable in this environment, so
+the predicates are implemented directly as numpy array ops: every function is
+vectorized over N points (or N cells) against one polygon; multi-polygon
+candidate sets are handled by the callers grouping per polygon.
+
+Polygons are flat float64 arrays [x0, y0, x1, y1, ...] (unclosed ring is
+accepted; closure is implicit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def poly_xy(poly) -> tuple[np.ndarray, np.ndarray]:
+    a = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+    return a[:, 0], a[:, 1]
+
+
+def poly_bbox(poly) -> tuple[float, float, float, float]:
+    x, y = poly_xy(poly)
+    return float(x.min()), float(y.min()), float(x.max()), float(y.max())
+
+
+def point_in_polygon(px: np.ndarray, py: np.ndarray, poly) -> np.ndarray:
+    """Ray-cast point-in-polygon, vectorized over points.
+
+    Boundary semantics ~ JTS `contains`: points exactly on a horizontal-ray
+    crossing edge follow the half-open rule (consistent, deterministic).
+    """
+    vx, vy = poly_xy(poly)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    j = len(vx) - 1
+    for i in range(len(vx)):
+        xi, yi, xj, yj = vx[i], vy[i], vx[j], vy[j]
+        cond = (yi > py) != (yj > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (xj - xi) * (py - yi) / (yj - yi) + xi
+        inside ^= cond & (px < xint)
+        j = i
+    return inside
+
+
+def point_in_bbox(px, py, lon0, lat0, lon1, lat1) -> np.ndarray:
+    """Closed-boundary bbox test (matches SQL BETWEEN semantics so the DuckDB
+    oracle join agrees exactly)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    return (px >= lon0) & (px <= lon1) & (py >= lat0) & (py <= lat1)
+
+
+def _segments_intersect(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> np.ndarray:
+    """Proper/improper segment intersection, vectorized (orientations)."""
+
+    def orient(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    d1 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    d2 = orient(bx0, by0, bx1, by1, ax1, ay1)
+    d3 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    d4 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+    general = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+    def on_seg(ox, oy, px_, py_, qx, qy, d):
+        return (d == 0) & (np.minimum(ox, px_) <= qx) & (qx <= np.maximum(ox, px_)) & \
+               (np.minimum(oy, py_) <= qy) & (qy <= np.maximum(oy, py_))
+
+    col = on_seg(bx0, by0, bx1, by1, ax0, ay0, d1) | on_seg(bx0, by0, bx1, by1, ax1, ay1, d2) | \
+          on_seg(ax0, ay0, ax1, ay1, bx0, by0, d3) | on_seg(ax0, ay0, ax1, ay1, bx1, by1, d4)
+    return general | col
+
+
+def bboxes_intersect_polygon(lon0, lat0, lon1, lat1, poly) -> np.ndarray:
+    """Which of N bboxes (cells) intersect one polygon — the cover-trim step
+    (reference: `RDDUtils.java:158-183` trims insertion ids to cells actually
+    intersecting the geometry).
+
+    True iff: any bbox corner inside poly, OR any poly vertex inside bbox,
+    OR any poly edge crosses any bbox edge.
+    """
+    lon0 = np.asarray(lon0, dtype=np.float64)
+    lat0 = np.asarray(lat0, dtype=np.float64)
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    vx, vy = poly_xy(poly)
+
+    hit = np.zeros(lon0.shape, dtype=bool)
+    # poly vertex inside bbox
+    for k in range(len(vx)):
+        hit |= (vx[k] >= lon0) & (vx[k] <= lon1) & (vy[k] >= lat0) & (vy[k] <= lat1)
+    # bbox corner inside poly
+    for cx, cy in ((lon0, lat0), (lon0, lat1), (lon1, lat0), (lon1, lat1)):
+        hit |= point_in_polygon(cx, cy, poly)
+    # edge crossings: each poly edge vs each of the 4 bbox edges
+    j = len(vx) - 1
+    for i in range(len(vx)):
+        ex0, ey0, ex1, ey1 = vx[j], vy[j], vx[i], vy[i]
+        m = ~hit
+        if not m.any():
+            break
+        for bx0, by0, bx1, by1 in (
+            (lon0, lat0, lon1, lat0),
+            (lon1, lat0, lon1, lat1),
+            (lon1, lat1, lon0, lat1),
+            (lon0, lat1, lon0, lat0),
+        ):
+            hit |= _segments_intersect(ex0, ey0, ex1, ey1, bx0, by0, bx1, by1)
+        j = i
+    return hit
+
+
+def planar_distance(ax, ay, bx, by) -> np.ndarray:
+    """Euclidean distance in degree space — the join/kNN metric.
+
+    Deliberately planar so the DuckDB oracle can reproduce it bit-for-bit
+    with sqrt(dx*dx + dy*dy); haversine() exists for real deployments.
+    """
+    dx = np.asarray(ax, dtype=np.float64) - np.asarray(bx, dtype=np.float64)
+    dy = np.asarray(ay, dtype=np.float64) - np.asarray(by, dtype=np.float64)
+    return np.sqrt(dx * dx + dy * dy)
+
+
+def haversine_km(ax, ay, bx, by) -> np.ndarray:
+    """Great-circle distance in km (reference: orthodromic distance in
+    `OrthodromicDistancePartitioner.java`)."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(v, dtype=np.float64)) for v in (ax, ay, bx, by))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
+    return 2 * 6371.0088 * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+
+
+def point_to_polygon_distance(px, py, poly) -> np.ndarray:
+    """Min distance from N points to a polygon boundary (0 if inside)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    vx, vy = poly_xy(poly)
+    best = np.full(px.shape, np.inf)
+    j = len(vx) - 1
+    for i in range(len(vx)):
+        x0, y0, x1, y1 = vx[j], vy[j], vx[i], vy[i]
+        dx, dy = x1 - x0, y1 - y0
+        L2 = dx * dx + dy * dy
+        if L2 == 0:
+            t = np.zeros(px.shape)
+        else:
+            t = np.clip(((px - x0) * dx + (py - y0) * dy) / L2, 0.0, 1.0)
+        cx = x0 + t * dx
+        cy = y0 + t * dy
+        best = np.minimum(best, np.hypot(px - cx, py - cy))
+        j = i
+    return np.where(point_in_polygon(px, py, poly), 0.0, best)
+
+
+def regular_polygon(cx: float, cy: float, radius: float, sides: int, phase: float = 0.0) -> np.ndarray:
+    """Deterministic test-polygon factory (flat [x,y,...] ring)."""
+    ang = phase + 2 * np.pi * np.arange(sides) / sides
+    return np.stack([cx + radius * np.cos(ang), cy + radius * np.sin(ang)], axis=1).ravel()
