@@ -1,0 +1,143 @@
+"""Cover step: DataFrame -> DataFrame with (res, cell) index columns.
+
+Reference analog: insertion-id generation
+(`analytics/spark/.../GeoWaveIndexedRDD.java:106-141` in /root/reference) and
+the tiered SFC strategy (`TieredSFCIndexStrategy.java:345-407`): rows get
+locality-preserving int64 cell keys; extended geometries get a *set* of cells
+at an adaptively chosen resolution (tier), exploded to one row per cell and
+deduplicated after the join.
+
+All heavy lifting is vectorized numpy inside Arrow-batched pandas UDFs; the
+explode is Spark's own `explode` of an ArrayType column — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..geom import core as geom
+from ..sfc import grid
+
+
+def cell_udf(res: int, curve: str = "hilbert"):
+    """Vectorized point -> cell pandas UDF at a fixed resolution."""
+
+    @F.pandas_udf(LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        c = grid.latlng_to_cell(lon.to_numpy(), lat.to_numpy(), res, curve)
+        return pd.Series(c.astype(np.int64))
+
+    return _enc
+
+
+def parent_cell_udf(res: int, parent_res: int, curve: str = "hilbert"):
+    """Vectorized cell -> parent-cell pandas UDF (cross-tier alignment;
+    reference: reprojectToTier `TieredSFCIndexStrategy.java:514-529`)."""
+
+    @F.pandas_udf(LongType())
+    def _par(cell: pd.Series) -> pd.Series:
+        p = grid.cell_to_parent(cell.to_numpy().astype(np.uint64), res, parent_res, curve)
+        return pd.Series(p.astype(np.int64))
+
+    return _par
+
+
+def bbox_cells_udf(res: int, curve: str = "hilbert"):
+    """Vectorized bbox -> array<cell> pandas UDF (cover set for extended
+    geometries / image footprints)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cov(lon0: pd.Series, lat0: pd.Series, lon1: pd.Series, lat1: pd.Series) -> pd.Series:
+        row, cells = grid.cover_bbox(
+            lon0.to_numpy(), lat0.to_numpy(), lon1.to_numpy(), lat1.to_numpy(), res, curve
+        )
+        cells = cells.astype(np.int64)
+        out = [[] for _ in range(len(lon0))]
+        if len(row):
+            # split the flat (row, cell) pairs into per-row lists (numpy split
+            # on the row-change boundaries — no per-element Python loop)
+            bounds = np.flatnonzero(np.diff(row)) + 1
+            chunks = np.split(cells, bounds)
+            for r, ch in zip(row[np.concatenate(([0], bounds))], chunks):
+                out[int(r)] = ch.tolist()
+        return pd.Series(out)
+
+    return _cov
+
+
+def grid_disk_udf(res: int, k: int, curve: str = "hilbert"):
+    """Vectorized cell -> array of cells within k Chebyshev rings (kNN /
+    distance-join candidate expansion; lon wraps, lat clamps)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _disk(cell: pd.Series) -> pd.Series:
+        d = grid.grid_disk(cell.to_numpy().astype(np.uint64), res, k, curve)
+        return pd.Series(list(d.astype(np.int64)))
+
+    return _disk
+
+
+def add_point_cells(df: DataFrame, lon: str = "lon", lat: str = "lat",
+                    res: int = 12, curve: str = "hilbert", out: str = "cell") -> DataFrame:
+    """Add a cell column for point rows.
+
+    The explicit not-null filter materializes the UDF output before any join,
+    preventing Catalyst's isnotnull pushdown from duplicating the
+    ArrowEvalPython node (observed in plan inspection).  Rows with null
+    coordinates are dropped — they are unindexable by definition.
+    """
+    return (
+        df.withColumn(out, cell_udf(res, curve)(F.col(lon), F.col(lat)))
+        .filter(F.col(out).isNotNull())
+    )
+
+
+def salted(df: DataFrame, key_col: str, salt_buckets: int, out: str = "salt") -> DataFrame:
+    """Salting column for hot-cell skew (reference analog:
+    `HashKeyIndexStrategy.java` partition-prefix; north rule requires explicit
+    skew handling).  salt = pmod(hash(key), S); append to shuffle keys."""
+    return df.withColumn(out, F.pmod(F.hash(F.col(key_col)), F.lit(salt_buckets)))
+
+
+def polygon_cover(polys: dict[int, np.ndarray], res: int | None = None,
+                  max_cells: int = 256, curve: str = "hilbert") -> pd.DataFrame:
+    """Driver-side cover of a (small, broadcastable) polygon set.
+
+    Returns a pandas DataFrame (poly_id, res, cell) — the candidate cell
+    ranges that get broadcast (north rule: "broadcast candidate-cell ranges
+    refined by exact geometry predicates").  If ``res`` is None each polygon
+    picks its own tier adaptively (reference: getRowIds tier selection).
+    Cells are trimmed to those actually intersecting the polygon
+    (reference: `RDDUtils.java:158-183`).
+    """
+    ids, ress, cells_out = [], [], []
+    for pid, poly in polys.items():
+        bb = geom.poly_bbox(poly)
+        r = int(grid.adaptive_res([bb[0]], [bb[1]], [bb[2]], [bb[3]], max_cells)[0]) if res is None else res
+        _, cells = grid.cover_bbox([bb[0]], [bb[1]], [bb[2]], [bb[3]], r, curve)
+        lo0, la0, lo1, la1 = grid.cell_bounds(cells, r, curve)
+        keep = geom.bboxes_intersect_polygon(lo0, la0, lo1, la1, poly)
+        kept = cells[keep].astype(np.int64)
+        ids.extend([pid] * len(kept))
+        ress.extend([r] * len(kept))
+        cells_out.extend(kept.tolist())
+    return pd.DataFrame({"poly_id": ids, "res": ress, "cell": cells_out})
+
+
+def rect_cover(rects: pd.DataFrame, res: int, curve: str = "hilbert",
+               id_col: str = "rid") -> pd.DataFrame:
+    """Driver-side cover of a small rectangle set -> (id, cell) pandas frame.
+
+    Rectangles need no trim step (bbox cover is exact for bboxes).
+    """
+    row, cells = grid.cover_bbox(
+        rects["lon0"].to_numpy(), rects["lat0"].to_numpy(),
+        rects["lon1"].to_numpy(), rects["lat1"].to_numpy(), res, curve,
+    )
+    return pd.DataFrame({
+        id_col: rects[id_col].to_numpy()[row],
+        "cell": cells.astype(np.int64),
+    })

@@ -1,0 +1,101 @@
+"""k-nearest-neighbors join with iterative ring expansion.
+
+Reference analog: `analytics/mapreduce/.../nn/NNMapReduce.java:59-145` in
+/root/reference — grid-partition by distance, per-partition neighbor search,
+top-K selection, dedup across partitions.  Re-expressed Spark-first:
+
+1. encode query points at a coarse resolution, explode a k-ring grid_disk
+   as the broadcast candidate cell set,
+2. equi-join data points on cell, compute exact distance (pure JVM),
+3. `row_number()` over Window(partitionBy=query, orderBy=dist) <= k,
+4. correctness guard: a query's k-th neighbor must be closer than the
+   nearest unexplored cell (ring_radius * cell_height); under-filled or
+   unproven queries re-run with a wider ring (driver loop, few iterations).
+
+The rank tie-break is (dist, pid) so results are deterministic and match a
+SQL window oracle exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..index import cover as cov
+
+
+def knn_join(
+    spark: SparkSession,
+    pts: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    pid_col: str = "pid",
+    qid_col: str = "qid",
+    res: int = 6,
+    initial_ring: int = 1,
+    max_iters: int = 8,
+) -> DataFrame:
+    """For each query point, the k nearest data points (planar metric).
+
+    Returns (qid, pid, dist, rank).  Deterministic: ties broken by pid.
+    """
+    cell_h = 180.0 / (1 << res)
+
+    q_named = queries.select(
+        F.col(qid_col), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
+    )
+    q_cells = cov.add_point_cells(q_named, "qlon", "qlat", res)
+    pts_c = cov.add_point_cells(
+        pts.select(pid_col, "lon", "lat"), "lon", "lat", res
+    )
+
+    win = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(pid_col).asc())
+    # Multiply, not pow: bit-identical to the SQL oracle's (a-b)*(a-b)
+    dx = F.col("lon") - F.col("qlon")
+    dy = F.col("lat") - F.col("qlat")
+    dist = F.sqrt(dx * dx + dy * dy)
+
+    remaining = q_cells
+    results = None
+    ring = initial_ring
+    for _ in range(max_iters):
+        q_cover = (
+            remaining.withColumn("jcell", F.explode(cov.grid_disk_udf(res, ring)(F.col("cell"))))
+            .drop("cell")
+            .dropDuplicates([qid_col, "jcell"])
+        )
+        cand = pts_c.withColumnRenamed("cell", "jcell").join(
+            F.broadcast(q_cover), "jcell"
+        )
+        topk = (
+            cand.withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, pid_col, "dist", "rank")
+        )
+        # guarantee: the k-th distance must not exceed the closest possible
+        # point in an unexplored cell (ring * cell_height)
+        guard = float(ring) * cell_h
+        stats = topk.groupBy(qid_col).agg(
+            F.count("*").alias("n"), F.max("dist").alias("kth")
+        )
+        done_q = stats.filter((F.col("n") == k) & (F.col("kth") <= F.lit(guard)))
+        done = topk.join(done_q.select(qid_col), qid_col)
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(done_q.select(qid_col), qid_col, "left_anti")
+        if remaining.isEmpty():
+            break
+        ring *= 2
+    else:
+        # fall back to brute force for stubborn queries (e.g. k > points in
+        # a huge neighborhood) — correctness over speed for the tail
+        cand = pts_c.crossJoin(F.broadcast(remaining.drop("cell")))
+        topk = (
+            cand.withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, pid_col, "dist", "rank")
+        )
+        results = topk if results is None else results.unionByName(topk)
+    return results

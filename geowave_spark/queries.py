@@ -1,0 +1,342 @@
+"""Query registry: every operator exposed as (spark, sf_dir) -> DataFrame with
+a paired DuckDB oracle SQL string.
+
+Design rules (learned via the driver contract + verification):
+- column names identical between Spark result and oracle (explicit aliases)
+- float aggregates integerized (cents / micro-degrees) so sums are
+  order-independent and hash-stable across engines
+- all derived spatial columns come from `table/geo.py` SQL fragments shared
+  verbatim by both engines
+- spatial operators run the REAL engine path (cover -> broadcast equi-join on
+  cell -> exact refine) while the oracle is the brute-force formulation —
+  the indexed-vs-brute equivalence test of the reference
+  (`test/.../spark/GeoWaveSparkSpatialJoinIT.java:98-176`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .join import spatial
+from .knn import knn as knn_mod
+from .table import geo
+
+# ---------------------------------------------------------------------------
+# helpers
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the base parquet tables as temp views (idempotent)."""
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(geo.lineitem_points_sql())
+
+
+DIST_MICRO = "cast(floor(sqrt((lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat)) * 1000000) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (scans, filters, aggs, joins, windows, limits)
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + groupBy agg (integer-cent sums)."""
+    register_views(spark, sf_dir)
+    return (
+        spark.table("lineitem")
+        .filter(F.col("l_shipdate") <= F.expr("timestamp '2024-06-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.expr("cast(round(l_extendedprice * 100) as bigint)")).alias("sum_base_cents"),
+            F.sum(F.expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
+       cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint) AS sum_base_cents,
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as bigint) AS sum_disc_cents,
+       cast(count(*) as bigint) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '2024-06-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-N (shuffle-join coverage)."""
+    register_views(spark, sf_dir)
+    rev = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")).alias("revenue_cents"))
+    )
+    return (
+        spark.table("orders")
+        .join(rev, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_orderpriority", "revenue_cents")
+        .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q02_SQL = """
+SELECT o_orderkey, o_orderpriority, revenue_cents
+FROM orders
+JOIN (
+  SELECT l_orderkey, cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as bigint) AS revenue_cents
+  FROM lineitem GROUP BY l_orderkey
+) r ON o_orderkey = l_orderkey
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q03_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: rank customers by acctbal within nation."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n_name, c_custkey, acctbal_cents, rnk FROM (
+          SELECT n.n_name, c.c_custkey,
+                 cast(round(c.c_acctbal * 100) as bigint) AS acctbal_cents,
+                 row_number() OVER (PARTITION BY n.n_nationkey
+                                    ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rnk
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ) WHERE rnk <= 3
+    """)
+
+
+Q03_SQL = """
+SELECT n_name, c_custkey, acctbal_cents, rnk FROM (
+  SELECT n.n_name, c.c_custkey,
+         cast(round(c.c_acctbal * 100) as bigint) AS acctbal_cents,
+         row_number() OVER (PARTITION BY n.n_nationkey
+                            ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rnk
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) t WHERE rnk <= 3
+"""
+
+
+def q04_part_text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text predicates (StartsWith/Contains/Between — reference filter
+    expression tree `.../filter/expression/text/*.java`)."""
+    register_views(spark, sf_dir)
+    return (
+        spark.table("part")
+        .filter(
+            (F.col("p_size").between(10, 30))
+            & F.col("p_type").contains("O")
+            & ~F.col("p_brand").startswith("Brand#1")
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    )
+
+
+Q04_SQL = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size
+FROM part
+WHERE p_size BETWEEN 10 AND 30
+  AND p_type LIKE '%O%'
+  AND p_brand NOT LIKE 'Brand#1%'
+"""
+
+
+# ---------------------------------------------------------------------------
+# spatial operators (the engine path)
+
+def q05_pip_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-rectangle-set join via cell cover + broadcast equi-join.
+
+    Engine path: adaptive cover of rect set, broadcast, JVM range refine.
+    Oracle: brute-force BETWEEN join.
+    """
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.lineitem_points_sql())
+    rects = spark.sql(geo.supplier_rects_sql()).toPandas()
+    return spatial.point_in_rects_join(spark, pts, rects, res=8).orderBy("pid", "rid")
+
+
+Q05_SQL = f"""
+WITH p AS ({geo.lineitem_points_sql()}), r AS ({geo.supplier_rects_sql()})
+SELECT p.pid, r.rid
+FROM p JOIN r
+  ON p.lon BETWEEN r.lon0 AND r.lon1 AND p.lat BETWEEN r.lat0 AND r.lat1
+ORDER BY p.pid, r.rid
+"""
+
+
+def q06_pip_rect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over the spatial join (count + integer-cent sum per region)."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.lineitem_points_sql())
+    rects = spark.sql(geo.supplier_rects_sql()).toPandas()
+    pairs = spatial.point_in_rects_join(spark, pts, rects, res=8)
+    return (
+        pairs.join(pts, "pid")
+        .groupBy("rid")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col("qty").cast("bigint")).alias("sum_qty"),
+        )
+        .orderBy("rid")
+    )
+
+
+Q06_SQL = f"""
+WITH p AS ({geo.lineitem_points_sql()}), r AS ({geo.supplier_rects_sql()})
+SELECT r.rid, cast(count(*) as bigint) AS n_points, cast(sum(cast(p.qty as bigint)) as bigint) AS sum_qty
+FROM p JOIN r
+  ON p.lon BETWEEN r.lon0 AND r.lon1 AND p.lat BETWEEN r.lat0 AND r.lat1
+GROUP BY r.rid ORDER BY r.rid
+"""
+
+
+def q07_distance_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance join (grid_disk candidates), aggregated per query point."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.lineitem_points_sql())
+    qs = spark.sql(geo.customer_points_sql()).withColumnRenamed("cid", "qid")
+    pairs = spatial.within_distance_join(spark, pts, qs, radius=2.0, qid_col="qid", res=8)
+    return (
+        pairs.groupBy("qid")
+        .agg(
+            F.count("*").alias("n_within"),
+            F.min(F.expr("cast(floor(dist * 1000000) as bigint)")).alias("min_dist_micro"),
+        )
+        .orderBy("qid")
+    )
+
+
+Q07_SQL = f"""
+WITH p AS ({geo.lineitem_points_sql()}),
+     q AS (SELECT cid AS qid, lon AS qlon, lat AS qlat FROM ({geo.customer_points_sql()}) c)
+SELECT qid, cast(count(*) as bigint) AS n_within,
+       min({DIST_MICRO}) AS min_dist_micro
+FROM p JOIN q
+  ON sqrt((lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat)) <= 2.0
+GROUP BY qid ORDER BY qid
+"""
+
+
+def q08_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join: 5 nearest lineitem points per sampled customer point."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.lineitem_points_sql())
+    qs = (
+        spark.sql(geo.customer_points_sql())
+        .filter(F.col("cid") % 15 == 0)
+        .withColumnRenamed("cid", "qid")
+    )
+    res = knn_mod.knn_join(spark, pts, qs, k=5, qid_col="qid", res=6)
+    return res.select(
+        "qid", "pid",
+        F.expr("cast(floor(dist * 1000000) as bigint)").alias("dist_micro"),
+        "rank",
+    ).orderBy("qid", "rank")
+
+
+Q08_SQL = f"""
+WITH p AS ({geo.lineitem_points_sql()}),
+     q AS (SELECT cid AS qid, lon AS qlon, lat AS qlat FROM ({geo.customer_points_sql()}) c WHERE cid % 15 = 0)
+SELECT qid, pid, cast(floor(dist * 1000000) as bigint) AS dist_micro, rank FROM (
+  SELECT q.qid, p.pid,
+         sqrt((lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat)) AS dist,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY sqrt((lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat)) ASC, p.pid ASC
+         ) AS rank
+  FROM p CROSS JOIN q
+) t WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+def q09_binned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned aggregation: group events by grid cell (reference:
+    `BinningAggregation.java` + `SpatialSimpleFeatureBinningStrategy.java`).
+
+    Uses the row-major curve so the oracle can compute the identical cell id
+    in closed form; count + integer-cent sum per cell.
+    """
+    register_views(spark, sf_dir)
+    ev = spark.sql(geo.events_points_sql())
+    cell = geo.rowmajor_cell_sql("lon", "lat", 7)
+    return (
+        ev.withColumn("cell", F.expr(cell))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("sum_value_cents"),
+        )
+        .orderBy("cell")
+    )
+
+
+Q09_SQL = f"""
+WITH e AS ({geo.events_points_sql()})
+SELECT {geo.rowmajor_cell_sql('lon', 'lat', 7)} AS cell,
+       cast(count(*) as bigint) AS n_events,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_value_cents
+FROM e GROUP BY 1 ORDER BY cell
+"""
+
+
+def q10_bbox_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box aggregation per nation (reference:
+    `BoundingBoxAggregation.java` — envelope union as 4 scalar aggs)."""
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH c AS ({geo.customer_points_sql()})
+        SELECT cu.c_nationkey AS nationkey,
+               min(cast(floor(c.lon * 1000000) as bigint)) AS min_lon_micro,
+               max(cast(floor(c.lon * 1000000) as bigint)) AS max_lon_micro,
+               min(cast(floor(c.lat * 1000000) as bigint)) AS min_lat_micro,
+               max(cast(floor(c.lat * 1000000) as bigint)) AS max_lat_micro,
+               cast(count(*) as bigint) AS n
+        FROM c JOIN customer cu ON c.cid = cu.c_custkey
+        GROUP BY cu.c_nationkey ORDER BY nationkey
+    """)
+
+
+Q10_SQL = f"""
+WITH c AS ({geo.customer_points_sql()})
+SELECT cu.c_nationkey AS nationkey,
+       min(cast(floor(c.lon * 1000000) as bigint)) AS min_lon_micro,
+       max(cast(floor(c.lon * 1000000) as bigint)) AS max_lon_micro,
+       min(cast(floor(c.lat * 1000000) as bigint)) AS min_lat_micro,
+       max(cast(floor(c.lat * 1000000) as bigint)) AS max_lat_micro,
+       cast(count(*) as bigint) AS n
+FROM c JOIN customer cu ON c.cid = cu.c_custkey
+GROUP BY cu.c_nationkey ORDER BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
+    "q03_top_customers_per_nation": (q03_top_customers_per_nation, Q03_SQL),
+    "q04_part_text_filter": (q04_part_text_filter, Q04_SQL),
+    "q05_pip_rect_join": (q05_pip_rect_join, Q05_SQL),
+    "q06_pip_rect_agg": (q06_pip_rect_agg, Q06_SQL),
+    "q07_distance_join_agg": (q07_distance_join_agg, Q07_SQL),
+    "q08_knn": (q08_knn, Q08_SQL),
+    "q09_binned_agg": (q09_binned_agg, Q09_SQL),
+    "q10_bbox_agg": (q10_bbox_agg, Q10_SQL),
+}

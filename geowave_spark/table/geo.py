@@ -1,0 +1,100 @@
+"""Deterministic geo-derivation shared by Spark queries and the DuckDB oracle.
+
+The provided testdata tables have no spatial columns, so spatial operators run
+over lon/lat derived from integer keys with arithmetic that BOTH engines
+(Spark SQL and DuckDB) evaluate identically:
+
+- mod-reduce before multiplying (DuckDB raises on int64 overflow, Spark wraps)
+- integer ops only until one final float division (IEEE-deterministic)
+
+Every helper returns a SQL string fragment usable verbatim in both dialects;
+`F.expr` turns it into a Spark Column.  This is the single source of truth —
+queries() and oracle_sql() both build from these strings, so they cannot
+drift apart.
+"""
+
+from __future__ import annotations
+
+LON_MULT = 2654435761
+LAT_MULT = 2246822519
+LON_MOD = 360_000_000
+LAT_MOD = 180_000_000
+
+# the synthetic lineitem is unique ONLY on all four of these columns
+LINEITEM_KEY = "(((l_orderkey * 8 + l_linenumber) * 200000 + l_partkey) * 10000 + l_suppkey)"
+
+
+def lon_sql(key: str) -> str:
+    """Key -> longitude in [-180, 180): identical in Spark SQL and DuckDB."""
+    return f"((({key} % {LON_MOD}) * {LON_MULT} % {LON_MOD}) / 1e6 - 180e0)"
+
+
+def lat_sql(key: str) -> str:
+    """Key -> latitude in [-90, 90)."""
+    return f"((({key} % {LAT_MOD}) * {LAT_MULT} % {LAT_MOD}) / 1e6 - 90e0)"
+
+
+def lineitem_points_sql(sf_dir: str | None = None, table: str = "lineitem") -> str:
+    """Point table derived from lineitem: (pid, lon, lat, qty, price).
+
+    GROUP BY pid because the synthetic lineitem contains a few fully
+    duplicated rows (found at sf0.001); the derived point table must have a
+    unique row id for join/dedup semantics to be well-defined.
+    """
+    src = f"parquet.`{sf_dir}/lineitem.parquet`" if sf_dir else table
+    k = LINEITEM_KEY
+    return (
+        f"SELECT pid, {lon_sql('pid')} AS lon, {lat_sql('pid')} AS lat, qty, price FROM "
+        f"(SELECT {k} AS pid, max(l_quantity) AS qty, max(l_extendedprice) AS price "
+        f"FROM {src} GROUP BY 1) t"
+    )
+
+
+def events_points_sql(sf_dir: str | None = None, table: str = "events") -> str:
+    """Point table derived from events: (eid, lon, lat, value, event_type)."""
+    src = f"parquet.`{sf_dir}/events.parquet`" if sf_dir else table
+    return (
+        f"SELECT event_id AS eid, {lon_sql('event_id')} AS lon, "
+        f"{lat_sql('event_id')} AS lat, value, event_type FROM {src}"
+    )
+
+
+def supplier_rects_sql(sf_dir: str | None = None, table: str = "supplier") -> str:
+    """Rectangle (query-region) table derived from supplier keys:
+    (rid, lon0, lat0, lon1, lat1) with deterministic centers and sizes."""
+    src = f"parquet.`{sf_dir}/supplier.parquet`" if sf_dir else table
+    cx = lon_sql("s_suppkey * 7919 + 13")
+    cy = lat_sql("s_suppkey * 104729 + 7")
+    w = "(2e0 + (s_suppkey % 700) / 1e2)"  # half-width 2.0 .. 8.99 deg
+    h = "(1e0 + (s_suppkey % 500) / 1e2)"  # half-height 1.0 .. 5.99 deg
+    return (
+        f"SELECT s_suppkey AS rid, "
+        f"greatest({cx} - {w}, -180e0) AS lon0, greatest({cy} - {h}, -90e0) AS lat0, "
+        f"least({cx} + {w}, 180e0) AS lon1, least({cy} + {h}, 90e0) AS lat1 "
+        f"FROM {src}"
+    )
+
+
+def customer_points_sql(sf_dir: str | None = None, table: str = "customer") -> str:
+    """Small point table from customer keys (kNN/distance-join query side)."""
+    src = f"parquet.`{sf_dir}/customer.parquet`" if sf_dir else table
+    return (
+        f"SELECT c_custkey AS cid, {lon_sql('c_custkey * 31 + 5')} AS lon, "
+        f"{lat_sql('c_custkey * 37 + 11')} AS lat FROM {src}"
+    )
+
+
+def planar_dist_sql(ax: str, ay: str, bx: str, by: str) -> str:
+    return f"sqrt(({ax} - {bx}) * ({ax} - {bx}) + ({ay} - {by}) * ({ay} - {by}))"
+
+
+def rowmajor_cell_sql(lon: str, lat: str, res: int) -> str:
+    """Row-major grid id — closed form identical to
+    grid.latlng_to_cell(curve='rowmajor') and valid in both SQL dialects.
+
+    Uses GeoWave's ceil(c*n)-1 normalization (SURVEY.md §5.1).
+    """
+    n = 1 << res
+    x = f"least(greatest(cast(ceil(({lon} + 180e0) / 360e0 * {n}) as bigint) - 1, 0), {n - 1})"
+    y = f"least(greatest(cast(ceil(({lat} + 90e0) / 180e0 * {n}) as bigint) - 1, 0), {n - 1})"
+    return f"({y} * {n} + {x})"

@@ -1,0 +1,76 @@
+"""Polygon (non-rect) spatial join: tiered engine path vs brute-force crossJoin
+oracle inside Spark (`GeoWaveSparkSpatialJoinIT.java:228-255` analog), plus
+negative-join (subtractByKey) semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.geom import core as geom
+from geowave_spark.join import spatial
+from geowave_spark.table import geo
+
+
+@pytest.fixture(scope="module")
+def pts(spark, sf_dir):
+    from geowave_spark.queries import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(geo.lineitem_points_sql()).cache()
+
+
+@pytest.fixture(scope="module")
+def polys():
+    out = {}
+    for i in range(12):
+        cx = ((i * 7919) % 340) - 170.0
+        cy = ((i * 104729) % 160) - 80.0
+        # mix of convex (hexagon) and concave (star) shapes, varied sizes
+        if i % 3 == 0:
+            ang = 2 * np.pi * np.arange(10) / 10
+            r = np.where(np.arange(10) % 2 == 0, 6.0, 2.5)
+            out[i] = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], 1).ravel()
+        else:
+            out[i] = geom.regular_polygon(cx, cy, 2.0 + (i % 6), 6, phase=i)
+    return out
+
+
+def brute_pairs(spark, pts, polys):
+    rows = pts.select("pid", "lon", "lat").toPandas()
+    out = []
+    for pid_, poly in polys.items():
+        m = geom.point_in_polygon(rows["lon"].to_numpy(), rows["lat"].to_numpy(), poly)
+        for p in rows["pid"].to_numpy()[m]:
+            out.append((int(p), int(pid_)))
+    return sorted(out)
+
+
+def test_polygon_join_matches_brute_force(spark, pts, polys):
+    got = spatial.point_in_polygon_join(spark, pts, polys, data_res=12).toPandas()
+    got_pairs = sorted(map(tuple, got[["pid", "poly_id"]].to_numpy().tolist()))
+    exp_pairs = brute_pairs(spark, pts, polys)
+    assert len(got_pairs) == len(exp_pairs)
+    assert got_pairs == exp_pairs
+
+
+def test_negative_join_complement(spark, pts, polys):
+    pos = spatial.point_in_polygon_join(spark, pts, polys, data_res=12)
+    neg = spatial.point_in_polygon_join(spark, pts, polys, data_res=12, negative=True)
+    n_pos_pts = pos.select("pid").distinct().count()
+    n_neg = neg.count()
+    n_all = pts.select("pid").distinct().count()
+    assert n_pos_pts + n_neg == n_all
+    # disjointness
+    assert pos.select("pid").distinct().join(neg, "pid").count() == 0
+
+
+def test_rect_join_anti_mode(spark, pts):
+    rects = pd.DataFrame({
+        "rid": [1, 2],
+        "lon0": [-50.0, 100.0], "lat0": [-20.0, 10.0],
+        "lon1": [0.0, 140.0], "lat1": [30.0, 60.0],
+    })
+    pos = spatial.point_in_rects_join(spark, pts, rects, res=8)
+    neg = spatial.point_in_rects_join(spark, pts, rects, res=8, negative=True)
+    assert pos.select("pid").distinct().count() + neg.count() == pts.count()
