@@ -328,6 +328,8 @@ GROUP BY cu.c_nationkey ORDER BY nationkey
 # ---------------------------------------------------------------------------
 # registry
 
+from .queries_raster import RASTER_QUERIES  # noqa: E402
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -340,3 +342,4 @@ QUERIES = {
     "q09_binned_agg": (q09_binned_agg, Q09_SQL),
     "q10_bbox_agg": (q10_bbox_agg, Q10_SQL),
 }
+QUERIES.update(RASTER_QUERIES)

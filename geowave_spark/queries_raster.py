@@ -1,0 +1,125 @@
+"""Raster/image query registry entries: tile assignment, merge, pyramid.
+
+The engine side runs the real distributed pipeline (mapInPandas synthesis ->
+cover -> keyed shuffle merge); the oracle recomputes the closed-form
+assignment plan in DuckDB SQL (level selection + generate_series bbox cover)
+— the indexed-vs-independent-formulation equivalence pattern of the
+reference (`test/.../spark/GeoWaveSparkSpatialJoinIT.java:98-176`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: N812
+
+from .raster import tiles
+from .table import images
+
+
+def _register_documents(spark: SparkSession, sf_dir: str) -> None:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+
+
+def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return images.images_df(spark, sf_dir)
+
+
+def q11_tile_assign_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector tile assignment plan (image_id, res, tile_id)."""
+    return tiles.assign_plan_df(_images(spark, sf_dir)).orderBy(
+        "image_id", "res", "tile_id"
+    )
+
+
+def _plan_oracle_sql() -> str:
+    res_sql = tiles.level_res_sql("lon0", "lon1", "w")
+    n = "cast(pow(2, res) as bigint)"
+    return f"""
+WITH base AS ({images.images_base_sql()}),
+b2 AS (SELECT image_id, lon0, lat0, lon1, lat1, {res_sql} AS res FROM base),
+b3 AS (SELECT image_id, res,
+  least(greatest(cast(ceil((lon0 + 180e0) / 360e0 * {n}) as bigint) - 1, 0), {n}-1) AS x0,
+  least(greatest(cast(ceil((lat0 + 90e0) / 180e0 * {n}) as bigint) - 1, 0), {n}-1) AS y0,
+  least(greatest(cast(ceil((lon1 + 180e0) / 360e0 * {n}) as bigint) - 1, 0), {n}-1) AS x1,
+  least(greatest(cast(ceil((lat1 + 90e0) / 180e0 * {n}) as bigint) - 1, 0), {n}-1) AS y1,
+  {n} AS n FROM b2)
+SELECT image_id, cast(res as int) AS res, (y0 + dy.g) * n + (x0 + dx.g) AS tile_id
+FROM b3, LATERAL (SELECT unnest(generate_series(0, y1 - y0)) AS g) dy,
+         LATERAL (SELECT unnest(generate_series(0, x1 - x0)) AS g) dx
+ORDER BY image_id, res, tile_id
+"""
+
+
+Q11_SQL = _plan_oracle_sql()
+
+
+def q12_tile_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pixel path: synthesize -> decode -> tile -> no-data merge; the
+    hash-checked output is the per-tile mosaic source count."""
+    t = tiles.assign_tiles_df(_images(spark, sf_dir))
+    merged = tiles.merge_tiles_df(t)
+    return merged.select("res", "tile_id", "n_src").orderBy("res", "tile_id")
+
+
+Q12_SQL = f"""
+WITH plan AS ({_plan_oracle_sql().replace('ORDER BY image_id, res, tile_id', '')})
+SELECT res, tile_id, cast(count(*) as int) AS n_src
+FROM plan GROUP BY res, tile_id ORDER BY res, tile_id
+"""
+
+
+def q13_image_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-table integrity: the distributed synthesis (mapInPandas) must
+    reproduce the closed-form scalar projection bit-for-bit, caption
+    included (caption-equality invariant of the north rule)."""
+    df = _images(spark, sf_dir)
+    return df.select(
+        "image_id", "w", "h", "fmt", "caption",
+        F.expr("cast(floor(lon0 * 1000000) as bigint)").alias("lon0_micro"),
+        F.expr("cast(floor(lat0 * 1000000) as bigint)").alias("lat0_micro"),
+        F.expr("cast(floor(lon1 * 1000000) as bigint)").alias("lon1_micro"),
+        F.expr("cast(floor(lat1 * 1000000) as bigint)").alias("lat1_micro"),
+    ).orderBy("image_id")
+
+
+Q13_SQL = f"""
+WITH base AS ({images.images_base_sql()})
+SELECT image_id, w, h, fmt, caption,
+       cast(floor(lon0 * 1000000) as bigint) AS lon0_micro,
+       cast(floor(lat0 * 1000000) as bigint) AS lat0_micro,
+       cast(floor(lon1 * 1000000) as bigint) AS lon1_micro,
+       cast(floor(lat1 * 1000000) as bigint) AS lat1_micro
+FROM base ORDER BY image_id
+"""
+
+
+def q14_pyramid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pyramid build: merged tiles -> parent level; verify parent tile ids +
+    child counts against the closed-form parent computed in SQL."""
+    t = tiles.assign_tiles_df(_images(spark, sf_dir))
+    merged = tiles.merge_tiles_df(t)
+    parents = tiles.pyramid_level_df(merged)
+    return parents.select("res", "tile_id", "n_src").orderBy("res", "tile_id")
+
+
+# parent of rowmajor cell at res r: (y>>1)*2^(r-1) + (x>>1)
+Q14_SQL = f"""
+WITH plan AS ({_plan_oracle_sql().replace('ORDER BY image_id, res, tile_id', '')}),
+tiles AS (SELECT DISTINCT res, tile_id FROM plan),
+parents AS (
+  SELECT res,
+         (tile_id // cast(pow(2, res) as bigint) // 2) * cast(pow(2, res - 1) as bigint)
+           + (tile_id % cast(pow(2, res) as bigint)) // 2 AS ptile
+  FROM tiles
+)
+SELECT cast(res - 1 as int) AS res, ptile AS tile_id, cast(count(*) as int) AS n_src
+FROM parents GROUP BY 1, 2 ORDER BY res, tile_id
+"""
+
+RASTER_QUERIES = {
+    "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
+    "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
+    "q13_image_scalars": (q13_image_scalars, Q13_SQL),
+    "q14_pyramid_counts": (q14_pyramid_counts, Q14_SQL),
+}

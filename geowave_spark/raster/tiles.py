@@ -1,0 +1,301 @@
+"""Raster <-> vector tile assignment, merge, pyramid, and resize.
+
+Reference semantics (/root/reference):
+- level selection + per-SFC-id tiling: `extensions/adapters/raster/src/main/
+  java/.../adapter/RasterDataAdapter.java:444-550` — pick the pyramid
+  substrategy whose cell/pixel resolution ratio is >=1 and closest to 1,
+  then emit one fixed-size tile per covering insertion id.
+- tile geometry from key: `TieredSFCIndexStrategy.java:230-247`
+  (getRangeForId) — here `grid.cell_bounds`.
+- no-data-aware merge: `.../adapter/raster/adapter/merge/
+  NoDataMergeStrategy.java` and the Spark groupByKey->merge shape of
+  `analytics/spark/.../kde/KDERunner.java:551-623`.
+- re-tile: `analytics/spark/.../resize/RasterTileResizeSparkRunner.java:100-178`.
+
+Spark-first design: tiles are rows `(res:int, tile_id:long, image_id,
+caption, px:binary RGBA-PNG)`.  Assignment is `mapInPandas` (vectorized
+resample per tile, no per-row Python); merge/pyramid are
+`groupBy(...).applyInPandas` — Spark's shuffle does the mosaicking
+co-location, AQE handles hot-cell skew.  At 10^12 rows every stage is a
+narrow map or a single keyed shuffle; nothing collects to the driver.
+
+Level selection is kept in closed form (count of resolutions whose lon
+cell width >= tile ground width) so the DuckDB oracle can recompute the
+full (image_id, res, tile_id) assignment plan with plain SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..sfc import grid
+from ..table import geo
+from . import codec
+
+TILE_PX = 64
+MAX_TILE_RES = 12  # 2^12 x 2^12 global grid is plenty at test scale
+CURVE = "rowmajor"  # closed-form cell ids shared with the SQL oracle
+
+TILE_SCHEMA = (
+    "res int, tile_id long, image_id string, caption string, px binary"
+)
+
+
+# --------------------------------------------------------------------------
+# level selection (closed form, oracle-shared)
+
+
+def level_res(lon0, lon1, w, tile_px: int = TILE_PX) -> np.ndarray:
+    """Finest res whose tile ground width still >= image ground width/pixel.
+
+    ratio(res) = cell_lon_deg(res) / (tile_px * pixel_deg) must be >= 1 and
+    closest to 1 (RasterDataAdapter.java:444-550).  Monotone in res, so the
+    answer is the count of satisfying resolutions, clamped to the grid.
+    """
+    pixel_deg = (np.asarray(lon1, dtype=np.float64) - np.asarray(lon0)) / np.asarray(w)
+    target = np.asarray(tile_px, dtype=np.float64) * pixel_deg
+    res = np.zeros(np.shape(target), dtype=np.int64)
+    for r in range(1, MAX_TILE_RES + 1):
+        res += (360.0 / float(1 << r) >= target).astype(np.int64)
+    return res
+
+
+def level_res_sql(lon0: str, lon1: str, w: str, tile_px: int = TILE_PX) -> str:
+    """SQL twin of `level_res` — valid in Spark SQL and DuckDB."""
+    target = f"({tile_px} * (({lon1}) - ({lon0})) / ({w}))"
+    terms = " + ".join(
+        f"(case when {360.0 / (1 << r)!r} >= {target} then 1 else 0 end)"
+        for r in range(1, MAX_TILE_RES + 1)
+    )
+    return f"({terms})"
+
+
+# --------------------------------------------------------------------------
+# assignment plan (which tiles each image touches) — closed form
+
+
+def assign_plan_pdf(img: pd.DataFrame, tile_px: int = TILE_PX) -> pd.DataFrame:
+    """(image_id, lon0, lat0, lon1, lat1, w) batch -> (image_id, res, tile_id)."""
+    res = level_res(img["lon0"], img["lon1"], img["w"], tile_px)
+    out_img, out_res, out_cell = [], [], []
+    ids = img["image_id"].to_numpy()
+    for r in np.unique(res):  # loop over distinct resolutions, not rows
+        m = res == r
+        row, cells = grid.cover_bbox(
+            img["lon0"].to_numpy()[m], img["lat0"].to_numpy()[m],
+            img["lon1"].to_numpy()[m], img["lat1"].to_numpy()[m],
+            int(r), curve=CURVE,
+        )
+        out_img.append(ids[m][row])
+        out_res.append(np.full(len(row), r, dtype=np.int64))
+        out_cell.append(cells.astype(np.int64))
+    if not out_img:
+        return pd.DataFrame({"image_id": [], "res": [], "tile_id": []})
+    return pd.DataFrame(
+        {
+            "image_id": np.concatenate(out_img),
+            "res": np.concatenate(out_res).astype(np.int32),
+            "tile_id": np.concatenate(out_cell),
+        }
+    )
+
+
+def assign_plan_df(images_df, tile_px: int = TILE_PX):
+    """Distributed assignment plan: images -> exploded (image_id, res, tile_id)."""
+    cols = ["image_id", "lon0", "lat0", "lon1", "lat1", "w"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield assign_plan_pdf(pdf, tile_px)
+
+    return images_df.select(*cols).mapInPandas(
+        gen, schema="image_id string, res int, tile_id long"
+    )
+
+
+# --------------------------------------------------------------------------
+# pixel-level tile extraction
+
+
+def _resample_tile(
+    img_px: np.ndarray,
+    fp: tuple[float, float, float, float],
+    cell_bounds: tuple[float, float, float, float],
+    tile_px: int,
+) -> np.ndarray:
+    """Nearest-neighbor resample of one image into one tile's RGBA grid.
+
+    Pixels outside the image footprint get alpha 0 (no-data) — the merge
+    contract (NoDataMergeStrategy analog).
+    """
+    lon0, lat0, lon1, lat1 = fp
+    clon0, clat0, clon1, clat1 = cell_bounds
+    h, w = img_px.shape[:2]
+    # tile pixel centers in geo coordinates (row 0 = north edge)
+    lons = clon0 + (np.arange(tile_px) + 0.5) * (clon1 - clon0) / tile_px
+    lats = clat1 - (np.arange(tile_px) + 0.5) * (clat1 - clat0) / tile_px
+    xi = np.floor((lons - lon0) / (lon1 - lon0) * w).astype(np.int64)
+    yi = np.floor((lat1 - lats) / (lat1 - lat0) * h).astype(np.int64)
+    inside_x = (xi >= 0) & (xi < w)
+    inside_y = (yi >= 0) & (yi < h)
+    xi = np.clip(xi, 0, w - 1)
+    yi = np.clip(yi, 0, h - 1)
+    tile = np.zeros((tile_px, tile_px, 4), dtype=np.uint8)
+    tile[:, :, :3] = img_px[yi[:, None], xi[None, :], :3]
+    tile[:, :, 3] = np.where(inside_y[:, None] & inside_x[None, :], 255, 0)
+    tile[:, :, :3] *= (tile[:, :, 3:] > 0)  # zero out no-data pixels
+    return tile
+
+
+def assign_tiles_pdf(img_rows: pd.DataFrame, tile_px: int = TILE_PX) -> pd.DataFrame:
+    """Full image rows -> tile rows with RGBA PNG payloads."""
+    plan: list[tuple] = []
+    res = level_res(img_rows["lon0"], img_rows["lon1"], img_rows["w"], tile_px)
+    for i in range(len(img_rows)):  # per-image; inner math vectorized
+        row = img_rows.iloc[i]
+        r = int(res[i])
+        _, cells = grid.cover_bbox(
+            [row.lon0], [row.lat0], [row.lon1], [row.lat1], r, curve=CURVE
+        )
+        px = codec.decode(row["bytes"], row.fmt)
+        fp = (row.lon0, row.lat0, row.lon1, row.lat1)
+        lo_lon, lo_lat, hi_lon, hi_lat = grid.cell_bounds(cells, r, curve=CURVE)
+        for j in range(len(cells)):
+            tile = _resample_tile(
+                px, fp, (lo_lon[j], lo_lat[j], hi_lon[j], hi_lat[j]), tile_px
+            )
+            plan.append(
+                (r, int(cells[j].astype(np.int64)), row.image_id,
+                 row.caption, codec.png_encode(tile))
+            )
+    return pd.DataFrame(
+        plan, columns=["res", "tile_id", "image_id", "caption", "px"]
+    )
+
+
+def assign_tiles_df(images_df, tile_px: int = TILE_PX):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield assign_tiles_pdf(pdf, tile_px)
+
+    return images_df.mapInPandas(gen, schema=TILE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# merge (mosaic), pyramid, resize
+
+
+def merge_tiles_df(tiles_df, tile_px: int = TILE_PX):
+    """One row per (res, tile_id): no-data-aware composite of all sources.
+
+    Deterministic: sources applied in image_id order; a later source fills
+    only pixels still no-data (alpha 0) — NoDataMergeStrategy semantics.
+    """
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("image_id")
+        acc = np.zeros((tile_px, tile_px, 4), dtype=np.uint8)
+        for buf in pdf["px"]:  # per-source-tile; pixel ops vectorized
+            t = codec.png_decode(bytes(buf))
+            hole = acc[:, :, 3] == 0
+            acc[hole] = t[hole]
+        return pd.DataFrame(
+            {
+                "res": [key[0]],
+                "tile_id": [key[1]],
+                "n_src": [len(pdf)],
+                "px": [codec.png_encode(acc)],
+            }
+        )
+
+    return tiles_df.groupBy("res", "tile_id").applyInPandas(
+        merge, schema="res int, tile_id long, n_src int, px binary"
+    )
+
+
+def _downsample2(px: np.ndarray) -> np.ndarray:
+    """2x2 integer block mean (alpha-weighted RGB, alpha = max)."""
+    h, w, c = px.shape
+    b = px.reshape(h // 2, 2, w // 2, 2, c).astype(np.uint16)
+    rgb = (b[:, :, :, :, :3].sum(axis=(1, 3)) + 2) // 4
+    a = b[:, :, :, :, 3].max(axis=(1, 3))
+    out = np.concatenate([rgb, a[:, :, None]], axis=-1)
+    return out.astype(np.uint8)
+
+
+def pyramid_level_df(merged_df, tile_px: int = TILE_PX):
+    """Merged tiles at res r -> parent tiles at r-1 (buildPyramid step,
+    RasterDataAdapter.java:525-528): each child shrinks 2x and lands in its
+    parent-quadrant; siblings composite in one keyed shuffle."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    def to_parent(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for i in range(len(pdf)):
+                r = int(pdf["res"].iloc[i])
+                cell = np.asarray([pdf["tile_id"].iloc[i]], dtype=np.uint64)
+                x, y = grid.cell_to_xy(cell, r, curve=CURVE)
+                parent = grid.xy_to_cell(
+                    x >> np.uint64(1), y >> np.uint64(1), r - 1, curve=CURVE
+                )
+                qx, qy = int(x[0] & np.uint64(1)), int(y[0] & np.uint64(1))
+                small = _downsample2(codec.png_decode(bytes(pdf["px"].iloc[i])))
+                rows.append(
+                    (r - 1, int(parent[0].astype(np.int64)), qx, qy,
+                     codec.png_encode(small))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["res", "tile_id", "qx", "qy", "px"]
+                )
+
+    quads = merged_df.mapInPandas(
+        to_parent, schema="res int, tile_id long, qx int, qy int, px binary"
+    )
+
+    def stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        half = tile_px // 2
+        acc = np.zeros((tile_px, tile_px, 4), dtype=np.uint8)
+        for i in range(len(pdf)):
+            t = codec.png_decode(bytes(pdf["px"].iloc[i]))
+            qx, qy = int(pdf["qx"].iloc[i]), int(pdf["qy"].iloc[i])
+            # grid y grows north; image row 0 is the north edge
+            y0 = (1 - qy) * half
+            acc[y0 : y0 + half, qx * half : (qx + 1) * half] = t
+        return pd.DataFrame(
+            {
+                "res": [key[0]],
+                "tile_id": [key[1]],
+                "n_src": [len(pdf)],
+                "px": [codec.png_encode(acc)],
+            }
+        )
+
+    return quads.groupBy("res", "tile_id").applyInPandas(
+        stitch, schema="res int, tile_id long, n_src int, px binary"
+    )
+
+
+def resize_tiles_df(tiles_df, new_tile_px: int, col: str = "px"):
+    """Re-tile to a new tile size: vectorized nearest resample per tile
+    (RasterTileResizeSparkRunner analog; tile geometry/cell ids unchanged)."""
+
+    def rz(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            out = []
+            for buf in pdf[col]:
+                t = codec.png_decode(bytes(buf))
+                n = t.shape[0]
+                idx = (np.arange(new_tile_px) * n) // new_tile_px
+                out.append(codec.png_encode(t[idx[:, None], idx[None, :]]))
+            pdf = pdf.copy()
+            pdf[col] = out
+            yield pdf
+
+    return tiles_df.mapInPandas(rz, schema=tiles_df.schema)

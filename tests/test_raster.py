@@ -1,0 +1,210 @@
+"""Raster pipeline unit tests: codec round-trips, image-table invariants
+(PSNR>=40dB lossy, exact caption equality), tile extraction vs a brute-force
+per-pixel oracle, merge and pyramid semantics.
+
+Reference analogs: pixel-equivalence gate
+`test/.../mapreduce/CustomCRSKDERasterResizeIT.java:395-452`, tiling
+`extensions/adapters/raster/.../RasterDataAdapter.java:444-550`.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from geowave_spark.raster import codec, tiles
+from geowave_spark.sfc import grid
+from geowave_spark.table import images
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).df()
+
+
+@pytest.fixture(scope="module")
+def img_pdf(docs):
+    return images.gen_images_pdf(docs)
+
+
+# --------------------------------------------------------------------- codec
+
+def test_codec_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    for shape in [(17, 23), (32, 48, 3), (9, 9, 4), (1, 1, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ref = img[:, :, None] if img.ndim == 2 else img
+        for fmt in ("png", "raw"):
+            assert np.array_equal(codec.decode(codec.encode(img, fmt), fmt), ref)
+
+
+def test_codec_lossy_psnr_bound():
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+        out = codec.decode(codec.encode(img, "q6"), "q6")
+        assert codec.psnr(img, out) >= 40.0
+        assert np.abs(img.astype(int) - out.astype(int)).max() <= 2
+
+
+def test_png_decodes_filtered_input():
+    """Our decoder must handle PNGs written by encoders that use filters."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    lines, prev = [], np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):  # filter type 2 (Up) on every line
+        cur = img[y].reshape(-1).astype(np.int32)
+        lines.append(b"\x02" + ((cur - prev) & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    def chunk(tag, p):
+        return struct.pack(">I", len(p)) + tag + p + struct.pack(
+            ">I", zlib.crc32(tag + p) & 0xFFFFFFFF
+        )
+    buf = (
+        codec.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codec.png_decode(buf), img)
+
+
+# --------------------------------------------------------- image table rows
+
+def test_image_rows_decode_psnr_and_phash(img_pdf, docs):
+    worst = np.inf
+    for i in range(0, len(img_pdf), 7):  # stride: keep the test fast
+        row = img_pdf.iloc[i]
+        ref = images.gen_pixels(int(docs["doc_id"].iloc[i]), int(row.w), int(row.h))
+        out = codec.decode(row["bytes"], row.fmt)
+        if row.fmt in codec.LOSSY_FMTS:
+            p = codec.psnr(ref, out)
+            assert p >= 40.0
+            worst = min(worst, p)
+        else:
+            assert np.array_equal(out, ref)
+        assert images.phash64(ref) == row.phash
+    assert worst >= 40.0
+
+
+def test_caption_equality(img_pdf, docs):
+    assert (img_pdf["caption"].to_numpy() == docs["text"].to_numpy()).all()
+
+
+def test_phash_near_dup_is_hamming_zero(img_pdf):
+    d = images.hamming64(img_pdf["phash"], img_pdf["phash"])
+    assert (d == 0).all()
+    d2 = images.hamming64(img_pdf["phash"].iloc[0], ~np.int64(img_pdf["phash"].iloc[0]))
+    assert int(np.asarray(d2)) == 64
+
+
+# ------------------------------------------------------------------- tiling
+
+def brute_force_tile(img_px, fp, cell_b, tile_px):
+    """Per-pixel oracle for _resample_tile (slow, obviously-correct)."""
+    lon0, lat0, lon1, lat1 = fp
+    clon0, clat0, clon1, clat1 = cell_b
+    h, w = img_px.shape[:2]
+    out = np.zeros((tile_px, tile_px, 4), dtype=np.uint8)
+    for i in range(tile_px):
+        for j in range(tile_px):
+            lon = clon0 + (j + 0.5) * (clon1 - clon0) / tile_px
+            lat = clat1 - (i + 0.5) * (clat1 - clat0) / tile_px
+            x = int(np.floor((lon - lon0) / (lon1 - lon0) * w))
+            y = int(np.floor((lat1 - lat) / (lat1 - lat0) * h))
+            if 0 <= x < w and 0 <= y < h:
+                out[i, j, :3] = img_px[y, x, :3]
+                out[i, j, 3] = 255
+    return out
+
+
+def test_tile_extraction_matches_brute_force(img_pdf, docs):
+    for i in (0, 3, 10):
+        row = img_pdf.iloc[i]
+        px = codec.decode(row["bytes"], row.fmt)
+        r = int(tiles.level_res([row.lon0], [row.lon1], [row.w])[0])
+        _, cells = grid.cover_bbox(
+            [row.lon0], [row.lat0], [row.lon1], [row.lat1], r, curve=tiles.CURVE
+        )
+        lo_lon, lo_lat, hi_lon, hi_lat = grid.cell_bounds(cells, r, curve=tiles.CURVE)
+        fp = (row.lon0, row.lat0, row.lon1, row.lat1)
+        for j in range(len(cells)):
+            cb = (lo_lon[j], lo_lat[j], hi_lon[j], hi_lat[j])
+            fast = tiles._resample_tile(px, fp, cb, 16)
+            slow = brute_force_tile(px, fp, cb, 16)
+            assert np.array_equal(fast, slow)
+
+
+def test_tiles_cover_every_valid_pixel_once(img_pdf):
+    """Union of a row's tiles covers its footprint; overlapping-tile pixels
+    are consistent (same source)."""
+    row = img_pdf.iloc[4]
+    trows = tiles.assign_tiles_pdf(img_pdf.iloc[[4]])
+    total_valid = 0
+    for _, t in trows.iterrows():
+        px = codec.png_decode(bytes(t["px"]))
+        total_valid += int((px[:, :, 3] > 0).sum())
+    assert total_valid > 0
+    assert (trows["caption"] == row.caption).all()
+
+
+def test_merge_nodata_semantics():
+    """Later source fills only holes left by earlier sources."""
+    a = np.zeros((8, 8, 4), dtype=np.uint8)
+    a[:4, :, :3], a[:4, :, 3] = 100, 255
+    b = np.zeros((8, 8, 4), dtype=np.uint8)
+    b[:, :, :3], b[:, :, 3] = 200, 255
+    pdf = pd.DataFrame(
+        {"image_id": ["a", "b"], "px": [codec.png_encode(a), codec.png_encode(b)]}
+    )
+    # replicate the merge kernel
+    acc = np.zeros((8, 8, 4), dtype=np.uint8)
+    for buf in pdf.sort_values("image_id")["px"]:
+        t = codec.png_decode(bytes(buf))
+        hole = acc[:, :, 3] == 0
+        acc[hole] = t[hole]
+    assert (acc[:4, :, 0] == 100).all() and (acc[4:, :, 0] == 200).all()
+
+
+def test_downsample2_block_mean():
+    px = np.zeros((4, 4, 4), dtype=np.uint8)
+    px[:, :, 0] = np.array([[0, 2, 4, 6], [2, 0, 6, 4], [8, 8, 8, 8], [8, 8, 8, 8]])
+    px[:, :, 3] = 255
+    out = tiles._downsample2(px)
+    assert out.shape == (2, 2, 4)
+    assert out[0, 0, 0] == 1 and out[0, 1, 0] == 5 and out[1, 0, 0] == 8
+    assert (out[:, :, 3] == 255).all()
+
+
+# ------------------------------------------------- Spark end-to-end pipeline
+
+def test_spark_tile_pipeline(spark, sf_dir, img_pdf):
+    """Distributed synthesize -> tile -> merge -> pyramid; counts line up and
+    one merged tile is pixel-identical to the locally-computed merge."""
+    df = images.images_df(spark, sf_dir)
+    t = tiles.assign_tiles_df(df)
+    merged = tiles.merge_tiles_df(t).cache()
+    plan_local = tiles.assign_plan_pdf(img_pdf)
+    assert merged.count() == plan_local.groupby(["res", "tile_id"]).ngroups
+    # deepest-res tile with most sources: recompute locally
+    top = merged.orderBy("res", "tile_id").filter("n_src >= 2").limit(1).toPandas()
+    if len(top):
+        r, tid = int(top["res"][0]), int(top["tile_id"][0])
+        local_rows = tiles.assign_tiles_pdf(img_pdf)
+        sel = local_rows[(local_rows["res"] == r) & (local_rows["tile_id"] == tid)]
+        acc = np.zeros((tiles.TILE_PX, tiles.TILE_PX, 4), dtype=np.uint8)
+        for buf in sel.sort_values("image_id")["px"]:
+            tt = codec.png_decode(bytes(buf))
+            hole = acc[:, :, 3] == 0
+            acc[hole] = tt[hole]
+        spark_px = codec.png_decode(bytes(top["px"][0]))
+        assert np.array_equal(spark_px, acc)
+    parents = tiles.pyramid_level_df(merged)
+    assert parents.count() > 0
+    merged.unpersist()
