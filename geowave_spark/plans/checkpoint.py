@@ -1,0 +1,159 @@
+"""Resumable per-partition checkpointed writes with lineage + metrics.
+
+North-rule requirement: a 10^12-row job WILL be preempted; it must be
+"resumable from per-partition checkpoints with lineage + metrics emitted per
+partition".  Reference analog: GeoWave splits work into statistics-balanced
+ranges and each split commits independently to the backing store
+(`core/mapreduce/.../splits/SplitsProvider.java:62-325`,
+`core/store/.../api/DataStore.java:464-475` in /root/reference); a re-run
+re-reads only missing ranges.
+
+Spark-first design:
+- the DataFrame is first repartitioned DETERMINISTICALLY (range-partition on
+  a stable key), so partition i holds the same rows on every attempt;
+- each executor task writes its partition to `part-{i}.parquet` via a
+  tmp-file + atomic-rename commit (the classic task-commit protocol — on an
+  object store this is a conditional PUT);
+- a sidecar `metrics/part-{i}.json` records lineage (input path, key, app id,
+  attempt) and metrics (rows, bytes, wall seconds) — one JSON per partition;
+- a resumed run lists committed partitions first, broadcasts that set, and
+  tasks whose partition is already committed return immediately — only the
+  missing work re-executes.
+
+Everything is executor-side; the driver only lists the manifest directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F  # noqa: N812
+
+
+def _committed(out_dir: str) -> set[int]:
+    if not os.path.isdir(out_dir):
+        return set()
+    out = set()
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            out.add(int(f[5:-8]))
+    return out
+
+
+def resumable_write(
+    df: DataFrame,
+    out_dir: str,
+    key: str,
+    num_partitions: int | None = None,
+    fail_partitions: set[int] | None = None,
+) -> dict:
+    """Write `df` to `out_dir` as one parquet file per partition, resumably.
+
+    `key` — stable ordering column; range partitioning on it makes the
+    partition->rows mapping deterministic across attempts.
+    `fail_partitions` — test hook: simulate preemption by raising inside
+    the listed partitions (before their commit).
+
+    Returns a summary dict {written, skipped, rows} aggregated from the
+    per-partition metrics.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "metrics"), exist_ok=True)
+    done = _committed(out_dir)
+    spark = df.sparkSession
+    app_id = spark.sparkContext.applicationId
+    lineage = {
+        "key": key,
+        "plan_hash": hash(df.schema.simpleString()) & 0xFFFFFFFF,
+    }
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, F.col(key)).sortWithinPartitions(key)
+    fail = fail_partitions or set()
+
+    def write_partition(batches: Iterator, *, _done=frozenset(done)) -> Iterator:
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        t0 = time.time()
+        if pid in _done:
+            # already committed by a previous attempt: drain & skip
+            for _ in batches:
+                pass
+            yield pd.DataFrame({"pid": [pid], "rows": [-1], "skipped": [True]})
+            return
+        pdfs = [b for b in batches if len(b)]
+        table = (
+            pa.concat_tables([pa.Table.from_pandas(p, preserve_index=False) for p in pdfs])
+            if pdfs
+            else None
+        )
+        if pid in fail:
+            raise RuntimeError(f"injected preemption in partition {pid}")
+        final = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+        tmp = final + f".tmp-{app_id}-{ctx.attemptNumber()}"
+        nrows = 0
+        nbytes = 0
+        if table is not None:
+            pq.write_table(table, tmp)
+            nrows = table.num_rows
+            nbytes = os.path.getsize(tmp)
+            os.replace(tmp, final)  # atomic commit
+        else:
+            # empty partition still commits (zero-byte marker file)
+            open(tmp, "wb").close()
+            os.replace(tmp, final)
+        meta = {
+            "pid": pid,
+            "rows": nrows,
+            "bytes": nbytes,
+            "wall_s": round(time.time() - t0, 4),
+            "app_id": app_id,
+            "attempt": ctx.attemptNumber(),
+            "stage": ctx.stageId(),
+            **lineage,
+        }
+        mfinal = os.path.join(out_dir, "metrics", f"part-{pid:05d}.json")
+        mtmp = mfinal + ".tmp"
+        with open(mtmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(mtmp, mfinal)
+        yield pd.DataFrame({"pid": [pid], "rows": [nrows], "skipped": [False]})
+
+    status = part.mapInPandas(
+        write_partition, schema="pid int, rows long, skipped boolean"
+    ).toPandas()
+    return {
+        "written": int((~status["skipped"]).sum()),
+        "skipped": int(status["skipped"].sum()),
+        "rows": int(status.loc[~status["skipped"], "rows"].clip(lower=0).sum()),
+        "partitions": n,
+    }
+
+
+def load(spark, out_dir: str) -> DataFrame:
+    """Read back a checkpointed dataset (zero-byte empty markers excluded)."""
+    files = [
+        os.path.join(out_dir, f)
+        for f in sorted(os.listdir(out_dir))
+        if f.startswith("part-") and f.endswith(".parquet")
+        and os.path.getsize(os.path.join(out_dir, f)) > 0
+    ]
+    return spark.read.parquet(*files)
+
+
+def partition_metrics(out_dir: str) -> list[dict]:
+    """Per-partition lineage+metrics records (sorted by pid)."""
+    mdir = os.path.join(out_dir, "metrics")
+    out = []
+    for f in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+        if f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                out.append(json.load(fh))
+    return out
