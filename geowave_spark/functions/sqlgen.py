@@ -1,0 +1,228 @@
+"""Dual-dialect SQL fragment generators (Spark SQL + DuckDB).
+
+The training-data operators (dedup, MinHash LSH, SimHash, ANN, text
+analysis) are expressed as *pure relational expressions* — array lambdas,
+folds, windows — so they run JVM-side under whole-stage codegen in Spark
+(UDFs are the slow path) and the DuckDB oracle evaluates the *same formula*
+for bit-identical results.  The two dialects differ only in function names
+and lambda index base; this module is the single source of truth that keeps
+queries() and oracle_sql() from drifting apart (same pattern as
+`table/geo.py`).
+
+Dialect cheat sheet:
+  split      : split(t,' ')          | string_split(t,' ')
+  size       : size(a)               | len(a)
+  index      : element_at(a,i) 1-based | a[i] 1-based
+  xform(x,i) : i 0-based             | i 1-based
+  fold       : aggregate(a, z, f)    | list_reduce(list_prepend(z, a), f)
+  distinct   : array_distinct        | list_distinct
+  intersect  : array_intersect       | list_intersect
+  seq        : sequence(lo,hi)       | generate_series(lo,hi)   (both incl.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Dialect:
+    name: str
+
+    @property
+    def is_spark(self) -> bool:
+        return self.name == "spark"
+
+    def split_ws(self, text: str) -> str:
+        return f"split({text}, ' ')" if self.is_spark else f"string_split({text}, ' ')"
+
+    def size(self, arr: str) -> str:
+        return f"size({arr})" if self.is_spark else f"len({arr})"
+
+    def at(self, arr: str, i1: str) -> str:
+        """1-based element access; `i1` is an expression in 1-based terms."""
+        return f"element_at({arr}, {i1})" if self.is_spark else f"({arr})[{i1}]"
+
+    def xform(self, arr: str, body_of_x: str) -> str:
+        """map: body uses `x`."""
+        fn = "transform" if self.is_spark else "list_transform"
+        return f"{fn}({arr}, x -> {body_of_x})"
+
+    def xform_i(self, arr: str, body_of_x_i1: str) -> str:
+        """map with 1-based index: body uses `x` and `i` (normalized 1-based)."""
+        if self.is_spark:
+            body = body_of_x_i1.replace("{i}", "(i + 1)")
+            return f"transform({arr}, (x, i) -> {body})"
+        body = body_of_x_i1.replace("{i}", "i")
+        return f"list_transform({arr}, (x, i) -> {body})"
+
+    def fold(self, arr: str, zero: str, body_of_acc_x: str) -> str:
+        """left fold: body uses `acc` and `x`; sequential, so float results
+        are bit-identical across engines."""
+        if self.is_spark:
+            return f"aggregate({arr}, {zero}, (acc, x) -> {body_of_acc_x})"
+        return (
+            f"list_reduce(list_prepend({zero}, {arr}), (acc, x) -> {body_of_acc_x})"
+        )
+
+    def arr_distinct(self, arr: str) -> str:
+        return f"array_distinct({arr})" if self.is_spark else f"list_distinct({arr})"
+
+    def arr_intersect(self, a: str, b: str) -> str:
+        fn = "array_intersect" if self.is_spark else "list_intersect"
+        return f"{fn}({a}, {b})"
+
+    def seq(self, lo: str, hi: str) -> str:
+        """Inclusive integer range as an array."""
+        if self.is_spark:
+            return f"sequence({lo}, {hi})"
+        return f"generate_series({lo}, {hi})"
+
+    def arr_filter(self, arr: str, body_of_x: str) -> str:
+        fn = "filter" if self.is_spark else "list_filter"
+        return f"{fn}({arr}, x -> {body_of_x})"
+
+    def arr_min(self, arr: str) -> str:
+        return f"array_min({arr})" if self.is_spark else f"list_min({arr})"
+
+    def intdiv(self, a: str, b: str) -> str:
+        return f"({a} div {b})" if self.is_spark else f"({a} // {b})"
+
+
+SPARK = Dialect("spark")
+DUCK = Dialect("duck")
+
+
+# ---------------------------------------------------------------------------
+# shared formulas (engine-independent once built through a Dialect)
+
+WORDVAL = (
+    "cast(961 * length(x) + 31 * ascii(x) + ascii(substr(x, length(x), 1)) "
+    "as bigint)"
+)
+
+
+def tokens(d: Dialect, text: str = "text") -> str:
+    return d.split_ws(text)
+
+
+def wordvals(d: Dialect, text: str = "text") -> str:
+    """Array of integer word hashes (length/first-char/last-char mix)."""
+    return d.xform(tokens(d, text), WORDVAL)
+
+
+def shingles3(d: Dialect, text: str = "text") -> str:
+    """3-gram shingle hashes: s_i = ((v_i*1009 + v_{i+1})*1009 + v_{i+2}).
+
+    Bounded by ~4.3e13 — no overflow anywhere, identical in both engines.
+    """
+    v = wordvals(d, text)
+    a1 = d.at("v", "{i}")
+    a2 = d.at("v", "({i} + 1)")
+    a3 = d.at("v", "({i} + 2)")
+    idx = d.seq("1", f"{d.size(v)} - 2")
+    body = f"(({a1} * 1009 + {a2}) * 1009 + {a3})".replace("v", v)
+    # build via index-mapped transform over 1..n-2
+    if d.is_spark:
+        return f"transform({idx}, i -> {body.replace('{i}', 'i')})"
+    return f"list_transform({idx}, i -> {body.replace('{i}', 'i')})"
+
+
+P_MINHASH = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_one(d: Dialect, shingle_arr: str, a: int, b: int) -> str:
+    """min over shingles of (a*(s % P) + b) % P."""
+    return d.arr_min(
+        d.xform(shingle_arr, f"({a} * (x % {P_MINHASH}) + {b}) % {P_MINHASH}")
+    )
+
+
+def minhash_sig(d: Dialect, shingle_arr: str, k: int = 16) -> list[str]:
+    """k independent minhash expressions (deterministic coefficient schedule)."""
+    return [
+        minhash_one(d, shingle_arr, a=2 * j + 3, b=104729 * (j + 1) % P_MINHASH)
+        for j in range(k)
+    ]
+
+
+def band_hash(cols: list[str]) -> str:
+    """Fold r minhash columns into one band id (mod 1e9+7, overflow-safe)."""
+    expr = f"({cols[0]} % 1000000007)"
+    for c in cols[1:]:
+        expr = f"(({expr} * 31 + {c}) % 1000000007)"
+    return expr
+
+
+def simhash16(d: Dialect, text: str = "text") -> str:
+    """16-bit SimHash over word hashes: bit b set iff sum of +-1 votes > 0.
+
+    Vote for bit b from word value v: +1 if bit b of a remixed v is 1 else
+    -1.  remix(v) = v * 2654435761 % 2^31 spreads the low-entropy wordval.
+    """
+    v = wordvals(d, text)
+    bits = []
+    for b in range(16):
+        remix_bit = d.intdiv("((x * 2654435761) % 2147483648)", str(1 << b))
+        vote = d.xform(
+            v, f"(case when {remix_bit} % 2 = 1 then 1 else -1 end)"
+        )
+        s = d.fold(vote, "cast(0 as bigint)", "acc + x")
+        bits.append(f"(case when {s} > 0 then {1 << b} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def jaccard_micro(d: Dialect, a: str, b: str) -> str:
+    """floor(1e6 * |A ∩ B| / |A ∪ B|) over distinct shingle sets."""
+    da, db = d.arr_distinct(a), d.arr_distinct(b)
+    inter = d.size(d.arr_intersect(da, db))
+    union = f"({d.size(da)} + {d.size(db)} - {inter})"
+    return f"cast(floor(1000000.0 * {inter} / {union}) as bigint)"
+
+
+# ----------------------------------------------------------------- vectors
+
+
+def to_double_arr(d: Dialect, arr: str) -> str:
+    return d.xform(arr, "cast(x as double)")
+
+
+def dot(d: Dialect, a: str, b: str, n: int) -> str:
+    """Sequential-fold dot product — bit-identical across engines."""
+    prods_idx = d.seq("1", str(n))
+    ea = d.at(a, "i")
+    eb = d.at(b, "i")
+    if d.is_spark:
+        prods = f"transform({prods_idx}, i -> {ea} * {eb})"
+    else:
+        prods = f"list_transform({prods_idx}, i -> {ea} * {eb})"
+    return d.fold(prods, "cast(0.0 as double)", "acc + x")
+
+
+def cosine_micro(d: Dialect, a: str, b: str, n: int) -> str:
+    """floor(1e6 * cos_sim) with identical fold order in both engines."""
+    dd = dot(d, a, b, n)
+    na = dot(d, a, a, n)
+    nb = dot(d, b, b, n)
+    return f"cast(floor(1000000.0 * ({dd}) / (sqrt({na}) * sqrt({nb}))) as bigint)"
+
+
+def hyperplane_bucket(d: Dialect, arr: str, n: int, nbits: int = 12) -> str:
+    """Random-hyperplane LSH bucket id: bit j = (sum_d v_d * h_{j,d}) > 0,
+    h_{j,d} = +-1 from a closed-form pseudo-random schedule."""
+    bits = []
+    for j in range(nbits):
+        # h_{j,d}: +1 when ((j*131 + d*37) % 97) even else -1  (d 1-based)
+        e = d.at(arr, "i")
+        body = (
+            f"(case when (({j} * 131 + i * 37) % 97) % 2 = 0 "
+            f"then {e} else -{e} end)"
+        )
+        idx = d.seq("1", str(n))
+        if d.is_spark:
+            prods = f"transform({idx}, i -> {body})"
+        else:
+            prods = f"list_transform({idx}, i -> {body})"
+        s = d.fold(prods, "cast(0.0 as double)", "acc + x")
+        bits.append(f"(case when {s} > 0 then {1 << j} else 0 end)")
+    return "(" + " + ".join(bits) + ")"

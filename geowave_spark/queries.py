@@ -24,16 +24,7 @@ from .table import geo
 # ---------------------------------------------------------------------------
 # helpers
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the base parquet tables as temp views (idempotent)."""
-    for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+from .table.views import TABLES, register_views  # noqa: E402,F401
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,3 +334,7 @@ QUERIES = {
     "q10_bbox_agg": (q10_bbox_agg, Q10_SQL),
 }
 QUERIES.update(RASTER_QUERIES)
+
+from .queries_text import TEXT_QUERIES  # noqa: E402
+
+QUERIES.update(TEXT_QUERIES)
