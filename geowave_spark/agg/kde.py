@@ -1,0 +1,124 @@
+"""Kernel-density heatmap: splat points onto a grid, rank cells.
+
+Reference analog (/root/reference): the Spark KDE runner
+`analytics/spark/src/main/java/.../analytic/spark/kde/KDERunner.java:234-315`
+— each point is splatted onto nearby cells of a 2^(L+1) x 2^L grid with a
+gaussian weight (`analytics/mapreduce/.../kde/GaussianFilter.java:97-162`,
+incrementPtFast), cell weights are summed (`combineByKey`), then a global
+sort + zipWithIndex converts weight to a percentile per cell
+(`KDERunner.java:252-291`), which becomes the heatmap raster value.
+
+Spark-first re-expression, 100 TB shape:
+- splat = broadcast cross join against a tiny (2k+1)^2 offset table +
+  closed-form row-major cell arithmetic — pure JVM, whole-stage codegen,
+  no Python anywhere;
+- combineByKey -> groupBy(cell).sum() (partial aggregation is automatic);
+- global-sort + zipWithIndex -> percent_rank() window (rank-based, so the
+  result is identical regardless of partitioning).
+
+The kernel uses integer weights w(dx,dy) = 1_000_000 // (1 + dx^2 + dy^2)
+instead of a float gaussian: same monotone radial falloff, but sums are
+order-independent integers, so the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+KERNEL_SCALE = 1_000_000
+
+
+def offsets_sql() -> str:
+    """(dx, dy) offset relation for kernel half-width k — generated inline so
+    Spark SQL and DuckDB share it verbatim (k=2 -> 25 cells)."""
+    return (
+        "SELECT (i % 5) - 2 AS dx, (i // 5) - 2 AS dy FROM "
+        "(SELECT unnest(range(0, 25)) AS i) o"
+    )
+
+
+def _offsets_df(spark: SparkSession, k: int):
+    m = 2 * k + 1
+    return spark.range(0, m * m).select(
+        (F.col("id") % m - k).cast("long").alias("dx"),
+        (F.expr(f"id div {m}") - k).cast("long").alias("dy"),
+    )
+
+
+def weight_sql(dx: str = "dx", dy: str = "dy") -> str:
+    """Integer kernel weight — identical arithmetic in both dialects."""
+    return f"cast({KERNEL_SCALE} as bigint) // cast(1 + {dx} * {dx} + {dy} * {dy} as bigint)"
+
+
+def splat_ordinates_sql(lon: str, lat: str, res: int) -> tuple[str, str]:
+    """Closed-form grid ordinates (x, y) at ``res`` (GeoWave ceil(c*n)-1
+    normalization, as in `table.geo.rowmajor_cell_sql`)."""
+    n = 1 << res
+    x = f"least(greatest(cast(ceil((({lon}) + 180e0) / 360e0 * {n}) as bigint) - 1, 0), {n - 1})"
+    y = f"least(greatest(cast(ceil((({lat}) + 90e0) / 180e0 * {n}) as bigint) - 1, 0), {n - 1})"
+    return x, y
+
+
+def kde_heatmap(spark: SparkSession, pts: DataFrame, res: int, k: int = 2,
+                lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Points -> (cell, weight, pr_micro) heat cells at resolution ``res``.
+
+    pr_micro = floor(percent_rank * 1e6) over descending weight — the
+    KDERunner percentile. Returns one row per touched cell.
+    """
+    from pyspark.sql import Window
+
+    n = 1 << res
+    xs, ys = splat_ordinates_sql(lon, lat, res)
+    pts_o = pts.select(
+        F.expr(xs).alias("x"), F.expr(ys).alias("y")
+    )
+    splat = (
+        pts_o.join(F.broadcast(_offsets_df(spark, k)))
+        .select(
+            (F.col("x") + F.col("dx")).alias("nx"),
+            (F.col("y") + F.col("dy")).alias("ny"),
+            F.expr(
+                f"cast({KERNEL_SCALE} as bigint) div "
+                f"cast(1 + dx * dx + dy * dy as bigint)"
+            ).alias("w"),
+        )
+        .filter(
+            (F.col("nx") >= 0) & (F.col("nx") < n)
+            & (F.col("ny") >= 0) & (F.col("ny") < n)
+        )
+        .select((F.col("ny") * n + F.col("nx")).alias("cell"), "w")
+    )
+    cells = splat.groupBy("cell").agg(F.sum("w").alias("weight"))
+    win = Window.orderBy(F.desc("weight"))
+    return cells.select(
+        "cell", "weight",
+        F.floor(F.percent_rank().over(win) * 1_000_000).cast("long").alias("pr_micro"),
+    )
+
+
+def kde_oracle_sql(points_sql: str, res: int, k: int = 2,
+                   lon: str = "lon", lat: str = "lat") -> str:
+    """DuckDB twin of `kde_heatmap` (k=2 kernel)."""
+    assert k == 2, "oracle fixed at k=2"
+    n = 1 << res
+    xs, ys = splat_ordinates_sql(lon, lat, res)
+    return f"""
+WITH p AS ({points_sql}),
+     o AS ({offsets_sql()}),
+     s AS (
+       SELECT ({ys}) + o.dy AS ny, ({xs}) + o.dx AS nx,
+              {weight_sql('o.dx', 'o.dy')} AS w
+       FROM p CROSS JOIN o
+     ),
+     c AS (
+       SELECT ny * {n} + nx AS cell, cast(sum(w) as bigint) AS weight
+       FROM s
+       WHERE nx >= 0 AND nx < {n} AND ny >= 0 AND ny < {n}
+       GROUP BY 1
+     )
+SELECT cell, weight,
+       cast(floor(percent_rank() OVER (ORDER BY weight DESC) * 1000000) as bigint) AS pr_micro
+FROM c
+ORDER BY cell
+"""

@@ -338,3 +338,7 @@ QUERIES.update(RASTER_QUERIES)
 from .queries_text import TEXT_QUERIES  # noqa: E402
 
 QUERIES.update(TEXT_QUERIES)
+
+from .queries_agg import AGG_QUERIES  # noqa: E402
+
+QUERIES.update(AGG_QUERIES)

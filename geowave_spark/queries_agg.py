@@ -1,0 +1,172 @@
+"""Aggregation / statistics / temporal / subsample / anti-join queries
+(q24-q30) — each with a DuckDB oracle built from the same SQL fragments.
+
+Reference parity targets (/root/reference):
+- q24: KDE heatmap `analytics/spark/.../kde/KDERunner.java:234-315`
+- q25: numeric field statistics `core/store/.../statistics/field/*`
+- q26: fixed-bin histogram `FixedBinNumericHistogramStatistic.java`
+- q27: row-range histogram `RowRangeHistogramStatistic.java` +
+  `SplitsProvider.java:284-325`
+- q28: temporal filter expressions `core/geotime/.../expression/temporal/*`
+- q29: resolution subsampling `BaseQueryOptions.java:64,128`
+- q30: negative-predicate spatial join `TieredSpatialJoin.java:362-368`
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .agg import kde, stats
+from .functions import temporal
+from .index import subsample as sub
+from .join import spatial
+from .table import geo
+from .table.views import register_views
+
+
+def q24_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian-style KDE splat + percentile rank per cell (pure JVM)."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.events_points_sql())
+    return kde.kde_heatmap(spark, pts, res=6, k=2).orderBy("cell")
+
+
+Q24_SQL = kde.kde_oracle_sql(geo.events_points_sql(), res=6, k=2)
+
+
+def q25_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type numeric field statistics, integerized for hash stability:
+    avg = intdiv(sum_cents, n) so no float-sum order dependence."""
+    register_views(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.expr("cast(round(value * 100) as bigint)")).alias("min_cents"),
+            F.max(F.expr("cast(round(value * 100) as bigint)")).alias("max_cents"),
+            F.expr(
+                "sum(cast(round(value * 100) as bigint)) div count(*)"
+            ).alias("avg_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q25_SQL = """
+SELECT event_type,
+       cast(count(*) as bigint) AS n,
+       min(cast(round(value * 100) as bigint)) AS min_cents,
+       max(cast(round(value * 100) as bigint)) AS max_cents,
+       cast(sum(cast(round(value * 100) as bigint)) // count(*) as bigint) AS avg_cents,
+       cast(count(DISTINCT user_id) as bigint) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q26_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of event value over [0, 500) in 32 bins."""
+    register_views(spark, sf_dir)
+    return (
+        stats.fixed_bin_histogram(spark.table("events"), "value", 0.0, 500.0, 32)
+        .orderBy("bucket")
+    )
+
+
+Q26_SQL = f"""
+SELECT {stats.bucket_sql('value', 0.0, 500.0, 32)} AS bucket,
+       cast(count(*) as bigint) AS n
+FROM events GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q27_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-range histogram: rows per grid cell at res 5 (planner metadata
+    that feeds `stats.recommend_salt`)."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.events_points_sql())
+    return stats.cell_histogram(pts, res=5).orderBy("cell")
+
+
+Q27_SQL = f"""
+WITH p AS ({geo.events_points_sql()})
+SELECT {geo.rowmajor_cell_sql('lon', 'lat', 5)} AS cell,
+       cast(count(*) as bigint) AS n
+FROM p GROUP BY 1 ORDER BY cell
+"""
+
+
+T0, T1 = "2024-01-08 00:00:00", "2024-01-15 00:00:00"
+T_AFTER = "2024-01-22 00:00:00"
+
+
+def q28_temporal_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """During [T0,T1) vs After T_AFTER counts per event_type (temporal
+    filter-expression tree surface)."""
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.filter(temporal.during("ts", T0, T1) | temporal.after("ts", T_AFTER))
+        .groupBy("event_type")
+        .agg(
+            F.sum(temporal.during("ts", T0, T1).cast("bigint")).alias("n_during"),
+            F.sum(temporal.after("ts", T_AFTER).cast("bigint")).alias("n_after"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q28_SQL = f"""
+SELECT event_type,
+       cast(sum(case when {temporal.during_sql('ts', T0, T1)} then 1 else 0 end) as bigint) AS n_during,
+       cast(sum(case when {temporal.after_sql('ts', T_AFTER)} then 1 else 0 end) as bigint) AS n_after
+FROM events
+WHERE {temporal.during_sql('ts', T0, T1)} OR {temporal.after_sql('ts', T_AFTER)}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q29_subsample_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution subsampling: one representative event per res-6 cell."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.events_points_sql())
+    return sub.subsample_by_resolution(pts, res=6, id_col="eid").orderBy("cell")
+
+
+Q29_SQL = sub.subsample_oracle_sql(geo.events_points_sql(), res=6, id_col="eid")
+
+
+def q30_pip_rect_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-predicate spatial join: customer points inside NO supplier
+    rect (reference subtractByKey -> left_anti)."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.customer_points_sql()).withColumnRenamed("cid", "pid")
+    rects = spark.sql(geo.supplier_rects_sql()).toPandas()
+    return (
+        spatial.point_in_rects_join(spark, pts, rects, res=8, negative=True)
+        .orderBy("pid")
+    )
+
+
+Q30_SQL = f"""
+WITH p AS (SELECT cid AS pid, lon, lat FROM ({geo.customer_points_sql()}) c),
+     r AS ({geo.supplier_rects_sql()})
+SELECT p.pid FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM r
+  WHERE p.lon BETWEEN r.lon0 AND r.lon1 AND p.lat BETWEEN r.lat0 AND r.lat1
+)
+ORDER BY p.pid
+"""
+
+
+AGG_QUERIES = {
+    "q24_kde_heatmap": (q24_kde_heatmap, Q24_SQL),
+    "q25_numeric_stats": (q25_numeric_stats, Q25_SQL),
+    "q26_value_histogram": (q26_value_histogram, Q26_SQL),
+    "q27_cell_histogram": (q27_cell_histogram, Q27_SQL),
+    "q28_temporal_predicates": (q28_temporal_predicates, Q28_SQL),
+    "q29_subsample_resolution": (q29_subsample_resolution, Q29_SQL),
+    "q30_pip_rect_anti": (q30_pip_rect_anti, Q30_SQL),
+}

@@ -1,0 +1,73 @@
+"""Statistics sidecar tests (reference test analog:
+`core/store/src/test/.../statistics/*` + SplitsProvider balancing)."""
+
+import pytest
+
+from geowave_spark.table import geo
+from geowave_spark.agg import stats
+
+
+@pytest.fixture(scope="module")
+def events_pts(spark, sf_dir):
+    from geowave_spark.table.views import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(geo.events_points_sql()).cache()
+
+
+def test_count_bbox_timerange(spark, sf_dir, events_pts):
+    n = stats.count_stat(events_pts).collect()[0]["n"]
+    assert n == events_pts.count()
+    bb = stats.bbox_stat(events_pts).collect()[0]
+    assert -180 <= bb["min_lon"] <= bb["max_lon"] <= 180
+    assert -90 <= bb["min_lat"] <= bb["max_lat"] <= 90
+    tr = stats.time_range_stat(spark.table("events"), "ts").collect()[0]
+    assert tr["min_ts"] <= tr["max_ts"]
+
+
+def test_numeric_stats_and_histogram(spark, events_pts):
+    st = stats.numeric_stats(events_pts, "value").collect()[0]
+    assert st["min"] <= st["mean"] <= st["max"]
+    hist = stats.fixed_bin_histogram(events_pts, "value", 0.0, 500.0, 16)
+    rows = hist.collect()
+    assert sum(r["n"] for r in rows) == st["n"]
+    assert all(0 <= r["bucket"] < 16 for r in rows)
+
+
+def test_approx_distinct_close_to_exact(spark, events_pts):
+    approx = stats.approx_distinct(events_pts, "eid").collect()[0]["approx_distinct"]
+    exact = events_pts.select("eid").distinct().count()
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_countmin_and_bloom(spark, sf_dir, events_pts):
+    ev = spark.table("events")
+    sketch = stats.countmin_sketch(ev, "event_type").collect()
+    exact = ev.filter("event_type = 'view'").count()
+    est = stats.cms_estimate(spark, sketch, "view")
+    # CMS overestimates but never underestimates
+    assert est >= exact
+    assert est <= ev.count()
+
+    bits = {r["bit"] for r in stats.bloom_filter(ev, "user_id").collect()}
+    uid = ev.select("user_id").first()["user_id"]
+    assert stats.bloom_might_contain(spark, bits, uid)
+    # an id far outside the domain is (overwhelmingly likely) absent
+    assert not stats.bloom_might_contain(spark, bits, -987654321012345)
+
+
+def test_cell_histogram_drives_salt(spark, events_pts):
+    hist = stats.cell_histogram(events_pts, res=4).cache()
+    n_cells = hist.count()
+    assert n_cells > 0
+    total = hist.agg({"n": "sum"}).collect()[0][0]
+    assert total == events_pts.count()
+    # tiny target forces multiple buckets; huge target forces 1
+    assert stats.recommend_salt(hist, target_rows_per_task=1) > 1
+    assert stats.recommend_salt(hist, target_rows_per_task=10**9) == 1
+
+
+def test_partition_metrics(spark, events_pts):
+    pm = stats.partition_metrics(events_pts.repartition(4)).collect()
+    assert sum(r["n"] for r in pm) == events_pts.count()
+    assert len(pm) <= 4
