@@ -160,6 +160,122 @@ def point_to_polygon_distance(px, py, poly) -> np.ndarray:
     return np.where(point_in_polygon(px, py, poly), 0.0, best)
 
 
+def point_to_ring_distance(px, py, poly) -> np.ndarray:
+    """Min distance from N points to the polygon *boundary* (not 0 inside)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    vx, vy = poly_xy(poly)
+    best = np.full(px.shape, np.inf)
+    j = len(vx) - 1
+    for i in range(len(vx)):
+        x0, y0, x1, y1 = vx[j], vy[j], vx[i], vy[i]
+        dx, dy = x1 - x0, y1 - y0
+        L2 = dx * dx + dy * dy
+        t = np.zeros(px.shape) if L2 == 0 else np.clip(
+            ((px - x0) * dx + (py - y0) * dy) / L2, 0.0, 1.0
+        )
+        best = np.minimum(best, np.hypot(px - (x0 + t * dx), py - (y0 + t * dy)))
+        j = i
+    return best
+
+
+def point_strictly_in_polygon(px, py, poly) -> np.ndarray:
+    """Interior-only membership (the half-open ray cast counts left/bottom
+    boundary as inside; touch/overlap semantics need the strict interior)."""
+    return point_in_polygon(px, py, poly) & (point_to_ring_distance(px, py, poly) > 0)
+
+
+def _poly_edges(poly) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    vx, vy = poly_xy(poly)
+    return np.roll(vx, 1), np.roll(vy, 1), vx, vy
+
+
+def polygons_edges_intersect(a, b) -> bool:
+    """Any edge of ring a intersects any edge of ring b (mesh of the two
+    edge sets through the vectorized segment test)."""
+    ax0, ay0, ax1, ay1 = _poly_edges(a)
+    bx0, by0, bx1, by1 = _poly_edges(b)
+    n, m = len(ax0), len(bx0)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(m), indexing="ij")
+    return bool(
+        _segments_intersect(
+            ax0[ii], ay0[ii], ax1[ii], ay1[ii],
+            bx0[jj], by0[jj], bx1[jj], by1[jj],
+        ).any()
+    )
+
+
+def polygons_intersect(a, b) -> bool:
+    """Area-area intersects: any vertex containment either way, or any edge
+    crossing (sufficient for simple rings)."""
+    ax, ay = poly_xy(a)
+    bx, by = poly_xy(b)
+    if point_in_polygon(bx, by, a).any() or point_in_polygon(ax, ay, b).any():
+        return True
+    return polygons_edges_intersect(a, b)
+
+
+def polygon_contains_polygon(a, b) -> bool:
+    """a contains b: every vertex of b interior to a and no edge crossings
+    (exact for simple rings)."""
+    bx, by = poly_xy(b)
+    if not point_in_polygon(bx, by, a).all():
+        return False
+    return not polygons_edges_intersect(a, b)
+
+
+def polygons_equal(a, b) -> bool:
+    """Ring equality up to rotation and direction."""
+    va = np.asarray(a, dtype=np.float64).reshape(-1, 2)
+    vb = np.asarray(b, dtype=np.float64).reshape(-1, 2)
+    if len(va) != len(vb):
+        return False
+    for cand in (vb, vb[::-1]):
+        starts = np.flatnonzero((cand == va[0]).all(axis=1))
+        for s in starts:
+            if np.array_equal(np.roll(cand, -s, axis=0), va):
+                return True
+    return False
+
+
+def polygons_overlap(a, b) -> bool:
+    """DE-9IM overlaps for areas: interiors intersect, neither contains the
+    other, intersection has interior extent (edge crossing or mutual
+    strict vertex containment)."""
+    if polygon_contains_polygon(a, b) or polygon_contains_polygon(b, a):
+        return False
+    ax, ay = poly_xy(a)
+    bx, by = poly_xy(b)
+    some_inside = (
+        point_strictly_in_polygon(bx, by, a).any()
+        or point_strictly_in_polygon(ax, ay, b).any()
+    )
+    return some_inside or (
+        polygons_edges_intersect(a, b) and _interior_probe_overlap(a, b)
+    )
+
+
+def _interior_probe_overlap(a, b) -> bool:
+    """Edge-crossing rings without vertex containment: probe edge-midpoint
+    neighborhoods of a for interior-of-b membership."""
+    ax0, ay0, ax1, ay1 = _poly_edges(a)
+    mx, my = (ax0 + ax1) / 2, (ay0 + ay1) / 2
+    return bool(point_strictly_in_polygon(mx, my, b).any())
+
+
+def polygons_touch(a, b) -> bool:
+    """Boundaries meet but interiors do not (no vertex of either strictly
+    inside the other, yet some edge contact exists)."""
+    ax, ay = poly_xy(a)
+    bx, by = poly_xy(b)
+    if (
+        point_strictly_in_polygon(bx, by, a).any()
+        or point_strictly_in_polygon(ax, ay, b).any()
+    ):
+        return False
+    return polygons_edges_intersect(a, b)
+
+
 def regular_polygon(cx: float, cy: float, radius: float, sides: int, phase: float = 0.0) -> np.ndarray:
     """Deterministic test-polygon factory (flat [x,y,...] ring)."""
     ang = phase + 2 * np.pi * np.arange(sides) / sides

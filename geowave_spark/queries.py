@@ -342,3 +342,7 @@ QUERIES.update(TEXT_QUERIES)
 from .queries_agg import AGG_QUERIES  # noqa: E402
 
 QUERIES.update(AGG_QUERIES)
+
+from .queries_sql import SQL_QUERIES  # noqa: E402
+
+QUERIES.update(SQL_QUERIES)

@@ -1,0 +1,83 @@
+"""SQL-surface queries (q31-q32): the Geom* UDF registry + the
+SqlQueryRunner-style cover-prefilter rewrite, each with a DuckDB oracle.
+
+The polygon literal is a CCW convex hexagon so the oracle can express
+point-in-polygon as half-plane sign tests (geo.convex_inside_sql); the
+engine side runs the REAL surface — registered pandas-UDF predicate behind
+an injected closed-form cell prefilter (plans/sqlrewrite.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from .geom import core as geom
+from .geom import wkt as wktm
+from .plans import sqlrewrite
+from .table import geo
+from .table.views import register_views
+
+HEX_RING = geom.regular_polygon(20.0, 10.0, 25.0, 6, phase=0.3).reshape(-1, 2)
+HEX_WKT = wktm.polygon_wkt(HEX_RING)
+
+QUERY_POINT = (-40.25, 12.75)
+
+
+def q31_sql_geom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL with GeomWithin(GeomPoint(...), 'POLYGON...') — rewritten to
+    cell-prefilter + UDF refine (SqlQueryRunner parity)."""
+    register_views(spark, sf_dir)
+    sql = f"""
+        WITH p AS ({geo.events_points_sql()})
+        SELECT event_type,
+               cast(count(*) as bigint) AS n,
+               cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+        FROM p
+        WHERE GeomWithin(GeomPoint(lon, lat), '{HEX_WKT}')
+        GROUP BY event_type ORDER BY event_type
+    """
+    return sqlrewrite.spatial_sql(spark, sql, optimize=True, res=6)
+
+
+Q31_SQL = f"""
+WITH p AS ({geo.events_points_sql()})
+SELECT event_type,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+FROM p
+WHERE {geo.convex_inside_sql(HEX_RING, 'lon', 'lat')}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q32_sql_geom_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeomDistance over the SQL surface: nearest-event distance per type to
+    a fixed query point (pandas-UDF distance, integerized)."""
+    register_views(spark, sf_dir)
+    qx, qy = QUERY_POINT
+    sql = f"""
+        WITH p AS ({geo.events_points_sql()})
+        SELECT event_type,
+               min(cast(floor(GeomDistance(GeomPoint(lon, lat),
+                                           'POINT ({qx!r} {qy!r})') * 1000000) as bigint))
+                 AS min_dist_micro
+        FROM p GROUP BY event_type ORDER BY event_type
+    """
+    return sqlrewrite.spatial_sql(spark, sql, optimize=False)
+
+
+Q32_SQL = f"""
+WITH p AS ({geo.events_points_sql()})
+SELECT event_type,
+       min(cast(floor(sqrt((lon - {QUERY_POINT[0]!r}) * (lon - {QUERY_POINT[0]!r})
+                         + (lat - {QUERY_POINT[1]!r}) * (lat - {QUERY_POINT[1]!r})) * 1000000) as bigint))
+         AS min_dist_micro
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+SQL_QUERIES = {
+    "q31_sql_geom_filter": (q31_sql_geom_filter, Q31_SQL),
+    "q32_sql_geom_distance": (q32_sql_geom_distance, Q32_SQL),
+}

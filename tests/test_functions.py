@@ -1,0 +1,88 @@
+"""Geometry SQL function surface truth tables (reference analog:
+`core/geotime/src/test/.../store/query/SpatialQueryTest.java:27-80` and the
+UDF registry `UDFRegistrySPI.java:15-27`)."""
+
+import numpy as np
+import pytest
+
+from geowave_spark.functions.register import register_geometry_functions
+from geowave_spark.geom import core as geom
+from geowave_spark.geom import wkt as wktm
+from geowave_spark.plans import sqlrewrite
+
+SQUARE = wktm.polygon_wkt(np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float))
+SQUARE_FAR = wktm.polygon_wkt(np.array([[20, 20], [30, 20], [30, 30], [20, 30]], float))
+SQUARE_OVERLAP = wktm.polygon_wkt(np.array([[5, 5], [15, 5], [15, 15], [5, 15]], float))
+SQUARE_INNER = wktm.polygon_wkt(np.array([[2, 2], [8, 2], [8, 8], [2, 8]], float))
+SQUARE_TOUCH = wktm.polygon_wkt(np.array([[10, 0], [20, 0], [20, 10], [10, 10]], float))
+
+
+@pytest.fixture(scope="module")
+def geomf(spark):
+    register_geometry_functions(spark)
+    return spark
+
+
+def _one(spark, expr: str):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0]["v"]
+
+
+def test_point_polygon_truth_table(geomf):
+    inside = "GeomPoint(5.0, 5.0)"
+    outside = "GeomPoint(50.0, 50.0)"
+    assert _one(geomf, f"GeomWithin({inside}, '{SQUARE}')")
+    assert not _one(geomf, f"GeomWithin({outside}, '{SQUARE}')")
+    assert _one(geomf, f"GeomContains('{SQUARE}', {inside})")
+    assert _one(geomf, f"GeomIntersects({inside}, '{SQUARE}')")
+    assert _one(geomf, f"GeomDisjoint({outside}, '{SQUARE}')")
+    assert not _one(geomf, f"GeomDisjoint({inside}, '{SQUARE}')")
+    # boundary point: touches, not within
+    assert _one(geomf, f"GeomTouches(GeomPoint(10.0, 5.0), '{SQUARE}')")
+
+
+def test_polygon_polygon_truth_table(geomf):
+    assert _one(geomf, f"GeomIntersects('{SQUARE}', '{SQUARE_OVERLAP}')")
+    assert _one(geomf, f"GeomOverlaps('{SQUARE}', '{SQUARE_OVERLAP}')")
+    assert _one(geomf, f"GeomDisjoint('{SQUARE}', '{SQUARE_FAR}')")
+    assert _one(geomf, f"GeomContains('{SQUARE}', '{SQUARE_INNER}')")
+    assert _one(geomf, f"GeomWithin('{SQUARE_INNER}', '{SQUARE}')")
+    assert _one(geomf, f"GeomEquals('{SQUARE}', '{SQUARE}')")
+    assert not _one(geomf, f"GeomEquals('{SQUARE}', '{SQUARE_INNER}')")
+    assert _one(geomf, f"GeomTouches('{SQUARE}', '{SQUARE_TOUCH}')")
+    assert not _one(geomf, f"GeomOverlaps('{SQUARE}', '{SQUARE_INNER}')")
+    # edge-sharing squares touch but do not overlap
+    assert not _one(geomf, f"GeomOverlaps('{SQUARE}', '{SQUARE_TOUCH}')")
+    assert not _one(geomf, f"GeomTouches('{SQUARE}', '{SQUARE_OVERLAP}')")
+
+
+def test_distance_and_within_distance(geomf):
+    d = _one(geomf, "GeomDistance(GeomPoint(0.0, 0.0), 'POINT (3.0 4.0)')")
+    assert abs(d - 5.0) < 1e-12
+    d2 = _one(geomf, f"GeomDistance(GeomPoint(15.0, 5.0), '{SQUARE}')")
+    assert abs(d2 - 5.0) < 1e-12
+    assert _one(geomf, "GeomWithinDistance(GeomPoint(0.0, 0.0), 'POINT (3.0 4.0)', 5.0)")
+    assert not _one(geomf, "GeomWithinDistance(GeomPoint(0.0, 0.0), 'POINT (3.0 4.0)', 4.9)")
+
+
+def test_prefilter_rewrite_preserves_semantics(geomf):
+    """The injected cell prefilter must not change results (cover superset)."""
+    ring = geom.regular_polygon(20.0, 10.0, 25.0, 6, phase=0.3).reshape(-1, 2)
+    poly = wktm.polygon_wkt(ring)
+    base = f"""
+        SELECT count(*) AS n FROM (
+          SELECT id * 1.7 - 150 AS lon, id * 0.9 - 80 AS lat FROM range(0, 150)
+        ) WHERE GeomWithin(GeomPoint(lon, lat), '{poly}')
+    """
+    plain = sqlrewrite.spatial_sql(geomf, base, optimize=False).collect()[0]["n"]
+    opt = sqlrewrite.spatial_sql(geomf, base, optimize=True, res=6).collect()[0]["n"]
+    assert plain == opt
+    # and the rewrite actually injected an IN-list
+    rewritten = sqlrewrite.inject_cell_prefilter(base, res=6)
+    assert " IN (" in rewritten
+
+
+def test_wkt_roundtrip():
+    ring = np.array([[1.5, 2.5], [3.5, 2.5], [2.5, 4.0]], float)
+    assert np.allclose(wktm.parse_polygon(wktm.polygon_wkt(ring)), ring)
+    lon, lat = wktm.parse_point(wktm.point_wkt(-3.25, 7.5))
+    assert (lon, lat) == (-3.25, 7.5)
