@@ -346,3 +346,7 @@ QUERIES.update(AGG_QUERIES)
 from .queries_sql import SQL_QUERIES  # noqa: E402
 
 QUERIES.update(SQL_QUERIES)
+
+from .queries_analytics import ANALYTICS_QUERIES  # noqa: E402
+
+QUERIES.update(ANALYTICS_QUERIES)

@@ -1,0 +1,84 @@
+"""Streaming ingest: micro-batch file ingest with cell indexing, plus
+watermarked windowed aggregation.
+
+Reference analog (/root/reference): GeoWave's ingest framework has a Kafka
+staging path (`core/ingest/src/main/avro`, `test/src/test/java/.../kafka/
+BasicKafkaIT.java`) that is **write-side micro-batching only** — no
+watermarks, windows, or state (SURVEY.md §2.9).  This module is the
+Spark-first upgrade of that capability: Structured Streaming gives
+exactly-once file ingest (checkpointed source offsets + transactional
+sink manifests) which is the streaming twin of the engine's batch
+per-partition checkpoint writer (plans/checkpoint.py).
+
+The cell key is computed with the closed-form row-major expression —
+pure JVM, so the streaming hot path has zero Python workers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..table import geo
+
+
+def indexed_file_stream(spark: SparkSession, src_dir: str, schema,
+                        res: int = 8, lon_key: str = "event_id") -> DataFrame:
+    """readStream over a parquet directory, deriving (lon, lat, cell).
+
+    New files appearing in ``src_dir`` are ingested exactly once (offsets
+    tracked in the query checkpoint).
+    """
+    raw = spark.readStream.schema(schema).parquet(src_dir)
+    return (
+        raw.withColumn("lon", F.expr(geo.lon_sql(lon_key)))
+        .withColumn("lat", F.expr(geo.lat_sql(lon_key)))
+        .withColumn("cell", F.expr(geo.rowmajor_cell_sql("lon", "lat", res)))
+    )
+
+
+def run_ingest(stream_df: DataFrame, dest_dir: str, checkpoint_dir: str,
+               timeout_s: int = 120) -> None:
+    """Drain all currently-available input into parquet, exactly once.
+
+    availableNow processes the backlog then stops — the batch-resume
+    contract of the north rule expressed through streaming offsets: a
+    killed job re-run with the same checkpoint dir skips completed files.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
+                    window: str = "1 day", watermark: str = "2 days") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (late rows beyond
+    the watermark are dropped; state is bounded)."""
+    # parquet timestamps may load as TIMESTAMP_NTZ; event time requires TIMESTAMP
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def run_to_memory(result_df: DataFrame, name: str, checkpoint_dir: str,
+                  timeout_s: int = 120, mode: str = "complete"):
+    """Drive a streaming aggregation into an in-memory table (tests/demos)."""
+    q = (
+        result_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

@@ -1,0 +1,68 @@
+"""Structured Streaming ingest tests: exactly-once file ingest with
+checkpoint resume + watermarked windowed aggregation."""
+
+import shutil
+
+import pytest
+
+from geowave_spark.streaming import ingest
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "src"
+    dest = tmp_path / "dest"
+    cp = tmp_path / "cp"
+    src.mkdir()
+    return src, str(dest), str(cp)
+
+
+def _events_schema(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def test_exactly_once_ingest_and_resume(spark, sf_dir, dirs):
+    src, dest, cp = dirs
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part1.parquet")
+    n1 = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    schema = _events_schema(spark, sf_dir)
+    stream = ingest.indexed_file_stream(spark, str(src), schema, res=8)
+    ingest.run_ingest(stream, dest, cp)
+    out1 = spark.read.parquet(dest)
+    assert out1.count() == n1
+    assert {"lon", "lat", "cell"} <= set(out1.columns)
+
+    # second run with NO new files: checkpoint makes it a no-op
+    ingest.run_ingest(ingest.indexed_file_stream(spark, str(src), schema), dest, cp)
+    assert spark.read.parquet(dest).count() == n1
+
+    # new file appears -> only the delta is ingested (exactly once)
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part2.parquet")
+    ingest.run_ingest(ingest.indexed_file_stream(spark, str(src), schema), dest, cp)
+    assert spark.read.parquet(dest).count() == 2 * n1
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, dirs):
+    src, _dest, cp = dirs
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part1.parquet")
+    schema = _events_schema(spark, sf_dir)
+
+    stream = ingest.indexed_file_stream(spark, str(src), schema)
+    ingest.run_to_memory(
+        ingest.windowed_counts(stream), "win_counts", cp
+    )
+    got = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in spark.table("win_counts").collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.date_trunc("day", "ts").alias("win_start"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r["win_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
