@@ -2,9 +2,10 @@
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query is materialized with the noop sink (full execution, no driver
-collect overhead).  `python bench.py --scaling` additionally runs the
-flagship join + tile workload at two parallelism levels (N and 4N cores on
-the same input) and reports throughput scaling efficiency — the sandbox
+collect overhead).  `python bench.py --scaling` additionally runs the two
+north-rule workloads — the flagship spatial join and the raster tile
+assignment — at two parallelism levels (N and 4N cores, same input) and
+reports rows/sec at both plus throughput scaling efficiency: the sandbox
 evidence for the north rule's N->4N executor criterion.
 """
 
@@ -28,6 +29,10 @@ BENCH_QUERIES = [
     "q07_distance_join_agg",
     "q08_knn",
     "q09_binned_agg",
+    "q11_tile_assign_plan",
+    "q12_tile_merge_counts",
+    "q16_minhash_lsh_pairs",
+    "q24_kde_heatmap",
 ]
 
 
@@ -55,6 +60,34 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def _count_timed(df) -> tuple[int, float]:
+    t0 = time.time()
+    n = df.count()
+    return n, time.time() - t0
+
+
+def _scaling_workloads(spark, sf_dir: str) -> dict[str, tuple[int, float]]:
+    """The two north-rule workloads; returns {name: (output_rows, sec)}."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.join import spatial
+    from geowave_spark.raster import tiles
+    from geowave_spark.table import geo, images
+    from geowave_spark.table.views import register_views
+
+    register_views(spark, sf_dir)
+    out: dict[str, tuple[int, float]] = {}
+
+    pts = spark.sql(geo.lineitem_points_sql())
+    rects = spark.sql(geo.supplier_rects_sql()).toPandas()
+    join_df = spatial.point_in_rects_join(spark, pts, rects, res=8)
+    out["join"] = _count_timed(join_df)
+
+    tile_df = tiles.merge_tiles_df(tiles.assign_tiles_df(images.images_df(spark, sf_dir)))
+    out["tiles"] = _count_timed(tile_df)
+    return out
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = make_spark(CPUS)
@@ -79,24 +112,36 @@ def main() -> None:
     }
 
     if "--scaling" in sys.argv:
-        # same job, two parallelism levels, same input -> scaling efficiency
-        eff = {}
-        flagship = "q05_pip_rect_join"
-        for cores in (CPUS // 4, CPUS):
+        # same jobs, two parallelism levels, same input -> scaling efficiency
+        n_lo, n_hi = CPUS // 4, CPUS
+        runs: dict[int, dict[str, tuple[int, float]]] = {}
+        for cores in (n_lo, n_hi):
             s = make_spark(cores)
             s.sparkContext.setLogLevel("ERROR")
             s.range(1000).count()
-            run_query(s, flagship, SF_DIR)  # warm
-            t = min(run_query(s, flagship, SF_DIR) for _ in range(2))
-            eff[cores] = t
+            _scaling_workloads(s, SF_DIR)  # warm (python workers, code paths)
+            best: dict[str, tuple[int, float]] = {}
+            for _ in range(2):
+                r = _scaling_workloads(s, SF_DIR)
+                for k, (rows, sec) in r.items():
+                    if k not in best or sec < best[k][1]:
+                        best[k] = (rows, sec)
+            runs[cores] = best
             s.stop()
-        n, n4 = CPUS // 4, CPUS
-        # efficiency = (throughput_4N / throughput_N) / 4 = t_N / (4 * t_4N)
-        out["scaling"] = {
-            "cores_n": n, "cores_4n": n4,
-            "sec_n": round(eff[n], 3), "sec_4n": round(eff[n4], 3),
-            "efficiency": round(eff[n] / (4 * eff[n4]), 3),
-        }
+        scaling = {"cores_n": n_lo, "cores_4n": n_hi}
+        for k in ("join", "tiles"):
+            rows, sec_lo = runs[n_lo][k]
+            _, sec_hi = runs[n_hi][k]
+            # efficiency = (throughput_4N / throughput_N) / 4 = t_N / (4 * t_4N)
+            scaling[k] = {
+                "output_rows": rows,
+                "sec_n": round(sec_lo, 3),
+                "sec_4n": round(sec_hi, 3),
+                "rows_per_sec_n": round(rows / sec_lo, 1),
+                "rows_per_sec_4n": round(rows / sec_hi, 1),
+                "efficiency": round(sec_lo / (4 * sec_hi), 3),
+            }
+        out["scaling"] = scaling
 
     print(json.dumps(out))
 
