@@ -88,6 +88,25 @@ def planar_dist_sql(ax: str, ay: str, bx: str, by: str) -> str:
     return f"sqrt(({ax} - {bx}) * ({ax} - {bx}) + ({ay} - {by}) * ({ay} - {by}))"
 
 
+def convex_inside_sql(ring, lon: str, lat: str) -> str:
+    """Strict point-in-convex-polygon as AND of half-plane sign tests — the
+    DuckDB-expressible oracle twin of the engine's ray-cast PIP (agrees
+    everywhere except the measure-zero boundary).  ``ring`` is a CCW
+    (n, 2) vertex array (unclosed)."""
+    import numpy as np
+
+    v = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    terms = []
+    for i in range(len(v)):
+        x0, y0 = v[i]
+        x1, y1 = v[(i + 1) % len(v)]
+        terms.append(
+            f"(({x1!r} - {x0!r}) * (({lat}) - {y0!r}) - "
+            f"({y1!r} - {y0!r}) * (({lon}) - {x0!r}) > 0)"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
 def rowmajor_cell_sql(lon: str, lat: str, res: int) -> str:
     """Row-major grid id — closed form identical to
     grid.latlng_to_cell(curve='rowmajor') and valid in both SQL dialects.

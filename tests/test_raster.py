@@ -208,3 +208,23 @@ def test_spark_tile_pipeline(spark, sf_dir, img_pdf):
     parents = tiles.pyramid_level_df(merged)
     assert parents.count() > 0
     merged.unpersist()
+
+
+def test_resize_tiles_nearest_identity(spark, sf_dir):
+    """Re-tiling 64->32->report: resized tiles keep tile ids and the
+    nearest-sample relation to the source (RasterTileResizeSparkRunner
+    analog)."""
+    df = images.images_df(spark, sf_dir)
+    t = tiles.assign_tiles_df(df)
+    merged = tiles.merge_tiles_df(t).limit(4).cache()
+    small = tiles.resize_tiles_df(merged, 32)
+    rows = {(r["res"], r["tile_id"]): r for r in small.collect()}
+    for r0 in merged.collect():
+        key = (r0["res"], r0["tile_id"])
+        assert key in rows
+        big = codec.png_decode(bytes(r0["px"]))
+        got = codec.png_decode(bytes(rows[key]["px"]))
+        assert got.shape == (32, 32, 4)
+        idx = (np.arange(32) * big.shape[0]) // 32
+        assert np.array_equal(got, big[idx[:, None], idx[None, :]])
+    merged.unpersist()
