@@ -98,9 +98,77 @@ def _poly_poly(pred: str, s_a: pd.Series, s_b: pd.Series) -> np.ndarray:
     return out
 
 
+def _pair_loop(pred_fn, s_a: pd.Series, s_b: pd.Series, parse_a, parse_b) -> np.ndarray:
+    """Evaluate a scalar predicate per distinct (a, b) WKT pair (literals
+    are few; lru-cached parsers make repeats free)."""
+    codes, uniques = pd.factorize(s_a + "\x1f" + s_b)
+    out = np.zeros(len(s_a), dtype=bool)
+    for u_idx, u in enumerate(uniques):
+        a_wkt, b_wkt = u.split("\x1f")
+        out[codes == u_idx] = pred_fn(parse_a(a_wkt), parse_b(b_wkt))
+    return out
+
+
+def _line_dispatch(pred: str, left: pd.Series, right: pd.Series,
+                   lt: str, rt: str) -> pd.Series:
+    """Predicates with at least one LINESTRING side."""
+    if lt == "linestring" and rt == "polygon":
+        fn = {
+            "crosses": geom.line_crosses_polygon,
+            "intersects": geom.line_intersects_polygon,
+            "disjoint": lambda a, b: not geom.line_intersects_polygon(a, b),
+            "within": geom.line_within_polygon,
+        }.get(pred)
+        if fn is None:
+            raise ValueError(f"unsupported linestring-polygon predicate {pred!r}")
+        return pd.Series(_pair_loop(
+            lambda a, b: fn(a, b.ravel()),
+            left, right, wktm.parse_linestring, wktm.parse_polygon,
+        ))
+    if lt == "polygon" and rt == "linestring":
+        flip = {"crosses": "crosses", "intersects": "intersects",
+                "disjoint": "disjoint", "contains": "within"}
+        mapped = flip.get(pred)
+        if mapped is None:
+            raise ValueError(f"unsupported polygon-linestring predicate {pred!r}")
+        return _line_dispatch(mapped, right, left, "linestring", "polygon")
+    if lt == "linestring" and rt == "linestring":
+        fn = {
+            "crosses": geom.lines_cross,
+            "intersects": geom.lines_intersect,
+            "disjoint": lambda a, b: not geom.lines_intersect(a, b),
+        }.get(pred)
+        if fn is None:
+            raise ValueError(f"unsupported linestring-linestring predicate {pred!r}")
+        return pd.Series(_pair_loop(
+            lambda a, b: fn(a.ravel(), b.ravel()),
+            left, right, wktm.parse_linestring, wktm.parse_linestring,
+        ))
+    # point-vs-linestring combos: intersects/disjoint/touches via distance
+    pts, lines = (left, right) if lt == "point" else (right, left)
+    px, py = _series_points(pts)
+    out = np.zeros(len(pts), dtype=bool)
+    codes, uniques = pd.factorize(lines)
+    for u_idx, u in enumerate(uniques):
+        line = wktm.parse_linestring(u).ravel()
+        d = geom.point_to_line_distance(px[codes == u_idx], py[codes == u_idx], line)
+        if pred in ("intersects", "touches"):
+            out[codes == u_idx] = d == 0
+        elif pred == "disjoint":
+            out[codes == u_idx] = d > 0
+        else:
+            raise ValueError(f"unsupported point-linestring predicate {pred!r}")
+    return pd.Series(out)
+
+
 def _dispatch(pred: str, left: pd.Series, right: pd.Series,
               radius: float = 0.0) -> pd.Series:
     lt, rt = _col_type(left), _col_type(right)
+    if "linestring" in (lt, rt):
+        return _line_dispatch(pred, left, right, lt, rt)
+    if pred == "crosses":
+        # DE-9IM crosses is undefined for point/point and area/area pairs
+        return pd.Series(np.zeros(len(left), dtype=bool))
     if lt == "point" and rt == "point":
         lx, ly = _series_points(left)
         rx, ry = _series_points(right)
@@ -142,18 +210,27 @@ def _distance(left: pd.Series, right: pd.Series) -> pd.Series:
         rx, ry = _series_points(right)
         return pd.Series(geom.planar_distance(lx, ly, rx, ry))
     if lt == "point" or rt == "point":
-        pts, polys = (left, right) if lt == "point" else (right, left)
+        pts, other = (left, right) if lt == "point" else (right, left)
+        ot = rt if lt == "point" else lt
         px, py = _series_points(pts)
         out = np.zeros(len(pts), dtype=np.float64)
-        for poly, m in _poly_groups(polys):
-            out[m] = geom.point_to_polygon_distance(px[m], py[m], poly)
+        if ot == "polygon":
+            for poly, m in _poly_groups(other):
+                out[m] = geom.point_to_polygon_distance(px[m], py[m], poly)
+        else:
+            codes, uniques = pd.factorize(other)
+            for u_idx, u in enumerate(uniques):
+                line = wktm.parse_linestring(u)
+                m = codes == u_idx
+                out[m] = geom.point_to_line_distance(px[m], py[m], line)
         return pd.Series(out)
-    raise ValueError("GeomDistance supports point-point and point-polygon")
+    raise ValueError("GeomDistance supports point-point, point-polygon, point-line")
 
 
 _PREDICATES = [
     ("GeomContains", "contains"),
     ("GeomCovers", "covers"),
+    ("GeomCrosses", "crosses"),
     ("GeomDisjoint", "disjoint"),
     ("GeomEquals", "equals"),
     ("GeomIntersects", "intersects"),

@@ -276,6 +276,127 @@ def polygons_touch(a, b) -> bool:
     return polygons_edges_intersect(a, b)
 
 
+def _line_edges(line) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Open polyline [x0,y0,x1,y1,...] -> consecutive segment endpoints."""
+    vx, vy = poly_xy(line)
+    return vx[:-1], vy[:-1], vx[1:], vy[1:]
+
+
+def _segments_properly_cross(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> np.ndarray:
+    """Proper (interior-point) crossing only — excludes touch/collinear."""
+
+    def orient(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    d1 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    d2 = orient(bx0, by0, bx1, by1, ax1, ay1)
+    d3 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    d4 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+    return (
+        ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    )
+
+
+def line_crosses_polygon(line, poly) -> bool:
+    """DE-9IM crosses for line/area: the line has points in the polygon's
+    interior AND exterior.  Exact for the generic cases: a proper crossing
+    of any boundary edge, or vertices strictly on both sides."""
+    lx0, ly0, lx1, ly1 = _line_edges(line)
+    px0, py0, px1, py1 = _poly_edges(poly)
+    n, m = len(lx0), len(px0)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(m), indexing="ij")
+    if _segments_properly_cross(
+        lx0[ii], ly0[ii], lx1[ii], ly1[ii],
+        px0[jj], py0[jj], px1[jj], py1[jj],
+    ).any():
+        return True
+    vx, vy = poly_xy(line)
+    inside = point_strictly_in_polygon(vx, vy, poly)
+    on_b = point_to_ring_distance(vx, vy, poly) == 0
+    return bool(inside.any() and (~inside & ~on_b).any())
+
+
+def line_intersects_polygon(line, poly) -> bool:
+    """Line touches or enters the polygon (closed-region semantics)."""
+    vx, vy = poly_xy(line)
+    if point_in_polygon(vx, vy, poly).any() or (
+        point_to_ring_distance(vx, vy, poly) == 0
+    ).any():
+        return True
+    lx0, ly0, lx1, ly1 = _line_edges(line)
+    px0, py0, px1, py1 = _poly_edges(poly)
+    n, m = len(lx0), len(px0)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(m), indexing="ij")
+    return bool(
+        _segments_intersect(
+            lx0[ii], ly0[ii], lx1[ii], ly1[ii],
+            px0[jj], py0[jj], px1[jj], py1[jj],
+        ).any()
+    )
+
+
+def line_within_polygon(line, poly) -> bool:
+    """Every vertex inside (closed) and no boundary crossing."""
+    vx, vy = poly_xy(line)
+    closed_in = point_in_polygon(vx, vy, poly) | (
+        point_to_ring_distance(vx, vy, poly) == 0
+    )
+    if not closed_in.all():
+        return False
+    lx0, ly0, lx1, ly1 = _line_edges(line)
+    px0, py0, px1, py1 = _poly_edges(poly)
+    n, m = len(lx0), len(px0)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(m), indexing="ij")
+    return not _segments_properly_cross(
+        lx0[ii], ly0[ii], lx1[ii], ly1[ii],
+        px0[jj], py0[jj], px1[jj], py1[jj],
+    ).any()
+
+
+def lines_cross(a, b) -> bool:
+    """DE-9IM crosses for line/line: a proper interior crossing point."""
+    ax0, ay0, ax1, ay1 = _line_edges(a)
+    bx0, by0, bx1, by1 = _line_edges(b)
+    n, m = len(ax0), len(bx0)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(m), indexing="ij")
+    return bool(
+        _segments_properly_cross(
+            ax0[ii], ay0[ii], ax1[ii], ay1[ii],
+            bx0[jj], by0[jj], bx1[jj], by1[jj],
+        ).any()
+    )
+
+
+def lines_intersect(a, b) -> bool:
+    ax0, ay0, ax1, ay1 = _line_edges(a)
+    bx0, by0, bx1, by1 = _line_edges(b)
+    n, m = len(ax0), len(bx0)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(m), indexing="ij")
+    return bool(
+        _segments_intersect(
+            ax0[ii], ay0[ii], ax1[ii], ay1[ii],
+            bx0[jj], by0[jj], bx1[jj], by1[jj],
+        ).any()
+    )
+
+
+def point_to_line_distance(px, py, line) -> np.ndarray:
+    """Min distance from N points to an open polyline."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x0s, y0s, x1s, y1s = _line_edges(line)
+    best = np.full(px.shape, np.inf)
+    for x0, y0, x1, y1 in zip(x0s, y0s, x1s, y1s):
+        dx, dy = x1 - x0, y1 - y0
+        L2 = dx * dx + dy * dy
+        t = np.zeros(px.shape) if L2 == 0 else np.clip(
+            ((px - x0) * dx + (py - y0) * dy) / L2, 0.0, 1.0
+        )
+        best = np.minimum(best, np.hypot(px - (x0 + t * dx), py - (y0 + t * dy)))
+    return best
+
+
 def regular_polygon(cx: float, cy: float, radius: float, sides: int, phase: float = 0.0) -> np.ndarray:
     """Deterministic test-polygon factory (flat [x,y,...] ring)."""
     ang = phase + 2 * np.pi * np.arange(sides) / sides

@@ -20,6 +20,7 @@ import numpy as np
 _NUM = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
 _POINT_RE = re.compile(rf"^\s*POINT\s*\(\s*({_NUM})\s+({_NUM})\s*\)\s*$", re.I)
 _POLY_RE = re.compile(r"^\s*POLYGON\s*\(\s*\((.*?)\)\s*\)\s*$", re.I | re.S)
+_LINE_RE = re.compile(r"^\s*LINESTRING\s*\((.*?)\)\s*$", re.I | re.S)
 
 
 def parse_point(wkt: str) -> tuple[float, float]:
@@ -45,13 +46,34 @@ def parse_polygon(wkt: str) -> np.ndarray:
     return arr
 
 
+@lru_cache(maxsize=4096)
+def parse_linestring(wkt: str) -> np.ndarray:
+    """LINESTRING (x y, x y, ...) -> (n, 2) float array (open polyline)."""
+    m = _LINE_RE.match(wkt)
+    if not m:
+        raise ValueError(f"not a LINESTRING WKT: {wkt[:80]!r}")
+    pts = []
+    for pair in m.group(1).split(","):
+        x, y = pair.split()
+        pts.append((float(x), float(y)))
+    return np.asarray(pts, dtype=np.float64)
+
+
 def geom_type(wkt: str) -> str:
-    s = wkt.lstrip()[:10].upper()
+    s = wkt.lstrip()[:12].upper()
     if s.startswith("POINT"):
         return "point"
     if s.startswith("POLYGON"):
         return "polygon"
+    if s.startswith("LINESTRING"):
+        return "linestring"
     raise ValueError(f"unsupported WKT type: {wkt[:40]!r}")
+
+
+def linestring_wkt(coords: np.ndarray) -> str:
+    coords = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    body = ", ".join(f"{x!r} {y!r}" for x, y in coords)
+    return f"LINESTRING ({body})"
 
 
 def point_wkt(lon: float, lat: float) -> str:

@@ -117,12 +117,18 @@ def point_in_rects_join(
     res: int = 10,
     rid_col: str = "rid",
     negative: bool = False,
+    loose: bool = False,
 ) -> DataFrame:
     """Point-in-rectangle-set join (closed boundaries, SQL BETWEEN parity).
 
     The rectangle set is covered driver-side and broadcast; the refine step is
     a pure-JVM range predicate (no Python at all in the refine) — the fastest
     possible shape for bbox query regions.
+
+    ``loose=True`` skips the exact refine and returns the index-envelope
+    candidates — the reference's "Loose" predicate variants
+    (`core/geotime/.../filter/expression/spatial/*.java`, e.g. LooseBBox:
+    cell-range test only, accepting cover over-approximation).
     """
     cover_df = spark.createDataFrame(cov.rect_cover(rects, res, id_col=rid_col))
     rect_df = F.broadcast(
@@ -130,15 +136,18 @@ def point_in_rects_join(
     )
     pts_c = cov.add_point_cells(pts, lon, lat, res)
     cand = pts_c.join(F.broadcast(cover_df), "cell")
-    matched = (
-        cand.join(rect_df, rid_col)
-        .filter(
-            (F.col(lon) >= F.col("lon0")) & (F.col(lon) <= F.col("lon1"))
-            & (F.col(lat) >= F.col("lat0")) & (F.col(lat) <= F.col("lat1"))
+    if loose:
+        matched = cand.select(pid_col, rid_col).dropDuplicates([pid_col, rid_col])
+    else:
+        matched = (
+            cand.join(rect_df, rid_col)
+            .filter(
+                (F.col(lon) >= F.col("lon0")) & (F.col(lon) <= F.col("lon1"))
+                & (F.col(lat) >= F.col("lat0")) & (F.col(lat) <= F.col("lat1"))
+            )
+            .select(pid_col, rid_col)
+            .dropDuplicates([pid_col, rid_col])
         )
-        .select(pid_col, rid_col)
-        .dropDuplicates([pid_col, rid_col])
-    )
     if negative:
         return pts.select(pid_col).distinct().join(
             matched.select(pid_col).distinct(), pid_col, "left_anti"

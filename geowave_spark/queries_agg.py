@@ -161,6 +161,84 @@ ORDER BY p.pid
 """
 
 
+def q36_pip_loose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loose (index-envelope-only) point-in-rect join: candidates from the
+    cell cover with NO exact refine (reference LooseBBox semantics).  The
+    oracle reproduces cover membership in closed form — a point is a
+    candidate iff its grid ordinates fall in the rect's ordinate ranges,
+    which is curve-independent."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.lineitem_points_sql())
+    rects = spark.sql(geo.supplier_rects_sql()).toPandas()
+    return (
+        spatial.point_in_rects_join(spark, pts, rects, res=8, loose=True)
+        .orderBy("pid", "rid")
+    )
+
+
+def _ord_sql(v: str, lo: float, hi: float, n: int) -> str:
+    return (
+        f"least(greatest(cast(ceil((({v}) - {lo!r}) / ({hi!r} - {lo!r}) * {n}) "
+        f"as bigint) - 1, 0), {n - 1})"
+    )
+
+
+_N8 = 1 << 8
+# ordinates hoisted into CTE columns: DuckDB's inequality join raises an
+# internal error when the ON clause recomputes them inline
+Q36_SQL = f"""
+WITH p0 AS ({geo.lineitem_points_sql()}), r0 AS ({geo.supplier_rects_sql()}),
+p AS (SELECT pid, {_ord_sql('lon', -180.0, 180.0, _N8)} AS ox,
+             {_ord_sql('lat', -90.0, 90.0, _N8)} AS oy FROM p0),
+r AS (SELECT rid, {_ord_sql('lon0', -180.0, 180.0, _N8)} AS x0,
+             {_ord_sql('lon1', -180.0, 180.0, _N8)} AS x1,
+             {_ord_sql('lat0', -90.0, 90.0, _N8)} AS y0,
+             {_ord_sql('lat1', -90.0, 90.0, _N8)} AS y1 FROM r0)
+SELECT p.pid, r.rid
+FROM p JOIN r ON p.ox BETWEEN r.x0 AND r.x1 AND p.oy BETWEEN r.y0 AND r.y1
+ORDER BY p.pid, r.rid
+"""
+
+
+def q37_spatiotemporal_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal composite index: (time_bin, cell) keys — GeoWave's
+    spatial-temporal index binning (`TimeDefinition.java` periodicity bins x
+    SFC cells; `CompositeBinningStrategy.java`).  Count + value sum per
+    (week, res-5 cell), filtered to a query window x bbox."""
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        f"SELECT p.eid, p.lon, p.lat, p.value, "
+        f"date_trunc('week', e.ts) AS week FROM ({geo.events_points_sql()}) p "
+        f"JOIN events e ON e.event_id = p.eid"
+    )
+    cell = geo.rowmajor_cell_sql("lon", "lat", 5)
+    return (
+        ev.filter("week >= timestamp '2024-01-01 00:00:00'")
+        .filter("lon BETWEEN -90 AND 90 AND lat BETWEEN -45 AND 45")
+        .withColumn("cell", F.expr(cell))
+        .groupBy("week", "cell")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("sum_cents"),
+        )
+        .orderBy("week", "cell")
+    )
+
+
+Q37_SQL = f"""
+WITH p AS ({geo.events_points_sql()}),
+e AS (SELECT p.eid, p.lon, p.lat, p.value, date_trunc('week', ev.ts) AS week
+      FROM p JOIN events ev ON ev.event_id = p.eid)
+SELECT week, {geo.rowmajor_cell_sql('lon', 'lat', 5)} AS cell,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+FROM e
+WHERE week >= timestamp '2024-01-01 00:00:00'
+  AND lon BETWEEN -90 AND 90 AND lat BETWEEN -45 AND 45
+GROUP BY 1, 2 ORDER BY week, cell
+"""
+
+
 AGG_QUERIES = {
     "q24_kde_heatmap": (q24_kde_heatmap, Q24_SQL),
     "q25_numeric_stats": (q25_numeric_stats, Q25_SQL),
@@ -169,4 +247,40 @@ AGG_QUERIES = {
     "q28_temporal_predicates": (q28_temporal_predicates, Q28_SQL),
     "q29_subsample_resolution": (q29_subsample_resolution, Q29_SQL),
     "q30_pip_rect_anti": (q30_pip_rect_anti, Q30_SQL),
+    "q36_pip_loose": (q36_pip_loose, Q36_SQL),
+    "q37_spatiotemporal_bins": (q37_spatiotemporal_bins, Q37_SQL),
+    "q38_geohash_binning": (None, None),  # placeholder replaced below
 }
+
+
+def q38_geohash_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-binned aggregation (SpatialBinningType.GEOHASH analog):
+    count + value sum per precision-3 geohash."""
+    from .sfc import geohash
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(geo.events_points_sql())
+    return (
+        ev.withColumn("gh", F.expr(geohash.geohash_sql("lon", "lat", 3)))
+        .groupBy("gh")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("sum_cents"),
+        )
+        .orderBy("gh")
+    )
+
+
+def _q38_sql() -> str:
+    from .sfc import geohash
+
+    return f"""
+WITH p AS ({geo.events_points_sql()})
+SELECT {geohash.geohash_sql('lon', 'lat', 3)} AS gh,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+FROM p GROUP BY 1 ORDER BY gh
+"""
+
+
+AGG_QUERIES["q38_geohash_binning"] = (q38_geohash_binning, _q38_sql())

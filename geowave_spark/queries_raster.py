@@ -117,9 +117,23 @@ SELECT cast(res - 1 as int) AS res, ptile AS tile_id, cast(count(*) as int) AS n
 FROM parents GROUP BY 1, 2 ORDER BY res, tile_id
 """
 
+def q35_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-coverage pixel statistics (RasterHistogramStatistic /
+    RasterOverviewStatistic analogs).  Pixel-derived -> rows-only check;
+    pytest validates values against local numpy recomputation."""
+    from .raster import stats as rstats
+
+    return (
+        rstats.image_stats_df(_images(spark, sf_dir))
+        .select("image_id", "n_px", "luma_min", "luma_max", "luma_mean_milli")
+        .orderBy("image_id")
+    )
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
     "q13_image_scalars": (q13_image_scalars, Q13_SQL),
     "q14_pyramid_counts": (q14_pyramid_counts, Q14_SQL),
+    "q35_raster_stats": (q35_raster_stats, None),
 }

@@ -176,9 +176,22 @@ def gen_images_pdf(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def images_df(spark, sf_dir: str):
-    """Distributed image-table synthesis over documents.parquet."""
+def images_df(spark, sf_dir: str, mult: int = 1):
+    """Distributed image-table synthesis over documents.parquet.
+
+    The source file is tiny (one scan partition), but synthesis is
+    CPU-bound — repartition to the cluster's parallelism so every core
+    works (on a real 100 TB table the file splits provide this for free).
+    ``mult`` replicates each doc into ``mult`` distinct images
+    (doc_id' = doc_id * mult + i) for scale testing.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if mult > 1:
+        from pyspark.sql import functions as F  # noqa: N812
+
+        docs = docs.crossJoin(spark.range(mult).select(F.col("id").alias("m_"))) \
+            .select((F.col("doc_id") * mult + F.col("m_")).alias("doc_id"), "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -86,3 +86,42 @@ def test_wkt_roundtrip():
     assert np.allclose(wktm.parse_polygon(wktm.polygon_wkt(ring)), ring)
     lon, lat = wktm.parse_point(wktm.point_wkt(-3.25, 7.5))
     assert (lon, lat) == (-3.25, 7.5)
+
+
+LINE_CHORD = "LINESTRING (-5.0 5.0, 15.0 5.0)"       # enters and exits SQUARE
+LINE_INSIDE = "LINESTRING (2.0 2.0, 8.0 8.0)"         # fully interior
+LINE_OUTSIDE = "LINESTRING (20.0 20.0, 30.0 25.0)"    # disjoint from SQUARE
+LINE_TOUCH = "LINESTRING (10.0 2.0, 10.0 8.0)"        # runs along the boundary
+LINE_A = "LINESTRING (0.0 0.0, 10.0 10.0)"
+LINE_B = "LINESTRING (0.0 10.0, 10.0 0.0)"            # crosses LINE_A
+LINE_C = "LINESTRING (20.0 0.0, 30.0 10.0)"           # disjoint from LINE_A
+
+
+def test_linestring_polygon_predicates(geomf):
+    assert _one(geomf, f"GeomCrosses('{LINE_CHORD}', '{SQUARE}')")
+    assert not _one(geomf, f"GeomCrosses('{LINE_INSIDE}', '{SQUARE}')")
+    assert not _one(geomf, f"GeomCrosses('{LINE_OUTSIDE}', '{SQUARE}')")
+    assert _one(geomf, f"GeomWithin('{LINE_INSIDE}', '{SQUARE}')")
+    assert not _one(geomf, f"GeomWithin('{LINE_CHORD}', '{SQUARE}')")
+    assert _one(geomf, f"GeomIntersects('{LINE_CHORD}', '{SQUARE}')")
+    assert _one(geomf, f"GeomIntersects('{LINE_TOUCH}', '{SQUARE}')")
+    assert _one(geomf, f"GeomDisjoint('{LINE_OUTSIDE}', '{SQUARE}')")
+    assert _one(geomf, f"GeomContains('{SQUARE}', '{LINE_INSIDE}')")
+
+
+def test_linestring_linestring_predicates(geomf):
+    assert _one(geomf, f"GeomCrosses('{LINE_A}', '{LINE_B}')")
+    assert _one(geomf, f"GeomIntersects('{LINE_A}', '{LINE_B}')")
+    assert _one(geomf, f"GeomDisjoint('{LINE_A}', '{LINE_C}')")
+    assert not _one(geomf, f"GeomCrosses('{LINE_A}', '{LINE_C}')")
+
+
+def test_point_linestring_distance(geomf):
+    d = _one(geomf, f"GeomDistance(GeomPoint(5.0, 10.0), '{LINE_A}')")
+    import math
+    assert abs(d - 5.0 / math.sqrt(2)) < 1e-12
+    assert _one(geomf, f"GeomIntersects(GeomPoint(5.0, 5.0), '{LINE_A}')")
+    assert _one(geomf, f"GeomDisjoint(GeomPoint(5.0, 10.0), '{LINE_A}')")
+    # crosses undefined for point/point and area/area -> false
+    assert not _one(geomf, f"GeomCrosses('{SQUARE}', '{SQUARE_OVERLAP}')")
+    assert not _one(geomf, "GeomCrosses(GeomPoint(1.0, 1.0), GeomPoint(1.0, 1.0))")

@@ -1,0 +1,57 @@
+"""Physical-plan regression guards: the engine's contract is not just the
+result but the SHAPE of the plan — broadcast joins for candidate covers,
+filter pushdown into scans, no stray sort-merge joins or cartesian
+products on the hot paths (SURVEY.md §4)."""
+
+import pytest
+
+from geowave_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    fn, _ = QUERIES[name]
+    return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pip_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q05_pip_rect_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_distance_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q07_distance_join_agg")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kde_is_jvm_only(spark, sf_dir):
+    """The KDE splat must stay inside whole-stage codegen — no Python."""
+    plan = _plan(spark, sf_dir, "q24_kde_heatmap")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    # map-side partial aggregation of the splat weights
+    assert "partial_sum" in plan
+
+
+def test_binned_agg_partial_aggregation(spark, sf_dir):
+    """groupBy must partial-aggregate map-side (two HashAggregate phases)."""
+    plan = _plan(spark, sf_dir, "q09_binned_agg")
+    assert plan.count("HashAggregate") >= 2
+    assert "ArrowEvalPython" not in plan
+
+
+def test_scan_filter_pushdown(spark, sf_dir):
+    """q01's shipdate filter must reach the parquet scan."""
+    plan = _plan(spark, sf_dir, "q01_pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_no_per_row_python_anywhere(spark, sf_dir):
+    """input_hint mandate: vectorized pandas/Arrow UDFs only — a
+    BatchEvalPython node (row-at-a-time Python UDF) is a defect."""
+    for name in ("q05_pip_rect_join", "q07_distance_join_agg", "q08_knn",
+                 "q11_tile_assign_plan", "q16_minhash_lsh_pairs"):
+        assert "BatchEvalPython" not in _plan(spark, sf_dir, name), name

@@ -228,3 +228,30 @@ def test_resize_tiles_nearest_identity(spark, sf_dir):
         idx = (np.arange(32) * big.shape[0]) // 32
         assert np.array_equal(got, big[idx[:, None], idx[None, :]])
     merged.unpersist()
+
+
+def test_image_stats_histogram(spark, sf_dir, img_pdf):
+    """Per-coverage luma histogram + overview stats (RasterHistogramStatistic
+    analog): Spark output equals local numpy recomputation; rollup sums."""
+    from geowave_spark.raster import stats as rstats
+
+    df = images.images_df(spark, sf_dir)
+    st = rstats.image_stats_df(df).cache()
+    got = {r["image_id"]: r for r in st.collect()}
+    # local recomputation for a few images
+    for i in range(0, len(img_pdf), max(1, len(img_pdf) // 5)):
+        row = img_pdf.iloc[i]
+        px = codec.decode(row["bytes"], row["fmt"])
+        luma = images.gray(px)
+        r = got[row["image_id"]]
+        assert r["n_px"] == luma.size
+        assert r["luma_min"] == int(luma.min())
+        assert r["luma_max"] == int(luma.max())
+        hist = np.bincount(luma.ravel() * rstats.N_BINS // 256,
+                           minlength=rstats.N_BINS)[:rstats.N_BINS]
+        for b in range(rstats.N_BINS):
+            assert r[f"bin{b}"] == int(hist[b])
+    g = rstats.global_histogram(st).collect()[0]
+    assert g["n_px"] == sum(r["n_px"] for r in got.values())
+    assert sum(g[f"bin{b}"] for b in range(rstats.N_BINS)) == g["n_px"]
+    st.unpersist()

@@ -105,3 +105,27 @@ def test_adaptive_res_tier_selection():
     for i, r in enumerate(res):
         n = grid.bbox_cover_count([[0.0, -170.0][i]], [[0.0, -80.0][i]], [[0.01, 170.0][i]], [[0.01, 80.0][i]], int(r))
         assert n[0] <= 16
+
+
+def test_geohash_golden_and_sql_twin():
+    """Golden geohash (wikipedia example) + numpy == SQL-fragment parity
+    via DuckDB evaluation on random points."""
+    import duckdb
+    import numpy as np
+
+    from geowave_spark.sfc import geohash
+
+    # canonical example: (lat 57.64911, lon 10.40744) -> u4pruydqqvj
+    assert geohash.encode(np.array([10.40744]), np.array([57.64911]), 6)[0] == "u4pruy"
+    assert geohash.encode(np.array([10.40744]), np.array([57.64911]), 11)[0] == "u4pruydqqvj"
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    want = geohash.encode(lon, lat, 5)
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame({"lon": lon, "lat": lat}))
+    got = con.sql(
+        f"SELECT {geohash.geohash_sql('lon', 'lat', 5)} AS gh FROM pts"
+    ).df()["gh"].to_numpy()
+    assert (got == want).all()
