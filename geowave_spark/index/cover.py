@@ -23,14 +23,20 @@ from ..sfc import grid
 
 
 def cell_udf(res: int, curve: str = "hilbert"):
-    """Vectorized point -> cell pandas UDF at a fixed resolution."""
+    """Vectorized point -> cell pandas UDF at a fixed resolution.
+
+    Marked non-deterministic on purpose: it IS deterministic, but the
+    marker stops Catalyst's InferFiltersFromConstraints from cloning the
+    encode into a second ArrowEvalPython node pushed below joins/aggs
+    (observed doubling the Python work of every cover join).
+    """
 
     @F.pandas_udf(LongType())
     def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
         c = grid.latlng_to_cell(lon.to_numpy(), lat.to_numpy(), res, curve)
         return pd.Series(c.astype(np.int64))
 
-    return _enc
+    return _enc.asNondeterministic()
 
 
 def parent_cell_udf(res: int, parent_res: int, curve: str = "hilbert"):

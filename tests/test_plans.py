@@ -18,6 +18,9 @@ def test_pip_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # the cell encode must run exactly once — Catalyst used to clone it
+    # into a pushed-down copy below the aggregate (see cover.cell_udf)
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_distance_join_is_broadcast(spark, sf_dir):
