@@ -130,24 +130,23 @@ def point_in_rects_join(
     (`core/geotime/.../filter/expression/spatial/*.java`, e.g. LooseBBox:
     cell-range test only, accepting cover over-approximation).
     """
-    cover_df = spark.createDataFrame(cov.rect_cover(rects, res, id_col=rid_col))
-    rect_df = F.broadcast(
-        spark.createDataFrame(rects[[rid_col, "lon0", "lat0", "lon1", "lat1"]])
+    # rect bounds are carried ON the cover rows: one broadcast, one join,
+    # and the refine is a pure filter on the join output (no second join)
+    cover_pdf = cov.rect_cover(rects, res, id_col=rid_col).merge(
+        rects[[rid_col, "lon0", "lat0", "lon1", "lat1"]], on=rid_col
     )
+    cover_df = spark.createDataFrame(cover_pdf)
     pts_c = cov.add_point_cells(pts, lon, lat, res)
     cand = pts_c.join(F.broadcast(cover_df), "cell")
     if loose:
-        matched = cand.select(pid_col, rid_col).dropDuplicates([pid_col, rid_col])
+        matched = cand.select(pid_col, rid_col)
     else:
-        matched = (
-            cand.join(rect_df, rid_col)
-            .filter(
-                (F.col(lon) >= F.col("lon0")) & (F.col(lon) <= F.col("lon1"))
-                & (F.col(lat) >= F.col("lat0")) & (F.col(lat) <= F.col("lat1"))
-            )
-            .select(pid_col, rid_col)
-            .dropDuplicates([pid_col, rid_col])
-        )
+        # a point's single cell meets each rect's cover at most once, so the
+        # refined (pid, rid) pairs are already unique — no dedup shuffle
+        matched = cand.filter(
+            (F.col(lon) >= F.col("lon0")) & (F.col(lon) <= F.col("lon1"))
+            & (F.col(lat) >= F.col("lat0")) & (F.col(lat) <= F.col("lat1"))
+        ).select(pid_col, rid_col)
     if negative:
         return pts.select(pid_col).distinct().join(
             matched.select(pid_col).distinct(), pid_col, "left_anti"
@@ -175,17 +174,17 @@ def within_distance_join(
     cell_h = 180.0 / (1 << res)
     k = int(np.ceil(radius / cell_h))
 
-    # distributed candidate expansion: encode query cell, explode its k-ring
-    # disk — no driver-side collect, so the query side may itself be large
-    q_cover = (
-        cov.add_point_cells(
-            queries.select(
-                F.col(qid_col), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
-            ),
-            "qlon", "qlat", res,
-        )
-        .withColumn("cell", F.explode(cov.grid_disk_udf(res, k)(F.col("cell"))))
-        .dropDuplicates([qid_col, "cell"])
+    # distributed candidate expansion: one fused point->disk UDF, exploded —
+    # no driver-side collect, so the query side may itself be large.  The
+    # UDF dedups each disk in-batch, so (qid, cell) pairs are unique with
+    # no shuffle, and since each data point maps to exactly one cell the
+    # final (pid, qid) pairs are unique by construction too: the whole join
+    # is broadcast-hash with ZERO shuffles.
+    q_cover = queries.select(
+        F.col(qid_col), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
+    ).withColumn(
+        "cell",
+        F.explode(cov.point_disk_cells_udf(res, k)(F.col("qlon"), F.col("qlat"))),
     )
 
     pts_c = cov.add_point_cells(pts, "lon", "lat", res)
@@ -199,5 +198,4 @@ def within_distance_join(
         cand.withColumn("dist", dist)
         .filter(F.col("dist") <= F.lit(radius))
         .select(pid_col, qid_col, "dist")
-        .dropDuplicates([pid_col, qid_col])
     )

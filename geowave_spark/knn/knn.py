@@ -45,7 +45,6 @@ def knn_join(
     q_named = queries.select(
         F.col(qid_col), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
     )
-    q_cells = cov.add_point_cells(q_named, "qlon", "qlat", res)
     pts_c = cov.add_point_cells(
         pts.select(pid_col, "lon", "lat"), "lon", "lat", res
     )
@@ -56,14 +55,17 @@ def knn_join(
     dy = F.col("lat") - F.col("qlat")
     dist = F.sqrt(dx * dx + dy * dy)
 
-    remaining = q_cells
+    remaining = q_named
     results = None
     ring = initial_ring
     for _ in range(max_iters):
-        q_cover = (
-            remaining.withColumn("jcell", F.explode(cov.grid_disk_udf(res, ring)(F.col("cell"))))
-            .drop("cell")
-            .dropDuplicates([qid_col, "jcell"])
+        # fused point->disk UDF dedups each disk in-batch, so the exploded
+        # (qid, jcell) pairs are unique with no dropDuplicates shuffle
+        q_cover = remaining.withColumn(
+            "jcell",
+            F.explode(
+                cov.point_disk_cells_udf(res, ring)(F.col("qlon"), F.col("qlat"))
+            ),
         )
         cand = pts_c.withColumnRenamed("cell", "jcell").join(
             F.broadcast(q_cover), "jcell"
@@ -90,7 +92,7 @@ def knn_join(
     else:
         # fall back to brute force for stubborn queries (e.g. k > points in
         # a huge neighborhood) — correctness over speed for the tail
-        cand = pts_c.crossJoin(F.broadcast(remaining.drop("cell")))
+        cand = pts_c.crossJoin(F.broadcast(remaining))
         topk = (
             cand.withColumn("dist", dist)
             .withColumn("rank", F.row_number().over(win))

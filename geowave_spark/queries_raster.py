@@ -26,10 +26,16 @@ def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q11_tile_assign_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster->vector tile assignment plan (image_id, res, tile_id)."""
-    return tiles.assign_plan_df(_images(spark, sf_dir)).orderBy(
-        "image_id", "res", "tile_id"
-    )
+    """Raster->vector tile assignment plan (image_id, res, tile_id).
+
+    Runs the JVM-only closed-form path (no pixel synthesis, no Python):
+    the plan needs only footprints, and `images_scalars_df` keeps Catalyst
+    column pruning + WholeStageCodegen intact end-to-end.  Equality with
+    the mapInPandas path is asserted in tests/test_raster.py.
+    """
+    return tiles.assign_plan_sql_df(
+        images.images_scalars_df(spark, sf_dir)
+    ).orderBy("image_id", "res", "tile_id")
 
 
 def _plan_oracle_sql() -> str:

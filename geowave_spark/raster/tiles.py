@@ -117,6 +117,40 @@ def assign_plan_df(images_df, tile_px: int = TILE_PX):
     )
 
 
+def assign_plan_sql_df(scalars_df, tile_px: int = TILE_PX):
+    """JVM-only assignment plan (image_id, res, tile_id) — no Python at all.
+
+    The row-major curve's bbox cover is closed-form, so the whole plan —
+    level selection, ordinate clamp, cover explode — compiles to
+    WholeStageCodegen via `explode(sequence(...))`.  This is the scale path
+    for plan-only workloads: at 10^12 rows the cover explode runs entirely
+    JVM-side with zero Arrow transfer.  `assign_plan_df` (the mapInPandas
+    twin) remains the general path for non-closed-form curves; a pytest
+    asserts the two produce identical rows.
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    res_sql = level_res_sql("lon0", "lon1", "w", tile_px)
+    n = "cast(pow(2, res) as bigint)"
+    df = (
+        scalars_df.select("image_id", "lon0", "lat0", "lon1", "lat1", "w")
+        .withColumn("res", F.expr(f"cast({res_sql} as int)"))
+        .withColumn("n", F.expr(n))
+        .select(
+            "image_id", "res", "n",
+            F.expr("least(greatest(cast(ceil((lon0 + 180e0) / 360e0 * n) as bigint) - 1, 0), n - 1)").alias("x0"),
+            F.expr("least(greatest(cast(ceil((lat0 + 90e0) / 180e0 * n) as bigint) - 1, 0), n - 1)").alias("y0"),
+            F.expr("least(greatest(cast(ceil((lon1 + 180e0) / 360e0 * n) as bigint) - 1, 0), n - 1)").alias("x1"),
+            F.expr("least(greatest(cast(ceil((lat1 + 90e0) / 180e0 * n) as bigint) - 1, 0), n - 1)").alias("y1"),
+        )
+        .withColumn("ty", F.explode(F.expr("sequence(y0, y1)")))
+        .withColumn("tx", F.explode(F.expr("sequence(x0, x1)")))
+    )
+    return df.select(
+        "image_id", "res", F.expr("ty * n + tx").alias("tile_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # pixel-level tile extraction
 

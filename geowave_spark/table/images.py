@@ -46,8 +46,8 @@ FMTS = ("png", "raw", "q6")
 
 
 def image_id_sql(doc_id: str = "doc_id") -> str:
-    # DuckDB printf lacks %08d zero-pad portability issues; lpad is common
-    return f"concat('img', lpad(cast({doc_id} as varchar), 10, '0'))"
+    # 'string' is a valid type alias in BOTH Spark SQL and DuckDB
+    return f"concat('img', lpad(cast({doc_id} as string), 10, '0'))"
 
 
 def w_sql(doc_id: str = "doc_id") -> str:
@@ -174,6 +174,22 @@ def gen_images_pdf(docs: pd.DataFrame) -> pd.DataFrame:
             "lat1": np.minimum(cy + hh, 90.0),
         }
     )
+
+
+def images_scalars_df(spark, sf_dir: str):
+    """Scalar projection of the image table (no pixel synthesis).
+
+    Pure Spark SQL over documents.parquet — full WholeStageCodegen, Parquet
+    column pruning reaches the scan.  Use this whenever a downstream operator
+    needs only footprint/shape/caption metadata (e.g. the tile-assignment
+    *plan*): `mapInPandas` synthesis is an opaque boundary Catalyst cannot
+    prune columns through, so going through `images_df` would pay full pixel
+    generation for rows whose pixels are never read.
+    """
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(images_base_sql())
 
 
 def images_df(spark, sf_dir: str, mult: int = 1):

@@ -210,6 +210,20 @@ def test_spark_tile_pipeline(spark, sf_dir, img_pdf):
     merged.unpersist()
 
 
+def test_assign_plan_sql_matches_mapinpandas(spark, sf_dir):
+    """The JVM-only closed-form plan (explode(sequence)) must produce exactly
+    the rows of the vectorized mapInPandas plan — same indexed-vs-independent
+    equivalence bar as the join oracle tests."""
+    via_pandas = tiles.assign_plan_df(images.images_df(spark, sf_dir))
+    via_sql = tiles.assign_plan_sql_df(images.images_scalars_df(spark, sf_dir))
+    a = via_pandas.toPandas().sort_values(["image_id", "res", "tile_id"]).reset_index(drop=True)
+    b = via_sql.toPandas().sort_values(["image_id", "res", "tile_id"]).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert (a["image_id"].to_numpy() == b["image_id"].to_numpy()).all()
+    assert (a["res"].to_numpy() == b["res"].to_numpy()).all()
+    assert (a["tile_id"].to_numpy() == b["tile_id"].to_numpy()).all()
+
+
 def test_resize_tiles_nearest_identity(spark, sf_dir):
     """Re-tiling 64->32->report: resized tiles keep tile ids and the
     nearest-sample relation to the source (RasterTileResizeSparkRunner
