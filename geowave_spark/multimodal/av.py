@@ -1,0 +1,222 @@
+"""Multimodal (audio/video) columns: opaque binary payloads + typed
+metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
+
+The reference is image-only (GridCoverage tiles,
+`extensions/adapters/raster/.../RasterDataAdapter.java:139` in
+/root/reference); a large-scale training-data pipeline also carries video
+and audio.  This module provides the Spark-side plumbing — schemas,
+partitioning, UDF signatures, batch shapes — as REAL, tested code, with the
+payload codecs split in two:
+
+- deterministic in-repo fake formats (``rawvid``, ``rawpcm``) built from
+  pure integer numpy, so every pipeline stage is verifiable bit-for-bit
+  against closed-form SQL oracles, and
+- real container formats (mp4/mkv/wav/flac), STUBBED behind
+  ``NotImplementedError`` because no av/PIL/ffmpeg libraries exist in this
+  environment.  The distributed plumbing does not change when a real codec
+  is dropped in: only ``_decode_video`` / ``_decode_audio`` grow a branch.
+
+Scale design: media rows are independent → frame sampling and feature
+extraction are narrow mapInPandas stages (no shuffle at all); downstream
+per-frame analytics reuse the raster tile machinery.  Arrow batch sizes are
+bounded by `spark.sql.execution.arrow.maxRecordsPerBatch` — at 100 TB the
+binary column dominates row width, so files should be written with row
+groups sized for ~64 MB batches.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..table import images as img_tab
+
+VIDEO_FMTS_REAL = ("mp4", "mkv", "webm")
+AUDIO_FMTS_REAL = ("wav", "flac", "ogg")
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, bytes binary, fmt string, "
+    "n_frames int, w int, h int, n_samples int, caption string"
+)
+
+FRAME_SCHEMA = "media_id string, frame_idx int, w int, h int, luma_sum long"
+AUDIO_FEAT_SCHEMA = (
+    "media_id string, n_samples int, peak int, sum_sq long, rms_milli long"
+)
+
+
+# ---------------------------------------------------------------- fake codecs
+
+
+def encode_rawvid(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 -> header(n, w, h) + raw frame bytes."""
+    n, h, w, _ = frames.shape
+    return struct.pack("<III", n, w, h) + frames.tobytes()
+
+
+def _decode_video(buf: bytes, fmt: str) -> np.ndarray:
+    if fmt == "rawvid":
+        n, w, h = struct.unpack_from("<III", buf, 0)
+        px = np.frombuffer(buf, dtype=np.uint8, offset=12)
+        return px.reshape(n, h, w, 3)
+    if fmt in VIDEO_FMTS_REAL:
+        # STUB: no ffmpeg/av in this environment; the Spark plumbing above
+        # this call is format-agnostic and fully tested via 'rawvid'.
+        raise NotImplementedError(
+            f"real container decode ({fmt}) requires an av library; "
+            "wire it here — the mapInPandas pipeline needs no other change"
+        )
+    raise ValueError(f"unknown video fmt {fmt!r}")
+
+
+def encode_rawpcm(samples: np.ndarray) -> bytes:
+    """int16 mono samples -> header(n) + little-endian PCM."""
+    return struct.pack("<I", len(samples)) + samples.astype("<i2").tobytes()
+
+
+def _decode_audio(buf: bytes, fmt: str) -> np.ndarray:
+    if fmt == "rawpcm":
+        (n,) = struct.unpack_from("<I", buf, 0)
+        return np.frombuffer(buf, dtype="<i2", offset=4, count=n)
+    if fmt in AUDIO_FMTS_REAL:
+        raise NotImplementedError(
+            f"real audio decode ({fmt}) requires an audio library; "
+            "wire it here — the mapInPandas pipeline needs no other change"
+        )
+    raise ValueError(f"unknown audio fmt {fmt!r}")
+
+
+# ----------------------------------------------- deterministic synthesis
+
+
+def video_params(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n_frames, w, h) — integer closed form shared with the SQL oracle."""
+    d = np.asarray(doc_id, dtype=np.int64)
+    return 4 + d % 5, 16 + d * 7 % 3 * 8, 16 + d * 11 % 3 * 8
+
+
+def audio_params(doc_id: np.ndarray) -> np.ndarray:
+    """n_samples — integer closed form shared with the SQL oracle."""
+    return 1000 + np.asarray(doc_id, dtype=np.int64) % 500
+
+
+def gen_video(doc_id: int) -> np.ndarray:
+    nf, w, h = (int(v[None][0]) for v in video_params(np.asarray([doc_id])))
+    frames = [
+        img_tab.gen_pixels(doc_id * 1000 + f, w, h) for f in range(nf)
+    ]
+    return np.stack(frames)
+
+
+def gen_audio(doc_id: int) -> np.ndarray:
+    n = int(audio_params(np.asarray([doc_id]))[0])
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 7 + i * 13) % 256) - 128).astype(np.int16)
+
+
+def media_df(spark, sf_dir: str):
+    """Distributed media-table synthesis over documents.parquet.
+
+    Even doc_ids become videos, odd become audio — one binary column, the
+    ``kind``/``fmt`` metadata discriminates, exactly how a mixed-modality
+    training table is laid out.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for d, text in zip(
+                pdf["doc_id"].to_numpy(dtype=np.int64), pdf["text"].astype(str)
+            ):
+                d = int(d)
+                mid = f"med{d:010d}"
+                if d % 2 == 0:
+                    fr = gen_video(d)
+                    rows.append(
+                        (mid, "video", encode_rawvid(fr), "rawvid",
+                         fr.shape[0], fr.shape[2], fr.shape[1], None, text)
+                    )
+                else:
+                    s = gen_audio(d)
+                    rows.append(
+                        (mid, "audio", encode_rawpcm(s), "rawpcm",
+                         None, None, None, len(s), text)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "bytes", "fmt", "n_frames",
+                         "w", "h", "n_samples", "caption"],
+            )
+
+    return docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# -------------------------------------------------------------- operators
+
+
+def frame_sample_df(media, every: int = 2):
+    """Sample every ``every``-th frame of each video row -> frame rows.
+
+    Narrow mapInPandas (zero shuffle); per-frame pixel math vectorized.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                if pdf["kind"].iloc[i] != "video":
+                    continue
+                fr = _decode_video(
+                    bytes(pdf["bytes"].iloc[i]), pdf["fmt"].iloc[i]
+                )
+                for f in range(0, fr.shape[0], every):
+                    luma = img_tab.gray(fr[f]).sum()
+                    rows.append(
+                        (pdf["media_id"].iloc[i], f, fr.shape[2],
+                         fr.shape[1], int(luma))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "frame_idx", "w", "h", "luma_sum"],
+                )
+
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def audio_features_df(media):
+    """Waveform features per audio row (peak / energy / RMS) — the audio
+    analog of the raster coverage statistics (`RasterHistogramStatistic`)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                if pdf["kind"].iloc[i] != "audio":
+                    continue
+                s = _decode_audio(
+                    bytes(pdf["bytes"].iloc[i]), pdf["fmt"].iloc[i]
+                ).astype(np.int64)
+                ss = int((s * s).sum())
+                n = len(s)
+                rows.append(
+                    (pdf["media_id"].iloc[i], n, int(np.abs(s).max()), ss,
+                     int(np.floor(1000.0 * np.sqrt(ss / n))))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "n_samples", "peak", "sum_sq",
+                             "rms_milli"],
+                )
+
+    return media.mapInPandas(feats, schema=AUDIO_FEAT_SCHEMA)

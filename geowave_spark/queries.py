@@ -350,3 +350,7 @@ QUERIES.update(SQL_QUERIES)
 from .queries_analytics import ANALYTICS_QUERIES  # noqa: E402
 
 QUERIES.update(ANALYTICS_QUERIES)
+
+from .queries_multimodal import MULTIMODAL_QUERIES  # noqa: E402
+
+QUERIES.update(MULTIMODAL_QUERIES)

@@ -239,8 +239,58 @@ GROUP BY 1, 2 ORDER BY week, cell
 """
 
 
+def q42_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical binned aggregation via GROUP BY ROLLUP(cell, type).
+
+    The reference has no grouping-sets concept (SURVEY.md §2.5 — absent);
+    Spark gives the multi-level cell/type/grand-total rollup in ONE pass
+    with partial aggregation, where GeoWave would need one scan per level.
+    Sentinel coalesce keeps the null-marker rows hash-comparable.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q42_BODY)
+
+
+_Q42_BODY = f"""
+WITH e AS ({geo.events_points_sql()})
+SELECT coalesce(cell, -1) AS cell, coalesce(event_type, 'ALL') AS event_type,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+FROM (SELECT {geo.rowmajor_cell_sql('lon', 'lat', 4)} AS cell, event_type, value FROM e) t
+GROUP BY ROLLUP(cell, event_type)
+ORDER BY cell, event_type
+"""
+
+Q42_SQL = _Q42_BODY
+
+
+def q43_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators over two spatial result sets (INTERSECT / EXCEPT) —
+    the reference uses `except` only in tests
+    (`GeoWaveSparkSpatialJoinIT.java:162-172`); Spark has them built in.
+    Points in rect A but not rect B, plus points in both, tagged.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q43_BODY)
+
+
+_Q43_BODY = f"""
+WITH p AS ({geo.lineitem_points_sql()}),
+a AS (SELECT pid FROM p WHERE lon BETWEEN -60 AND 60 AND lat BETWEEN -30 AND 30),
+b AS (SELECT pid FROM p WHERE lon BETWEEN 0 AND 120 AND lat BETWEEN 0 AND 60)
+SELECT 'only_a' AS tag, pid FROM (SELECT pid FROM a EXCEPT SELECT pid FROM b) x
+UNION ALL
+SELECT 'both' AS tag, pid FROM (SELECT pid FROM a INTERSECT SELECT pid FROM b) y
+ORDER BY tag, pid
+"""
+
+Q43_SQL = _Q43_BODY
+
+
 AGG_QUERIES = {
     "q24_kde_heatmap": (q24_kde_heatmap, Q24_SQL),
+    "q42_rollup_agg": (q42_rollup_agg, Q42_SQL),
+    "q43_set_ops": (q43_set_ops, Q43_SQL),
     "q25_numeric_stats": (q25_numeric_stats, Q25_SQL),
     "q26_value_histogram": (q26_value_histogram, Q26_SQL),
     "q27_cell_histogram": (q27_cell_histogram, Q27_SQL),

@@ -244,6 +244,137 @@ FROM f GROUP BY fp ORDER BY canonical_id
 """
 
 
+def _q39(d: G.Dialect) -> str:
+    """SimHash near-dup pairs: banded candidate join + exact Hamming refine.
+
+    4 bands of 4 bits over the 16-bit signature: a pair with Hamming
+    distance <= 3 differs in at most 3 bit positions, so by pigeonhole at
+    least one band is identical — the banded equi-join has PROVABLY 100%%
+    recall at this threshold.  The DuckDB oracle is therefore the true
+    brute-force all-pairs scan (indexed-vs-brute equivalence, the
+    `GeoWaveSparkSpatialJoinIT.java:228-255` pattern), not a formula twin.
+    At 100 TB the band join is a keyed shuffle on well-spread 4-bit+band
+    keys; the all-pairs oracle is quadratic and test-scale only.
+    """
+    sim = G.simhash16_from(d, "v")
+    ham = (
+        "bit_count(a.sh ^ b.sh)" if d.is_spark
+        else "bit_count(xor(a.sh, b.sh))"
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {j} AS band, ({G.SPARK.intdiv('sh', str(1 << (4 * j))) if d.is_spark else d.intdiv('sh', str(1 << (4 * j)))}) % 16 AS bh FROM s"
+        for j in range(4)
+    )
+    if d.is_spark:
+        cand = f"""
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.d1, c.d2, a.sh AS sh1, b.sh AS sh2
+  FROM cand c JOIN s a ON a.doc_id = c.d1 JOIN s b ON b.doc_id = c.d2
+)
+SELECT d1, d2, cast(bit_count(sh1 ^ sh2) as int) AS hamming
+FROM pairs WHERE bit_count(sh1 ^ sh2) <= 3
+"""
+    else:
+        cand = f"""
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.sh AS sh1, b.sh AS sh2
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT d1, d2, cast(bit_count(xor(sh1, sh2)) as int) AS hamming
+FROM pairs WHERE bit_count(xor(sh1, sh2)) <= 3
+"""
+    return f"""
+WITH wv AS (SELECT doc_id, {G.wordvals(d)} AS v FROM documents),
+s AS (SELECT doc_id, cast({sim} as bigint) AS sh
+      FROM wv WHERE {d.size('v')} >= 1),
+{cand.strip()}
+ORDER BY d1, d2
+"""
+
+
+def _q40(d: G.Dialect) -> str:
+    """Embedding-cosine near-dup pairs (>= 0.35): hyperplane-LSH banded
+    candidates + exact cosine refine.  4 bands x 4 bits OR-construction;
+    the oracle evaluates the identical formula (recall of random-hyperplane
+    LSH at moderate thresholds is probabilistic, so engine and oracle share
+    candidate generation — the q16/q20 pattern).  Scale path: band join is
+    a keyed shuffle; refine cost is |candidates|, not n^2.
+    """
+    dt = G.dot(d, "a.v", "b.v", 64)
+    # band j = bits [4j, 4j+4) of a 16-bit hyperplane signature
+    bands = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {j} AS band, ({d.intdiv('sig', str(1 << (4 * j)))}) % 16 AS bh FROM sigs"
+        for j in range(4)
+    )
+    sig = G.hyperplane_bucket(d, "v", 64, nbits=16)
+    return f"""
+WITH v0 AS (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v FROM embeddings),
+vecs AS (SELECT vec_id, v, sqrt({G.dot(d, 'v', 'v', 64)}) AS nv FROM v0),
+sigs AS (SELECT vec_id, v, nv, {sig} AS sig FROM vecs),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.vec_id < y.vec_id
+)
+SELECT c.id1, c.id2,
+       cast(floor(1000000.0 * ({dt}) / (a.nv * b.nv)) as bigint) AS sim_micro
+FROM cand c JOIN sigs a ON a.vec_id = c.id1 JOIN sigs b ON b.vec_id = c.id2
+WHERE cast(floor(1000000.0 * ({dt}) / (a.nv * b.nv)) as bigint) >= 350000
+ORDER BY id1, id2
+"""
+
+
+def _q41(d: G.Dialect) -> str:
+    """IVF-bucketed ANN (coarse quantizer, nprobe=1): centroids are a
+    deterministic subset (vec_id %% 31 == 0); every vector is assigned to
+    its max-cosine centroid (the inverted-file cell); queries search only
+    their own cell.  Spark auto-broadcasts the small centroid side of the
+    assignment join; the per-cell top-k is a window — at 100 TB this is
+    the classic IVF layout: one shuffle to co-locate cells, then local
+    ranking.  Formula-identical oracle (q20 pattern).
+    """
+    dt_ac = G.dot(d, "a.v", "c.v", 64)
+    dt_qx = G.dot(d, "q.v", "x.v", 64)
+    return f"""
+WITH v0 AS (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v FROM embeddings),
+vecs AS (SELECT vec_id, v, sqrt({G.dot(d, 'v', 'v', 64)}) AS nv FROM v0),
+cent AS (SELECT vec_id AS cent_id, v, nv FROM vecs WHERE vec_id % 31 = 0),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT a.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ({dt_ac}) / (a.nv * c.nv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+  ) t WHERE rn = 1
+),
+cells AS (
+  SELECT s.vec_id, s.v, s.nv, a.cent_id
+  FROM vecs s JOIN assign a ON a.vec_id = s.vec_id
+)
+SELECT qid, cid, cent_id, sim_micro, rank FROM (
+  SELECT q.vec_id AS qid, x.vec_id AS cid, q.cent_id,
+         cast(floor(1000000.0 * ({dt_qx}) / (q.nv * x.nv)) as bigint) AS sim_micro,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY cast(floor(1000000.0 * ({dt_qx}) / (q.nv * x.nv)) as bigint) DESC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM cells q JOIN cells x
+    ON x.cent_id = q.cent_id AND x.vec_id <> q.vec_id
+  WHERE q.vec_id % 50 = 0
+) t WHERE rank <= 3 ORDER BY qid, rank
+"""
+
+
 def _q16_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _q16 with explicit reuse: Spark inlines CTEs, so the
     self-joined `bands`/`sh_rows` relations would otherwise be recomputed
@@ -306,4 +437,7 @@ TEXT_QUERIES = {
     "q21_text_stats": _dual(_q21),
     "q22_langid": _dual(_q22),
     "q23_fingerprint_dedup": _dual(_q23),
+    "q39_simhash_neardup": _dual(_q39),
+    "q40_embedding_neardup": _dual(_q40),
+    "q41_ann_ivf": _dual(_q41),
 }
