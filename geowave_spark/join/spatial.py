@@ -154,6 +154,55 @@ def point_in_rects_join(
     return matched
 
 
+def point_in_rects_join_salted(
+    spark: SparkSession,
+    pts: DataFrame,
+    rects_df: DataFrame,
+    *,
+    pid_col: str = "pid",
+    lon: str = "lon",
+    lat: str = "lat",
+    res: int = 10,
+    rid_col: str = "rid",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Big-big salted cell join: neither side is broadcast.
+
+    When the query-region side is itself too large to broadcast (millions of
+    regions at 100 TB scale), the cell equi-join must shuffle — and hot
+    cells (dense cities vs empty ocean) make classic stragglers.  Explicit
+    salting (north rule; reference analog `HashKeyIndexStrategy.java`
+    partition prefix in /root/reference) splits every hot cell's rows across
+    ``salt_buckets`` reducers:
+
+      point side:  salt = pmod(hash(pid), S)   — spreads each cell's points
+      cover side:  replicate each (rid, cell) row for all S salts
+      join key:    (cell, salt)  — identical result set, S-way skew split
+
+    The refine + uniqueness argument is the same as `point_in_rects_join`;
+    equality with the unsalted join is asserted in tests.
+    """
+    rects_pdf = rects_df.toPandas() if not isinstance(rects_df, pd.DataFrame) else rects_df
+    cover_pdf = cov.rect_cover(rects_pdf, res, id_col=rid_col).merge(
+        rects_pdf[[rid_col, "lon0", "lat0", "lon1", "lat1"]], on=rid_col
+    )
+    cover_df = (
+        spark.createDataFrame(cover_pdf)
+        # replicate per salt bucket (the small multiplicative cost that buys
+        # S-way parallelism on every hot cell)
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+    )
+    pts_c = cov.salted(
+        cov.add_point_cells(pts, lon, lat, res), pid_col, salt_buckets
+    )
+    # shuffle join on the salted key — no broadcast hint on purpose
+    cand = pts_c.join(cover_df, ["cell", "salt"])
+    return cand.filter(
+        (F.col(lon) >= F.col("lon0")) & (F.col(lon) <= F.col("lon1"))
+        & (F.col(lat) >= F.col("lat0")) & (F.col(lat) <= F.col("lat1"))
+    ).select(pid_col, rid_col)
+
+
 def within_distance_join(
     spark: SparkSession,
     pts: DataFrame,

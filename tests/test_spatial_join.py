@@ -65,6 +65,26 @@ def test_negative_join_complement(spark, pts, polys):
     assert pos.select("pid").distinct().join(neg, "pid").count() == 0
 
 
+def test_salted_join_equals_unsalted(spark, pts):
+    """The big-big salted cell join (explicit hot-cell skew split, north
+    rule) must return exactly the broadcast join's pairs, and its physical
+    plan must contain a real shuffle join keyed on (cell, salt)."""
+    rects = pd.DataFrame({
+        "rid": [1, 2, 3],
+        "lon0": [-50.0, 100.0, -10.0], "lat0": [-20.0, 10.0, -45.0],
+        "lon1": [0.0, 140.0, 35.0], "lat1": [30.0, 60.0, -5.0],
+    })
+    plain = spatial.point_in_rects_join(spark, pts, rects, res=8)
+    salted = spatial.point_in_rects_join_salted(
+        spark, pts, spark.createDataFrame(rects), res=8, salt_buckets=4
+    )
+    a = sorted(map(tuple, plain.toPandas()[["pid", "rid"]].to_numpy().tolist()))
+    b = sorted(map(tuple, salted.toPandas()[["pid", "rid"]].to_numpy().tolist()))
+    assert a == b and len(a) > 0
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan
+
+
 def test_rect_join_anti_mode(spark, pts):
     rects = pd.DataFrame({
         "rid": [1, 2],

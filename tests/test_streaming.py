@@ -43,6 +43,76 @@ def test_exactly_once_ingest_and_resume(spark, sf_dir, dirs):
     assert spark.read.parquet(dest).count() == 2 * n1
 
 
+def test_stateful_dedup_across_batches(spark, sf_dir, dirs):
+    """applyInPandasWithState dedup: a key re-arriving in a later
+    micro-batch (even after a restart from checkpoint) emits nothing."""
+    from geowave_spark.streaming import stateful
+
+    src, dest, cp = dirs
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part1.parquet")
+    schema = _events_schema(spark, sf_dir)
+    n_keys = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id").distinct().count()
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        deduped = stateful.stateful_dedup(
+            stream.select("event_id", "event_type"),
+            "event_id", "event_id long, event_type string",
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", dest)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(dest).count() == n_keys
+
+    # same keys arrive again in a NEW file after a "restart": state in the
+    # checkpoint remembers them -> zero new rows
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part2.parquet")
+    run()
+    out = spark.read.parquet(dest)
+    assert out.count() == n_keys
+    assert out.select("event_id").distinct().count() == n_keys
+
+
+def test_running_cell_counts_accumulate(spark, sf_dir, dirs):
+    from pyspark.sql import functions as F
+
+    from geowave_spark.streaming import stateful
+    from geowave_spark.table import geo
+
+    src, _dest, cp = dirs
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part1.parquet")
+    schema = _events_schema(spark, sf_dir)
+    stream = ingest.indexed_file_stream(spark, str(src), schema, res=4)
+    counts = stateful.running_cell_counts(stream, "cell")
+    q = (
+        counts.writeStream.format("memory").queryName("cell_counts")
+        .option("checkpointLocation", cp)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["cell"]: r["total"] for r in spark.table("cell_counts").collect()}
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("lon", F.expr(geo.lon_sql("event_id")))
+        .withColumn("lat", F.expr(geo.lat_sql("event_id")))
+        .withColumn("cell", F.expr(geo.rowmajor_cell_sql("lon", "lat", 4)))
+        .groupBy("cell").count()
+    )
+    want = {r["cell"]: r["count"] for r in batch.collect()}
+    assert got == want
+
+
 def test_windowed_counts_match_batch(spark, sf_dir, dirs):
     src, _dest, cp = dirs
     shutil.copy(f"{sf_dir}/events.parquet", src / "part1.parquet")
