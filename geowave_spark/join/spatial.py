@@ -195,8 +195,10 @@ def point_in_rects_join_salted(
     pts_c = cov.salted(
         cov.add_point_cells(pts, lon, lat, res), pid_col, salt_buckets
     )
-    # shuffle join on the salted key — no broadcast hint on purpose
-    cand = pts_c.join(cover_df, ["cell", "salt"])
+    # force the shuffled hash join: at production scale this side exceeds
+    # any broadcast threshold, and the whole point is partitioning both
+    # sides on the salted key (a broadcast join would ignore the salt)
+    cand = pts_c.join(cover_df.hint("shuffle_hash"), ["cell", "salt"])
     return cand.filter(
         (F.col(lon) >= F.col("lon0")) & (F.col(lon) <= F.col("lon1"))
         & (F.col(lat) >= F.col("lat0")) & (F.col(lat) <= F.col("lat1"))

@@ -52,6 +52,39 @@ def test_scan_filter_pushdown(spark, sf_dir):
     assert "LessThanOrEqual(l_shipdate" in plan
 
 
+def test_tile_plan_is_jvm_only(spark, sf_dir):
+    """q11 must run the closed-form plan path: zero Python nodes, full
+    whole-stage codegen, and column pruning down to the documents scan
+    (doc_id only — pixels are never synthesized for a plan)."""
+    plan = _plan(spark, sf_dir, "q11_tile_assign_plan")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_salted_join_shuffles_on_salt(spark, sf_dir):
+    """The salted big-big join must actually hash-partition on the salted
+    key (explicit skew split), not broadcast."""
+    import pandas as pd
+
+    from geowave_spark.join import spatial
+    from geowave_spark.table import geo
+    from geowave_spark.table.views import register_views
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.lineitem_points_sql())
+    rects = pd.DataFrame({
+        "rid": [1], "lon0": [-50.0], "lat0": [-20.0],
+        "lon1": [0.0], "lat1": [30.0],
+    })
+    df = spatial.point_in_rects_join_salted(
+        spark, pts, rects, res=8, salt_buckets=4
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(cell" in plan and "salt" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_per_row_python_anywhere(spark, sf_dir):
     """input_hint mandate: vectorized pandas/Arrow UDFs only — a
     BatchEvalPython node (row-at-a-time Python UDF) is a defect."""
