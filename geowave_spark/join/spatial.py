@@ -118,6 +118,7 @@ def point_in_rects_join(
     rid_col: str = "rid",
     negative: bool = False,
     loose: bool = False,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Point-in-rectangle-set join (closed boundaries, SQL BETWEEN parity).
 
@@ -129,6 +130,11 @@ def point_in_rects_join(
     candidates — the reference's "Loose" predicate variants
     (`core/geotime/.../filter/expression/spatial/*.java`, e.g. LooseBBox:
     cell-range test only, accepting cover over-approximation).
+
+    ``keep_cols`` carries point payload columns through the join so an
+    aggregation over matched pairs needs no second join back to the point
+    table (projection pushdown through the operator — at scale this saves
+    a full shuffle join against the biggest table in the query).
     """
     # rect bounds are carried ON the cover rows: one broadcast, one join,
     # and the refine is a pure filter on the join output (no second join)
@@ -138,15 +144,16 @@ def point_in_rects_join(
     cover_df = spark.createDataFrame(cover_pdf)
     pts_c = cov.add_point_cells(pts, lon, lat, res)
     cand = pts_c.join(F.broadcast(cover_df), "cell")
+    out_cols = [pid_col, rid_col] + list(keep_cols or [])
     if loose:
-        matched = cand.select(pid_col, rid_col)
+        matched = cand.select(*out_cols)
     else:
         # a point's single cell meets each rect's cover at most once, so the
         # refined (pid, rid) pairs are already unique — no dedup shuffle
         matched = cand.filter(
             (F.col(lon) >= F.col("lon0")) & (F.col(lon) <= F.col("lon1"))
             & (F.col(lat) >= F.col("lat0")) & (F.col(lat) <= F.col("lat1"))
-        ).select(pid_col, rid_col)
+        ).select(*out_cols)
     if negative:
         return pts.select(pid_col).distinct().join(
             matched.select(pid_col).distinct(), pid_col, "left_anti"

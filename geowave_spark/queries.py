@@ -175,10 +175,13 @@ def q06_pip_rect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     pts = spark.sql(geo.lineitem_points_sql())
     rects = spark.sql(geo.supplier_rects_sql()).toPandas()
-    pairs = spatial.point_in_rects_join(spark, pts, rects, res=8)
+    # qty rides through the join (keep_cols) — no second join back to the
+    # point table, so the only shuffle left is the final tiny agg
+    pairs = spatial.point_in_rects_join(
+        spark, pts, rects, res=8, keep_cols=["qty"]
+    )
     return (
-        pairs.join(pts, "pid")
-        .groupBy("rid")
+        pairs.groupBy("rid")
         .agg(
             F.count("*").alias("n_points"),
             F.sum(F.col("qty").cast("bigint")).alias("sum_qty"),

@@ -65,7 +65,60 @@ FROM s GROUP BY doc_id, n ORDER BY media_id
 """
 
 
+def q46_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-payload near-dup pairs by perceptual hash: banded join on the
+    64-bit phash (16 bands x 4 bits) + exact Hamming refine (<= 6).
+
+    Pigeonhole: 6 differing bits touch at most 6 of the 16 bands, so at
+    least 10 bands match exactly — the banded equi-join has 100% recall at
+    this threshold, like q39.  phash is computed from decoded pixels by
+    the engine (mapInPandas), so no independent SQL oracle exists
+    (rows-only check); pytest validates phash values against local numpy
+    (tests/test_raster.py) and this pairing against a brute-force scan
+    (tests/test_multimodal.py).
+
+    Scale path: the band join shuffles on well-spread (band, 4-bit) keys;
+    candidates ~ n^2/2^4 per band at worst, pruned to near-dups by the
+    bit_count refine — never an all-pairs scan.
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    img = img_tab.images_df(spark, sf_dir).select("image_id", "phash")
+    bands = img.select(
+        "image_id", "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.expr(f"shiftright(phash, {4 * j}) & 15").alias("bh"),
+                )
+                for j in range(16)
+            ])
+        ).alias("b"),
+    ).select("image_id", "phash", "b.band", "b.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.image_id") < F.col("b.image_id")))
+        .select(
+            F.col("a.image_id").alias("id1"),
+            F.col("b.image_id").alias("id2"),
+            F.col("a.phash").alias("p1"),
+            F.col("b.phash").alias("p2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn("hamming", F.expr("cast(bit_count(p1 ^ p2) as int)"))
+        .filter(F.col("hamming") <= 6)
+        .select("id1", "id2", "hamming")
+        .orderBy("id1", "id2")
+    )
+
+
 MULTIMODAL_QUERIES = {
     "q44_frame_sample": (q44_frame_sample, Q44_SQL),
     "q45_audio_features": (q45_audio_features, Q45_SQL),
+    "q46_phash_neardup": (q46_phash_neardup, None),
 }

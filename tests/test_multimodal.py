@@ -68,6 +68,28 @@ def test_frame_sample_luma_matches_local(spark, sf_dir):
             assert int(row.luma_sum) == expect
 
 
+def test_phash_neardup_matches_brute_force(spark, sf_dir):
+    """q46's banded phash join must return exactly the brute-force all-pairs
+    Hamming<=6 set (pigeonhole recall proof, `GeoWaveSparkSpatialJoinIT`
+    indexed-vs-brute pattern)."""
+    from geowave_spark.queries_multimodal import q46_phash_neardup
+    from geowave_spark.table import images as it
+
+    got = q46_phash_neardup(spark, sf_dir).toPandas()
+    got_pairs = set(zip(got["id1"], got["id2"]))
+
+    img = it.images_df(spark, sf_dir).select("image_id", "phash").toPandas()
+    ph = img.sort_values("image_id").reset_index(drop=True)
+    ids = ph["image_id"].to_numpy()
+    vals = ph["phash"].to_numpy()
+    expect = set()
+    for i in range(len(ids)):
+        h = it.hamming64(vals[i], vals[i + 1:])
+        for j in np.flatnonzero(h <= 6):
+            expect.add((ids[i], ids[i + 1 + j]))
+    assert got_pairs == expect
+
+
 def test_audio_features_match_local(spark, sf_dir):
     feats = av.audio_features_df(av.media_df(spark, sf_dir)).toPandas()
     assert len(feats) > 0

@@ -85,6 +85,46 @@ def test_salted_join_equals_unsalted(spark, pts):
     assert "salt" in plan
 
 
+def test_salted_join_splits_hot_cell(spark, pts):
+    """Hot-cell skew demonstration: 30% of all points collapsed onto one
+    location (a 'city' cell).  The salted join must (a) still produce the
+    exact unsalted pairs and (b) spread the hot cell's candidate rows
+    across all S salt buckets instead of one straggler task."""
+    hot_lon, hot_lat = -25.0, 5.0
+    skewed = pts.withColumn(
+        "lon", F.when(F.col("pid") % 10 < 3, F.lit(hot_lon)).otherwise(F.col("lon"))
+    ).withColumn(
+        "lat", F.when(F.col("pid") % 10 < 3, F.lit(hot_lat)).otherwise(F.col("lat"))
+    )
+    rects = pd.DataFrame({
+        "rid": [7],
+        "lon0": [-50.0], "lat0": [-20.0], "lon1": [0.0], "lat1": [30.0],
+    })
+    S = 8
+    plain = spatial.point_in_rects_join(spark, skewed, rects, res=8)
+    salted = spatial.point_in_rects_join_salted(
+        spark, skewed, rects, res=8, salt_buckets=S
+    )
+    a = sorted(map(tuple, plain.toPandas()[["pid", "rid"]].to_numpy().tolist()))
+    b = sorted(map(tuple, salted.toPandas()[["pid", "rid"]].to_numpy().tolist()))
+    assert a == b and len(a) > 0
+
+    # every salt bucket of the hot cell carries ~1/S of its rows
+    from geowave_spark.index import cover as cov
+    from geowave_spark.sfc import grid
+    import numpy as np
+
+    hot_cell = int(grid.latlng_to_cell(
+        np.asarray([hot_lon]), np.asarray([hot_lat]), 8)[0].astype("int64"))
+    per_bucket = (
+        cov.salted(cov.add_point_cells(skewed, "lon", "lat", 8), "pid", S)
+        .filter(F.col("cell") == hot_cell)
+        .groupBy("salt").count().toPandas()
+    )
+    assert len(per_bucket) == S
+    assert per_bucket["count"].max() <= 1.3 * per_bucket["count"].mean()
+
+
 def test_rect_join_anti_mode(spark, pts):
     rects = pd.DataFrame({
         "rid": [1, 2],
