@@ -277,6 +277,27 @@ def register_geometry_functions(spark: SparkSession) -> list[str]:
 
     spark.udf.register("GeomPoint", _pt)
     names.append("GeomPoint")
+
+    @F.pandas_udf(StringType())
+    def _fromwkt(w: pd.Series) -> pd.Series:
+        # geometries ARE canonical WKT strings in this engine, so FromWKT
+        # validates + canonicalizes (parse -> re-emit); name parity with
+        # the reference registry (`UDFRegistrySPI.java:15-27`)
+        out = []
+        for s in w:
+            t = wktm.geom_type(s)
+            if t == "point":
+                out.append(wktm.point_wkt(*wktm.parse_point(s)))
+            elif t == "polygon":
+                out.append(wktm.polygon_wkt(wktm.parse_polygon(s)))
+            elif t == "linestring":
+                out.append(wktm.linestring_wkt(wktm.parse_linestring(s)))
+            else:
+                raise ValueError(f"unsupported WKT type in {s[:40]!r}")
+        return pd.Series(out)
+
+    spark.udf.register("GeomFromWKT", _fromwkt)
+    names.append("GeomFromWKT")
     return names
 
 

@@ -81,6 +81,16 @@ def test_prefilter_rewrite_preserves_semantics(geomf):
     assert " IN (" in rewritten
 
 
+def test_geom_from_wkt_canonicalizes(geomf):
+    got = _one(geomf, "GeomFromWKT('POINT(3.5  -2.25)')")
+    assert got == "POINT (3.5 -2.25)"
+    sq = _one(geomf, f"GeomFromWKT('{SQUARE}')")
+    assert sq == SQUARE
+    assert _one(
+        geomf, f"GeomIntersects(GeomFromWKT('POINT(5 5)'), '{SQUARE}')"
+    ) is True
+
+
 def test_wkt_roundtrip():
     ring = np.array([[1.5, 2.5], [3.5, 2.5], [2.5, 4.0]], float)
     assert np.allclose(wktm.parse_polygon(wktm.polygon_wkt(ring)), ring)
