@@ -287,10 +287,144 @@ ORDER BY tag, pid
 Q43_SQL = _Q43_BODY
 
 
+# interval endpoints in epoch seconds, derived deterministically from order
+# keys into the events' time range (Jan 2024) — shared by engine and oracle
+_EPOCH_2024 = 1704067200  # timestamp '2024-01-01 00:00:00' UTC
+_IVL = (
+    "SELECT o_orderkey AS ivl_id, "
+    f"cast({_EPOCH_2024} + (o_orderkey % 29) * 86400 + (o_orderkey % 24) * 3600 as bigint) AS start_s, "
+    f"cast({_EPOCH_2024} + (o_orderkey % 29) * 86400 + (o_orderkey % 24) * 3600 "
+    "+ (1 + o_orderkey % 8) * 3600 as bigint) AS end_s "
+    "FROM orders WHERE o_orderkey % 40 = 1"
+)
+
+
+def q47_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval join: events falling in derived time intervals.
+
+    Engine path mirrors the spatial cover join in the time dimension
+    (reference: temporal binning `TemporalBinningStrategy.java` + During
+    predicate, /root/reference): intervals explode to covering DAY bins
+    (`explode(sequence(...))`, JVM-only), events key by their day bin, a
+    broadcast equi-join on the bin produces candidates, and the exact
+    `ts_s >= start AND ts_s < end` refine is a pure-JVM filter.  Pairs are
+    unique by construction (an interval covers each of its bins once).
+    Oracle: brute-force range join.  At 100 TB the bin equi-join is the
+    only scalable shape — a naive theta-join would be a cartesian product.
+    """
+    register_views(spark, sf_dir)
+    iv = spark.sql(_IVL).withColumn(
+        "bin", F.explode(F.expr("sequence(start_s div 86400, (end_s - 1) div 86400)"))
+    )
+    ev = spark.table("events").select(
+        "event_id",
+        F.expr("unix_timestamp(ts)").alias("ts_s"),
+        F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
+    ).withColumn("bin", F.expr("ts_s div 86400"))
+    cand = ev.join(F.broadcast(iv), "bin")
+    return (
+        cand.filter((F.col("ts_s") >= F.col("start_s")) & (F.col("ts_s") < F.col("end_s")))
+        .groupBy("ivl_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+        .orderBy("ivl_id")
+    )
+
+
+Q47_SQL = f"""
+WITH iv AS ({_IVL}),
+ev AS (SELECT event_id, cast(floor(epoch(ts)) as bigint) AS ts_s,
+              cast(round(value * 100) as bigint) AS value_cents FROM events)
+SELECT ivl_id, cast(count(*) as bigint) AS n_events,
+       cast(sum(value_cents) as bigint) AS sum_value_cents
+FROM ev JOIN iv ON ev.ts_s >= iv.start_s AND ev.ts_s < iv.end_s
+GROUP BY ivl_id ORDER BY ivl_id
+"""
+
+
+# reference-point ("quote") series for the as-of join, epoch seconds
+_QUOTES = (
+    "SELECT o_orderkey AS qid, "
+    f"cast({_EPOCH_2024} + (o_orderkey % 29) * 86400 + (o_orderkey % 19) * 4000 as bigint) AS tq "
+    "FROM orders WHERE o_orderkey % 40 = 3"
+)
+
+
+def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the latest quote at-or-before its time.
+
+    Spark has no asof operator; a naive formulation is a theta-join
+    (cartesian).  Scalable composition:
+
+    1. candidates within the event's own DAY bin: equi-join on bin +
+       `tq <= ts_s` filter + `max(struct(tq, qid))` per event (struct max
+       = lexicographic latest-then-highest-id, deterministic);
+    2. events whose bin holds no earlier quote fall back to a *cumulative
+       per-bin last-quote table* — one row per day regardless of data
+       volume, so it stays broadcastable at 10^12 rows;
+    3. coalesce(in-bin winner, fallback).
+
+    Oracle: brute-force `row_number() over (order by tq desc)` theta-join.
+    """
+    from pyspark.sql import Window
+
+    register_views(spark, sf_dir)
+    q = spark.sql(_QUOTES).withColumn("bin", F.expr("tq div 86400"))
+    ev = spark.table("events").select(
+        "event_id", F.expr("unix_timestamp(ts)").alias("ts_s")
+    ).withColumn("bin", F.expr("ts_s div 86400"))
+
+    m = F.max(F.struct("tq", "qid")).alias("m")
+    inbin = (
+        ev.join(F.broadcast(q), "bin")
+        .filter(F.col("tq") <= F.col("ts_s"))
+        .groupBy("event_id").agg(m)
+    )
+    binagg = q.groupBy("bin").agg(m)  # one row per day — always tiny
+    ebins = ev.select("bin").distinct()
+    fallback = (
+        ebins.join(
+            F.broadcast(binagg.withColumnRenamed("bin", "qbin")),
+            F.col("qbin") < F.col("bin"),
+        )
+        .groupBy("bin").agg(F.max("m").alias("pm"))
+    )
+    return (
+        ev.join(inbin, "event_id", "left")
+        .join(F.broadcast(fallback), "bin", "left")
+        .withColumn("w", F.coalesce("m", "pm"))
+        .filter(F.col("w").isNotNull())
+        .select(
+            "event_id",
+            F.col("w.tq").alias("quote_ts_s"),
+            F.col("w.qid").alias("quote_id"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q48_SQL = f"""
+WITH q AS ({_QUOTES}),
+ev AS (SELECT event_id, cast(floor(epoch(ts)) as bigint) AS ts_s FROM events),
+pairs AS (
+  SELECT e.event_id, q.tq, q.qid,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY q.tq DESC, q.qid DESC) AS rn
+  FROM ev e JOIN q ON q.tq <= e.ts_s
+)
+SELECT event_id, tq AS quote_ts_s, qid AS quote_id
+FROM pairs WHERE rn = 1 ORDER BY event_id
+"""
+
+
 AGG_QUERIES = {
     "q24_kde_heatmap": (q24_kde_heatmap, Q24_SQL),
     "q42_rollup_agg": (q42_rollup_agg, Q42_SQL),
     "q43_set_ops": (q43_set_ops, Q43_SQL),
+    "q47_interval_join": (q47_interval_join, Q47_SQL),
+    "q48_asof_join": (q48_asof_join, Q48_SQL),
     "q25_numeric_stats": (q25_numeric_stats, Q25_SQL),
     "q26_value_histogram": (q26_value_histogram, Q26_SQL),
     "q27_cell_histogram": (q27_cell_histogram, Q27_SQL),
