@@ -48,6 +48,9 @@ def make_spark(cores: int):
         # smaller level's parallelism (2x cores leaves AQE room to coalesce)
         .config("spark.sql.shuffle.partitions", str(max(2 * cores, 16)))
         .config("spark.sql.adaptive.enabled", "true")
+        # Arrow for driver<->JVM pandas conversion (pickle path is ~8x slower
+        # for the broadcast cover tables)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..geom import core as geom
 from ..index import cover as cov
 from ..sfc import grid
+from ..table.views import ensure_arrow
 
 
 def point_in_polygon_join(
@@ -53,6 +54,7 @@ def point_in_polygon_join(
     the exact geometry); points are encoded once at ``data_res`` and
     re-projected to each coarser active tier by a parent-cell UDF.
     """
+    ensure_arrow(spark)
     cover_pdf = cov.polygon_cover(polys, res=None, max_cells=max_cells)
     # clamp polygon tiers to the data resolution (a tier finer than the point
     # encoding cannot match; re-cover those polygons at data_res)
@@ -136,6 +138,7 @@ def point_in_rects_join(
     table (projection pushdown through the operator — at scale this saves
     a full shuffle join against the biggest table in the query).
     """
+    ensure_arrow(spark)
     # rect bounds are carried ON the cover rows: one broadcast, one join,
     # and the refine is a pure filter on the join output (no second join)
     cover_pdf = cov.rect_cover(rects, res, id_col=rid_col).merge(
@@ -189,6 +192,7 @@ def point_in_rects_join_salted(
     The refine + uniqueness argument is the same as `point_in_rects_join`;
     equality with the unsalted join is asserted in tests.
     """
+    ensure_arrow(spark)
     rects_pdf = rects_df.toPandas() if not isinstance(rects_df, pd.DataFrame) else rects_df
     cover_pdf = cov.rect_cover(rects_pdf, res, id_col=rid_col).merge(
         rects_pdf[[rid_col, "lon0", "lat0", "lon1", "lat1"]], on=rid_col

@@ -67,11 +67,11 @@ FROM s GROUP BY doc_id, n ORDER BY media_id
 
 def q46_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-payload near-dup pairs by perceptual hash: banded join on the
-    64-bit phash (16 bands x 4 bits) + exact Hamming refine (<= 6).
+    64-bit phash (16 bands x 4 bits) + exact Hamming refine (<= 14).
 
-    Pigeonhole: 6 differing bits touch at most 6 of the 16 bands, so at
-    least 10 bands match exactly — the banded equi-join has 100% recall at
-    this threshold, like q39.  phash is computed from decoded pixels by
+    Pigeonhole: 14 differing bits touch at most 14 of the 16 bands, so at
+    least 2 bands match exactly — the banded equi-join has 100% recall at
+    any threshold <= 15, like q39.  phash is computed from decoded pixels by
     the engine (mapInPandas), so no independent SQL oracle exists
     (rows-only check); pytest validates phash values against local numpy
     (tests/test_raster.py) and this pairing against a brute-force scan
@@ -111,7 +111,7 @@ def q46_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.withColumn("hamming", F.expr("cast(bit_count(p1 ^ p2) as int)"))
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 14)
         .select("id1", "id2", "hamming")
         .orderBy("id1", "id2")
     )

@@ -10,7 +10,22 @@ TABLES = [
 ]
 
 
+def ensure_arrow(spark: SparkSession) -> None:
+    """Turn on Arrow for driver<->JVM DataFrame conversion (runtime conf).
+
+    Without it, `spark.createDataFrame(pandas)` pickles row-by-row —
+    measured 4.1s vs 0.5s for an 85k-row broadcast cover table.  Set here
+    (and in the engine operators that build covers) because the harness
+    may hand us a session created without this conf.
+    """
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass  # conf locked down — operators still work, just slower
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the base parquet tables as temp views (idempotent)."""
+    ensure_arrow(spark)
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
