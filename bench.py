@@ -92,7 +92,12 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     fn, _ = QUERIES[name]
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    sec = time.time() - t0
+    # isolate queries from each other: operators may persist intermediates
+    # (q08's ring iterations, q16's self-joined relations); dropping them
+    # keeps every query's measurement self-contained
+    spark.catalog.clearCache()
+    return sec
 
 
 def _count_timed(df) -> tuple[int, float]:

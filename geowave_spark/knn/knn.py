@@ -55,6 +55,10 @@ def knn_join(
     dy = F.col("lat") - F.col("qlat")
     dist = F.sqrt(dx * dx + dy * dy)
 
+    # the encode runs once; every ring iteration joins against the SAME
+    # cached encoded points instead of re-running the UDF over the table
+    pts_c = pts_c.persist()
+
     remaining = q_named
     results = None
     ring = initial_ring
@@ -70,12 +74,15 @@ def knn_join(
         cand = pts_c.withColumnRenamed("cell", "jcell").join(
             F.broadcast(q_cover), "jcell"
         )
+        # persist the per-iteration top-k (tiny: <= k rows per query): the
+        # convergence check executes it once, and without the persist the
+        # final materialization would re-run every iteration's join+window
         topk = (
             cand.withColumn("dist", dist)
             .withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k)
             .select(qid_col, pid_col, "dist", "rank")
-        )
+        ).persist()
         # guarantee: the k-th distance must not exceed the closest possible
         # point in an unexplored cell (ring * cell_height)
         guard = float(ring) * cell_h
