@@ -136,10 +136,49 @@ def q35_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_tile_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile resize / re-tile (RasterTileResizeSparkRunner analog,
+    `analytics/spark/.../resize/RasterTileResizeSparkRunner.java:100-178` in
+    /root/reference): merged mosaics resampled to an 8px tile size; tile ids
+    are preserved and every output tile decodes to the new dimensions.
+    The oracle recomputes the surviving (res, tile_id) set closed-form."""
+    import pandas as pd
+
+    from .raster import codec
+
+    t = tiles.assign_tiles_df(_images(spark, sf_dir))
+    merged = tiles.merge_tiles_df(t)
+    small = tiles.resize_tiles_df(merged.select("res", "tile_id", "px"), 8)
+
+    def dims(pdf_iter):
+        for pdf in pdf_iter:
+            hw = [codec.png_decode(bytes(b)).shape[:2] for b in pdf["px"]]
+            yield pd.DataFrame(
+                {
+                    "res": pdf["res"],
+                    "tile_id": pdf["tile_id"],
+                    "out_h": [h for h, _ in hw],
+                    "out_w": [w for _, w in hw],
+                }
+            )
+
+    return small.mapInPandas(
+        dims, schema="res int, tile_id long, out_h int, out_w int"
+    ).orderBy("res", "tile_id")
+
+
+Q49_SQL = f"""
+WITH plan AS ({_plan_oracle_sql().replace('ORDER BY image_id, res, tile_id', '')})
+SELECT DISTINCT res, tile_id, cast(8 as int) AS out_h, cast(8 as int) AS out_w
+FROM plan ORDER BY res, tile_id
+"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
     "q13_image_scalars": (q13_image_scalars, Q13_SQL),
     "q14_pyramid_counts": (q14_pyramid_counts, Q14_SQL),
     "q35_raster_stats": (q35_raster_stats, None),
+    "q49_tile_resize": (q49_tile_resize, Q49_SQL),
 }

@@ -427,6 +427,23 @@ ORDER BY d1, d2
 """)
 
 
+def _q50(d: G.Dialect) -> str:
+    # Text-index analog (reference `core/index/.../text/*` n-gram term
+    # index, chosen in OptimalExpressionQuery.java:109-118): begins-with /
+    # contains / ends-with predicates over the documents table.  At scale
+    # the begins-with predicate is a pushed-down StringStartsWith on the
+    # parquet scan (dictionary + min/max pruning); the reference needed a
+    # dedicated term index because its KV store can only range-scan keys.
+    return """
+SELECT source,
+       cast(sum(case when text like 'the %' then 1 else 0 end) as bigint) AS n_prefix,
+       cast(sum(case when lower(text) like '%model%' then 1 else 0 end) as bigint) AS n_contains,
+       cast(sum(case when text like '%.' then 1 else 0 end) as bigint) AS n_suffix,
+       cast(count(*) as bigint) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -440,4 +457,5 @@ TEXT_QUERIES = {
     "q39_simhash_neardup": _dual(_q39),
     "q40_embedding_neardup": _dual(_q40),
     "q41_ann_ivf": _dual(_q41),
+    "q50_text_search": _dual(_q50),
 }

@@ -85,6 +85,24 @@ def test_salted_join_shuffles_on_salt(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_text_prefix_pushdown(spark, sf_dir):
+    """Text-index analog (reference `core/index/.../text/*`): a begins-with
+    predicate must be pushed into the parquet scan as StringStartsWith, with
+    column pruning to the referenced columns only — the scan-side pruning
+    that replaces the reference's dedicated n-gram term index."""
+    from geowave_spark.table.views import register_views
+
+    register_views(spark, sf_dir)
+    plan = (
+        spark.table("documents")
+        .filter("text like 'the %'")
+        .select("doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "StringStartsWith(text" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
 def test_no_per_row_python_anywhere(spark, sf_dir):
     """input_hint mandate: vectorized pandas/Arrow UDFs only — a
     BatchEvalPython node (row-at-a-time Python UDF) is a defect."""
