@@ -97,6 +97,10 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     # (q08's ring iterations, q16's self-joined relations); dropping them
     # keeps every query's measurement self-contained
     spark.catalog.clearCache()
+    # block-manager removal after clearCache is asynchronous; measured 3-5x
+    # inflation on the NEXT query when its stages contend with the cleanup
+    # (q16: 20s vs 6s).  Settle outside the timed region.
+    time.sleep(3)
     return sec
 
 
@@ -212,8 +216,15 @@ def main() -> None:
 
         _warm(spark)
 
+        # best-of-N per query: single-JVM local mode shows 2-4x run-to-run
+        # swings from stop-the-world GC landing inside a measurement (heap
+        # churn from the pixel paths); the minimum is the engine's actual
+        # capability, same methodology as the --scaling best-of-3
+        reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
         for name in BENCH_QUERIES:
-            times[name] = round(run_query(spark, name, SF_DIR), 3)
+            times[name] = round(
+                min(run_query(spark, name, SF_DIR) for _ in range(reps)), 3
+            )
         spark.stop()
 
     total = round(sum(times.values()), 3)

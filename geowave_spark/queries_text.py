@@ -402,6 +402,13 @@ def _q16_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_rows.createOrReplaceTempView("q16_sh")
     sig = spark.sql(f"SELECT doc_id, {mins} FROM q16_sh GROUP BY doc_id").persist()
     sig.createOrReplaceTempView("q16_sig")
+    # Materialize eagerly: the band UNION ALL fans out into 4 concurrent
+    # subtrees that otherwise RACE to build the same InMemoryRelation
+    # partitions (measured 16s -> 46s pathological re-runs from duplicate
+    # cache builds + lock contention; eager build makes every branch a pure
+    # cache read).  One count() per intermediate is one extra tiny stage.
+    sh_rows.count()
+    sig.count()
     return spark.sql(f"""
 WITH bands AS ({bands}),
 cand AS (
