@@ -104,7 +104,7 @@ def audio_params(doc_id: np.ndarray) -> np.ndarray:
 
 
 def gen_video(doc_id: int) -> np.ndarray:
-    nf, w, h = (int(v[None][0]) for v in video_params(np.asarray([doc_id])))
+    nf, w, h = (int(np.atleast_1d(v)[0]) for v in video_params(np.asarray([doc_id])))
     frames = [
         img_tab.gen_pixels(doc_id * 1000 + f, w, h) for f in range(nf)
     ]

@@ -42,6 +42,15 @@ _PAT_POLY_FIRST = re.compile(
     rf"Geom(Contains|Intersects|Covers)\(\s*'(POLYGON[^']*)'\s*,\s*GeomPoint\(\s*({_IDENT})\s*,\s*({_IDENT})\s*\)\s*\)",
     re.I,
 )
+_NUM = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+# GeomWithinDistance(GeomPoint(lon, lat), 'POINT (x y)', r) — the radius
+# extraction the reference does by string-parsing the WHERE clause
+# (`SqlQueryRunner.java:164-245` getDistance/radius plumbing)
+_PAT_WITHIN_DIST = re.compile(
+    rf"GeomWithinDistance\(\s*GeomPoint\(\s*({_IDENT})\s*,\s*({_IDENT})\s*\)\s*,"
+    rf"\s*'POINT\s*\(\s*({_NUM})\s+({_NUM})\s*\)'\s*,\s*({_NUM})\s*\)",
+    re.I,
+)
 
 
 def _prefilter(lon: str, lat: str, poly_wkt: str, res: int, max_cells: int) -> str:
@@ -58,6 +67,15 @@ def inject_cell_prefilter(sql: str, res: int = 8, max_cells: int = 512) -> str:
     """Rewrite every point-vs-polygon-literal Geom predicate into
     (cover-cell prefilter AND original predicate)."""
 
+    def sub_within_dist(m: re.Match) -> str:
+        lon, lat, cx, cy, r = m.groups()
+        cells = _disk_cells(float(cx), float(cy), float(r), res)
+        if len(cells) > max_cells:
+            return m.group(0)  # too coarse to help — leave the UDF alone
+        cell_expr = geo.rowmajor_cell_sql(lon, lat, res)
+        in_list = ", ".join(str(c) for c in cells)
+        return f"({cell_expr} IN ({in_list}) AND {m.group(0)})"
+
     def sub_point_first(m: re.Match) -> str:
         _, lon, lat, poly = m.groups()
         return f"({_prefilter(lon, lat, poly, res, max_cells)} AND {m.group(0)})"
@@ -68,7 +86,23 @@ def inject_cell_prefilter(sql: str, res: int = 8, max_cells: int = 512) -> str:
 
     sql = _PAT_POINT_FIRST.sub(sub_point_first, sql)
     sql = _PAT_POLY_FIRST.sub(sub_poly_first, sql)
+    sql = _PAT_WITHIN_DIST.sub(sub_within_dist, sql)
     return sql
+
+
+def _disk_cells(cx: float, cy: float, r: float, res: int) -> list[int]:
+    """Cells whose k-ring disk is guaranteed to cover the radius-r circle
+    around (cx, cy): k rings span k*cell_h latitude (the tighter dimension),
+    so k = ceil(r / cell_h) + 1 over-covers (GeomWithinDistance buffer
+    contract, `udf/GeomWithinDistance.java:30-46` buffered envelope)."""
+    from ..sfc import grid
+
+    cell_h = 180.0 / (1 << res)
+    k = int(np.ceil(r / cell_h)) + 1
+    center = grid.latlng_to_cell(
+        np.array([cx]), np.array([cy]), res, "rowmajor")
+    disk = grid.grid_disk(center, res, k, "rowmajor")
+    return sorted(set(int(c) for c in np.asarray(disk).ravel()))
 
 
 def spatial_sql(spark: SparkSession, sql: str, *, optimize: bool = True,

@@ -77,7 +77,40 @@ FROM p GROUP BY event_type ORDER BY event_type
 """
 
 
+def q51_sql_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeomWithinDistance over the SQL surface WITH the radius-extraction
+    rewrite: the injected grid-disk IN-list prefilter (closed-form, codegen)
+    gates the pandas-UDF exact test — `SqlQueryRunner.java:164-245` distance
+    parity.  tests/test_functions.py asserts the rewrite fires and the
+    optimized result equals the unoptimized one."""
+    register_views(spark, sf_dir)
+    qx, qy = QUERY_POINT
+    sql = f"""
+        WITH p AS ({geo.events_points_sql()})
+        SELECT event_type,
+               cast(count(*) as bigint) AS n,
+               cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+        FROM p
+        WHERE GeomWithinDistance(GeomPoint(lon, lat), 'POINT ({qx!r} {qy!r})', 6.5)
+        GROUP BY event_type ORDER BY event_type
+    """
+    return sqlrewrite.spatial_sql(spark, sql, optimize=True, res=6)
+
+
+Q51_SQL = f"""
+WITH p AS ({geo.events_points_sql()})
+SELECT event_type,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+FROM p
+WHERE sqrt((lon - {QUERY_POINT[0]!r}) * (lon - {QUERY_POINT[0]!r})
+         + (lat - {QUERY_POINT[1]!r}) * (lat - {QUERY_POINT[1]!r})) <= 6.5
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 SQL_QUERIES = {
     "q31_sql_geom_filter": (q31_sql_geom_filter, Q31_SQL),
     "q32_sql_geom_distance": (q32_sql_geom_distance, Q32_SQL),
+    "q51_sql_within_distance": (q51_sql_within_distance, Q51_SQL),
 }

@@ -135,3 +135,25 @@ def test_point_linestring_distance(geomf):
     # crosses undefined for point/point and area/area -> false
     assert not _one(geomf, f"GeomCrosses('{SQUARE}', '{SQUARE_OVERLAP}')")
     assert not _one(geomf, "GeomCrosses(GeomPoint(1.0, 1.0), GeomPoint(1.0, 1.0))")
+
+
+def test_within_distance_rewrite_fires_and_preserves_results(spark, sf_dir):
+    """Radius extraction (`SqlQueryRunner.java:164-245` parity): the
+    GeomWithinDistance predicate gains a closed-form grid-disk IN-list
+    prefilter, and the optimized result equals the brute (UDF-only) one."""
+    from geowave_spark.plans import sqlrewrite
+    from geowave_spark.table import geo
+    from geowave_spark.table.views import register_views
+
+    register_views(spark, sf_dir)
+    sql = f"""
+        WITH p AS ({geo.events_points_sql()})
+        SELECT eid FROM p
+        WHERE GeomWithinDistance(GeomPoint(lon, lat), 'POINT (-40.25 12.75)', 6.5)
+    """
+    rewritten = sqlrewrite.inject_cell_prefilter(sql, res=6)
+    assert " IN (" in rewritten and "GeomWithinDistance" in rewritten
+    fast = sqlrewrite.spatial_sql(spark, sql, optimize=True, res=6)
+    slow = sqlrewrite.spatial_sql(spark, sql, optimize=False)
+    assert fast.exceptAll(slow).isEmpty() and slow.exceptAll(fast).isEmpty()
+    assert fast.count() > 0
