@@ -146,6 +146,50 @@ WHERE p_size BETWEEN 10 AND 30
 """
 
 
+def q52_filter_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-expression algebra: And/Or/Not/IsNull/Between over typed
+    expressions + numeric Add/Subtract/Multiply/Divide/Abs (reference
+    `core/store/.../query/filter/expression/{*,numeric/*}.java`, §2.2).
+    NULLs are manufactured with nullif so IS NULL has real work to do."""
+    register_views(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .withColumn("prio_nulled", F.expr("nullif(o_orderpriority, '1-URGENT')"))
+        .filter(
+            (F.col("o_totalprice").between(1000.0, 400000.0)
+             | F.col("prio_nulled").isNull())
+            & ~(F.col("o_orderstatus") == "X")
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("case when prio_nulled is null then 1 else 0 end")
+                  .cast("bigint")).alias("n_null_prio"),
+            F.sum(F.expr(
+                "cast(round(abs(o_totalprice - 150000.0) * 100) as bigint)"
+            )).alias("sum_absdev_cents"),
+            F.sum(F.expr(
+                "cast(round((o_totalprice * 2.0 / 4.0 + 10.0 - 5.0) * 100) as bigint)"
+            )).alias("sum_arith_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q52_SQL = """
+SELECT o_orderstatus,
+       cast(count(*) as bigint) AS n,
+       cast(sum(case when nullif(o_orderpriority, '1-URGENT') is null then 1 else 0 end) as bigint) AS n_null_prio,
+       cast(sum(cast(round(abs(o_totalprice - 150000.0) * 100) as bigint)) as bigint) AS sum_absdev_cents,
+       cast(sum(cast(round((o_totalprice * 2.0 / 4.0 + 10.0 - 5.0) * 100) as bigint)) as bigint) AS sum_arith_cents
+FROM orders
+WHERE (o_totalprice BETWEEN 1000.0 AND 400000.0
+       OR nullif(o_orderpriority, '1-URGENT') IS NULL)
+  AND NOT (o_orderstatus = 'X')
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # spatial operators (the engine path)
 
@@ -329,6 +373,7 @@ QUERIES = {
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
     "q03_top_customers_per_nation": (q03_top_customers_per_nation, Q03_SQL),
     "q04_part_text_filter": (q04_part_text_filter, Q04_SQL),
+    "q52_filter_algebra": (q52_filter_algebra, Q52_SQL),
     "q05_pip_rect_join": (q05_pip_rect_join, Q05_SQL),
     "q06_pip_rect_agg": (q06_pip_rect_agg, Q06_SQL),
     "q07_distance_join_agg": (q07_distance_join_agg, Q07_SQL),
