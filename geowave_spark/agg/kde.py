@@ -122,3 +122,80 @@ SELECT cell, weight,
 FROM c
 ORDER BY cell
 """
+
+
+def _parent_sql(cell: str, n: int, intdiv: str = "div") -> str:
+    """Row-major cell at grid n -> parent cell at grid n/2 (closed form,
+    same arithmetic both dialects): ((y>>1)*(n/2) + (x>>1)).  ``intdiv`` is
+    the only dialect difference: Spark spells integer division `div`,
+    DuckDB spells it `//`."""
+    d = intdiv
+    return (f"(({cell}) {d} {n} {d} 2) * {n // 2} + (({cell}) % {n}) {d} 2")
+
+
+def kde_pyramid(spark: SparkSession, pts: DataFrame, res: int, levels: int,
+                k: int = 2, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Multi-level KDE: the finest splat rolled up the tile pyramid.
+
+    Reference analog: KDERunner loops minLevel..maxLevel re-splatting every
+    point per level (`analytics/spark/.../kde/KDERunner.java:234-315` driven
+    by `KDEJobRunner`); the raster adapter ingests every pyramid substrategy
+    (`RasterDataAdapter.java:525-528`).  Spark-first: splat ONCE at the
+    finest res, then each coarser level is a closed-form parent-cell
+    groupBy-sum of the previous — a pure-JVM rollup chain, one scan of the
+    data total, partial aggregation at every level.  (Weights roll up
+    exactly because the kernel is applied at the finest grid only — the
+    coarse levels are aggregates of it, the pyramid contract of
+    `RasterTileMergeStrategy`, not an independent re-splat.)
+
+    Returns (res, cell, weight) for ``levels`` levels, finest first.
+    """
+    base = kde_heatmap(spark, pts, res, k, lon, lat).select("cell", "weight")
+    out = base.select(F.lit(res).cast("int").alias("res"), "cell", "weight")
+    cur = base
+    for r in range(res - 1, res - levels, -1):
+        n = 1 << (r + 1)
+        cur = (
+            cur.select(
+                F.expr(_parent_sql("cell", n)).alias("cell"), "weight"
+            )
+            .groupBy("cell")
+            .agg(F.sum("weight").alias("weight"))
+        )
+        out = out.unionByName(
+            cur.select(F.lit(r).cast("int").alias("res"), "cell", "weight")
+        )
+    return out
+
+
+def kde_pyramid_oracle_sql(points_sql: str, res: int, levels: int,
+                           k: int = 2, lon: str = "lon", lat: str = "lat") -> str:
+    """DuckDB twin of `kde_pyramid`: same base CTE, same parent arithmetic."""
+    assert k == 2
+    n = 1 << res
+    xs, ys = splat_ordinates_sql(lon, lat, res)
+    ctes = [f"""
+l{res} AS (
+  SELECT ny * {n} + nx AS cell, cast(sum(w) as bigint) AS weight
+  FROM (
+    SELECT ({ys}) + o.dy AS ny, ({xs}) + o.dx AS nx,
+           {weight_sql('o.dx', 'o.dy')} AS w
+    FROM p CROSS JOIN o
+  ) s
+  WHERE nx >= 0 AND nx < {n} AND ny >= 0 AND ny < {n}
+  GROUP BY 1
+)"""]
+    selects = [f"SELECT {res} AS res, cell, weight FROM l{res}"]
+    for r in range(res - 1, res - levels, -1):
+        child_n = 1 << (r + 1)
+        ctes.append(f"""
+l{r} AS (
+  SELECT {_parent_sql('cell', child_n, '//')} AS cell,
+         cast(sum(weight) as bigint) AS weight
+  FROM l{r + 1} GROUP BY 1
+)""")
+        selects.append(f"SELECT {r} AS res, cell, weight FROM l{r}")
+    body = "\nUNION ALL\n".join(selects)
+    return (f"WITH p AS ({points_sql}),\n o AS ({offsets_sql()}),"
+            + ",".join(ctes)
+            + f"\nSELECT cast(res as int) AS res, cell, weight FROM ({body}) u ORDER BY res, cell")

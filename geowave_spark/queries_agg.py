@@ -419,8 +419,21 @@ FROM pairs WHERE rn = 1 ORDER BY event_id
 """
 
 
+def q53_kde_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level KDE pyramid: one finest-res splat, then closed-form
+    parent-cell rollups per level (one data scan for the whole pyramid;
+    KDERunner re-splats per level — `KDERunner.java:234-315`)."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.events_points_sql())
+    return kde.kde_pyramid(spark, pts, res=6, levels=3).orderBy("res", "cell")
+
+
+Q53_SQL = kde.kde_pyramid_oracle_sql(geo.events_points_sql(), res=6, levels=3)
+
+
 AGG_QUERIES = {
     "q24_kde_heatmap": (q24_kde_heatmap, Q24_SQL),
+    "q53_kde_pyramid": (q53_kde_pyramid, Q53_SQL),
     "q42_rollup_agg": (q42_rollup_agg, Q42_SQL),
     "q43_set_ops": (q43_set_ops, Q43_SQL),
     "q47_interval_join": (q47_interval_join, Q47_SQL),
