@@ -199,3 +199,21 @@ def partition_metrics(df: DataFrame) -> DataFrame:
         .groupBy("pid_").agg(F.count("*").alias("n"))
         .withColumnRenamed("pid_", "partition")
     )
+
+
+def balance_partitions(df: DataFrame, key: str, n_parts: int) -> DataFrame:
+    """Statistics-balanced splits: range-partition on ``key`` into
+    equal-CARDINALITY chunks.
+
+    Reference analog (/root/reference): `core/mapreduce/.../splits/
+    SplitsProvider.java:62-325` slices SFC key ranges into splits of equal
+    estimated row count using the RowRangeHistogram statistic, so no task
+    owns a disproportionate key range.  Spark-first: `repartitionByRange`
+    IS that operator — it samples the key distribution (the histogram) and
+    picks quantile boundaries, so skewed keys still land in balanced
+    partitions.  Pair with `sortWithinPartitions(key)` to reproduce the
+    reference's within-split SFC ordering for scan locality.
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    return df.repartitionByRange(n_parts, F.col(key)).sortWithinPartitions(key)

@@ -71,3 +71,35 @@ def test_partition_metrics(spark, events_pts):
     pm = stats.partition_metrics(events_pts.repartition(4)).collect()
     assert sum(r["n"] for r in pm) == events_pts.count()
     assert len(pm) <= 4
+
+
+def test_balance_partitions_equalizes_skewed_key(spark, sf_dir):
+    """SplitsProvider analog: on a heavily skewed cell key, range
+    partitioning by sampled quantiles yields near-equal partition row
+    counts where hash partitioning leaves the hot key in one partition."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.agg import stats as S
+
+    # 90% of rows share one hot key, the rest spread over 1000 keys
+    df = spark.range(0, 100_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000)
+        .cast("long").alias("cell")
+    )
+    parts = (
+        S.balance_partitions(df, "cell", 8)
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    sizes = sorted(r["count"] for r in parts)
+    # the hot key is indivisible (all-equal values can't straddle a range
+    # boundary usefully), but no partition should exceed hot+fair share,
+    # and the non-hot mass must spread: at least 4 real partitions
+    assert len(sizes) >= 4
+    assert max(sizes) <= 91_000
+    # hash partitioning for contrast: hot partition ~90k AND collisions
+    hash_parts = (
+        df.repartition(8, "cell").withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    assert max(r["count"] for r in hash_parts) >= 90_000
