@@ -269,3 +269,25 @@ def test_image_stats_histogram(spark, sf_dir, img_pdf):
     assert g["n_px"] == sum(r["n_px"] for r in got.values())
     assert sum(g[f"bin{b}"] for b in range(rstats.N_BINS)) == g["n_px"]
     st.unpersist()
+
+
+def test_raw_intermediate_merge_parity(spark, sf_dir):
+    """The raw-payload fast path (no intermediate PNG round trip between
+    assign and merge) must produce byte-identical merged mosaics."""
+    from geowave_spark.table import images as img_tab
+
+    df = img_tab.images_df(spark, sf_dir).limit(40)
+    via_png = (
+        tiles.merge_tiles_df(tiles.assign_tiles_df(df, payload="png"),
+                             src_payload="png")
+        .orderBy("res", "tile_id").collect()
+    )
+    via_raw = (
+        tiles.merge_tiles_df(tiles.assign_tiles_df(df, payload="raw"),
+                             src_payload="raw")
+        .orderBy("res", "tile_id").collect()
+    )
+    assert len(via_png) == len(via_raw) > 0
+    for a, b in zip(via_png, via_raw):
+        assert (a["res"], a["tile_id"], a["n_src"]) == (b["res"], b["tile_id"], b["n_src"])
+        assert bytes(a["px"]) == bytes(b["px"])
