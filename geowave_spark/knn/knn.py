@@ -45,8 +45,13 @@ def knn_join(
     q_named = queries.select(
         F.col(qid_col), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
     )
-    pts_c = cov.add_point_cells(
-        pts.select(pid_col, "lon", "lat"), "lon", "lat", res
+    # data side: closed-form row-major cell (pure JVM, codegen) — the big
+    # table never enters Python; only the small query side pays an Arrow
+    # round trip (the fused disk UDF below, row-major to match)
+    from ..table import geo as geo_sql
+
+    pts_c = pts.select(pid_col, "lon", "lat").withColumn(
+        "cell", F.expr(geo_sql.rowmajor_cell_sql("lon", "lat", res))
     )
 
     win = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(pid_col).asc())
@@ -68,7 +73,9 @@ def knn_join(
         q_cover = remaining.withColumn(
             "jcell",
             F.explode(
-                cov.point_disk_cells_udf(res, ring)(F.col("qlon"), F.col("qlat"))
+                cov.point_disk_cells_udf(res, ring, curve="rowmajor")(
+                    F.col("qlon"), F.col("qlat")
+                )
             ),
         )
         cand = pts_c.withColumnRenamed("cell", "jcell").join(
