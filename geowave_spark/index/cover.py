@@ -125,6 +125,35 @@ def add_point_cells(df: DataFrame, lon: str = "lon", lat: str = "lat",
     )
 
 
+def add_point_cells_jvm(df: DataFrame, lon: str = "lon", lat: str = "lat",
+                        res: int = 12, out: str = "cell") -> DataFrame:
+    """Closed-form row-major cell column — pure JVM, whole-stage codegen,
+    zero Python on the data side.
+
+    Identical ids to `add_point_cells(curve='rowmajor')` (GeoWave
+    ceil(c*n)-1 normalization, same formula as `table.geo.rowmajor_cell_sql`
+    shared with the SQL oracles).  Use on the BIG side of cover joins where
+    the curve choice is free: an equi-join key only needs identity, not
+    Hilbert locality — the Hilbert curve earns its keep for sort/range
+    locality (Iceberg sortedBy), not hash joins.
+    """
+    from ..table import geo
+
+    return df.withColumn(out, F.expr(geo.rowmajor_cell_sql(lon, lat, res)))
+
+
+def parent_cell_expr(cell_col: str, res: int, parent_res: int):
+    """Closed-form row-major reprojection to a coarser tier (JVM twin of
+    `parent_cell_udf` for curve='rowmajor'; reference reprojectToTier,
+    `TieredSFCIndexStrategy.java:514-529`)."""
+    n = 1 << res
+    s = 1 << (res - parent_res)
+    pn = 1 << parent_res
+    return F.expr(
+        f"((({cell_col}) div {n}) div {s}) * {pn} + ((({cell_col}) % {n}) div {s})"
+    )
+
+
 def salted(df: DataFrame, key_col: str, salt_buckets: int, out: str = "salt") -> DataFrame:
     """Salting column for hot-cell skew (reference analog:
     `HashKeyIndexStrategy.java` partition-prefix; north rule requires explicit

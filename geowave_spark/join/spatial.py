@@ -55,18 +55,22 @@ def point_in_polygon_join(
     re-projected to each coarser active tier by a parent-cell UDF.
     """
     ensure_arrow(spark)
-    cover_pdf = cov.polygon_cover(polys, res=None, max_cells=max_cells)
+    cover_pdf = cov.polygon_cover(polys, res=None, max_cells=max_cells,
+                                  curve="rowmajor")
     # clamp polygon tiers to the data resolution (a tier finer than the point
     # encoding cannot match; re-cover those polygons at data_res)
     too_fine = cover_pdf["res"] > data_res
     if too_fine.any():
         refined = cov.polygon_cover(
             {p: polys[p] for p in cover_pdf.loc[too_fine, "poly_id"].unique()},
-            res=data_res,
+            res=data_res, curve="rowmajor",
         )
         cover_pdf = pd.concat([cover_pdf[~too_fine], refined], ignore_index=True)
 
-    pts_c = cov.add_point_cells(pts, lon, lat, data_res)
+    # closed-form row-major encode: the big point side never enters Python
+    # (Arrow UDFs remain only where geometry genuinely needs them — the
+    # exact PIP refine below)
+    pts_c = cov.add_point_cells_jvm(pts, lon, lat, data_res)
 
     bpolys = spark.sparkContext.broadcast({int(k): np.asarray(v, dtype=np.float64) for k, v in polys.items()})
 
@@ -85,7 +89,7 @@ def point_in_polygon_join(
         sub = cover_pdf[cover_pdf["res"] == r][["poly_id", "cell"]]
         cover_df = spark.createDataFrame(sub)
         side = (
-            pts_c.withColumn("jcell", cov.parent_cell_udf(data_res, int(r))(F.col("cell")))
+            pts_c.withColumn("jcell", cov.parent_cell_expr("cell", data_res, int(r)))
             if int(r) < data_res
             else pts_c.withColumn("jcell", F.col("cell"))
         )
@@ -141,11 +145,11 @@ def point_in_rects_join(
     ensure_arrow(spark)
     # rect bounds are carried ON the cover rows: one broadcast, one join,
     # and the refine is a pure filter on the join output (no second join)
-    cover_pdf = cov.rect_cover(rects, res, id_col=rid_col).merge(
+    cover_pdf = cov.rect_cover(rects, res, curve="rowmajor", id_col=rid_col).merge(
         rects[[rid_col, "lon0", "lat0", "lon1", "lat1"]], on=rid_col
     )
     cover_df = spark.createDataFrame(cover_pdf)
-    pts_c = cov.add_point_cells(pts, lon, lat, res)
+    pts_c = cov.add_point_cells_jvm(pts, lon, lat, res)
     cand = pts_c.join(F.broadcast(cover_df), "cell")
     out_cols = [pid_col, rid_col] + list(keep_cols or [])
     if loose:
@@ -194,7 +198,7 @@ def point_in_rects_join_salted(
     """
     ensure_arrow(spark)
     rects_pdf = rects_df.toPandas() if not isinstance(rects_df, pd.DataFrame) else rects_df
-    cover_pdf = cov.rect_cover(rects_pdf, res, id_col=rid_col).merge(
+    cover_pdf = cov.rect_cover(rects_pdf, res, curve="rowmajor", id_col=rid_col).merge(
         rects_pdf[[rid_col, "lon0", "lat0", "lon1", "lat1"]], on=rid_col
     )
     cover_df = (
@@ -204,7 +208,7 @@ def point_in_rects_join_salted(
         .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
     )
     pts_c = cov.salted(
-        cov.add_point_cells(pts, lon, lat, res), pid_col, salt_buckets
+        cov.add_point_cells_jvm(pts, lon, lat, res), pid_col, salt_buckets
     )
     # force the shuffled hash join: at production scale this side exceeds
     # any broadcast threshold, and the whole point is partitioning both
@@ -246,10 +250,11 @@ def within_distance_join(
         F.col(qid_col), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
     ).withColumn(
         "cell",
-        F.explode(cov.point_disk_cells_udf(res, k)(F.col("qlon"), F.col("qlat"))),
+        F.explode(cov.point_disk_cells_udf(res, k, curve="rowmajor")(
+            F.col("qlon"), F.col("qlat"))),
     )
 
-    pts_c = cov.add_point_cells(pts, "lon", "lat", res)
+    pts_c = cov.add_point_cells_jvm(pts, "lon", "lat", res)
     cand = pts_c.join(F.broadcast(q_cover), "cell")
     # (a-b)*(a-b), not pow(a-b, 2): Multiply is bit-identical to the SQL
     # oracle's formulation; Math.pow may differ in the last ulp

@@ -18,9 +18,10 @@ def test_pip_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # the cell encode must run exactly once — Catalyst used to clone it
-    # into a pushed-down copy below the aggregate (see cover.cell_udf)
-    assert plan.count("ArrowEvalPython") == 1
+    # cell encode is the closed-form row-major expression: the rect join is
+    # 100% JVM — zero Python nodes anywhere in the plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_distance_join_is_broadcast(spark, sf_dir):
