@@ -16,9 +16,7 @@ from .table import images
 
 
 def _register_documents(spark: SparkSession, sf_dir: str) -> None:
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
-        "documents"
-    )
+    images._register_documents(spark, sf_dir)
 
 
 def _images(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -176,6 +176,16 @@ def gen_images_pdf(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _register_documents(spark, sf_dir: str) -> None:
+    """Register only the documents view, skipping the footer read when
+    `views.register_views` already registered this sf_dir's tables."""
+    if getattr(spark, "_geowave_views_sf", None) == sf_dir:
+        return
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+
+
 def images_scalars_df(spark, sf_dir: str):
     """Scalar projection of the image table (no pixel synthesis).
 
@@ -186,9 +196,7 @@ def images_scalars_df(spark, sf_dir: str):
     prune columns through, so going through `images_df` would pay full pixel
     generation for rows whose pixels are never read.
     """
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
-        "documents"
-    )
+    _register_documents(spark, sf_dir)
     return spark.sql(images_base_sql())
 
 
