@@ -201,22 +201,31 @@ def assign_tiles_pdf(img_rows: pd.DataFrame, tile_px: int = TILE_PX,
     enc = codec.png_encode if payload == "png" else (lambda t: t.tobytes())
     plan: list[tuple] = []
     res = level_res(img_rows["lon0"], img_rows["lon1"], img_rows["w"], tile_px)
+    # columnar extraction once per batch: pandas .iloc row access costs
+    # ~100us/row, which dominates small-tile batches at 100k+ images
+    lon0 = img_rows["lon0"].to_numpy()
+    lat0 = img_rows["lat0"].to_numpy()
+    lon1 = img_rows["lon1"].to_numpy()
+    lat1 = img_rows["lat1"].to_numpy()
+    blobs = img_rows["bytes"].tolist()
+    fmts = img_rows["fmt"].tolist()
+    image_ids = img_rows["image_id"].tolist()
+    captions = img_rows["caption"].tolist()
     for i in range(len(img_rows)):  # per-image; inner math vectorized
-        row = img_rows.iloc[i]
         r = int(res[i])
         _, cells = grid.cover_bbox(
-            [row.lon0], [row.lat0], [row.lon1], [row.lat1], r, curve=CURVE
+            [lon0[i]], [lat0[i]], [lon1[i]], [lat1[i]], r, curve=CURVE
         )
-        px = codec.decode(row["bytes"], row.fmt)
-        fp = (row.lon0, row.lat0, row.lon1, row.lat1)
+        px = codec.decode(blobs[i], fmts[i])
+        fp = (lon0[i], lat0[i], lon1[i], lat1[i])
         lo_lon, lo_lat, hi_lon, hi_lat = grid.cell_bounds(cells, r, curve=CURVE)
         for j in range(len(cells)):
             tile = _resample_tile(
                 px, fp, (lo_lon[j], lo_lat[j], hi_lon[j], hi_lat[j]), tile_px
             )
             plan.append(
-                (r, int(cells[j].astype(np.int64)), row.image_id,
-                 row.caption, enc(tile))
+                (r, int(cells[j].astype(np.int64)), image_ids[i],
+                 captions[i], enc(tile))
             )
     return pd.DataFrame(
         plan, columns=["res", "tile_id", "image_id", "caption", "px"]
@@ -290,15 +299,18 @@ def pyramid_level_df(merged_df, tile_px: int = TILE_PX):
     def to_parent(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
             rows = []
+            ress = pdf["res"].to_numpy()
+            tids = pdf["tile_id"].to_numpy()
+            pxs = pdf["px"].tolist()
             for i in range(len(pdf)):
-                r = int(pdf["res"].iloc[i])
-                cell = np.asarray([pdf["tile_id"].iloc[i]], dtype=np.uint64)
+                r = int(ress[i])
+                cell = np.asarray([tids[i]], dtype=np.uint64)
                 x, y = grid.cell_to_xy(cell, r, curve=CURVE)
                 parent = grid.xy_to_cell(
                     x >> np.uint64(1), y >> np.uint64(1), r - 1, curve=CURVE
                 )
                 qx, qy = int(x[0] & np.uint64(1)), int(y[0] & np.uint64(1))
-                small = _downsample2(codec.png_decode(bytes(pdf["px"].iloc[i])))
+                small = _downsample2(codec.png_decode(bytes(pxs[i])))
                 rows.append(
                     (r - 1, int(parent[0].astype(np.int64)), qx, qy,
                      codec.png_encode(small))

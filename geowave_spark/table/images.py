@@ -124,10 +124,9 @@ def phash64(img: np.ndarray) -> int:
     xi = (2 * np.arange(8) + 1) * w // 16
     s = g[np.ix_(yi, xi)]
     bits = (s > (s.sum() // 64)).astype(np.uint8).ravel()
-    val = np.uint64(0)
-    for i in range(64):  # 64 fixed iterations, not per-row data loop
-        val = (val << np.uint64(1)) | np.uint64(bits[i])
-    return int(val.astype(np.int64))
+    # bits[0] is the MSB — big-endian packbits is bit-identical to the
+    # former (val << 1 | bit) fold, at ~half the per-image cost
+    return int(np.packbits(bits).view(">u8")[0].astype(np.int64))
 
 
 def hamming64(a, b) -> np.ndarray:
