@@ -99,7 +99,14 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     spark.catalog.clearCache()
     # block-manager removal after clearCache is asynchronous; measured 3-5x
     # inflation on the NEXT query when its stages contend with the cleanup
-    # (q16: 20s vs 6s).  Settle outside the timed region.
+    # (q16: 20s vs 6s).  Settle outside the timed region, and force a full
+    # JVM collection so a pixel-heavy predecessor's garbage (q12 allocates
+    # ~100k tile buffers) is not paid inside the next measurement — measured
+    # q16 6.8s after q12 vs ~4s isolated without this.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     time.sleep(3)
     return sec
 
