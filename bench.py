@@ -54,6 +54,11 @@ def make_spark(cores: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
+        # pin the heap and use the throughput collector: G1's incremental
+        # grow/shrink between pixel-heavy queries showed up as 2-3x swings
+        # (q12 9-12s vs 5.6s steady with a pre-committed heap); batch
+        # analytics wants ParallelGC's throughput behavior anyway
+        .config("spark.driver.extraJavaOptions", "-Xms16g -XX:+UseParallelGC")
         # testdata files are tiny; split scans so map stages use all cores
         # (a 100 TB table gets this from its thousands of file splits)
         .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
