@@ -23,6 +23,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--with-tiles", action="store_true")
+    ap.add_argument(
+        "--checkpoint-dir",
+        help="write the join output via the resumable per-partition "
+        "checkpoint protocol (atomic commits + lineage/metrics sidecars); "
+        "a re-run against the same dir skips committed partitions",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,7 +46,18 @@ def main() -> None:
     t0 = time.time()
     pts = spark.sql(geo.lineitem_points_sql())
     rects = spark.sql(geo.supplier_rects_sql()).toPandas()
-    out["join_rows"] = spatial.point_in_rects_join(spark, pts, rects, res=8).count()
+    joined = spatial.point_in_rects_join(spark, pts, rects, res=8)
+    if args.checkpoint_dir:
+        # the full north-rule job shape: spark-submit --py-files driving a
+        # resumable checkpointed sink with per-partition lineage + metrics
+        from geowave_spark.plans import checkpoint
+
+        summary = checkpoint.resumable_write(joined, args.checkpoint_dir, key="pid")
+        out["ckpt"] = summary
+        out["ckpt_metrics_files"] = len(checkpoint.partition_metrics(args.checkpoint_dir))
+        out["join_rows"] = checkpoint.load(spark, args.checkpoint_dir).count()
+    else:
+        out["join_rows"] = joined.count()
     out["join_sec"] = round(time.time() - t0, 3)
 
     if args.with_tiles:
