@@ -59,6 +59,10 @@ def make_spark(cores: int):
         # (q12 9-12s vs 5.6s steady with a pre-committed heap); batch
         # analytics wants ParallelGC's throughput behavior anyway
         .config("spark.driver.extraJavaOptions", "-Xms16g -XX:+UseParallelGC")
+        # 10k-row default Arrow batches make the vectorized refine pay its
+        # per-batch pandas/serde overhead 5000+ times on the big join; 128k
+        # rows amortizes it (the kernel itself is O(rows))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         # testdata files are tiny; split scans so map stages use all cores
         # (a 100 TB table gets this from its thousands of file splits)
         .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
@@ -165,8 +169,12 @@ def _scaling_workloads(spark, sf_dir: str):
             max(r.lon1 - r.lon0, r.lat1 - r.lat0) / 2, 12)
         for r in rect.itertuples()
     }
+    # finer tier = more fully-interior cells = less exact-refine traffic
+    # across the Arrow boundary (the tiered-SFC tradeoff: the minimal
+    # Arrow pipeline itself caps same-box core-scaling at ~0.5, so the
+    # scale path keeps the interior ~90% of the join pure JVM)
     join_df = spatial.point_in_polygon_join(spark, pts, polys,
-                                            data_res=7, max_cells=4096)
+                                            data_res=10, max_cells=1024)
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     tmult = max(1, TILE_TARGET_IMGS // n_docs)
@@ -186,7 +194,10 @@ def _scaling_worker(cores: int) -> None:
     best: dict[str, list] = {}
     for k, df in dfs.items():
         _count_timed(df)  # warm (python workers, broadcasts, AQE)
-        for _ in range(3):
+        # 5 reps: the Arrow refine path keeps improving for ~2 runs after
+        # the warm run (JVM C2 compile of the serializer hot loops); the
+        # minimum is the steady state a long-lived executor would sit at
+        for _ in range(5):
             rows, sec = _count_timed(df)
             if k not in best or sec < best[k][1]:
                 best[k] = [rows, sec]

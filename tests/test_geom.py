@@ -53,3 +53,37 @@ def test_regular_polygon_closed_ring_area_sign():
     assert len(x) == 8
     inside = g.point_in_polygon(np.array([0.0]), np.array([0.0]), p)
     assert inside[0]
+
+
+def test_point_in_polygons_batch_matches_scalar_kernel():
+    """The padded-matrix batch kernel must agree bit-for-bit with the
+    per-polygon ray-cast on mixed polygons of different vertex counts,
+    including points on edges/vertices and far outside."""
+    rng = np.random.RandomState(7)
+    polys = {
+        3: g.regular_polygon(10, 5, 4.0, 5),
+        8: g.regular_polygon(-20, -10, 7.0, 12, phase=0.3),
+        11: np.array([0, 0, 10, 0, 10, 10, 5, 3, 0, 10], dtype=float),  # concave
+        40: g.regular_polygon(100, 40, 2.0, 3),
+    }
+    n = 5000
+    px = rng.uniform(-40, 120, n)
+    py = rng.uniform(-30, 60, n)
+    ids = np.array(sorted(polys))
+    poly_id = ids[rng.randint(0, len(ids), n)]
+    # sprinkle exact vertices (boundary half-open semantics must agree too)
+    for k, p in polys.items():
+        vx, vy = g.poly_xy(p)
+        px[:len(vx)] = vx
+        py[:len(vy)] = vy
+        poly_id[:len(vx)] = k
+
+    ids_sorted, vx_pad, vy_pad, nv = g.pack_polygons(polys)
+    rows = np.searchsorted(ids_sorted, poly_id)
+    batch = g.point_in_polygons(px, py, rows, vx_pad, vy_pad, nv)
+
+    expect = np.zeros(n, dtype=bool)
+    for k, p in polys.items():
+        m = poly_id == k
+        expect[m] = g.point_in_polygon(px[m], py[m], p)
+    assert (batch == expect).all()

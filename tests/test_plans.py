@@ -24,6 +24,39 @@ def test_pip_join_is_broadcast(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_polygon_join_has_no_shuffle(spark, sf_dir):
+    """The polygon cover join must be broadcast + refine ONLY: pairs are
+    unique by construction (one tier per polygon, disjoint cells), so any
+    Exchange in the plan means a dedup or repartition crept back in."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.geom import core as geom
+    from geowave_spark.join import spatial
+
+    pts = spark.range(0, 1000).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 360 - 180.0).alias("lon"),
+        (F.col("id") % 180 - 90.0).alias("lat"),
+    )
+    polys = {i: geom.regular_polygon(i * 10.0 - 120, i * 5.0 - 30, 3.0, 8)
+             for i in range(5)}
+    df = spatial.point_in_polygon_join(spark, pts, polys, data_res=7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    # parity: results equal the brute-force pairs
+    got = df.toPandas().sort_values(["pid", "poly_id"]).reset_index(drop=True)
+    pd_pts = pts.toPandas()
+    exp = []
+    for p, poly in polys.items():
+        m = geom.point_in_polygon(pd_pts["lon"].to_numpy(), pd_pts["lat"].to_numpy(), poly)
+        exp.extend((int(pid), int(p)) for pid in pd_pts.loc[m, "pid"])
+    exp = sorted(exp)
+    assert list(map(tuple, got[["pid", "poly_id"]].to_numpy())) == exp
+    assert len(got) == len(set(map(tuple, got[["pid", "poly_id"]].to_numpy())))
+
+
 def test_distance_join_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q07_distance_join_agg")
     assert "BroadcastHashJoin" in plan
