@@ -32,6 +32,38 @@ from ..sfc import grid
 from ..table.views import ensure_arrow
 
 
+def raycast_flat_sql(lon: str, lat: str, max_nv: int) -> str:
+    """Spark-SQL twin of `geom.point_in_polygon`: a flat XOR chain of
+    ``max_nv`` edge terms over PRIMITIVE vertex columns ``vx0..vy{K-1}``
+    — whole-stage-codegen-able (an `aggregate` higher-order lambda is
+    CodegenFallback and ~10x slower; array `element_at` terms force the
+    broadcast row's arrays to be copied into every candidate row).
+
+    Per edge i (with j its predecessor, wrapping), XOR-accumulate
+    ``cond AND px < (xj-xi)*(py-yi)/(yj-yi)+xi``.  Multiply-then-divide
+    order matches the numpy kernel, so IEEE-double results are
+    bit-identical.  The division sits inside the CASE branch (lazily
+    evaluated) where ``cond`` guarantees yi != yj — no divide-by-zero
+    even under ANSI mode.
+
+    Vertex columns must be PADDED to ``max_nv`` by repeating vertex 0:
+    the real closing edge (v[n-1] -> v[0]) appears at term i=n, and every
+    later term is a degenerate (v0, v0) edge whose crossing condition is
+    identically false — results stay bit-identical for any true vertex
+    count n <= max_nv.
+    """
+    terms = []
+    for i in range(max_nv):
+        j = max_nv - 1 if i == 0 else i - 1  # predecessor vertex
+        xi, yi, xj, yj = f"vx{i}", f"vy{i}", f"vx{j}", f"vy{j}"
+        terms.append(
+            f"(CASE WHEN ({yi} > {lat}) != ({yj} > {lat}) "
+            f"THEN {lon} < ({xj} - {xi}) * ({lat} - {yi}) / ({yj} - {yi}) + {xi} "
+            f"ELSE false END)"
+        )
+    return "(" + " != ".join(terms) + ")"
+
+
 def point_in_polygon_join(
     spark: SparkSession,
     pts: DataFrame,
@@ -43,6 +75,8 @@ def point_in_polygon_join(
     data_res: int = 12,
     max_cells: int = 256,
     negative: bool = False,
+    refine: str = "jvm",
+    single_tier_cells: int = 262_144,
 ) -> DataFrame:
     """Join point rows against a broadcastable polygon set.
 
@@ -53,6 +87,27 @@ def point_in_polygon_join(
     Polygons are covered adaptively (each at its own tier, cells trimmed to
     the exact geometry); points are encoded once at ``data_res`` and
     re-projected to each coarser active tier by a parent-cell UDF.
+
+    ``refine`` picks the exact-PIP engine for boundary-cell candidates:
+    "jvm" (default) evaluates the ray-cast as a flat whole-stage-codegen
+    XOR chain (`raycast_flat_sql`) inside the second broadcast join's
+    condition — single pass over the point side, ZERO Python stages;
+    "arrow" uses the vectorized pandas-UDF batch kernel, which cannot be
+    lazily branch-skipped, so interior and boundary candidates split into
+    two union branches that each re-scan the point side.  Both are
+    bit-identical to `geom.point_in_polygon` (same per-edge formula and
+    evaluation order, IEEE doubles) — parity is asserted in tests.
+    Measured on the 960M-pt single-tier workload (pinned cores, 130M
+    output pairs): jvm 6.0s@8c / 20.3s@2c (N->4N efficiency 0.84), arrow
+    7.5s@8c / 25.8s@2c (0.86).
+
+    ``single_tier_cells``: when re-covering EVERY polygon at the finest
+    active tier keeps the total broadcast cover under this budget, the
+    tiers collapse to one — one scan of the point side, one broadcast,
+    one join — instead of one full point-side scan per tier.  Oversized
+    polygon sets (a continent polygon next to city blocks) fall back to
+    the tiered loop, which bounds cells-per-polygon like the reference's
+    tiered index (`TieredSFCIndexStrategy.java`).
     """
     ensure_arrow(spark)
     cover_pdf = cov.polygon_cover(polys, res=None, max_cells=max_cells,
@@ -67,61 +122,129 @@ def point_in_polygon_join(
         )
         cover_pdf = pd.concat([cover_pdf[~too_fine], refined], ignore_index=True)
 
+    # single-tier normalization: estimate the cover size with every polygon
+    # at the finest active tier; under budget -> re-cover once there, so the
+    # tier loop below runs exactly one branch
+    tiers = sorted(int(r) for r in cover_pdf["res"].unique())
+    if len(tiers) > 1:
+        r_join = min(tiers[-1], data_res)
+        est = int(sum(n * 4 ** (r_join - int(r))
+                      for r, n in cover_pdf.groupby("res").size().items()))
+        if est <= single_tier_cells:
+            cover_pdf = cov.polygon_cover(polys, res=r_join, curve="rowmajor")
+
     # closed-form row-major encode: the big point side never enters Python
     # (Arrow UDFs remain only where geometry genuinely needs them — the
     # exact PIP refine below)
     pts_c = cov.add_point_cells_jvm(pts, lon, lat, data_res)
 
-    # scalar pandas UDF refine over the padded-matrix batch kernel: only
-    # (lon, lat, poly_id) cross the Arrow boundary and a single boolean
-    # comes back — the pid column never leaves the JVM.  (A mapInPandas
-    # refine ships the full row both ways; measured 11.8s vs 9.8s on the
-    # 240M-point workload at 8 cores, and the serde is the stage's
-    # bottleneck, not the kernel.)
-    packed = spark.sparkContext.broadcast(geom.pack_polygons(polys))
+    if refine == "arrow":
+        # scalar pandas UDF refine over the padded-matrix batch kernel: only
+        # (lon, lat, poly_id) cross the Arrow boundary and a single boolean
+        # comes back — the pid column never leaves the JVM.  (A mapInPandas
+        # refine ships the full row both ways; measured 11.8s vs 9.8s on the
+        # 240M-point workload at 8 cores, and the serde is the stage's
+        # bottleneck, not the kernel.)
+        packed = spark.sparkContext.broadcast(geom.pack_polygons(polys))
 
-    @F.pandas_udf("boolean")
-    def pip_ok(plon: pd.Series, plat: pd.Series, ppoly: pd.Series) -> pd.Series:
-        ids_sorted, vx_pad, vy_pad, nv = packed.value
-        rows = np.searchsorted(ids_sorted, ppoly.to_numpy())
-        return pd.Series(geom.point_in_polygons(
-            plon.to_numpy(), plat.to_numpy(), rows, vx_pad, vy_pad, nv))
+        @F.pandas_udf("boolean")
+        def pip_ok(plon: pd.Series, plat: pd.Series, ppoly: pd.Series) -> pd.Series:
+            ids_sorted, vx_pad, vy_pad, nv = packed.value
+            rows = np.searchsorted(ids_sorted, ppoly.to_numpy())
+            return pd.Series(geom.point_in_polygons(
+                plon.to_numpy(), plat.to_numpy(), rows, vx_pad, vy_pad, nv))
 
-    # per-poly bbox rides along on the broadcast cover: the bbox reject runs
-    # as a pure-JVM join condition, so candidates that cannot pass the exact
-    # PIP never cross the Arrow boundary (~20-40% fewer rows into Python)
+        refine_pred = pip_ok(F.col(lon), F.col(lat), F.col("poly_id"))
+        extra_cols: list[str] = []
+        max_nv = 0
+    else:
+        # JVM ray-cast: per-polygon vertex arrays ride the broadcast cover;
+        # the exact PIP is a flat codegen'd XOR chain over the edges — no
+        # Python process anywhere in the join, and `full OR raycast`
+        # short-circuits per row, so the whole match is ONE filter in ONE
+        # pass (the arrow path must union a full branch and a refine
+        # branch, re-scanning the point side twice)
+        max_nv = max(len(np.asarray(v).ravel()) // 2 for v in polys.values())
+        refine_pred = F.expr(raycast_flat_sql(lon, lat, max_nv))
+        extra_cols = [f"v{a}{i}" for i in range(max_nv) for a in ("x", "y")]
+
+    # per-poly bbox + vertices live on a ONE-ROW-PER-POLYGON relation, not
+    # on the (much larger) per-cell cover: the cover broadcast stays tiny
+    # (cell, poly_id, full) and the per-job broadcast build cost with it
     bbox = {
         p: geom.poly_bbox(v) for p, v in polys.items()
     }
+    verts = {p: geom.poly_xy(v) for p, v in polys.items()}
+    poly_ids = sorted(polys)
+    poly_pdf = pd.DataFrame({"jpoly": poly_ids})
+    poly_pdf[["bx0", "by0", "bx1", "by1"]] = pd.DataFrame(
+        [bbox[p] for p in poly_ids]
+    )
+    if extra_cols:
+        # primitive vertex columns, padded to max_nv by repeating v0
+        # (see raycast_flat_sql)
+        vmat = np.empty((len(poly_ids), 2 * max_nv), dtype=np.float64)
+        for row, p in enumerate(poly_ids):
+            pvx, pvy = verts[p]
+            n_v = len(pvx)
+            vmat[row, 0 : 2 * n_v : 2] = pvx
+            vmat[row, 1 : 2 * n_v + 1 : 2] = pvy
+            vmat[row, 2 * n_v :: 2] = pvx[0]
+            vmat[row, 2 * n_v + 1 :: 2] = pvy[0]
+        for c, name in enumerate(extra_cols):
+            poly_pdf[name] = vmat[:, c]
+    poly_df = spark.createDataFrame(poly_pdf)
+
     matched_parts = []
     for r in sorted(cover_pdf["res"].unique()):
-        sub = cover_pdf[cover_pdf["res"] == r][["poly_id", "cell", "full"]].copy()
-        sub[["bx0", "by0", "bx1", "by1"]] = pd.DataFrame(
-            [bbox[p] for p in sub["poly_id"]], index=sub.index
-        )
+        sub = cover_pdf[cover_pdf["res"] == r][["poly_id", "cell", "full"]]
         cover_df = spark.createDataFrame(sub)
         side = (
             pts_c.withColumn("jcell", cov.parent_cell_expr("cell", data_res, int(r)))
             if int(r) < data_res
             else pts_c.withColumn("jcell", F.col("cell"))
         )
+        # join1: cell -> (poly_id, full) candidates
         cand = side.join(
-            F.broadcast(cover_df),
-            on=(
-                (side["jcell"] == cover_df["cell"])
-                & (side[lon] >= cover_df["bx0"]) & (side[lon] <= cover_df["bx1"])
-                & (side[lat] >= cover_df["by0"]) & (side[lat] <= cover_df["by1"])
-            ),
+            F.broadcast(cover_df), on=side["jcell"] == cover_df["cell"]
         ).select(pid_col, lon, lat, "poly_id", "full")
-        # interior/boundary split (XZ-order idea): candidates whose cell is
-        # FULLY inside the polygon are matches by construction — pure JVM,
-        # zero Arrow traffic; only boundary-cell candidates pay the exact
+        # join2: poly_id -> (bbox, vertices), one row per polygon; the bbox
+        # reject runs inside the join condition, so candidates that cannot
+        # pass the exact PIP are rejected before any refine.
+        # Interior/boundary split (XZ-order idea): candidates whose cell is
+        # FULLY inside the polygon are matches by construction — zero
+        # refine traffic; only boundary-cell candidates pay the exact
         # refine.  Uniqueness is preserved (a cell is full xor partial).
-        full_hits = cand.filter(F.col("full")).select(pid_col, "poly_id")
-        partial = cand.filter(~F.col("full")).filter(
-            pip_ok(F.col(lon), F.col(lat), F.col("poly_id"))
-        ).select(pid_col, "poly_id")
-        matched_parts.extend([full_hits, partial])
+        base_cond = (
+            (cand["poly_id"] == poly_df["jpoly"])
+            & (cand[lon] >= poly_df["bx0"]) & (cand[lon] <= poly_df["bx1"])
+            & (cand[lat] >= poly_df["by0"]) & (cand[lat] <= poly_df["by1"])
+        )
+        if refine == "arrow":
+            # Python can't be evaluated lazily inside an OR, so the arrow
+            # path splits candidates into two branches (each re-scans the
+            # point side — the price of keeping the interior Python-free)
+            screened = cand.join(F.broadcast(poly_df), on=base_cond).select(
+                pid_col, lon, lat, "poly_id", "full"
+            )
+            full_hits = screened.filter(F.col("full")).select(pid_col, "poly_id")
+            partial = screened.filter(~F.col("full")).filter(
+                refine_pred
+            ).select(pid_col, "poly_id")
+            matched_parts.extend([full_hits, partial])
+        else:
+            # single pass, both joins fused in one codegen stage: the refine
+            # sits LAST in join2's condition, inside a CASE WHEN whose
+            # branches codegen lazily — interior candidates never evaluate
+            # the raycast, and no vertex column materializes into output
+            # rows
+            matched_parts.append(
+                cand.join(
+                    F.broadcast(poly_df),
+                    on=base_cond
+                    & F.when(cand["full"], F.lit(True)).otherwise(refine_pred),
+                ).select(pid_col, "poly_id")
+            )
 
     matched = matched_parts[0]
     for part in matched_parts[1:]:

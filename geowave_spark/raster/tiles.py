@@ -245,6 +245,48 @@ def assign_tiles_df(images_df, tile_px: int = TILE_PX, payload: str = "png"):
 # merge (mosaic), pyramid, resize
 
 
+def _complete_groups(batches: Iterator[pd.DataFrame],
+                     key_cols: list[str]) -> Iterator[pd.DataFrame]:
+    """Stream partition-sorted Arrow batches as blocks of COMPLETE groups.
+
+    `groupBy().applyInPandas` pays one Arrow round-trip + pandas construct
+    per group — ruinous when groups are tiny and numerous (a mosaic has
+    one group per output tile).  Instead the caller repartitions on the
+    key and sorts within partitions; this generator re-batches so no group
+    straddles a block boundary, holding back the (possibly incomplete)
+    trailing group of each batch until the next one arrives.  Per-group
+    overhead collapses to a numpy boundary scan.
+    """
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if not len(pdf):
+            carry = None
+            continue
+        last = pdf.iloc[-1]
+        is_last = np.ones(len(pdf), dtype=bool)
+        for k in key_cols:
+            is_last &= (pdf[k] == last[k]).to_numpy()
+        carry = pdf[is_last]
+        done = pdf[~is_last]
+        if len(done):
+            yield done
+    if carry is not None and len(carry):
+        yield carry
+
+
+def _group_bounds(pdf: pd.DataFrame, key_cols: list[str]):
+    """Start/end row offsets of each key-sorted group in ``pdf``."""
+    change = np.zeros(len(pdf) - 1, dtype=bool)
+    for k in key_cols:
+        v = pdf[k].to_numpy()
+        change |= v[1:] != v[:-1]
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    ends = np.concatenate([starts[1:], [len(pdf)]])
+    return starts, ends
+
+
 def merge_tiles_df(tiles_df, tile_px: int = TILE_PX, src_payload: str = "png"):
     """One row per (res, tile_id): no-data-aware composite of all sources.
 
@@ -252,6 +294,12 @@ def merge_tiles_df(tiles_df, tile_px: int = TILE_PX, src_payload: str = "png"):
     only pixels still no-data (alpha 0) — NoDataMergeStrategy semantics.
     src_payload must match the assign stage's ``payload``; the merged
     OUTPUT is always PNG (the at-rest format).
+
+    Physically: ONE hash shuffle on the tile key + in-partition sort, then
+    a single streaming mapInPandas pass (see `_complete_groups`) — the
+    same data movement as groupBy().applyInPandas but without its
+    per-group Arrow round-trip, which dominates when most tiles have only
+    a few sources.
     """
     if src_payload == "png":
         dec = lambda b: codec.png_decode(bytes(b))  # noqa: E731
@@ -259,24 +307,32 @@ def merge_tiles_df(tiles_df, tile_px: int = TILE_PX, src_payload: str = "png"):
         dec = lambda b: np.frombuffer(b, dtype=np.uint8).reshape(  # noqa: E731
             tile_px, tile_px, 4)
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("image_id")
-        acc = np.zeros((tile_px, tile_px, 4), dtype=np.uint8)
-        for buf in pdf["px"]:  # per-source-tile; pixel ops vectorized
-            t = dec(buf)
-            hole = acc[:, :, 3] == 0
-            acc[hole] = t[hole]
-        return pd.DataFrame(
-            {
-                "res": [key[0]],
-                "tile_id": [key[1]],
-                "n_src": [len(pdf)],
-                "px": [codec.png_encode(acc)],
-            }
-        )
+    def merge_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in _complete_groups(batches, ["res", "tile_id"]):
+            starts, ends = _group_bounds(pdf, ["res", "tile_id"])
+            res = pdf["res"].to_numpy()
+            tid = pdf["tile_id"].to_numpy()
+            px = pdf["px"].tolist()
+            out = []
+            for s, e in zip(starts, ends):
+                acc = np.zeros((tile_px, tile_px, 4), dtype=np.uint8)
+                for buf in px[s:e]:  # per-source-tile; pixel ops vectorized
+                    t = dec(buf)
+                    hole = acc[:, :, 3] == 0
+                    acc[hole] = t[hole]
+                out.append(
+                    (int(res[s]), int(tid[s]), e - s, codec.png_encode(acc))
+                )
+            yield pd.DataFrame(
+                out, columns=["res", "tile_id", "n_src", "px"]
+            )
 
-    return tiles_df.groupBy("res", "tile_id").applyInPandas(
-        merge, schema="res int, tile_id long, n_src int, px binary"
+    return (
+        tiles_df.repartition("res", "tile_id")
+        .sortWithinPartitions("res", "tile_id", "image_id")
+        .mapInPandas(
+            merge_stream, schema="res int, tile_id long, n_src int, px binary"
+        )
     )
 
 
@@ -324,26 +380,37 @@ def pyramid_level_df(merged_df, tile_px: int = TILE_PX):
         to_parent, schema="res int, tile_id long, qx int, qy int, px binary"
     )
 
-    def stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def stitch_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         half = tile_px // 2
-        acc = np.zeros((tile_px, tile_px, 4), dtype=np.uint8)
-        for i in range(len(pdf)):
-            t = codec.png_decode(bytes(pdf["px"].iloc[i]))
-            qx, qy = int(pdf["qx"].iloc[i]), int(pdf["qy"].iloc[i])
-            # grid y grows north; image row 0 is the north edge
-            y0 = (1 - qy) * half
-            acc[y0 : y0 + half, qx * half : (qx + 1) * half] = t
-        return pd.DataFrame(
-            {
-                "res": [key[0]],
-                "tile_id": [key[1]],
-                "n_src": [len(pdf)],
-                "px": [codec.png_encode(acc)],
-            }
-        )
+        for pdf in _complete_groups(batches, ["res", "tile_id"]):
+            starts, ends = _group_bounds(pdf, ["res", "tile_id"])
+            res = pdf["res"].to_numpy()
+            tid = pdf["tile_id"].to_numpy()
+            qxs = pdf["qx"].to_numpy()
+            qys = pdf["qy"].to_numpy()
+            pxs = pdf["px"].tolist()
+            out = []
+            for s, e in zip(starts, ends):
+                acc = np.zeros((tile_px, tile_px, 4), dtype=np.uint8)
+                for i in range(s, e):
+                    t = codec.png_decode(bytes(pxs[i]))
+                    # grid y grows north; image row 0 is the north edge
+                    y0 = (1 - int(qys[i])) * half
+                    x0 = int(qxs[i]) * half
+                    acc[y0 : y0 + half, x0 : x0 + half] = t
+                out.append(
+                    (int(res[s]), int(tid[s]), e - s, codec.png_encode(acc))
+                )
+            yield pd.DataFrame(
+                out, columns=["res", "tile_id", "n_src", "px"]
+            )
 
-    return quads.groupBy("res", "tile_id").applyInPandas(
-        stitch, schema="res int, tile_id long, n_src int, px binary"
+    return (
+        quads.repartition("res", "tile_id")
+        .sortWithinPartitions("res", "tile_id", "qy", "qx")
+        .mapInPandas(
+            stitch_stream, schema="res int, tile_id long, n_src int, px binary"
+        )
     )
 
 

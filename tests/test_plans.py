@@ -57,6 +57,29 @@ def test_polygon_join_has_no_shuffle(spark, sf_dir):
     assert len(got) == len(set(map(tuple, got[["pid", "poly_id"]].to_numpy())))
 
 
+def test_polygon_join_jvm_refine_has_no_python(spark, sf_dir):
+    """refine='jvm' must keep the ENTIRE join JVM-side: no ArrowEvalPython /
+    BatchEvalPython nodes anywhere in the physical plan."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.geom import core as geom
+    from geowave_spark.join import spatial
+
+    pts = spark.range(0, 1000).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 360 - 180.0).alias("lon"),
+        (F.col("id") % 180 - 90.0).alias("lat"),
+    )
+    polys = {i: geom.regular_polygon(i * 10.0 - 120, i * 5.0 - 30, 3.0, 8)
+             for i in range(5)}
+    df = spatial.point_in_polygon_join(spark, pts, polys, data_res=7,
+                                       refine="jvm")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_distance_join_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q07_distance_join_agg")
     assert "BroadcastHashJoin" in plan

@@ -172,6 +172,32 @@ def test_merge_nodata_semantics():
     assert (acc[:4, :, 0] == 100).all() and (acc[4:, :, 0] == 200).all()
 
 
+def test_complete_groups_never_splits_a_key():
+    """The streaming re-batcher must emit every (res, tile_id) group whole
+    even when groups straddle Arrow batch boundaries, including a group
+    spanning 3+ batches and a trailing carry at end-of-partition."""
+    rows = []
+    for tid, n in [(1, 3), (2, 1), (3, 7), (4, 2), (5, 1)]:
+        rows += [(0, tid, f"img{tid}_{i}") for i in range(n)]
+    pdf = pd.DataFrame(rows, columns=["res", "tile_id", "image_id"])
+    for bs in (1, 2, 3, 5, 100):
+        batches = [pdf.iloc[i : i + bs] for i in range(0, len(pdf), bs)]
+        blocks = list(tiles._complete_groups(iter(batches), ["res", "tile_id"]))
+        # no key appears in two blocks
+        seen = []
+        for b in blocks:
+            keys = sorted(set(map(tuple, b[["res", "tile_id"]].to_numpy())))
+            assert not (set(keys) & set(seen))
+            seen += keys
+            # groups inside a block are contiguous and bounds are exact
+            starts, ends = tiles._group_bounds(b, ["res", "tile_id"])
+            assert starts[0] == 0 and ends[-1] == len(b)
+            for s, e in zip(starts, ends):
+                assert b["tile_id"].iloc[s : e].nunique() == 1
+        total = pd.concat(blocks, ignore_index=True)
+        assert sorted(total["image_id"]) == sorted(pdf["image_id"])
+
+
 def test_downsample2_block_mean():
     px = np.zeros((4, 4, 4), dtype=np.uint8)
     px[:, :, 0] = np.array([[0, 2, 4, 6], [2, 0, 6, 4], [8, 8, 8, 8], [8, 8, 8, 8]])

@@ -90,6 +90,20 @@ print(f"brute join:   {len(bres)} pairs in {t1-t0:.2f}s")
 assert res.equals(bres), "MISMATCH between indexed and brute-force join"
 print("EQUIVALENT: indexed join == brute-force join")
 
+# the PRODUCTION operator (interior/boundary split + codegen raycast refine)
+# must reproduce the same pairs
+from geowave_spark.join import spatial  # noqa: E402
+
+t0 = time.time()
+eng = spatial.point_in_polygon_join(
+    spark, pts.select("pid", "lon", "lat"), POLY_MAP, data_res=RES
+)
+eres = eng.toPandas().sort_values(["pid", "poly_id"]).reset_index(drop=True)
+t1 = time.time()
+print(f"engine join:  {len(eres)} pairs in {t1-t0:.2f}s")
+assert eres.equals(bres), "MISMATCH between engine join and brute-force join"
+print("EQUIVALENT: engine point_in_polygon_join == brute-force join")
+
 # show the physical plan of the indexed join
 cand.explain("formatted")
 spark.stop()
