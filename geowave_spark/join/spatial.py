@@ -61,7 +61,12 @@ def raycast_flat_sql(lon: str, lat: str, max_nv: int) -> str:
             f"THEN {lon} < ({xj} - {xi}) * ({lat} - {yi}) / ({yj} - {yi}) + {xi} "
             f"ELSE false END)"
         )
-    return "(" + " != ".join(terms) + ")"
+    # left-nested XOR: `a != b != c` is a parse error in DuckDB (comparison
+    # ops are non-associative there), so the oracle twin needs the parens
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"({expr} != {t})"
+    return expr
 
 
 def point_in_polygon_join(

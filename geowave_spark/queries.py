@@ -243,6 +243,58 @@ GROUP BY r.rid ORDER BY r.rid
 """
 
 
+def _flagship_polys() -> dict:
+    """25 deterministic hexagons spread over the globe (the polygon-set
+    analog of GeoWaveSparkSpatialJoinIT's query geometries)."""
+    import numpy as np
+
+    from .geom import core as geom_core
+
+    out = {}
+    for i in range(25):
+        cx = ((i * 7919) % 340) - 170.0
+        cy = ((i * 104729) % 160) - 80.0
+        out[i] = np.asarray(
+            geom_core.regular_polygon(cx, cy, 3.0 + (i % 5), 6, phase=i)
+        )
+    return out
+
+
+def q54_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship point-in-POLYGON-set join (non-rect geometry): single-tier
+    broadcast cover + interior/boundary split + codegen raycast refine
+    (`join/spatial.py`).  Oracle: brute-force crossJoin with the SAME flat
+    ray-cast formula evaluated by DuckDB — bit-identical IEEE doubles, so
+    the match is exact, the indexed-vs-independent-formulation pattern of
+    `GeoWaveSparkSpatialJoinIT.java:160-172` (/root/reference)."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.lineitem_points_sql())
+    return spatial.point_in_polygon_join(
+        spark, pts, _flagship_polys(), data_res=10
+    ).orderBy("pid", "poly_id")
+
+
+def _q54_sql() -> str:
+    from .geom import core as geom_core
+
+    rows = []
+    for pid_, poly in _flagship_polys().items():
+        vx, vy = geom_core.poly_xy(poly)
+        vals = ", ".join(
+            f"{float(x)!r}, {float(y)!r}" for x, y in zip(vx, vy)
+        )
+        rows.append(f"({pid_}, {vals})")
+    cols = ", ".join(f"vx{i}, vy{i}" for i in range(6))
+    raycast = spatial.raycast_flat_sql("p.lon", "p.lat", 6)
+    return f"""
+WITH p AS ({geo.lineitem_points_sql()}),
+poly (poly_id, {cols}) AS (VALUES {", ".join(rows)})
+SELECT p.pid, cast(poly.poly_id as bigint) AS poly_id
+FROM p JOIN poly ON {raycast}
+ORDER BY pid, poly_id
+"""
+
+
 def q07_distance_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-distance join (grid_disk candidates), aggregated per query point."""
     register_views(spark, sf_dir)
@@ -377,6 +429,7 @@ QUERIES = {
     "q05_pip_rect_join": (q05_pip_rect_join, Q05_SQL),
     "q06_pip_rect_agg": (q06_pip_rect_agg, Q06_SQL),
     "q07_distance_join_agg": (q07_distance_join_agg, Q07_SQL),
+    "q54_polygon_join": (q54_polygon_join, _q54_sql()),
     "q08_knn": (q08_knn, Q08_SQL),
     "q09_binned_agg": (q09_binned_agg, Q09_SQL),
     "q10_bbox_agg": (q10_bbox_agg, Q10_SQL),
