@@ -22,8 +22,9 @@ from geowave_spark.queries import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: indexed point-in-polygon-set join on sf0.001."""
-    fn, _ = QUERIES["q05_pip_rect_join"]
+    """Flagship: indexed point-in-polygon-set join on sf0.001 (single-tier
+    broadcast cover + interior/boundary split + codegen raycast refine)."""
+    fn, _ = QUERIES["q54_polygon_join"]
     return fn(spark, "/root/testdata/sf0.001")
 
 

@@ -142,3 +142,57 @@ def test_rect_join_anti_mode(spark, pts):
     pos = spatial.point_in_rects_join(spark, pts, rects, res=8)
     neg = spatial.point_in_rects_join(spark, pts, rects, res=8, negative=True)
     assert pos.select("pid").distinct().count() + neg.count() == pts.count()
+
+
+def test_raycast_flat_sql_bit_parity_mixed_nv(spark):
+    """The codegen raycast (flat XOR chain over v0-padded vertex columns)
+    must agree bit-for-bit with geom.point_in_polygon across polygons of
+    MIXED vertex counts (3..17, convex/concave/star), including points on
+    vertices — the padding path (true nv < max_nv) is exactly what a mixed
+    polygon set exercises."""
+    rng = np.random.RandomState(23)
+    polys = {
+        1: geom.regular_polygon(5, 5, 6.0, 3),
+        2: geom.regular_polygon(-30, 10, 9.0, 17, phase=0.7),
+        3: np.array([0, 0, 20, 0, 20, 20, 10, 6, 0, 20], dtype=float),  # concave
+        4: np.stack([
+            40 + np.where(np.arange(10) % 2 == 0, 8.0, 3.0) * np.cos(2 * np.pi * np.arange(10) / 10),
+            -20 + np.where(np.arange(10) % 2 == 0, 8.0, 3.0) * np.sin(2 * np.pi * np.arange(10) / 10),
+        ], 1).ravel(),  # star
+    }
+    max_nv = max(len(geom.poly_xy(p)[0]) for p in polys.values())
+    n = 20000
+    px = rng.uniform(-50, 60, n)
+    py = rng.uniform(-40, 40, n)
+    ids = np.array(sorted(polys))
+    pid = ids[rng.randint(0, len(ids), n)]
+    for k, p in polys.items():  # exact vertices hit boundary semantics
+        vx, vy = geom.poly_xy(p)
+        px[: len(vx)] = vx
+        py[: len(vy)] = vy
+        pid[: len(vx)] = k
+
+    rows = {"lon": px, "lat": py, "poly_id": pid}
+    for i in range(max_nv):
+        vxc, vyc = [], []
+        for p in pid:
+            vx, vy = geom.poly_xy(polys[int(p)])
+            vxc.append(vx[i] if i < len(vx) else vx[0])
+            vyc.append(vy[i] if i < len(vy) else vy[0])
+        rows[f"vx{i}"] = np.asarray(vxc)
+        rows[f"vy{i}"] = np.asarray(vyc)
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = (
+        df.selectExpr("lon", "lat", "poly_id",
+                      spatial.raycast_flat_sql("lon", "lat", max_nv) + " AS inside")
+        .toPandas()
+    )
+    exp = np.zeros(n, dtype=bool)
+    for k, p in polys.items():
+        m = pid == k
+        exp[m] = geom.point_in_polygon(px[m], py[m], p)
+    # align on the stable (lon, lat, poly_id) triple, not row order
+    key = pd.DataFrame({"lon": px, "lat": py, "poly_id": pid, "exp": exp})
+    merged = got.merge(key, on=["lon", "lat", "poly_id"], how="left")
+    assert len(merged) == n
+    assert (merged["inside"].to_numpy() == merged["exp"].to_numpy()).all()
