@@ -29,6 +29,14 @@ def main() -> None:
         "checkpoint protocol (atomic commits + lineage/metrics sidecars); "
         "a re-run against the same dir skips committed partitions",
     )
+    ap.add_argument(
+        "--amplify", type=int, default=0,
+        help="north-rule scale mode: amplify the point side to this many "
+        "rows and run the flagship POLYGON join (supplier-rect 12-gons, "
+        "single-tier cover + codegen raycast), best-of --reps timed counts",
+    )
+    ap.add_argument("--polys", type=int, default=100)
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -42,6 +50,43 @@ def main() -> None:
 
     register_views(spark, args.sf_dir)
     out = {"sf_dir": args.sf_dir, "master": spark.sparkContext.master}
+
+    if args.amplify:
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from geowave_spark.geom import core as geom
+
+        par = spark.sparkContext.defaultParallelism
+        pts = spark.sql(geo.lineitem_points_sql()).repartition(par).persist()
+        mult = max(1, args.amplify // pts.count())
+        pts = pts.crossJoin(
+            spark.range(mult).select(F.col("id").alias("m_"))
+        ).select(
+            (F.col("pid") * mult + F.col("m_")).alias("pid"), "lon", "lat"
+        )
+        rect = spark.sql(geo.supplier_rects_sql()).toPandas()
+        if len(rect) > args.polys:
+            rect = rect.iloc[:: len(rect) // args.polys].head(args.polys)
+        polys = {
+            int(r.rid): geom.regular_polygon(
+                (r.lon0 + r.lon1) / 2, (r.lat0 + r.lat1) / 2,
+                max(r.lon1 - r.lon0, r.lat1 - r.lat0) / 2, 12)
+            for r in rect.itertuples()
+        }
+        joined = spatial.point_in_polygon_join(
+            spark, pts, polys, data_res=10, max_cells=1024
+        )
+        out["join_rows"] = joined.count()  # warm
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.time()
+            joined.count()
+            best = min(best, time.time() - t0)
+        out["join_sec"] = round(best, 3)
+        out["join_rows_per_sec"] = round(out["join_rows"] / best, 1)
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     t0 = time.time()
     pts = spark.sql(geo.lineitem_points_sql())
