@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "q01_pricing_summary",
     "q02_top_revenue_orders",
     "q05_pip_rect_join",
+    "q54_polygon_join",
     "q06_pip_rect_agg",
     "q07_distance_join_agg",
     "q08_knn",
