@@ -295,6 +295,48 @@ ORDER BY pid, poly_id
 """
 
 
+def q55_image_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule input shape verbatim: the flagship polygon join run
+    over the IMAGE table's geo footprints (centroid of each image's bbox),
+    keyed by image_id.  Engine path identical to q54; oracle recomputes the
+    centroids and the flat ray-cast in DuckDB from the shared
+    `images_base_sql` fragment."""
+    from .table import images as images_mod
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(images_mod.images_base_sql()).selectExpr(
+        "image_id AS pid",
+        "(lon0 + lon1) / 2 AS lon",
+        "(lat0 + lat1) / 2 AS lat",
+    )
+    return spatial.point_in_polygon_join(
+        spark, pts, _flagship_polys(), data_res=10
+    ).orderBy("pid", "poly_id")
+
+
+def _q55_sql() -> str:
+    from .geom import core as geom_core
+    from .table import images as images_mod
+
+    rows = []
+    for pid_, poly in _flagship_polys().items():
+        vx, vy = geom_core.poly_xy(poly)
+        vals = ", ".join(
+            f"{float(x)!r}, {float(y)!r}" for x, y in zip(vx, vy)
+        )
+        rows.append(f"({pid_}, {vals})")
+    cols = ", ".join(f"vx{i}, vy{i}" for i in range(6))
+    raycast = spatial.raycast_flat_sql("p.lon", "p.lat", 6)
+    return f"""
+WITH base AS ({images_mod.images_base_sql()}),
+p AS (SELECT image_id AS pid, (lon0 + lon1) / 2 AS lon, (lat0 + lat1) / 2 AS lat FROM base),
+poly (poly_id, {cols}) AS (VALUES {", ".join(rows)})
+SELECT p.pid, cast(poly.poly_id as bigint) AS poly_id
+FROM p JOIN poly ON {raycast}
+ORDER BY pid, poly_id
+"""
+
+
 def q07_distance_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-distance join (grid_disk candidates), aggregated per query point."""
     register_views(spark, sf_dir)
@@ -430,6 +472,7 @@ QUERIES = {
     "q06_pip_rect_agg": (q06_pip_rect_agg, Q06_SQL),
     "q07_distance_join_agg": (q07_distance_join_agg, Q07_SQL),
     "q54_polygon_join": (q54_polygon_join, _q54_sql()),
+    "q55_image_polygon_join": (q55_image_polygon_join, _q55_sql()),
     "q08_knn": (q08_knn, Q08_SQL),
     "q09_binned_agg": (q09_binned_agg, Q09_SQL),
     "q10_bbox_agg": (q10_bbox_agg, Q10_SQL),
