@@ -189,6 +189,37 @@ def simhash16_from(d: Dialect, v: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def simhash64_halves_from(d: Dialect, v: str) -> tuple[str, str]:
+    """64-bit SimHash from a word-value array column, returned as TWO
+    nonnegative 32-bit halves (lo = bits 0..31, hi = bits 32..63).
+
+    Two halves instead of one signed int64 so band extraction stays simple
+    nonnegative div/mod arithmetic (bit 63 of a packed int64 would flip the
+    sign and break `div`-based banding), and Hamming distance is
+    bit_count(lo XOR lo') + bit_count(hi XOR hi') in both engines.
+
+    Vote for bit b from word value x: +1 iff
+    (x * 2654435761 + b * 2246822519) % 2^31 >= 2^30 (uniform, unbiased);
+    all intermediates fit int64 (wordvals < ~2e4, so x*2654435761 < 6e13).
+    Folds are sequential -> bit-identical across engines.
+    """
+
+    def bit(b: int) -> str:
+        mix = f"((x * 2654435761 + {b} * 2246822519) % 2147483648)"
+        vote = d.xform(v, f"(case when {mix} >= 1073741824 then 1 else -1 end)")
+        s = d.fold(vote, "cast(0 as bigint)", "acc + x")
+        return s
+
+    lo = " + ".join(
+        f"(case when {bit(b)} > 0 then {1 << b} else 0 end)" for b in range(32)
+    )
+    hi = " + ".join(
+        f"(case when {bit(b)} > 0 then {1 << (b - 32)} else 0 end)"
+        for b in range(32, 64)
+    )
+    return f"({lo})", f"({hi})"
+
+
 def jaccard_micro(d: Dialect, a: str, b: str) -> str:
     """floor(1e6 * |A ∩ B| / |A ∪ B|) over distinct shingle sets."""
     da, db = d.arr_distinct(a), d.arr_distinct(b)

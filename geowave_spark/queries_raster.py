@@ -36,7 +36,7 @@ def q11_tile_assign_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id", "res", "tile_id")
 
 
-def _plan_oracle_sql() -> str:
+def _plan_oracle_sql(order_by: bool = True) -> str:
     res_sql = tiles.level_res_sql("lon0", "lon1", "w")
     n = "cast(pow(2, res) as bigint)"
     return f"""
@@ -51,7 +51,7 @@ b3 AS (SELECT image_id, res,
 SELECT image_id, cast(res as int) AS res, (y0 + dy.g) * n + (x0 + dx.g) AS tile_id
 FROM b3, LATERAL (SELECT unnest(generate_series(0, y1 - y0)) AS g) dy,
          LATERAL (SELECT unnest(generate_series(0, x1 - x0)) AS g) dx
-ORDER BY image_id, res, tile_id
+{"ORDER BY image_id, res, tile_id" if order_by else ""}
 """
 
 
@@ -67,7 +67,7 @@ def q12_tile_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q12_SQL = f"""
-WITH plan AS ({_plan_oracle_sql().replace('ORDER BY image_id, res, tile_id', '')})
+WITH plan AS ({_plan_oracle_sql(order_by=False)})
 SELECT res, tile_id, cast(count(*) as int) AS n_src
 FROM plan GROUP BY res, tile_id ORDER BY res, tile_id
 """
@@ -109,7 +109,7 @@ def q14_pyramid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # parent of rowmajor cell at res r: (y>>1)*2^(r-1) + (x>>1)
 Q14_SQL = f"""
-WITH plan AS ({_plan_oracle_sql().replace('ORDER BY image_id, res, tile_id', '')}),
+WITH plan AS ({_plan_oracle_sql(order_by=False)}),
 tiles AS (SELECT DISTINCT res, tile_id FROM plan),
 parents AS (
   SELECT res,
@@ -123,8 +123,9 @@ FROM parents GROUP BY 1, 2 ORDER BY res, tile_id
 
 def q35_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-coverage pixel statistics (RasterHistogramStatistic /
-    RasterOverviewStatistic analogs).  Pixel-derived -> rows-only check;
-    pytest validates values against local numpy recomputation."""
+    RasterOverviewStatistic analogs).  The engine decodes real bytes
+    (mapInPandas -> numpy); the oracle recomputes every pixel's luma from
+    the closed-form synthesis parameters — two independent paths."""
     from .raster import stats as rstats
 
     return (
@@ -132,6 +133,25 @@ def q35_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("image_id", "n_px", "luma_min", "luma_max", "luma_mean_milli")
         .orderBy("image_id")
     )
+
+
+Q35_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, {images.image_id_sql()} AS image_id,
+         {images.w_sql()} AS w, {images.h_sql()} AS h
+  FROM documents
+),
+lum AS (
+  SELECT doc_id, image_id, {images.luma_sql('px.g', 'py.g', decoded=True)} AS luma
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) px,
+             LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) py
+)
+SELECT image_id, cast(count(*) as bigint) AS n_px,
+       cast(min(luma) as int) AS luma_min,
+       cast(max(luma) as int) AS luma_max,
+       cast((sum(luma) * 1000) // count(*) as bigint) AS luma_mean_milli
+FROM lum GROUP BY image_id ORDER BY image_id
+"""
 
 
 def q49_tile_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,7 +186,7 @@ def q49_tile_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q49_SQL = f"""
-WITH plan AS ({_plan_oracle_sql().replace('ORDER BY image_id, res, tile_id', '')})
+WITH plan AS ({_plan_oracle_sql(order_by=False)})
 SELECT DISTINCT res, tile_id, cast(8 as int) AS out_h, cast(8 as int) AS out_w
 FROM plan ORDER BY res, tile_id
 """
@@ -177,6 +197,6 @@ RASTER_QUERIES = {
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
     "q13_image_scalars": (q13_image_scalars, Q13_SQL),
     "q14_pyramid_counts": (q14_pyramid_counts, Q14_SQL),
-    "q35_raster_stats": (q35_raster_stats, None),
+    "q35_raster_stats": (q35_raster_stats, Q35_SQL),
     "q49_tile_resize": (q49_tile_resize, Q49_SQL),
 }

@@ -90,6 +90,30 @@ def images_base_sql(src: str = "documents") -> str:
     )
 
 
+def luma_sql(x: str, y: str, doc_id: str = "doc_id",
+             decoded: bool = False) -> str:
+    """Closed-form integer luma of pixel (x, y) — the SQL twin of
+    `gen_pixels` + `gray` (all operands nonnegative, so SQL % == numpy %).
+    Lets DuckDB oracles recompute per-pixel statistics and phashes without
+    ever decoding bytes: a fully independent check of the engine's
+    decode -> numpy path.
+
+    ``decoded=True`` models the codec round-trip instead of the original
+    pixels: the q6 format (doc_id % 3 = 2) is lossy — decode reconstructs
+    each channel at its 4-wide bin center, (v // 4) * 4 + 2 (raster/
+    codec.py q6_decode); png and raw round-trip exactly."""
+    base = f"(({x}) * (3 + ({doc_id} * 31) % 11) + ({y}) * (5 + ({doc_id} * 57) % 13) + {doc_id} * 97)"
+    r = f"({base} % 256)"
+    g = f"(({base} * 3 + ((({x}) + ({y})) % 17) * 40) % 256)"
+    bl = f"(({base} * 7 + (({x}) % 23) * 29) % 256)"
+    if decoded:
+        r, g, bl = (
+            f"(CASE WHEN {doc_id} % 3 = 2 THEN ({c} // 4) * 4 + 2 ELSE {c} END)"
+            for c in (r, g, bl)
+        )
+    return f"(({r} * 299 + {g} * 587 + {bl} * 114) // 1000)"
+
+
 # --- pixel synthesis (numpy mirror of nothing — pixels are engine-only) ----
 
 
