@@ -244,80 +244,134 @@ FROM f GROUP BY fp ORDER BY canonical_id
 """
 
 
-def _q39(d: G.Dialect) -> str:
-    """SimHash near-dup pairs: banded candidate join + exact Hamming refine.
+def _q39_sig_sql(d: G.Dialect) -> str:
+    """Shared signature relation: 64-bit SimHash as two 32-bit halves."""
+    lo, hi = G.simhash64_halves_from(d, "v")
+    return (
+        f"SELECT doc_id, cast({lo} as bigint) AS lo, cast({hi} as bigint) AS hi "
+        f"FROM (SELECT doc_id, {G.wordvals(d)} AS v FROM documents) wv "
+        f"WHERE {d.size('v')} >= 1"
+    )
 
-    4 bands of 4 bits over the 16-bit signature: a pair with Hamming
-    distance <= 3 differs in at most 3 bit positions, so by pigeonhole at
-    least one band is identical — the banded equi-join has PROVABLY 100%%
-    recall at this threshold.  The DuckDB oracle is therefore the true
-    brute-force all-pairs scan (indexed-vs-brute equivalence, the
-    `GeoWaveSparkSpatialJoinIT.java:228-255` pattern), not a formula twin.
-    At 100 TB the band join is a keyed shuffle on well-spread 4-bit+band
-    keys; the all-pairs oracle is quadratic and test-scale only.
-    """
-    sim = G.simhash16_from(d, "v")
-    ham = (
-        "bit_count(a.sh ^ b.sh)" if d.is_spark
-        else "bit_count(xor(a.sh, b.sh))"
-    )
-    bands = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {j} AS band, ({G.SPARK.intdiv('sh', str(1 << (4 * j))) if d.is_spark else d.intdiv('sh', str(1 << (4 * j)))}) % 16 AS bh FROM s"
-        for j in range(4)
-    )
-    if d.is_spark:
-        cand = f"""
-bands AS ({bands}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-  WHERE a.doc_id < b.doc_id
-),
-pairs AS (
-  SELECT c.d1, c.d2, a.sh AS sh1, b.sh AS sh2
-  FROM cand c JOIN s a ON a.doc_id = c.d1 JOIN s b ON b.doc_id = c.d2
-)
-SELECT d1, d2, cast(bit_count(sh1 ^ sh2) as int) AS hamming
-FROM pairs WHERE bit_count(sh1 ^ sh2) <= 3
-"""
-    else:
-        cand = f"""
-pairs AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, a.sh AS sh1, b.sh AS sh2
-  FROM s a JOIN s b ON a.doc_id < b.doc_id
-)
-SELECT d1, d2, cast(bit_count(xor(sh1, sh2)) as int) AS hamming
-FROM pairs WHERE bit_count(xor(sh1, sh2)) <= 3
-"""
+
+def _q39_duck() -> str:
+    """Brute-force all-pairs oracle over the same 64-bit signature
+    (indexed-vs-brute equivalence, `GeoWaveSparkSpatialJoinIT.java:228-255`
+    pattern): quadratic and test-scale only."""
+    sig = _q39_sig_sql(G.DUCK)
+    ham = "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))"
     return f"""
-WITH wv AS (SELECT doc_id, {G.wordvals(d)} AS v FROM documents),
-s AS (SELECT doc_id, cast({sim} as bigint) AS sh
-      FROM wv WHERE {d.size('v')} >= 1),
-{cand.strip()}
+WITH s AS ({sig})
+SELECT a.doc_id AS d1, b.doc_id AS d2, cast({ham} as int) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE {ham} <= 3
 ORDER BY d1, d2
 """
 
 
+def _q39_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded candidate join + exact Hamming refine.
+
+    Scale-real parameterization (Manku et al. near-duplicate detection):
+    a 64-bit signature split into 4 bands of 16 bits.  Pigeonhole: a pair
+    with Hamming distance <= 3 differs in <= 3 bands, so at least one band
+    matches exactly — PROVABLY 100% recall at threshold 3, and the band
+    join key has 65,536 distinct values per band (the round-1 version's
+    4-bit bands had 16, degenerating toward n^2/16 candidates; see
+    tests/test_queries.py::test_q39_band_candidates_scale).
+
+    The signature relation is persisted (q16 pattern): Spark inlines CTEs,
+    so the 6 references (4 band branches + 2 refine joins) would otherwise
+    recompute the 64-fold SimHash each time.
+    """
+    register_views(spark, sf_dir)
+    d = G.SPARK
+    sig_df = spark.sql(_q39_sig_sql(d)).persist()
+    sig_df.createOrReplaceTempView("q39_sig")
+    sig_df.count()  # eager build: band branches race the cache otherwise
+    band_exprs = [
+        ("0", "lo % 65536"),
+        ("1", "lo div 65536"),
+        ("2", "hi % 65536"),
+        ("3", "hi div 65536"),
+    ]
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {j} AS band, ({e}) AS bh FROM q39_sig"
+        for j, e in band_exprs
+    )
+    ham = "bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi)"
+    return spark.sql(f"""
+WITH bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.d1, c.d2, cast({ham} as int) AS hamming
+FROM cand c JOIN q39_sig a ON a.doc_id = c.d1 JOIN q39_sig b ON b.doc_id = c.d2
+WHERE {ham} <= 3
+ORDER BY d1, d2
+""")
+
+
+_Q40_NBITS = 128   # hyperplane signature width
+_Q40_BAND_BITS = 8  # -> 16 bands of 8 bits, 256 join-key values per band
+
+
 def _q40(d: G.Dialect) -> str:
     """Embedding-cosine near-dup pairs (>= 0.35): hyperplane-LSH banded
-    candidates + exact cosine refine.  4 bands x 4 bits OR-construction;
-    the oracle evaluates the identical formula (recall of random-hyperplane
-    LSH at moderate thresholds is probabilistic, so engine and oracle share
-    candidate generation — the q16/q20 pattern).  Scale path: band join is
-    a keyed shuffle; refine cost is |candidates|, not n^2.
+    candidates + exact cosine refine.
+
+    Scale-real parameterization: a 128-bit signature in 16 bands of 8 bits
+    (the round-1 version banded a 16-bit signature into 4-bit keys — 16
+    distinct values per band, degenerating toward n^2/16).  The signature
+    is computed RELATIONALLY — explode dims to rows, equi-join the
+    broadcastable closed-form hyperplane table (128x64 rows), two keyed
+    integer aggregations — instead of a 128-way fold expression: at 100 TB
+    this is linear keyed-shuffle work with no giant codegen unit, and the
+    integer projections (floor-micro components, +-1 signs) make the bit
+    decisions order-independent and bit-identical across engines.
+
+    Recall (OR-construction, p = 1 - theta/pi per bit): at the 0.35
+    threshold of this dataset ~28%; at a production near-dup threshold of
+    0.9 it is 1-(1-0.857^8)^16 ~ 99.6%.  Engine and oracle share candidate
+    generation (q16/q20 formula-twin pattern), so parity is exact either
+    way; refine cost is |candidates|, never n^2.
     """
+    nb, bb = _Q40_NBITS, _Q40_BAND_BITS
+    if d.is_spark:
+        dims = (
+            "SELECT vec_id, pos + 1 AS dd, cast(floor(col * 1000000) as bigint) AS val "
+            "FROM v0 LATERAL VIEW posexplode(v) pe AS pos, col"
+        )
+        jgen = f"SELECT explode(sequence(0, {nb - 1})) AS j"
+        dgen = "SELECT explode(sequence(1, 64)) AS dd"
+    else:
+        dims = (
+            "SELECT vec_id, dg.g AS dd, cast(floor(v[dg.g] * 1000000) as bigint) AS val "
+            "FROM v0, LATERAL (SELECT unnest(generate_series(1, 64)) AS g) dg"
+        )
+        jgen = f"SELECT unnest(generate_series(0, {nb - 1})) AS j"
+        dgen = "SELECT unnest(generate_series(1, 64)) AS dd"
     dt = G.dot(d, "a.v", "b.v", 64)
-    # band j = bits [4j, 4j+4) of a 16-bit hyperplane signature
-    bands = "\nUNION ALL\n".join(
-        f"SELECT vec_id, {j} AS band, ({d.intdiv('sig', str(1 << (4 * j)))}) % 16 AS bh FROM sigs"
-        for j in range(4)
-    )
-    sig = G.hyperplane_bucket(d, "v", 64, nbits=16)
     return f"""
 WITH v0 AS (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v FROM embeddings),
 vecs AS (SELECT vec_id, v, sqrt({G.dot(d, 'v', 'v', 64)}) AS nv FROM v0),
-sigs AS (SELECT vec_id, v, nv, {sig} AS sig FROM vecs),
-bands AS ({bands}),
+dims AS ({dims}),
+hp AS (
+  SELECT j, dd, (CASE WHEN ((j * 131 + dd * 37) % 97) % 2 = 0 THEN 1 ELSE -1 END) AS sgn
+  FROM ({jgen}) jj CROSS JOIN ({dgen}) dj
+),
+proj AS (
+  SELECT dims.vec_id, hp.j, sum(dims.val * hp.sgn) AS s
+  FROM dims JOIN hp ON hp.dd = dims.dd
+  GROUP BY dims.vec_id, hp.j
+),
+bands AS (
+  SELECT vec_id, {d.intdiv('j', str(bb))} AS band,
+         sum(CASE WHEN s > 0 THEN cast(pow(2, j % {bb}) as bigint) ELSE 0 END) AS bh
+  FROM proj GROUP BY vec_id, {d.intdiv('j', str(bb))}
+),
 cand AS (
   SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
   FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
@@ -325,7 +379,7 @@ cand AS (
 )
 SELECT c.id1, c.id2,
        cast(floor(1000000.0 * ({dt}) / (a.nv * b.nv)) as bigint) AS sim_micro
-FROM cand c JOIN sigs a ON a.vec_id = c.id1 JOIN sigs b ON b.vec_id = c.id2
+FROM cand c JOIN vecs a ON a.vec_id = c.id1 JOIN vecs b ON b.vec_id = c.id2
 WHERE cast(floor(1000000.0 * ({dt}) / (a.nv * b.nv)) as bigint) >= 350000
 ORDER BY id1, id2
 """
@@ -333,19 +387,23 @@ ORDER BY id1, id2
 
 def _q41(d: G.Dialect) -> str:
     """IVF-bucketed ANN (coarse quantizer, nprobe=1): centroids are a
-    deterministic subset (vec_id %% 31 == 0); every vector is assigned to
-    its max-cosine centroid (the inverted-file cell); queries search only
-    their own cell.  Spark auto-broadcasts the small centroid side of the
-    assignment join; the per-cell top-k is a window — at 100 TB this is
-    the classic IVF layout: one shuffle to co-locate cells, then local
-    ranking.  Formula-identical oracle (q20 pattern).
+    FIXED-K deterministic subset (the K=16 smallest vec_ids — K independent
+    of table size, so the assignment join is always vecs x 16 broadcast
+    rows; the round-1 version's vec_id %% 31 == 0 rule grew the centroid
+    count linearly with n, making assignment O(n^2/31)).  Every vector is
+    assigned to its max-cosine centroid (the inverted-file cell); queries
+    search only their own cell.  Spark auto-broadcasts the small centroid
+    side of the assignment join; the per-cell top-k is a window — at
+    100 TB this is the classic IVF layout: one shuffle to co-locate cells,
+    then local ranking.  Formula-identical oracle (q20 pattern).
     """
     dt_ac = G.dot(d, "a.v", "c.v", 64)
     dt_qx = G.dot(d, "q.v", "x.v", 64)
     return f"""
 WITH v0 AS (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v FROM embeddings),
 vecs AS (SELECT vec_id, v, sqrt({G.dot(d, 'v', 'v', 64)}) AS nv FROM v0),
-cent AS (SELECT vec_id AS cent_id, v, nv FROM vecs WHERE vec_id % 31 = 0),
+cent AS (SELECT vec_id AS cent_id, v, nv
+         FROM (SELECT vec_id, v, nv FROM vecs ORDER BY vec_id LIMIT 16) t),
 assign AS (
   SELECT vec_id, cent_id FROM (
     SELECT a.vec_id, c.cent_id,
@@ -461,7 +519,7 @@ TEXT_QUERIES = {
     "q21_text_stats": _dual(_q21),
     "q22_langid": _dual(_q22),
     "q23_fingerprint_dedup": _dual(_q23),
-    "q39_simhash_neardup": _dual(_q39),
+    "q39_simhash_neardup": (_q39_spark, _q39_duck()),
     "q40_embedding_neardup": _dual(_q40),
     "q41_ann_ivf": _dual(_q41),
     "q50_text_search": _dual(_q50),

@@ -23,3 +23,46 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle):
     odf = oracle.sql(sql).df()
     problems = compare(sdf, odf)
     assert not problems, f"{name}: {problems}"
+
+
+def _band_candidates(sigs, band_defs):
+    """Candidate pair count from a banded equi-join over int signatures:
+    pairs sharing any band value (the q39/q46 candidate-generation model,
+    same key definitions, driver-side for speed)."""
+    import numpy as np
+    import pandas as pd
+
+    frames = []
+    for j, extract in enumerate(band_defs):
+        frames.append(pd.DataFrame({
+            "id": np.arange(len(sigs)), "band": j, "bh": extract(sigs)}))
+    b = pd.concat(frames)
+    m = b.merge(b, on=["band", "bh"])
+    pairs = m[m.id_x < m.id_y][["id_x", "id_y"]].drop_duplicates()
+    return len(pairs)
+
+
+def test_q39_band_candidates_scale():
+    """The 16-bit band keys must keep candidate growth ~O(n * dup_rate):
+    doubling a mostly-distinct signature table must NOT ~4x the candidate
+    count (quadratic).  The round-1 4-bit banding fails exactly this."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+
+    def table(n):
+        sigs = rng.integers(0, 1 << 62, size=n, dtype=np.int64)
+        sigs[: n // 10] = sigs[n // 10: 2 * (n // 10)]  # 10% dup pairs
+        return sigs
+
+    wide = [lambda s, j=j: (s >> (16 * j)) & 0xFFFF for j in range(4)]
+    narrow = [lambda s, j=j: (s >> (4 * j)) & 0xF for j in range(16)]
+
+    n = 1000
+    c1, c2 = _band_candidates(table(n), wide), _band_candidates(table(2 * n), wide)
+    # linear-ish growth: true dups double (2% of n), random 16-bit
+    # collisions stay negligible at this n
+    assert c2 < 3.0 * c1, (c1, c2)
+    # and the wide banding is orders of magnitude below the old 4-bit keys
+    c_narrow = _band_candidates(table(n), narrow)
+    assert c_narrow > 50 * c1, (c_narrow, c1)
