@@ -325,6 +325,23 @@ def point_in_rects_join(
     return matched
 
 
+def rect_cover_df(rects_df: DataFrame, res: int, *,
+                  rid_col: str = "rid") -> DataFrame:
+    """DISTRIBUTED bbox cover: (rid, lon0..lat1) rows -> one row per
+    (rect, cell), bounds carried along.  The rect side never touches the
+    driver — the cover is a vectorized Arrow UDF + explode, so a
+    billion-rect query side covers in parallel (the round-1 version
+    collected the rect side with toPandas(), which OOMs the driver at
+    exactly the cardinality this operator exists for)."""
+    return rects_df.select(
+        rid_col, "lon0", "lat0", "lon1", "lat1",
+        F.explode(
+            cov.bbox_cells_udf(res, curve="rowmajor")(
+                F.col("lon0"), F.col("lat0"), F.col("lon1"), F.col("lat1"))
+        ).alias("cell"),
+    )
+
+
 def point_in_rects_join_salted(
     spark: SparkSession,
     pts: DataFrame,
@@ -336,8 +353,9 @@ def point_in_rects_join_salted(
     res: int = 10,
     rid_col: str = "rid",
     salt_buckets: int = 8,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Big-big salted cell join: neither side is broadcast.
+    """Big-big salted cell join: neither side is broadcast OR collected.
 
     When the query-region side is itself too large to broadcast (millions of
     regions at 100 TB scale), the cell equi-join must shuffle — and hot
@@ -346,23 +364,23 @@ def point_in_rects_join_salted(
     partition prefix in /root/reference) splits every hot cell's rows across
     ``salt_buckets`` reducers:
 
+      rect side:   distributed cover (`rect_cover_df`) x all S salts
       point side:  salt = pmod(hash(pid), S)   — spreads each cell's points
-      cover side:  replicate each (rid, cell) row for all S salts
       join key:    (cell, salt)  — identical result set, S-way skew split
 
+    Reference: `TieredSpatialJoin.java:168-172` hash-partitions both sides.
     The refine + uniqueness argument is the same as `point_in_rects_join`;
-    equality with the unsalted join is asserted in tests.
+    equality with the unsalted join is asserted in tests, and
+    tests/test_plans.py pins the plan: no LocalTableScan (driver-side
+    cover) and a ShuffledHashJoin on the salted key.
     """
     ensure_arrow(spark)
-    rects_pdf = rects_df.toPandas() if not isinstance(rects_df, pd.DataFrame) else rects_df
-    cover_pdf = cov.rect_cover(rects_pdf, res, curve="rowmajor", id_col=rid_col).merge(
-        rects_pdf[[rid_col, "lon0", "lat0", "lon1", "lat1"]], on=rid_col
-    )
-    cover_df = (
-        spark.createDataFrame(cover_pdf)
+    if isinstance(rects_df, pd.DataFrame):  # test convenience
+        rects_df = spark.createDataFrame(rects_df)
+    cover_df = rect_cover_df(rects_df, res, rid_col=rid_col).withColumn(
         # replicate per salt bucket (the small multiplicative cost that buys
         # S-way parallelism on every hot cell)
-        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     pts_c = cov.salted(
         cov.add_point_cells_jvm(pts, lon, lat, res), pid_col, salt_buckets
@@ -371,10 +389,11 @@ def point_in_rects_join_salted(
     # any broadcast threshold, and the whole point is partitioning both
     # sides on the salted key (a broadcast join would ignore the salt)
     cand = pts_c.join(cover_df.hint("shuffle_hash"), ["cell", "salt"])
+    out_cols = [pid_col, rid_col] + list(keep_cols or [])
     return cand.filter(
         (F.col(lon) >= F.col("lon0")) & (F.col(lon) <= F.col("lon1"))
         & (F.col(lat) >= F.col("lat0")) & (F.col(lat) <= F.col("lat1"))
-    ).select(pid_col, rid_col)
+    ).select(*out_cols)
 
 
 def within_distance_join(
@@ -386,6 +405,8 @@ def within_distance_join(
     pid_col: str = "pid",
     qid_col: str = "qid",
     res: int = 8,
+    broadcast_queries: bool = True,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """All (point, query) pairs with planar distance <= radius.
 
@@ -393,6 +414,15 @@ def within_distance_join(
     indexing in `TieredSpatialJoin.java:143-166` — the query side's cells are
     expanded by ceil(radius / cell_height) rings (grid_disk), then candidates
     are refined with the exact distance predicate (pure JVM arithmetic).
+
+    ``broadcast_queries`` picks the physical strategy for the candidate
+    join (reference analog: build-side selection in TieredSpatialJoin):
+    True (default) broadcasts the query-side cover — zero shuffles, right
+    whenever the query set fits an executor; False runs a SALTED shuffled
+    hash join (`TieredSpatialJoin.java:168-172` hash-partitions both
+    sides) — the scale path when BOTH sides are large, with hot cells
+    split ``salt_buckets`` ways.  Results are identical; equality is
+    asserted in tests/test_spatial_join.py.
     """
     cell_h = 180.0 / (1 << res)
     k = int(np.ceil(radius / cell_h))
@@ -401,8 +431,8 @@ def within_distance_join(
     # no driver-side collect, so the query side may itself be large.  The
     # UDF dedups each disk in-batch, so (qid, cell) pairs are unique with
     # no shuffle, and since each data point maps to exactly one cell the
-    # final (pid, qid) pairs are unique by construction too: the whole join
-    # is broadcast-hash with ZERO shuffles.
+    # final (pid, qid) pairs are unique by construction too: with
+    # broadcast_queries the whole join runs with ZERO shuffles.
     q_cover = queries.select(
         F.col(qid_col), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
     ).withColumn(
@@ -412,7 +442,15 @@ def within_distance_join(
     )
 
     pts_c = cov.add_point_cells_jvm(pts, "lon", "lat", res)
-    cand = pts_c.join(F.broadcast(q_cover), "cell")
+    if broadcast_queries:
+        cand = pts_c.join(F.broadcast(q_cover), "cell")
+    else:
+        q_cover = q_cover.withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+        )
+        pts_c = cov.salted(pts_c, pid_col, salt_buckets)
+        cand = pts_c.join(q_cover.hint("shuffle_hash"), ["cell", "salt"])
     # (a-b)*(a-b), not pow(a-b, 2): Multiply is bit-identical to the SQL
     # oracle's formulation; Math.pow may differ in the last ulp
     dx = F.col("lon") - F.col("qlon")

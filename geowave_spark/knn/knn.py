@@ -35,10 +35,19 @@ def knn_join(
     res: int = 6,
     initial_ring: int = 1,
     max_iters: int = 8,
+    broadcast_queries: bool = True,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """For each query point, the k nearest data points (planar metric).
 
     Returns (qid, pid, dist, rank).  Deterministic: ties broken by pid.
+
+    ``broadcast_queries=False`` switches every ring iteration's candidate
+    join from broadcast-hash to a SALTED shuffled hash join (query cover
+    replicated per salt, data side salted by hash(pid)) — the big-big
+    path when the query set itself is beyond broadcast size (reference:
+    `TieredSpatialJoin.java:168-172` hash-partitions both sides).  The
+    remaining/done bookkeeping joins stay on the (shrinking) query side.
     """
     cell_h = 180.0 / (1 << res)
 
@@ -78,9 +87,18 @@ def knn_join(
                 )
             ),
         )
-        cand = pts_c.withColumnRenamed("cell", "jcell").join(
-            F.broadcast(q_cover), "jcell"
-        )
+        if broadcast_queries:
+            cand = pts_c.withColumnRenamed("cell", "jcell").join(
+                F.broadcast(q_cover), "jcell"
+            )
+        else:
+            q_salted = q_cover.withColumn(
+                "salt",
+                F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+            )
+            cand = cov.salted(
+                pts_c.withColumnRenamed("cell", "jcell"), pid_col, salt_buckets
+            ).join(q_salted.hint("shuffle_hash"), ["jcell", "salt"])
         # persist the per-iteration top-k (tiny: <= k rows per query): the
         # convergence check executes it once, and without the persist the
         # final materialization would re-run every iteration's join+window

@@ -337,6 +337,50 @@ ORDER BY pid, poly_id
 """
 
 
+def q56_bigbig_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big spatial join: lineitem points x image-footprint rectangles
+    with NEITHER side broadcast or collected — the 100 TB shape where the
+    query-region side is itself a large table.  Cover is computed
+    distributed (`rect_cover_df`: Arrow UDF + explode), both sides are
+    salted, and the join is a ShuffledHashJoin on (cell, salt) — the plan
+    is pinned in tests/test_plans.py (no LocalTableScan, no
+    BroadcastHashJoin on the candidate join).  Reference:
+    `TieredSpatialJoin.java:168-172` hash-partitions both indexed RDDs.
+    """
+    from .table import images as images_mod
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.lineitem_points_sql())
+    rects = spark.sql(images_mod.images_base_sql()).selectExpr(
+        "image_id AS rid", "lon0", "lat0", "lon1", "lat1"
+    )
+    pairs = spatial.point_in_rects_join_salted(
+        spark, pts, rects, res=7, keep_cols=["qty"]
+    )
+    return (
+        pairs.groupBy("rid")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col("qty").cast("bigint")).alias("sum_qty"),
+        )
+        .orderBy("rid")
+    )
+
+
+def _q56_sql() -> str:
+    from .table import images as images_mod
+
+    return f"""
+WITH p AS ({geo.lineitem_points_sql()}),
+r AS (SELECT image_id AS rid, lon0, lat0, lon1, lat1 FROM ({images_mod.images_base_sql()}) b)
+SELECT r.rid, cast(count(*) as bigint) AS n_points,
+       cast(sum(cast(p.qty as bigint)) as bigint) AS sum_qty
+FROM p JOIN r
+  ON p.lon BETWEEN r.lon0 AND r.lon1 AND p.lat BETWEEN r.lat0 AND r.lat1
+GROUP BY r.rid ORDER BY r.rid
+"""
+
+
 def q07_distance_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-distance join (grid_disk candidates), aggregated per query point."""
     register_views(spark, sf_dir)
@@ -473,6 +517,7 @@ QUERIES = {
     "q07_distance_join_agg": (q07_distance_join_agg, Q07_SQL),
     "q54_polygon_join": (q54_polygon_join, _q54_sql()),
     "q55_image_polygon_join": (q55_image_polygon_join, _q55_sql()),
+    "q56_bigbig_salted_join": (q56_bigbig_salted_join, _q56_sql()),
     "q08_knn": (q08_knn, Q08_SQL),
     "q09_binned_agg": (q09_binned_agg, Q09_SQL),
     "q10_bbox_agg": (q10_bbox_agg, Q10_SQL),

@@ -166,3 +166,17 @@ def test_no_per_row_python_anywhere(spark, sf_dir):
     for name in ("q05_pip_rect_join", "q07_distance_join_agg", "q08_knn",
                  "q11_tile_assign_plan", "q16_minhash_lsh_pairs"):
         assert "BatchEvalPython" not in _plan(spark, sf_dir, name), name
+
+
+def test_bigbig_salted_join_plan(spark, sf_dir):
+    """q56's contract: neither side broadcast or collected.  The plan must
+    show a ShuffledHashJoin on the salted candidate key, a distributed
+    (Arrow UDF) cover on the rect side, and NO LocalTableScan (which would
+    mean a driver-side cover build)."""
+    plan = _plan(spark, sf_dir, "q56_bigbig_salted_join")
+    assert "ShuffledHashJoin" in plan
+    assert "LocalTableScan" not in plan
+    assert "CartesianProduct" not in plan
+    # the candidate join itself must not be broadcast: the only allowed
+    # broadcast is none at all in this plan
+    assert "BroadcastHashJoin" not in plan

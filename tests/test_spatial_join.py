@@ -196,3 +196,34 @@ def test_raycast_flat_sql_bit_parity_mixed_nv(spark):
     merged = got.merge(key, on=["lon", "lat", "poly_id"], how="left")
     assert len(merged) == n
     assert (merged["inside"].to_numpy() == merged["exp"].to_numpy()).all()
+
+
+def test_within_distance_shuffle_equals_broadcast(spark, pts):
+    """The salted shuffled-hash strategy of the within-distance join must
+    return exactly the broadcast strategy's pairs (build-side selection,
+    TieredSpatialJoin.java:168-172 analog)."""
+    qs = pts.filter(F.col("pid") % 37 == 0).selectExpr(
+        "pid AS qid", "lon", "lat")
+    bc = spatial.within_distance_join(spark, pts, qs, radius=3.0, res=7)
+    sh = spatial.within_distance_join(
+        spark, pts, qs, radius=3.0, res=7,
+        broadcast_queries=False, salt_buckets=4)
+    a = sorted(map(tuple, bc.toPandas()[["pid", "qid"]].to_numpy().tolist()))
+    b = sorted(map(tuple, sh.toPandas()[["pid", "qid"]].to_numpy().tolist()))
+    assert a == b and len(a) > 0
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+
+
+def test_knn_shuffle_equals_broadcast(spark, pts):
+    from geowave_spark.knn import knn as knn_mod
+
+    qs = pts.filter(F.col("pid") % 101 == 0).selectExpr(
+        "pid AS qid", "lon", "lat")
+    bc = knn_mod.knn_join(spark, pts, qs, k=3, res=5)
+    sh = knn_mod.knn_join(spark, pts, qs, k=3, res=5,
+                          broadcast_queries=False, salt_buckets=4)
+    cols = ["qid", "pid", "rank"]
+    a = sorted(map(tuple, bc.toPandas()[cols].to_numpy().tolist()))
+    b = sorted(map(tuple, sh.toPandas()[cols].to_numpy().tolist()))
+    assert a == b and len(a) > 0
