@@ -47,27 +47,29 @@ def _col_type(s: pd.Series) -> str:
 
 
 def _poly_groups(s: pd.Series):
-    """Iterate (parsed_polygon, positional_bool_mask) per distinct WKT."""
+    """Iterate (ring_tuple, positional_bool_mask) per distinct WKT —
+    ring-aware: POLYGON with holes and MULTIPOLYGON parse to ring sets the
+    even-odd kernels in `geom.core` interpret directly."""
     codes, uniques = pd.factorize(s)
     for u_idx, u in enumerate(uniques):
-        yield wktm.parse_polygon(u), codes == u_idx
+        yield wktm.parse_polygon_rings(u), codes == u_idx
 
 
 def _point_poly(pred: str, px, py, s_poly: pd.Series, radius: float = 0.0) -> np.ndarray:
     out = np.zeros(len(s_poly), dtype=bool)
     for poly, m in _poly_groups(s_poly):
         if pred in ("within", "intersects", "covers"):
-            r = geom.point_in_polygon(px[m], py[m], poly)
+            r = geom.point_in_rings(px[m], py[m], poly)
             if pred != "within":
                 r = r | (geom.point_to_polygon_distance(px[m], py[m], poly) == 0.0)
         elif pred == "disjoint":
             r = ~(
-                geom.point_in_polygon(px[m], py[m], poly)
+                geom.point_in_rings(px[m], py[m], poly)
                 | (geom.point_to_polygon_distance(px[m], py[m], poly) == 0.0)
             )
         elif pred == "touches":
             on_b = geom.point_to_polygon_distance(px[m], py[m], poly) == 0.0
-            r = on_b & ~geom.point_in_polygon(px[m], py[m], poly)
+            r = on_b & ~geom.point_in_rings(px[m], py[m], poly)
         elif pred == "within_distance":
             r = geom.point_to_polygon_distance(px[m], py[m], poly) <= radius
         else:
@@ -94,7 +96,9 @@ def _poly_poly(pred: str, s_a: pd.Series, s_b: pd.Series) -> np.ndarray:
         raise ValueError(f"unsupported polygon-polygon predicate {pred!r}")
     for u_idx, u in enumerate(uniques):
         a_wkt, b_wkt = u.split("\x1f")
-        out[codes == u_idx] = fn(wktm.parse_polygon(a_wkt), wktm.parse_polygon(b_wkt))
+        out[codes == u_idx] = fn(
+            wktm.parse_polygon_rings(a_wkt), wktm.parse_polygon_rings(b_wkt)
+        )
     return out
 
 
@@ -109,21 +113,29 @@ def _pair_loop(pred_fn, s_a: pd.Series, s_b: pd.Series, parse_a, parse_b) -> np.
     return out
 
 
+def _line_parts(wkt: str) -> tuple[np.ndarray, ...]:
+    """LINESTRING -> one part; MULTILINESTRING -> its parts (the predicates
+    below reduce with any/all over parts)."""
+    if wktm.geom_type(wkt) == "multilinestring":
+        return wktm.parse_multilinestring(wkt)
+    return (wktm.parse_linestring(wkt),)
+
+
 def _line_dispatch(pred: str, left: pd.Series, right: pd.Series,
                    lt: str, rt: str) -> pd.Series:
-    """Predicates with at least one LINESTRING side."""
+    """Predicates with at least one (MULTI)LINESTRING side."""
     if lt == "linestring" and rt == "polygon":
         fn = {
-            "crosses": geom.line_crosses_polygon,
-            "intersects": geom.line_intersects_polygon,
-            "disjoint": lambda a, b: not geom.line_intersects_polygon(a, b),
-            "within": geom.line_within_polygon,
+            # any part crossing / intersecting; ALL parts within
+            "crosses": lambda ps, b: any(geom.line_crosses_polygon(p, b) for p in ps),
+            "intersects": lambda ps, b: any(geom.line_intersects_polygon(p, b) for p in ps),
+            "disjoint": lambda ps, b: not any(geom.line_intersects_polygon(p, b) for p in ps),
+            "within": lambda ps, b: all(geom.line_within_polygon(p, b) for p in ps),
         }.get(pred)
         if fn is None:
             raise ValueError(f"unsupported linestring-polygon predicate {pred!r}")
         return pd.Series(_pair_loop(
-            lambda a, b: fn(a, b.ravel()),
-            left, right, wktm.parse_linestring, wktm.parse_polygon,
+            fn, left, right, _line_parts, wktm.parse_polygon_rings,
         ))
     if lt == "polygon" and rt == "linestring":
         flip = {"crosses": "crosses", "intersects": "intersects",
@@ -134,15 +146,17 @@ def _line_dispatch(pred: str, left: pd.Series, right: pd.Series,
         return _line_dispatch(mapped, right, left, "linestring", "polygon")
     if lt == "linestring" and rt == "linestring":
         fn = {
-            "crosses": geom.lines_cross,
-            "intersects": geom.lines_intersect,
-            "disjoint": lambda a, b: not geom.lines_intersect(a, b),
+            "crosses": lambda pa, pb: any(
+                geom.lines_cross(a, b) for a in pa for b in pb),
+            "intersects": lambda pa, pb: any(
+                geom.lines_intersect(a, b) for a in pa for b in pb),
+            "disjoint": lambda pa, pb: not any(
+                geom.lines_intersect(a, b) for a in pa for b in pb),
         }.get(pred)
         if fn is None:
             raise ValueError(f"unsupported linestring-linestring predicate {pred!r}")
         return pd.Series(_pair_loop(
-            lambda a, b: fn(a.ravel(), b.ravel()),
-            left, right, wktm.parse_linestring, wktm.parse_linestring,
+            fn, left, right, _line_parts, _line_parts,
         ))
     # point-vs-linestring combos: intersects/disjoint/touches via distance
     pts, lines = (left, right) if lt == "point" else (right, left)
@@ -150,12 +164,15 @@ def _line_dispatch(pred: str, left: pd.Series, right: pd.Series,
     out = np.zeros(len(pts), dtype=bool)
     codes, uniques = pd.factorize(lines)
     for u_idx, u in enumerate(uniques):
-        line = wktm.parse_linestring(u).ravel()
-        d = geom.point_to_line_distance(px[codes == u_idx], py[codes == u_idx], line)
+        parts = _line_parts(u)
+        m = codes == u_idx
+        d = np.full(int(m.sum()), np.inf)
+        for part in parts:
+            d = np.minimum(d, geom.point_to_line_distance(px[m], py[m], part.ravel()))
         if pred in ("intersects", "touches"):
-            out[codes == u_idx] = d == 0
+            out[m] = d == 0
         elif pred == "disjoint":
-            out[codes == u_idx] = d > 0
+            out[m] = d > 0
         else:
             raise ValueError(f"unsupported point-linestring predicate {pred!r}")
     return pd.Series(out)
@@ -164,6 +181,8 @@ def _line_dispatch(pred: str, left: pd.Series, right: pd.Series,
 def _dispatch(pred: str, left: pd.Series, right: pd.Series,
               radius: float = 0.0) -> pd.Series:
     lt, rt = _col_type(left), _col_type(right)
+    lt = "linestring" if lt == "multilinestring" else lt
+    rt = "linestring" if rt == "multilinestring" else rt
     if "linestring" in (lt, rt):
         return _line_dispatch(pred, left, right, lt, rt)
     if pred == "crosses":
@@ -220,9 +239,11 @@ def _distance(left: pd.Series, right: pd.Series) -> pd.Series:
         else:
             codes, uniques = pd.factorize(other)
             for u_idx, u in enumerate(uniques):
-                line = wktm.parse_linestring(u)
                 m = codes == u_idx
-                out[m] = geom.point_to_line_distance(px[m], py[m], line)
+                d = np.full(int(m.sum()), np.inf)
+                for part in _line_parts(u):
+                    d = np.minimum(d, geom.point_to_line_distance(px[m], py[m], part))
+                out[m] = d
         return pd.Series(out)
     raise ValueError("GeomDistance supports point-point, point-polygon, point-line")
 
@@ -289,9 +310,17 @@ def register_geometry_functions(spark: SparkSession) -> list[str]:
             if t == "point":
                 out.append(wktm.point_wkt(*wktm.parse_point(s)))
             elif t == "polygon":
-                out.append(wktm.polygon_wkt(wktm.parse_polygon(s)))
+                rings = wktm.parse_polygon_rings(s)
+                if len(rings) == 1:
+                    out.append(wktm.polygon_wkt(rings[0]))
+                elif s.lstrip()[:5].upper() == "MULTI":
+                    out.append(wktm.multipolygon_wkt(rings))
+                else:
+                    out.append(wktm.polygon_wkt_holes(rings))
             elif t == "linestring":
                 out.append(wktm.linestring_wkt(wktm.parse_linestring(s)))
+            elif t == "multilinestring":
+                out.append(s.strip())
             else:
                 raise ValueError(f"unsupported WKT type in {s[:40]!r}")
         return pd.Series(out)

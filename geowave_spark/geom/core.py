@@ -23,8 +23,54 @@ def poly_xy(poly) -> tuple[np.ndarray, np.ndarray]:
     return a[:, 0], a[:, 1]
 
 
+def as_rings(g) -> list[np.ndarray]:
+    """Normalize a geometry to a list of (n, 2) rings.
+
+    Accepts a flat [x,y,...] array or (n,2) array (single ring — the
+    historical representation), or a list/tuple of such (polygon with
+    holes, MultiPolygon: shells and holes concatenated; the even-odd rule
+    makes the distinction irrelevant for membership).  Mirrors JTS's
+    Polygon(shell, holes[]) / MultiPolygon surface
+    (`analytics/spark/.../sparksql/udt/MultiPolygonUDT.java` in
+    /root/reference) without a class hierarchy.
+    """
+    if isinstance(g, (list, tuple)):
+        return [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in g]
+    return [np.asarray(g, dtype=np.float64).reshape(-1, 2)]
+
+
+def rings_edges(g) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All boundary edges of a (possibly multi-ring) geometry as flat
+    (ax, ay, bx, by) arrays — per ring, edge i runs predecessor
+    b=v[i-1] -> a=v[i] (wrapping), matching `point_in_polygon`'s edge
+    orientation so XOR-over-edges is bit-identical to XOR-over-rings."""
+    axs, ays, bxs, bys = [], [], [], []
+    for r in as_rings(g):
+        vx, vy = r[:, 0], r[:, 1]
+        axs.append(vx)
+        ays.append(vy)
+        bxs.append(np.roll(vx, 1))
+        bys.append(np.roll(vy, 1))
+    return (np.concatenate(axs), np.concatenate(ays),
+            np.concatenate(bxs), np.concatenate(bys))
+
+
+def point_in_rings(px, py, g) -> np.ndarray:
+    """Even-odd membership for multi-ring geometries: XOR of the per-ring
+    ray casts.  holes subtract, disjoint shells union — exactly JTS's
+    evaluation for Polygon-with-holes and MultiPolygon interiors."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    for r in as_rings(g):
+        inside ^= point_in_polygon(px, py, r)
+    return inside
+
+
 def poly_bbox(poly) -> tuple[float, float, float, float]:
-    x, y = poly_xy(poly)
+    rings = as_rings(poly)
+    x = np.concatenate([r[:, 0] for r in rings])
+    y = np.concatenate([r[:, 1] for r in rings])
     return float(x.min()), float(y.min()), float(x.max()), float(y.max())
 
 
@@ -65,20 +111,19 @@ def bboxes_within_polygon(lon0, lat0, lon1, lat1, poly,
     lat0 = np.asarray(lat0, dtype=np.float64) - margin
     lon1 = np.asarray(lon1, dtype=np.float64) + margin
     lat1 = np.asarray(lat1, dtype=np.float64) + margin
-    vx, vy = poly_xy(poly)
+    eax, eay, ebx, eby = rings_edges(poly)
 
-    # all 4 inflated corners strictly inside
+    # all 4 inflated corners strictly inside (even-odd across rings)
     full = np.ones(lon0.shape, dtype=bool)
     for cx, cy in ((lon0, lat0), (lon0, lat1), (lon1, lat0), (lon1, lat1)):
-        full &= point_in_polygon(cx, cy, poly)
-    # no polygon vertex inside the inflated bbox
-    for k in range(len(vx)):
-        full &= ~((vx[k] >= lon0) & (vx[k] <= lon1)
-                  & (vy[k] >= lat0) & (vy[k] <= lat1))
-    # no polygon edge crossing any inflated bbox edge
-    j = len(vx) - 1
-    for i in range(len(vx)):
-        ex0, ey0, ex1, ey1 = vx[j], vy[j], vx[i], vy[i]
+        full &= point_in_rings(cx, cy, poly)
+    # no ring vertex inside the inflated bbox
+    for k in range(len(eax)):
+        full &= ~((eax[k] >= lon0) & (eax[k] <= lon1)
+                  & (eay[k] >= lat0) & (eay[k] <= lat1))
+    # no ring edge crossing any inflated bbox edge
+    for k in range(len(eax)):
+        ex0, ey0, ex1, ey1 = ebx[k], eby[k], eax[k], eay[k]
         if not full.any():
             break
         for bx0, by0, bx1, by1 in (
@@ -92,58 +137,58 @@ def bboxes_within_polygon(lon0, lat0, lon1, lat1, poly,
                 np.full(lon0.shape, ex1), np.full(lon0.shape, ey1),
                 bx0, by0, bx1, by1,
             )
-        j = i
     return full
 
 
 def pack_polygons(polys: dict[int, np.ndarray]):
-    """Pack a polygon dict into padded vertex matrices for the batch kernel.
+    """Pack a geometry dict into padded EDGE matrices for the batch kernel.
 
-    Returns (ids_sorted, VX, VY, NV): ids_sorted is the sorted poly-id
-    vector; VX/VY are (P, max_nv) row-padded vertex matrices; NV the true
-    vertex count per polygon.  `np.searchsorted(ids_sorted, poly_id_col)`
-    maps a per-row polygon-id column to row indices.
+    Returns (ids_sorted, AX, AY, BX, BY): ids_sorted is the sorted
+    geometry-id vector; AX/AY are (P, max_ne) "current vertex" and BX/BY
+    the "predecessor vertex" of each boundary edge (all rings of a
+    geometry concatenated — holes and MultiPolygon parts ride the same
+    matrices under the even-odd rule).  Rows are padded by repeating edge
+    0's endpoint as a degenerate zero-length edge, whose crossing
+    condition is identically false.  `np.searchsorted(ids_sorted, id_col)`
+    maps a per-row geometry-id column to row indices.
     """
     ids_sorted = np.array(sorted(polys), dtype=np.int64)
-    xs, ys = [], []
-    for p in ids_sorted:
-        vx, vy = poly_xy(polys[int(p)])
-        xs.append(vx)
-        ys.append(vy)
-    max_nv = max(len(v) for v in xs)
-    vx_pad = np.zeros((len(ids_sorted), max_nv), dtype=np.float64)
-    vy_pad = np.zeros((len(ids_sorted), max_nv), dtype=np.float64)
-    nv = np.empty(len(ids_sorted), dtype=np.int64)
-    for r, (vx, vy) in enumerate(zip(xs, ys)):
-        vx_pad[r, : len(vx)] = vx
-        vy_pad[r, : len(vy)] = vy
-        nv[r] = len(vx)
-    return ids_sorted, vx_pad, vy_pad, nv
+    edges = [rings_edges(polys[int(p)]) for p in ids_sorted]
+    max_ne = max(len(e[0]) for e in edges)
+    mats = [np.empty((len(ids_sorted), max_ne), dtype=np.float64) for _ in range(4)]
+    for r, (eax, eay, ebx, eby) in enumerate(edges):
+        n_e = len(eax)
+        for m, src in zip(mats, (eax, eay, ebx, eby)):
+            m[r, :n_e] = src
+        pad_x, pad_y = eax[0], eay[0]
+        mats[0][r, n_e:] = pad_x
+        mats[1][r, n_e:] = pad_y
+        mats[2][r, n_e:] = pad_x
+        mats[3][r, n_e:] = pad_y
+    return (ids_sorted, *mats)
 
 
-def point_in_polygons(px, py, poly_rows, vx_pad, vy_pad, nv) -> np.ndarray:
-    """Batch ray-cast: point i against polygon ``poly_rows[i]``.
+def point_in_polygons(px, py, poly_rows, ax_pad, ay_pad, bx_pad, by_pad) -> np.ndarray:
+    """Batch ray-cast: point i against geometry ``poly_rows[i]``.
 
-    Bit-identical to `point_in_polygon` (same per-edge formula and order)
-    but vectorized across a batch of MIXED polygons — no per-polygon
-    sub-slicing, which costs ~100us/group in pandas and dominates when
-    Arrow batches contain many small groups (the spatial-join refine).
+    Bit-identical to `point_in_rings` (same per-edge formula; XOR is
+    order-independent) but vectorized across a batch of MIXED geometries —
+    no per-geometry sub-slicing, which costs ~100us/group in pandas and
+    dominates when Arrow batches contain many small groups (the
+    spatial-join refine).  Degenerate padding edges contribute false.
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     inside = np.zeros(px.shape, dtype=bool)
-    row_nv = nv[poly_rows]
-    for k in range(vx_pad.shape[1]):
-        active = k < row_nv
-        j = np.where(k == 0, row_nv - 1, k - 1)
-        xi = vx_pad[poly_rows, k]
-        yi = vy_pad[poly_rows, k]
-        xj = vx_pad[poly_rows, j]
-        yj = vy_pad[poly_rows, j]
+    for k in range(ax_pad.shape[1]):
+        xi = ax_pad[poly_rows, k]
+        yi = ay_pad[poly_rows, k]
+        xj = bx_pad[poly_rows, k]
+        yj = by_pad[poly_rows, k]
         cond = (yi > py) != (yj > py)
         with np.errstate(divide="ignore", invalid="ignore"):
             xint = (xj - xi) * (py - yi) / (yj - yi) + xi
-        inside ^= active & cond & (px < xint)
+        inside ^= cond & (px < xint)
     return inside
 
 
@@ -188,21 +233,21 @@ def bboxes_intersect_polygon(lon0, lat0, lon1, lat1, poly) -> np.ndarray:
     lat0 = np.asarray(lat0, dtype=np.float64)
     lon1 = np.asarray(lon1, dtype=np.float64)
     lat1 = np.asarray(lat1, dtype=np.float64)
-    vx, vy = poly_xy(poly)
+    eax, eay, ebx, eby = rings_edges(poly)
 
     hit = np.zeros(lon0.shape, dtype=bool)
-    # poly vertex inside bbox
-    for k in range(len(vx)):
-        hit |= (vx[k] >= lon0) & (vx[k] <= lon1) & (vy[k] >= lat0) & (vy[k] <= lat1)
-    # bbox corner inside poly
+    # ring vertex inside bbox... only counts when that vertex region is
+    # interior-adjacent; for even-odd geometries a vertex on ANY ring is a
+    # boundary point, and boundary intersects the closed cell
+    for k in range(len(eax)):
+        hit |= (eax[k] >= lon0) & (eax[k] <= lon1) & (eay[k] >= lat0) & (eay[k] <= lat1)
+    # bbox corner inside the geometry (even-odd across rings)
     for cx, cy in ((lon0, lat0), (lon0, lat1), (lon1, lat0), (lon1, lat1)):
-        hit |= point_in_polygon(cx, cy, poly)
-    # edge crossings: each poly edge vs each of the 4 bbox edges
-    j = len(vx) - 1
-    for i in range(len(vx)):
-        ex0, ey0, ex1, ey1 = vx[j], vy[j], vx[i], vy[i]
-        m = ~hit
-        if not m.any():
+        hit |= point_in_rings(cx, cy, poly)
+    # edge crossings: each ring edge vs each of the 4 bbox edges
+    for k in range(len(eax)):
+        ex0, ey0, ex1, ey1 = ebx[k], eby[k], eax[k], eay[k]
+        if hit.all():
             break
         for bx0, by0, bx1, by1 in (
             (lon0, lat0, lon1, lat0),
@@ -211,7 +256,6 @@ def bboxes_intersect_polygon(lon0, lat0, lon1, lat1, poly) -> np.ndarray:
             (lon0, lat1, lon0, lat0),
         ):
             hit |= _segments_intersect(ex0, ey0, ex1, ey1, bx0, by0, bx1, by1)
-        j = i
     return hit
 
 
@@ -237,60 +281,55 @@ def haversine_km(ax, ay, bx, by) -> np.ndarray:
 
 
 def point_to_polygon_distance(px, py, poly) -> np.ndarray:
-    """Min distance from N points to a polygon boundary (0 if inside)."""
+    """Min distance from N points to a geometry boundary (0 if inside;
+    even-odd for multi-ring geometries, so points inside a hole get the
+    distance to the hole's ring)."""
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    vx, vy = poly_xy(poly)
-    best = np.full(px.shape, np.inf)
-    j = len(vx) - 1
-    for i in range(len(vx)):
-        x0, y0, x1, y1 = vx[j], vy[j], vx[i], vy[i]
-        dx, dy = x1 - x0, y1 - y0
-        L2 = dx * dx + dy * dy
-        if L2 == 0:
-            t = np.zeros(px.shape)
-        else:
-            t = np.clip(((px - x0) * dx + (py - y0) * dy) / L2, 0.0, 1.0)
-        cx = x0 + t * dx
-        cy = y0 + t * dy
-        best = np.minimum(best, np.hypot(px - cx, py - cy))
-        j = i
-    return np.where(point_in_polygon(px, py, poly), 0.0, best)
+    return np.where(
+        point_in_rings(px, py, poly), 0.0, point_to_ring_distance(px, py, poly)
+    )
 
 
 def point_to_ring_distance(px, py, poly) -> np.ndarray:
-    """Min distance from N points to the polygon *boundary* (not 0 inside)."""
+    """Min distance from N points to the geometry *boundary* (any ring;
+    not 0 inside)."""
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    vx, vy = poly_xy(poly)
+    eax, eay, ebx, eby = rings_edges(poly)
     best = np.full(px.shape, np.inf)
-    j = len(vx) - 1
-    for i in range(len(vx)):
-        x0, y0, x1, y1 = vx[j], vy[j], vx[i], vy[i]
+    for k in range(len(eax)):
+        x0, y0, x1, y1 = ebx[k], eby[k], eax[k], eay[k]
         dx, dy = x1 - x0, y1 - y0
         L2 = dx * dx + dy * dy
         t = np.zeros(px.shape) if L2 == 0 else np.clip(
             ((px - x0) * dx + (py - y0) * dy) / L2, 0.0, 1.0
         )
         best = np.minimum(best, np.hypot(px - (x0 + t * dx), py - (y0 + t * dy)))
-        j = i
     return best
 
 
 def point_strictly_in_polygon(px, py, poly) -> np.ndarray:
     """Interior-only membership (the half-open ray cast counts left/bottom
     boundary as inside; touch/overlap semantics need the strict interior)."""
-    return point_in_polygon(px, py, poly) & (point_to_ring_distance(px, py, poly) > 0)
+    return point_in_rings(px, py, poly) & (point_to_ring_distance(px, py, poly) > 0)
 
 
 def _poly_edges(poly) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    vx, vy = poly_xy(poly)
-    return np.roll(vx, 1), np.roll(vy, 1), vx, vy
+    ax, ay, bx, by = rings_edges(poly)
+    return bx, by, ax, ay
+
+
+def _ring_verts(g) -> tuple[np.ndarray, np.ndarray]:
+    rings = as_rings(g)
+    return (np.concatenate([r[:, 0] for r in rings]),
+            np.concatenate([r[:, 1] for r in rings]))
 
 
 def polygons_edges_intersect(a, b) -> bool:
-    """Any edge of ring a intersects any edge of ring b (mesh of the two
-    edge sets through the vectorized segment test)."""
+    """Any boundary edge of geometry a intersects any boundary edge of b
+    (mesh of the two edge sets through the vectorized segment test; edges
+    from ALL rings of each side)."""
     ax0, ay0, ax1, ay1 = _poly_edges(a)
     bx0, by0, bx1, by1 = _poly_edges(b)
     n, m = len(ax0), len(bx0)
@@ -304,28 +343,32 @@ def polygons_edges_intersect(a, b) -> bool:
 
 
 def polygons_intersect(a, b) -> bool:
-    """Area-area intersects: any vertex containment either way, or any edge
-    crossing (sufficient for simple rings)."""
-    ax, ay = poly_xy(a)
-    bx, by = poly_xy(b)
-    if point_in_polygon(bx, by, a).any() or point_in_polygon(ax, ay, b).any():
+    """Area-area intersects: any vertex containment either way (even-odd
+    membership, so a vertex sitting inside the other's hole does NOT
+    count), or any boundary-edge crossing.  Exact for generic-position
+    multi-ring geometries."""
+    ax, ay = _ring_verts(a)
+    bx, by = _ring_verts(b)
+    if point_in_rings(bx, by, a).any() or point_in_rings(ax, ay, b).any():
         return True
     return polygons_edges_intersect(a, b)
 
 
 def polygon_contains_polygon(a, b) -> bool:
-    """a contains b: every vertex of b interior to a and no edge crossings
-    (exact for simple rings)."""
-    bx, by = poly_xy(b)
-    if not point_in_polygon(bx, by, a).all():
+    """a contains b: every vertex of b interior to a (even-odd), no edge
+    crossings, and no ring of a strictly inside b (otherwise a hole of a
+    punches through b's interior).  Exact for generic-position multi-ring
+    geometries."""
+    bx, by = _ring_verts(b)
+    if not point_in_rings(bx, by, a).all():
         return False
-    return not polygons_edges_intersect(a, b)
+    if polygons_edges_intersect(a, b):
+        return False
+    ax, ay = _ring_verts(a)
+    return not point_strictly_in_polygon(ax, ay, b).any()
 
 
-def polygons_equal(a, b) -> bool:
-    """Ring equality up to rotation and direction."""
-    va = np.asarray(a, dtype=np.float64).reshape(-1, 2)
-    vb = np.asarray(b, dtype=np.float64).reshape(-1, 2)
+def _rings_equal(va: np.ndarray, vb: np.ndarray) -> bool:
     if len(va) != len(vb):
         return False
     for cand in (vb, vb[::-1]):
@@ -336,14 +379,30 @@ def polygons_equal(a, b) -> bool:
     return False
 
 
+def polygons_equal(a, b) -> bool:
+    """Ring-set equality, each ring up to rotation and direction."""
+    ra, rb = as_rings(a), as_rings(b)
+    if len(ra) != len(rb):
+        return False
+    unused = list(range(len(rb)))
+    for va in ra:
+        for k in unused:
+            if _rings_equal(va, rb[k]):
+                unused.remove(k)
+                break
+        else:
+            return False
+    return True
+
+
 def polygons_overlap(a, b) -> bool:
     """DE-9IM overlaps for areas: interiors intersect, neither contains the
     other, intersection has interior extent (edge crossing or mutual
     strict vertex containment)."""
     if polygon_contains_polygon(a, b) or polygon_contains_polygon(b, a):
         return False
-    ax, ay = poly_xy(a)
-    bx, by = poly_xy(b)
+    ax, ay = _ring_verts(a)
+    bx, by = _ring_verts(b)
     some_inside = (
         point_strictly_in_polygon(bx, by, a).any()
         or point_strictly_in_polygon(ax, ay, b).any()
@@ -364,8 +423,8 @@ def _interior_probe_overlap(a, b) -> bool:
 def polygons_touch(a, b) -> bool:
     """Boundaries meet but interiors do not (no vertex of either strictly
     inside the other, yet some edge contact exists)."""
-    ax, ay = poly_xy(a)
-    bx, by = poly_xy(b)
+    ax, ay = _ring_verts(a)
+    bx, by = _ring_verts(b)
     if (
         point_strictly_in_polygon(bx, by, a).any()
         or point_strictly_in_polygon(ax, ay, b).any()

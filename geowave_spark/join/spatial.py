@@ -69,6 +69,35 @@ def raycast_flat_sql(lon: str, lat: str, max_nv: int) -> str:
     return expr
 
 
+def raycast_edges_sql(lon: str, lat: str, max_ne: int,
+                      prefix: str = "e") -> str:
+    """Edge-list twin of `raycast_flat_sql`: the XOR chain runs over
+    ``max_ne`` explicit EDGES in primitive columns ``{p}ax{i}/{p}ay{i}``
+    (edge head, the ring's current vertex) and ``{p}bx{i}/{p}by{i}``
+    (edge tail, its ring predecessor).
+
+    Explicit edges make multi-ring geometries (polygons with holes,
+    MultiPolygon) first-class: every ring contributes its own closed edge
+    cycle, and XOR over ALL edges is the even-odd rule — bit-identical to
+    `geom.point_in_rings` (same per-edge formula; XOR commutes).  Rows
+    with fewer edges are padded with zero-length edges (head == tail), a
+    crossing condition that is identically false.
+    """
+    terms = []
+    for i in range(max_ne):
+        xi, yi = f"{prefix}ax{i}", f"{prefix}ay{i}"
+        xj, yj = f"{prefix}bx{i}", f"{prefix}by{i}"
+        terms.append(
+            f"(CASE WHEN ({yi} > {lat}) != ({yj} > {lat}) "
+            f"THEN {lon} < ({xj} - {xi}) * ({lat} - {yi}) / ({yj} - {yi}) + {xi} "
+            f"ELSE false END)"
+        )
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"({expr} != {t})"
+    return expr
+
+
 def point_in_polygon_join(
     spark: SparkSession,
     pts: DataFrame,
@@ -144,60 +173,57 @@ def point_in_polygon_join(
     pts_c = cov.add_point_cells_jvm(pts, lon, lat, data_res)
 
     if refine == "arrow":
-        # scalar pandas UDF refine over the padded-matrix batch kernel: only
-        # (lon, lat, poly_id) cross the Arrow boundary and a single boolean
-        # comes back — the pid column never leaves the JVM.  (A mapInPandas
-        # refine ships the full row both ways; measured 11.8s vs 9.8s on the
-        # 240M-point workload at 8 cores, and the serde is the stage's
-        # bottleneck, not the kernel.)
+        # scalar pandas UDF refine over the padded-EDGE-matrix batch
+        # kernel: only (lon, lat, poly_id) cross the Arrow boundary and a
+        # single boolean comes back — the pid column never leaves the JVM.
+        # (A mapInPandas refine ships the full row both ways; measured
+        # 11.8s vs 9.8s on the 240M-point workload at 8 cores, and the
+        # serde is the stage's bottleneck, not the kernel.)
         packed = spark.sparkContext.broadcast(geom.pack_polygons(polys))
 
         @F.pandas_udf("boolean")
         def pip_ok(plon: pd.Series, plat: pd.Series, ppoly: pd.Series) -> pd.Series:
-            ids_sorted, vx_pad, vy_pad, nv = packed.value
+            ids_sorted, eax, eay, ebx, eby = packed.value
             rows = np.searchsorted(ids_sorted, ppoly.to_numpy())
             return pd.Series(geom.point_in_polygons(
-                plon.to_numpy(), plat.to_numpy(), rows, vx_pad, vy_pad, nv))
+                plon.to_numpy(), plat.to_numpy(), rows, eax, eay, ebx, eby))
 
         refine_pred = pip_ok(F.col(lon), F.col(lat), F.col("poly_id"))
-        extra_cols: list[str] = []
-        max_nv = 0
+        edge_cols: list[str] = []
+        max_ne = 0
     else:
-        # JVM ray-cast: per-polygon vertex arrays ride the broadcast cover;
-        # the exact PIP is a flat codegen'd XOR chain over the edges — no
-        # Python process anywhere in the join, and `full OR raycast`
-        # short-circuits per row, so the whole match is ONE filter in ONE
-        # pass (the arrow path must union a full branch and a refine
-        # branch, re-scanning the point side twice)
-        max_nv = max(len(np.asarray(v).ravel()) // 2 for v in polys.values())
-        refine_pred = F.expr(raycast_flat_sql(lon, lat, max_nv))
-        extra_cols = [f"v{a}{i}" for i in range(max_nv) for a in ("x", "y")]
+        # JVM ray-cast: per-geometry EDGE arrays ride the broadcast cover;
+        # the exact even-odd PIP is a flat codegen'd XOR chain over all
+        # ring edges (holes/MultiPolygon included) — no Python process
+        # anywhere in the join, and `full OR raycast` short-circuits per
+        # row, so the whole match is ONE filter in ONE pass (the arrow
+        # path must union a full branch and a refine branch, re-scanning
+        # the point side twice)
+        max_ne = max(len(geom.rings_edges(v)[0]) for v in polys.values())
+        refine_pred = F.expr(raycast_edges_sql(lon, lat, max_ne))
+        edge_cols = [f"e{a}{i}" for i in range(max_ne)
+                     for a in ("ax", "ay", "bx", "by")]
 
-    # per-poly bbox + vertices live on a ONE-ROW-PER-POLYGON relation, not
+    # per-poly bbox + edges live on a ONE-ROW-PER-POLYGON relation, not
     # on the (much larger) per-cell cover: the cover broadcast stays tiny
     # (cell, poly_id, full) and the per-job broadcast build cost with it
     bbox = {
         p: geom.poly_bbox(v) for p, v in polys.items()
     }
-    verts = {p: geom.poly_xy(v) for p, v in polys.items()}
     poly_ids = sorted(polys)
     poly_pdf = pd.DataFrame({"jpoly": poly_ids})
     poly_pdf[["bx0", "by0", "bx1", "by1"]] = pd.DataFrame(
         [bbox[p] for p in poly_ids]
     )
-    if extra_cols:
-        # primitive vertex columns, padded to max_nv by repeating v0
-        # (see raycast_flat_sql)
-        vmat = np.empty((len(poly_ids), 2 * max_nv), dtype=np.float64)
-        for row, p in enumerate(poly_ids):
-            pvx, pvy = verts[p]
-            n_v = len(pvx)
-            vmat[row, 0 : 2 * n_v : 2] = pvx
-            vmat[row, 1 : 2 * n_v + 1 : 2] = pvy
-            vmat[row, 2 * n_v :: 2] = pvx[0]
-            vmat[row, 2 * n_v + 1 :: 2] = pvy[0]
-        for c, name in enumerate(extra_cols):
-            poly_pdf[name] = vmat[:, c]
+    if edge_cols:
+        # primitive edge columns, padded with zero-length edges
+        # (see raycast_edges_sql); pack_polygons sorts ids identically
+        _ids, eax, eay, ebx, eby = geom.pack_polygons(polys)
+        for i in range(max_ne):
+            poly_pdf[f"eax{i}"] = eax[:, i]
+            poly_pdf[f"eay{i}"] = eay[:, i]
+            poly_pdf[f"ebx{i}"] = ebx[:, i]
+            poly_pdf[f"eby{i}"] = eby[:, i]
     poly_df = spark.createDataFrame(poly_pdf)
 
     matched_parts = []

@@ -244,8 +244,12 @@ GROUP BY r.rid ORDER BY r.rid
 
 
 def _flagship_polys() -> dict:
-    """25 deterministic hexagons spread over the globe (the polygon-set
-    analog of GeoWaveSparkSpatialJoinIT's query geometries)."""
+    """27 deterministic geometries spread over the globe (the polygon-set
+    analog of GeoWaveSparkSpatialJoinIT's query geometries): 25 hexagons
+    plus one polygon-with-hole and one MultiPolygon — the full JTS
+    geometry surface of the reference's join predicates
+    (`analytics/spark/.../udf/GeomFunction.java:17-35`), handled by the
+    even-odd edge-list raycast."""
     import numpy as np
 
     from .geom import core as geom_core
@@ -257,6 +261,16 @@ def _flagship_polys() -> dict:
         out[i] = np.asarray(
             geom_core.regular_polygon(cx, cy, 3.0 + (i % 5), 6, phase=i)
         )
+    # 25: hexagon with a square hole (points in the hole must NOT match)
+    out[25] = [
+        geom_core.regular_polygon(40.0, 20.0, 6.0, 6, phase=0.5),
+        np.asarray([38.0, 18.0, 42.0, 18.0, 42.0, 22.0, 38.0, 22.0]),
+    ]
+    # 26: MultiPolygon — two disjoint triangles joined as one geometry
+    out[26] = [
+        np.asarray([-60.0, -40.0, -52.0, -40.0, -56.0, -33.0]),
+        np.asarray([-60.0, -20.0, -52.0, -20.0, -56.0, -13.0]),
+    ]
     return out
 
 
@@ -274,21 +288,38 @@ def q54_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pid", "poly_id")
 
 
+def _poly_values_sql() -> tuple[str, str]:
+    """(VALUES rows, column list) for the flagship geometry set as padded
+    EDGE columns — shared by the q54/q55 oracles; `geom.pack_polygons`
+    produces the identical padding the engine broadcasts."""
+    from .geom import core as geom_core
+
+    polys = _flagship_polys()
+    ids, eax, eay, ebx, eby = geom_core.pack_polygons(polys)
+    max_ne = eax.shape[1]
+    rows = []
+    for r, pid_ in enumerate(ids):
+        vals = ", ".join(
+            f"{eax[r, i]!r}, {eay[r, i]!r}, {ebx[r, i]!r}, {eby[r, i]!r}"
+            for i in range(max_ne)
+        )
+        rows.append(f"({int(pid_)}, {vals})")
+    cols = ", ".join(
+        f"eax{i}, eay{i}, ebx{i}, eby{i}" for i in range(max_ne)
+    )
+    return ", ".join(rows), cols
+
+
 def _q54_sql() -> str:
     from .geom import core as geom_core
 
-    rows = []
-    for pid_, poly in _flagship_polys().items():
-        vx, vy = geom_core.poly_xy(poly)
-        vals = ", ".join(
-            f"{float(x)!r}, {float(y)!r}" for x, y in zip(vx, vy)
-        )
-        rows.append(f"({pid_}, {vals})")
-    cols = ", ".join(f"vx{i}, vy{i}" for i in range(6))
-    raycast = spatial.raycast_flat_sql("p.lon", "p.lat", 6)
+    polys = _flagship_polys()
+    max_ne = max(len(geom_core.rings_edges(v)[0]) for v in polys.values())
+    rows, cols = _poly_values_sql()
+    raycast = spatial.raycast_edges_sql("p.lon", "p.lat", max_ne)
     return f"""
 WITH p AS ({geo.lineitem_points_sql()}),
-poly (poly_id, {cols}) AS (VALUES {", ".join(rows)})
+poly (poly_id, {cols}) AS (VALUES {rows})
 SELECT p.pid, cast(poly.poly_id as bigint) AS poly_id
 FROM p JOIN poly ON {raycast}
 ORDER BY pid, poly_id
@@ -318,19 +349,14 @@ def _q55_sql() -> str:
     from .geom import core as geom_core
     from .table import images as images_mod
 
-    rows = []
-    for pid_, poly in _flagship_polys().items():
-        vx, vy = geom_core.poly_xy(poly)
-        vals = ", ".join(
-            f"{float(x)!r}, {float(y)!r}" for x, y in zip(vx, vy)
-        )
-        rows.append(f"({pid_}, {vals})")
-    cols = ", ".join(f"vx{i}, vy{i}" for i in range(6))
-    raycast = spatial.raycast_flat_sql("p.lon", "p.lat", 6)
+    polys = _flagship_polys()
+    max_ne = max(len(geom_core.rings_edges(v)[0]) for v in polys.values())
+    rows, cols = _poly_values_sql()
+    raycast = spatial.raycast_edges_sql("p.lon", "p.lat", max_ne)
     return f"""
 WITH base AS ({images_mod.images_base_sql()}),
 p AS (SELECT image_id AS pid, (lon0 + lon1) / 2 AS lon, (lat0 + lat1) / 2 AS lat FROM base),
-poly (poly_id, {cols}) AS (VALUES {", ".join(rows)})
+poly (poly_id, {cols}) AS (VALUES {rows})
 SELECT p.pid, cast(poly.poly_id as bigint) AS poly_id
 FROM p JOIN poly ON {raycast}
 ORDER BY pid, poly_id

@@ -78,12 +78,91 @@ def test_point_in_polygons_batch_matches_scalar_kernel():
         py[:len(vy)] = vy
         poly_id[:len(vx)] = k
 
-    ids_sorted, vx_pad, vy_pad, nv = g.pack_polygons(polys)
+    ids_sorted, eax, eay, ebx, eby = g.pack_polygons(polys)
     rows = np.searchsorted(ids_sorted, poly_id)
-    batch = g.point_in_polygons(px, py, rows, vx_pad, vy_pad, nv)
+    batch = g.point_in_polygons(px, py, rows, eax, eay, ebx, eby)
 
     expect = np.zeros(n, dtype=bool)
     for k, p in polys.items():
         m = poly_id == k
         expect[m] = g.point_in_polygon(px[m], py[m], p)
     assert (batch == expect).all()
+
+
+class TestMultiRingGeometries:
+    """Holed-polygon / MultiPolygon truth tables (mirrors the reference's
+    SpatialQueryTest coverage of the full JTS geometry surface,
+    core/geotime/src/test/.../SpatialQueryTest.java:27-80)."""
+
+    HOLED = [
+        np.asarray([0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0]),   # shell
+        np.asarray([3.0, 3.0, 7.0, 3.0, 7.0, 7.0, 3.0, 7.0]),       # hole
+    ]
+    MULTI = [
+        np.asarray([0.0, 0.0, 4.0, 0.0, 2.0, 3.0]),
+        np.asarray([10.0, 10.0, 14.0, 10.0, 12.0, 13.0]),
+    ]
+
+    def test_point_in_rings_even_odd(self):
+        px = np.array([1.0, 5.0, 11.0, 5.0])
+        py = np.array([1.0, 5.0, 5.0, 9.0])
+        # in shell / in hole / outside / in shell above hole
+        assert g.point_in_rings(px, py, self.HOLED).tolist() == [
+            True, False, False, True]
+
+    def test_point_in_rings_multipolygon(self):
+        px = np.array([2.0, 12.0, 7.0])
+        py = np.array([1.0, 11.0, 7.0])
+        assert g.point_in_rings(px, py, self.MULTI).tolist() == [
+            True, True, False]
+
+    def test_distance_zero_only_in_interior(self):
+        d = g.point_to_polygon_distance(
+            np.array([5.0, 1.0]), np.array([5.0, 1.0]), self.HOLED)
+        assert d[1] == 0.0 and d[0] > 0.0  # hole center is OUTSIDE
+
+    def test_contains_respects_holes(self):
+        inner = np.asarray([4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0])
+        ring_band = np.asarray([1.0, 1.0, 2.0, 1.0, 2.0, 2.0, 1.0, 2.0])
+        # square inside the hole: not contained, not intersecting
+        assert not g.polygon_contains_polygon(self.HOLED, inner)
+        assert not g.polygons_intersect(self.HOLED, inner)
+        # square inside the solid band: contained
+        assert g.polygon_contains_polygon(self.HOLED, ring_band)
+        # shell-sized square is NOT contained by the holed polygon
+        big = np.asarray([0.5, 0.5, 9.5, 0.5, 9.5, 9.5, 0.5, 9.5])
+        assert not g.polygon_contains_polygon(self.HOLED, big)
+        # ...but it does intersect
+        assert g.polygons_intersect(self.HOLED, big)
+
+    def test_cover_classify_ring_aware(self):
+        # a cell fully inside the hole neither intersects nor is within
+        inter = g.bboxes_intersect_polygon(
+            [4.0, 1.0, 20.0], [4.0, 1.0, 20.0], [6.0, 2.0, 21.0],
+            [6.0, 2.0, 21.0], self.HOLED)
+        assert inter.tolist() == [False, True, False]
+        within = g.bboxes_within_polygon(
+            [4.0, 1.0], [4.0, 1.0], [6.0, 2.0], [6.0, 2.0], self.HOLED)
+        assert within.tolist() == [False, True]
+
+    def test_wkt_roundtrip_holes_and_multi(self):
+        from geowave_spark.geom import wkt as wktm
+
+        w = wktm.polygon_wkt_holes(self.HOLED)
+        rings = wktm.parse_polygon_rings(w)
+        assert len(rings) == 2 and wktm.geom_type(w) == "polygon"
+        assert g.polygons_equal(list(rings), self.HOLED)
+        mw = wktm.multipolygon_wkt(self.MULTI)
+        mrings = wktm.parse_polygon_rings(mw)
+        assert len(mrings) == 2 and wktm.geom_type(mw) == "polygon"
+        assert g.polygons_equal(list(mrings), self.MULTI)
+
+    def test_edge_kernel_matches_ring_kernel(self):
+        rng = np.random.default_rng(3)
+        px = rng.uniform(-2, 16, 500)
+        py = rng.uniform(-2, 16, 500)
+        for gm in (self.HOLED, self.MULTI):
+            ids, eax, eay, ebx, eby = g.pack_polygons({0: gm, 1: self.HOLED})
+            rows = np.zeros(len(px), dtype=np.int64)
+            batch = g.point_in_polygons(px, py, rows, eax, eay, ebx, eby)
+            assert (batch == g.point_in_rings(px, py, gm)).all()
