@@ -363,6 +363,61 @@ ORDER BY pid, poly_id
 """
 
 
+# exact-double hexagon offsets (cos/sin would differ across engines in the
+# last ulp; these literals multiply identically everywhere)
+_HEX_OFFSETS = [(1.0, 0.0), (0.5, 0.866), (-0.5, 0.866),
+                (-1.0, 0.0), (-0.5, -0.866), (0.5, -0.866)]
+
+
+def _hex_a_sql() -> str:
+    """Side-A polygon table for the polygon x polygon join: one hexagon per
+    image, centered on its footprint, scale from doc_id — every vertex a
+    closed-form double both engines derive identically."""
+    from .table import images as images_mod
+
+    s = "((1 + doc_id % 4) * 0.7)"
+    cols = ", ".join(
+        f"(lon0 + lon1) / 2 + {ox!r} * {s} AS vx{k}, "
+        f"(lat0 + lat1) / 2 + {oy!r} * {s} AS vy{k}"
+        for k, (ox, oy) in enumerate(_HEX_OFFSETS)
+    )
+    return (
+        f"SELECT image_id AS aid, {cols} "
+        f"FROM ({images_mod.images_base_sql()}) base"
+    )
+
+
+def q58_polygon_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed polygon x polygon intersects join: 500 image-footprint
+    hexagons (a DataFrame side, covered distributed) x the 27 flagship
+    geometries (holes + MultiPolygon included).  Engine: cell cover
+    equi-join + dedup + the shared `poly_intersect_pred_sql` refine inside
+    a broadcast join (zero Python).  Oracle: brute-force cross join on the
+    IDENTICAL predicate SQL — bit-exact parity
+    (`GeoWaveSparkSpatialJoinIT.java:98-176` semantics)."""
+    register_views(spark, sf_dir)
+    a_df = spark.sql(_hex_a_sql())
+    return spatial.polygon_polygon_join(
+        spark, a_df, _flagship_polys(), aid_col="aid", ka=6, res=6
+    ).orderBy("aid", "bid")
+
+
+def _q58_sql() -> str:
+    from .geom import core as geom_core
+
+    polys = _flagship_polys()
+    ne_b = max(len(geom_core.rings_edges(v)[0]) for v in polys.values())
+    rows, cols = _poly_values_sql()
+    pred = spatial.poly_intersect_pred_sql(6, ne_b)
+    return f"""
+WITH a AS ({_hex_a_sql()}),
+poly (bid, {cols}) AS (VALUES {rows})
+SELECT a.aid, cast(poly.bid as bigint) AS bid
+FROM a JOIN poly ON {pred}
+ORDER BY aid, bid
+"""
+
+
 def q56_bigbig_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big-big spatial join: lineitem points x image-footprint rectangles
     with NEITHER side broadcast or collected — the 100 TB shape where the
@@ -544,6 +599,7 @@ QUERIES = {
     "q54_polygon_join": (q54_polygon_join, _q54_sql()),
     "q55_image_polygon_join": (q55_image_polygon_join, _q55_sql()),
     "q56_bigbig_salted_join": (q56_bigbig_salted_join, _q56_sql()),
+    "q58_polygon_polygon_join": (q58_polygon_polygon_join, _q58_sql()),
     "q08_knn": (q08_knn, Q08_SQL),
     "q09_binned_agg": (q09_binned_agg, Q09_SQL),
     "q10_bbox_agg": (q10_bbox_agg, Q10_SQL),

@@ -180,3 +180,14 @@ def test_bigbig_salted_join_plan(spark, sf_dir):
     # the candidate join itself must not be broadcast: the only allowed
     # broadcast is none at all in this plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_polygon_polygon_join_plan(spark, sf_dir):
+    """q58: the only Python in the plan is the side-A cover UDF; the
+    refine is codegen SQL inside a broadcast join; candidate dedup is the
+    single allowed exchange."""
+    plan = _plan(spark, sf_dir, "q58_polygon_polygon_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("ArrowEvalPython") == 1  # the bbox cover only

@@ -227,3 +227,40 @@ def test_knn_shuffle_equals_broadcast(spark, pts):
     a = sorted(map(tuple, bc.toPandas()[cols].to_numpy().tolist()))
     b = sorted(map(tuple, sh.toPandas()[cols].to_numpy().tolist()))
     assert a == b and len(a) > 0
+
+
+def test_polygon_polygon_join_matches_numpy(spark):
+    """The codegen intersects predicate must agree with the full numpy
+    kernel (polygons_intersect: vertex containment + proper AND improper
+    crossings) on the synthesized geometry sets — validating the
+    generic-position assumption of `poly_intersect_pred_sql`."""
+    import numpy as np
+
+    from geowave_spark.geom import core as geom
+    from geowave_spark.queries import _HEX_OFFSETS, _flagship_polys
+
+    rng = np.random.default_rng(11)
+    rows = []
+    hexes = {}
+    for i in range(120):
+        cx = float(rng.uniform(-170, 170))
+        cy = float(rng.uniform(-80, 80))
+        s = float(1 + i % 4) * 0.7
+        verts = [(cx + ox * s, cy + oy * s) for ox, oy in _HEX_OFFSETS]
+        hexes[i] = np.asarray(verts).ravel()
+        row = {"aid": i}
+        for k, (x, y) in enumerate(verts):
+            row[f"vx{k}"] = x
+            row[f"vy{k}"] = y
+        rows.append(row)
+    a_df = spark.createDataFrame(pd.DataFrame(rows))
+    polys_b = _flagship_polys()
+    got = spatial.polygon_polygon_join(spark, a_df, polys_b, res=6)
+    got_pairs = sorted(map(tuple, got.toPandas()[["aid", "bid"]].to_numpy().tolist()))
+    exp = sorted(
+        (a, b)
+        for a, ha in hexes.items()
+        for b, gb in polys_b.items()
+        if geom.polygons_intersect(ha, gb)
+    )
+    assert got_pairs == exp and len(exp) > 0
