@@ -210,3 +210,23 @@ def rect_cover(rects: pd.DataFrame, res: int, curve: str = "hilbert",
         id_col: rects[id_col].to_numpy()[row],
         "cell": cells.astype(np.int64),
     })
+
+
+def point_geodisk_cells_udf(res: int, radius_km: float, curve: str = "rowmajor"):
+    """Fused point -> geodesic candidate disk (latitude-aware lon rings;
+    `grid.geodisk_cells`).  Same contract as `point_disk_cells_udf`:
+    deduped per row, one Arrow round trip, explode-ready."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _gd(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        row, cells = grid.geodisk_cells(
+            lon.to_numpy(), lat.to_numpy(), res, radius_km, curve)
+        out = [[] for _ in range(len(lon))]
+        if len(row):
+            bounds = np.flatnonzero(np.diff(row)) + 1
+            chunks = np.split(cells, bounds)
+            for r, ch in zip(row[np.concatenate(([0], bounds))], chunks):
+                out[int(r)] = ch.tolist()
+        return pd.Series(out)
+
+    return _gd.asNondeterministic()

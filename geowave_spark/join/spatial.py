@@ -601,3 +601,63 @@ def polygon_polygon_join(
                   on=(cand[bid_col] == b_attr["jb"]) & pred)
         .select(aid_col, bid_col)
     )
+
+
+def haversine_km_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Great-circle distance in km — ONE formula string shared by the
+    Spark refine and the DuckDB oracle (radians/sin/cos/asin exist in
+    both; x*x instead of pow keeps multiply order fixed).  Twin of
+    `geom.haversine_km` (reference: orthodromic distance,
+    `OrthodromicDistancePartitioner.java`)."""
+    sdlat = f"sin(radians({lat2} - {lat1}) / 2)"
+    sdlon = f"sin(radians({lon2} - {lon1}) / 2)"
+    h = (f"({sdlat} * {sdlat} + cos(radians({lat1})) * cos(radians({lat2}))"
+         f" * {sdlon} * {sdlon})")
+    return f"(2 * 6371.0088 * asin(sqrt(least(greatest({h}, 0.0), 1.0))))"
+
+
+def within_distance_join_geodesic(
+    spark: SparkSession,
+    pts: DataFrame,
+    queries: DataFrame,
+    radius_km: float,
+    *,
+    pid_col: str = "pid",
+    qid_col: str = "qid",
+    res: int = 7,
+    broadcast_queries: bool = True,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """All (point, query) pairs within a GEODESIC radius in km — the
+    "within 5 km" query planar degrees cannot express.
+
+    Candidate cells come from the latitude-aware geodesic disk
+    (`grid.geodisk_cells`: lon rings widen by 1/cos(lat), full wrap near
+    the poles — the reference's OrthodromicDistancePartitioner sizes its
+    neighbor grid the same way); the refine is the exact haversine,
+    evaluated as pure JVM SQL (`haversine_km_sql`).  Strategy selection
+    mirrors `within_distance_join`.
+    """
+    q_cover = queries.select(
+        F.col(qid_col), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
+    ).withColumn(
+        "cell",
+        F.explode(cov.point_geodisk_cells_udf(res, radius_km)(
+            F.col("qlon"), F.col("qlat"))),
+    )
+    pts_c = cov.add_point_cells_jvm(pts, "lon", "lat", res)
+    if broadcast_queries:
+        cand = pts_c.join(F.broadcast(q_cover), "cell")
+    else:
+        q_cover = q_cover.withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+        )
+        pts_c = cov.salted(pts_c, pid_col, salt_buckets)
+        cand = pts_c.join(q_cover.hint("shuffle_hash"), ["cell", "salt"])
+    dist = F.expr(haversine_km_sql("lon", "lat", "qlon", "qlat"))
+    return (
+        cand.withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= F.lit(radius_km))
+        .select(pid_col, qid_col, "dist_km")
+    )

@@ -184,3 +184,67 @@ def adaptive_res(lon0, lat0, lon1, lat1, max_cells: int, res_candidates=None) ->
         ok = bbox_cover_count(lon0, lat0, lon1, lat1, r) <= max_cells
         out = np.where(ok, r, out)
     return out
+
+
+R_KM = 6371.0088
+KM_PER_DEG = np.pi * R_KM / 180.0  # great-circle km per degree (111.19...)
+
+
+def geodisk_cells(lon, lat, res: int, radius_km: float,
+                  curve: str = "rowmajor"):
+    """Latitude-aware candidate disk for a GEODESIC radius: lat rings are
+    fixed (ky = floor(r/cell)+1), lon rings widen per point by
+    1/cos(worst latitude in the reachable band), capped at full wrap.
+
+    The lon bound uses d >= 2 R cos(phi_max) |sin(dlam/2)| >= (2/pi) R
+    cos(phi_max) dlam, i.e. dlon_deg <= (pi/2) * r_km / (KM_PER_DEG *
+    cos(phi_max)) — conservative, so the exact haversine refine never
+    loses a pair.  Reference analog: the orthodromic neighbor expansion of
+    `OrthodromicDistancePartitioner.java` (/root/reference), which also
+    sizes its grid from the worst-case meters-per-degree at the partition
+    latitude.
+
+    Returns (row_index, cell) explode-ready pairs, deduped per row.
+    Vectorized: rows are grouped by their distinct kx (a handful of
+    values), each group generated as one meshgrid — no per-row Python.
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = np.int64(1) << np.int64(res)
+    cell_h = 180.0 / float(n)
+    cell_w = 360.0 / float(n)
+    r_deg = radius_km / KM_PER_DEG
+    ky = int(r_deg // cell_h) + 1
+
+    phi_worst = np.minimum(np.abs(lat) + r_deg + cell_h, 89.9999)
+    dlon_max = (np.pi / 2) * radius_km / (
+        KM_PER_DEG * np.cos(np.radians(phi_worst))
+    )
+    kx = np.minimum(dlon_max // cell_w + 1, float(n // 2)).astype(np.int64)
+
+    x, y = latlng_to_xy(lon, lat, res)
+    x = x.astype(np.int64)
+    y = y.astype(np.int64)
+    rows_out, cells_out = [], []
+    for k in np.unique(kx):
+        m = kx == k
+        ox = np.arange(-int(k), int(k) + 1, dtype=np.int64)
+        oy = np.arange(-ky, ky + 1, dtype=np.int64)
+        dx, dy = np.meshgrid(ox, oy)
+        nx = (x[m][:, None] + dx.ravel()[None, :]) % n       # lon wraps
+        ny = np.clip(y[m][:, None] + dy.ravel()[None, :], 0, n - 1)
+        cells = xy_to_cell(nx.astype(np.uint64), ny.astype(np.uint64),
+                           res, curve).astype(np.int64)
+        # in-batch dedup (wrap/clamp repeats): sort rows, mask repeats
+        cells.sort(axis=1)
+        keep = np.ones(cells.shape, dtype=bool)
+        keep[:, 1:] = cells[:, 1:] != cells[:, :-1]
+        ridx = np.flatnonzero(m)
+        rows_out.append(np.repeat(ridx, keep.sum(axis=1)))
+        cells_out.append(cells[keep])
+    if not rows_out:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    row = np.concatenate(rows_out)
+    cell = np.concatenate(cells_out)
+    order = np.argsort(row, kind="stable")
+    return row[order], cell[order]

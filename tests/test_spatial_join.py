@@ -264,3 +264,29 @@ def test_polygon_polygon_join_matches_numpy(spark):
         if geom.polygons_intersect(ha, gb)
     )
     assert got_pairs == exp and len(exp) > 0
+
+
+def test_geodesic_join_matches_numpy_including_poles(spark, pts):
+    """Geodesic within-distance join vs brute-force numpy haversine,
+    with query points at extreme latitudes (lon rings must widen /
+    full-wrap near the poles or pairs are lost)."""
+    import numpy as np
+
+    from geowave_spark.geom import core as geom
+
+    qs = spark.createDataFrame(pd.DataFrame({
+        "qid": [0, 1, 2, 3],
+        "lon": [0.0, 120.0, -60.0, 10.0],
+        "lat": [0.0, 87.5, -45.0, -88.0],
+    }))
+    r_km = 1500.0
+    got = spatial.within_distance_join_geodesic(
+        spark, pts, qs, radius_km=r_km, res=6)
+    got_pairs = sorted(map(tuple, got.toPandas()[["pid", "qid"]].to_numpy().tolist()))
+    p = pts.toPandas()
+    q = qs.toPandas()
+    exp = []
+    for _, qr in q.iterrows():
+        d = geom.haversine_km(p["lon"], p["lat"], qr["lon"], qr["lat"])
+        exp.extend((int(pid), int(qr["qid"])) for pid in p.loc[d <= r_km, "pid"])
+    assert got_pairs == sorted(exp) and len(exp) > 0
