@@ -105,10 +105,71 @@ def _disk_cells(cx: float, cy: float, r: float, res: int) -> list[int]:
     return sorted(set(int(c) for c in np.asarray(disk).ravel()))
 
 
+# spatial JOIN between two registered views on a Geom predicate over both
+# sides' coordinate columns — the brute-force plan is a cartesian product
+# (BroadcastNestedLoopJoin); the rewrite re-plugs the engine's cell
+# equi-join, like the reference's two-store join acceleration
+# (`SqlQueryRunner.java:109-245` InnerJoin detection + re-plug).
+_PAT_DIST_JOIN = re.compile(
+    rf"FROM\s+({_IDENT})\s+(\w+)\s+JOIN\s+({_IDENT})\s+(\w+)\s+ON\s+"
+    rf"(GeomWithinDistance\(\s*GeomPoint\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)\s*,"
+    rf"\s*GeomPoint\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)\s*,\s*({_NUM})\s*\))",
+    re.I,
+)
+
+
+def rewrite_spatial_join(spark: SparkSession, sql: str,
+                         res: int = 7) -> str:
+    """Detect `FROM a x JOIN b y ON GeomWithinDistance(GeomPoint(x.c1,
+    x.c2), GeomPoint(y.c3, y.c4), R)` and re-plug the engine join: the
+    second view is re-registered with its grid-disk candidate cells
+    exploded (vectorized UDF, distributed — never collected), and the
+    join condition becomes `cell(x) = y.__gw_cell AND <original
+    predicate>` — a hash-joinable equi-key in front of the exact UDF
+    refine, instead of a cartesian product.
+
+    Same constrained-shape string surgery the reference performs on its
+    parsed WHERE clause; unmatched SQL passes through untouched.
+    """
+    m = _PAT_DIST_JOIN.search(sql)
+    if not m:
+        return sql
+    (view_a, alias_a, view_b, alias_b, pred,
+     pa1, ca1, pa2, ca2, pb1, cb1, pb2, cb2, radius) = m.groups()
+    # the predicate's first point must come from one alias, second from the
+    # other; normalize so (lon_a, lat_a) belongs to alias_a
+    if pa1 == alias_a and pb1 == alias_b:
+        lon_a, lat_a, lon_b, lat_b = ca1, ca2, cb1, cb2
+    elif pa1 == alias_b and pb1 == alias_a:
+        lon_b, lat_b, lon_a, lat_a = ca1, ca2, cb1, cb2
+    else:
+        return sql
+    cell_h = 180.0 / (1 << res)
+    k = int(np.ceil(float(radius) / cell_h))
+    cover_view = f"__gw_cover_{view_b}_{res}_{k}"
+    from pyspark.sql import functions as F  # noqa: N812
+
+    (
+        spark.table(view_b)
+        .withColumn("__gw_cell", F.explode(
+            cov.point_disk_cells_udf(res, k, curve="rowmajor")(
+                F.col(lon_b), F.col(lat_b))))
+        .createOrReplaceTempView(cover_view)
+    )
+    cell_a = geo.rowmajor_cell_sql(f"{alias_a}.{lon_a}", f"{alias_a}.{lat_a}", res)
+    replacement = (
+        f"FROM {view_a} {alias_a} JOIN {cover_view} {alias_b} "
+        f"ON {cell_a} = {alias_b}.__gw_cell AND {pred}"
+    )
+    return sql[: m.start()] + replacement + sql[m.end():]
+
+
 def spatial_sql(spark: SparkSession, sql: str, *, optimize: bool = True,
-                res: int = 8, max_cells: int = 512) -> DataFrame:
+                res: int = 8, max_cells: int = 512,
+                join_res: int = 7) -> DataFrame:
     """Run a SQL string that may use the Geom* function surface."""
     register_geometry_functions(spark)
     if optimize:
         sql = inject_cell_prefilter(sql, res=res, max_cells=max_cells)
+        sql = rewrite_spatial_join(spark, sql, res=join_res)
     return spark.sql(sql)

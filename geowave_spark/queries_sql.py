@@ -109,8 +109,45 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q59_sql_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Geom* predicate JOINING TWO VIEWS through the SQL surface: without
+    the rewrite Spark must plan a cartesian product (the UDF is the only
+    join condition); `rewrite_spatial_join` re-plugs the engine's cell
+    equi-join in front of the exact UDF refine — the reference's two-store
+    join acceleration (`SqlQueryRunner.java:109-245`).  The plan swap is
+    pinned in tests/test_plans.py."""
+    register_views(spark, sf_dir)
+    spark.sql(geo.lineitem_points_sql()).createOrReplaceTempView("gw_pts")
+    (
+        spark.sql(geo.customer_points_sql())
+        .filter("cid % 23 = 0")
+        .withColumnRenamed("cid", "qid")
+        .createOrReplaceTempView("gw_qrs")
+    )
+    sql = """
+        SELECT q.qid, cast(count(*) as bigint) AS n_within
+        FROM gw_pts p JOIN gw_qrs q
+          ON GeomWithinDistance(GeomPoint(p.lon, p.lat),
+                                GeomPoint(q.lon, q.lat), 2.5)
+        GROUP BY q.qid ORDER BY qid
+    """
+    return sqlrewrite.spatial_sql(spark, sql, optimize=True, join_res=7)
+
+
+Q59_SQL = f"""
+WITH p AS ({geo.lineitem_points_sql()}),
+     q AS (SELECT cid AS qid, lon AS qlon, lat AS qlat
+           FROM ({geo.customer_points_sql()}) c WHERE cid % 23 = 0)
+SELECT qid, cast(count(*) as bigint) AS n_within
+FROM p JOIN q
+  ON sqrt((lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat)) <= 2.5
+GROUP BY qid ORDER BY qid
+"""
+
+
 SQL_QUERIES = {
     "q31_sql_geom_filter": (q31_sql_geom_filter, Q31_SQL),
     "q32_sql_geom_distance": (q32_sql_geom_distance, Q32_SQL),
     "q51_sql_within_distance": (q51_sql_within_distance, Q51_SQL),
+    "q59_sql_spatial_join": (q59_sql_spatial_join, Q59_SQL),
 }

@@ -191,3 +191,41 @@ def test_polygon_polygon_join_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("ArrowEvalPython") == 1  # the bbox cover only
+
+
+def test_sql_spatial_join_rewrite_replaces_cartesian(spark, sf_dir):
+    """q59: a Geom* predicate joining two views.  Unoptimized, the UDF is
+    the only join condition -> Spark plans a nested-loop cartesian.  The
+    rewrite must re-plug a cell equi-join (hash join) ahead of the UDF."""
+    from geowave_spark.plans import sqlrewrite
+    from geowave_spark.table import geo
+    from geowave_spark.table.views import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(geo.lineitem_points_sql()).createOrReplaceTempView("gw_pts")
+    (
+        spark.sql(geo.customer_points_sql())
+        .filter("cid % 23 = 0")
+        .withColumnRenamed("cid", "qid")
+        .createOrReplaceTempView("gw_qrs")
+    )
+    sql = """
+        SELECT q.qid, cast(count(*) as bigint) AS n_within
+        FROM gw_pts p JOIN gw_qrs q
+          ON GeomWithinDistance(GeomPoint(p.lon, p.lat),
+                                GeomPoint(q.lon, q.lat), 2.5)
+        GROUP BY q.qid ORDER BY qid
+    """
+    slow = sqlrewrite.spatial_sql(spark, sql, optimize=False)
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert ("BroadcastNestedLoopJoin" in slow_plan
+            or "CartesianProduct" in slow_plan)
+    fast = sqlrewrite.spatial_sql(spark, sql, optimize=True, join_res=7)
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in fast_plan
+    assert "CartesianProduct" not in fast_plan
+    assert "HashJoin" in fast_plan  # broadcast or shuffled — an equi-join
+    # identical results
+    a = sorted(map(tuple, slow.toPandas().to_numpy().tolist()))
+    b = sorted(map(tuple, fast.toPandas().to_numpy().tolist()))
+    assert a == b and len(a) > 0
