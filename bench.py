@@ -36,6 +36,13 @@ BENCH_QUERIES = [
     "q12_tile_merge_counts",
     "q16_minhash_lsh_pairs",
     "q24_kde_heatmap",
+    # round-2 scale-risk queries: wide-band SimHash near-dup, fixed-K IVF,
+    # the big-big salted join, and the polygon x polygon join — regressions
+    # in the LSH banding or the shuffle strategies show up here
+    "q39_simhash_neardup",
+    "q41_ann_ivf",
+    "q56_bigbig_salted_join",
+    "q58_polygon_polygon_join",
 ]
 
 
@@ -236,6 +243,7 @@ def main() -> None:
         return
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     if "--scaling-only" not in sys.argv:
         spark = make_spark(CPUS)
         spark.sparkContext.setLogLevel("ERROR")
@@ -245,12 +253,14 @@ def main() -> None:
         # best-of-N per query: single-JVM local mode shows 2-4x run-to-run
         # swings from stop-the-world GC landing inside a measurement (heap
         # churn from the pixel paths); the minimum is the engine's actual
-        # capability, same methodology as the --scaling best-of-3
+        # capability, same methodology as the --scaling best-of-3.  The
+        # median is recorded alongside so round-over-round regression
+        # comparisons have a stabler statistic than noisy minima.
         reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
         for name in BENCH_QUERIES:
-            times[name] = round(
-                min(run_query(spark, name, SF_DIR) for _ in range(reps)), 3
-            )
+            samples = sorted(run_query(spark, name, SF_DIR) for _ in range(reps))
+            times[name] = round(samples[0], 3)
+            medians[name] = round(samples[len(samples) // 2], 3)
         spark.stop()
 
     total = round(sum(times.values()), 3)
@@ -259,6 +269,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
         "sf": sf,
         "cpus": CPUS,
     }

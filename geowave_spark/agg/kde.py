@@ -150,7 +150,16 @@ def kde_pyramid(spark: SparkSession, pts: DataFrame, res: int, levels: int,
 
     Returns (res, cell, weight) for ``levels`` levels, finest first.
     """
-    base = kde_heatmap(spark, pts, res, k, lon, lat).select("cell", "weight")
+    # persist the finest-level aggregate: every coarser level AND the final
+    # union reference it, and the one-scan property must hold by
+    # construction, not by hoping Catalyst's ReusedExchange dedupes the
+    # identical splat subtrees across union branches (plan canonicalization
+    # or AQE can break the reuse, silently re-splatting `levels` times).
+    # The aggregate is tiny (<= 4^res cells), so the persist is free; the
+    # eager count stops the union branches from racing to build the same
+    # cached partitions (the q16 lesson).
+    base = kde_heatmap(spark, pts, res, k, lon, lat).select("cell", "weight").persist()
+    base.count()
     out = base.select(F.lit(res).cast("int").alias("res"), "cell", "weight")
     cur = base
     for r in range(res - 1, res - levels, -1):

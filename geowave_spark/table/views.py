@@ -24,15 +24,24 @@ def ensure_arrow(spark: SparkSession) -> None:
         pass  # conf locked down — operators still work, just slower
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
+def register_views(spark: SparkSession, sf_dir: str,
+                   force: bool = False) -> None:
     """Register the base parquet tables as temp views (idempotent).
 
     Registration is cached per (session, sf_dir): each `spark.read.parquet`
     is a driver-side footer read (~100ms x 10 tables), and every query entry
     point calls this — without the cache a 0.5s aggregate pays ~1.3s of
     re-registration (measured).  A different sf_dir re-registers.
+
+    The cache is verified against a sentinel view (a caller may have
+    dropped or replaced a temp view mid-session); ``force=True`` skips the
+    cache entirely (e.g. after regenerating parquet under the same path).
     """
-    if getattr(spark, "_geowave_views_sf", None) == sf_dir:
+    if (
+        not force
+        and getattr(spark, "_geowave_views_sf", None) == sf_dir
+        and spark.catalog.tableExists("lineitem")
+    ):
         return
     ensure_arrow(spark)
     for t in TABLES:
