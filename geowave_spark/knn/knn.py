@@ -133,3 +133,79 @@ def knn_join(
         )
         results = topk if results is None else results.unionByName(topk)
     return results
+
+
+def knn_join_geodesic(
+    spark: SparkSession,
+    pts: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    pid_col: str = "pid",
+    qid_col: str = "qid",
+    res: int = 6,
+    r0_km: float = 400.0,
+    max_iters: int = 8,
+) -> DataFrame:
+    """kNN under the GEODESIC (haversine km) metric — the reference's
+    actual kNN metric (`OrthodromicDistancePartitioner.java` +
+    `NNMapReduce.java:59-145`).
+
+    Iterative RADIUS doubling instead of ring doubling: each iteration
+    covers every remaining query's geodesic disk of radius r
+    (`grid.geodisk_cells` — latitude-aware, pole-safe), joins, takes the
+    window top-k, and retires queries whose k-th distance is <= r.  The
+    guard is exact by the disk's conservative cover: any point outside
+    the covered cells is farther than r, so a proven query can never be
+    beaten by an unexplored point.  Stubborn queries fall back to brute
+    force (correctness over speed for the tail).
+    """
+    from ..join.spatial import haversine_km_sql
+    from ..table import geo as geo_sql
+
+    q_named = queries.select(
+        F.col(qid_col), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
+    )
+    pts_c = pts.select(pid_col, "lon", "lat").withColumn(
+        "cell", F.expr(geo_sql.rowmajor_cell_sql("lon", "lat", res))
+    ).persist()
+
+    win = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(pid_col).asc())
+    dist = F.expr(haversine_km_sql("lon", "lat", "qlon", "qlat"))
+
+    remaining = q_named
+    results = None
+    r = r0_km
+    for _ in range(max_iters):
+        q_cover = remaining.withColumn(
+            "cell",
+            F.explode(cov.point_geodisk_cells_udf(res, r)(
+                F.col("qlon"), F.col("qlat"))),
+        )
+        cand = pts_c.join(F.broadcast(q_cover), "cell")
+        topk = (
+            cand.withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, pid_col, "dist", "rank")
+        ).persist()
+        stats = topk.groupBy(qid_col).agg(
+            F.count("*").alias("n"), F.max("dist").alias("kth")
+        )
+        done_q = stats.filter((F.col("n") == k) & (F.col("kth") <= F.lit(r)))
+        done = topk.join(done_q.select(qid_col), qid_col)
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(done_q.select(qid_col), qid_col, "left_anti")
+        if remaining.isEmpty():
+            break
+        r *= 2
+    else:
+        cand = pts_c.crossJoin(F.broadcast(remaining))
+        topk = (
+            cand.withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, pid_col, "dist", "rank")
+        )
+        results = topk if results is None else results.unionByName(topk)
+    return results

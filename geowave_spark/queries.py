@@ -562,6 +562,41 @@ ORDER BY qid, rank
 """
 
 
+def q60_knn_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic kNN: 5 nearest lineitem points per sampled customer under
+    the haversine-km metric (the reference's orthodromic kNN)."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.lineitem_points_sql())
+    qs = (
+        spark.sql(geo.customer_points_sql())
+        .filter(F.col("cid") % 101 == 0)
+        .withColumnRenamed("cid", "qid")
+    )
+    res = knn_mod.knn_join_geodesic(spark, pts, qs, k=5, qid_col="qid", res=6)
+    return res.select(
+        "qid", "pid",
+        F.expr("cast(floor(dist * 1000) as bigint)").alias("dist_m"),
+        "rank",
+    ).orderBy("qid", "rank")
+
+
+def _q60_sql() -> str:
+    hav = spatial.haversine_km_sql("lon", "lat", "qlon", "qlat")
+    return f"""
+WITH p AS ({geo.lineitem_points_sql()}),
+     q AS (SELECT cid AS qid, lon AS qlon, lat AS qlat
+           FROM ({geo.customer_points_sql()}) c WHERE cid % 101 = 0)
+SELECT qid, pid, cast(floor(dist * 1000) as bigint) AS dist_m, rank FROM (
+  SELECT q.qid, p.pid, {hav} AS dist,
+         row_number() OVER (
+           PARTITION BY q.qid ORDER BY {hav} ASC, p.pid ASC
+         ) AS rank
+  FROM p CROSS JOIN q
+) t WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
 def q09_binned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned aggregation: group events by grid cell (reference:
     `BinningAggregation.java` + `SpatialSimpleFeatureBinningStrategy.java`).
@@ -641,6 +676,7 @@ QUERIES = {
     "q56_bigbig_salted_join": (q56_bigbig_salted_join, _q56_sql()),
     "q58_polygon_polygon_join": (q58_polygon_polygon_join, _q58_sql()),
     "q57_geodesic_distance_join": (q57_geodesic_distance_join, _q57_sql()),
+    "q60_knn_geodesic": (q60_knn_geodesic, _q60_sql()),
     "q08_knn": (q08_knn, Q08_SQL),
     "q09_binned_agg": (q09_binned_agg, Q09_SQL),
     "q10_bbox_agg": (q10_bbox_agg, Q10_SQL),

@@ -164,7 +164,11 @@ SELECT qid, cid, sim_micro, rank FROM (
 
 
 def _q20(d: G.Dialect) -> str:
-    bucket = G.hyperplane_bucket(d, "v", 64, nbits=12)
+    """Hyperplane-LSH bucketed ANN: 16-bit bucket = 65,536 cells (the
+    round-1 12-bit/4096-cell version left each bucket with n/4096 rows —
+    too coarse past ~10^8 vectors; 16 bits is the self-join sweet spot,
+    and q41's IVF path is the scale answer beyond that)."""
+    bucket = G.hyperplane_bucket(d, "v", 64, nbits=16)
     dt = G.dot(d, "q.v", "c.v", 64)
     return f"""
 WITH {_vec_cte(d)},

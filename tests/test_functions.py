@@ -157,3 +157,53 @@ def test_within_distance_rewrite_fires_and_preserves_results(spark, sf_dir):
     slow = sqlrewrite.spatial_sql(spark, sql, optimize=False)
     assert fast.exceptAll(slow).isEmpty() and slow.exceptAll(fast).isEmpty()
     assert fast.count() > 0
+
+
+def test_geojsonl_ingest_roundtrip(spark, tmp_path):
+    """GeoJSONL vector ingest: distributed parse -> WKT usable by the
+    Geom* surface and the polygon join (extensions/formats/geojson
+    analog)."""
+    import json as _json
+
+    from geowave_spark.geom import core as gcore
+    from geowave_spark.geom import wkt as wktm
+    from geowave_spark.table import geojson
+
+    feats = [
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [1.5, 2.5]},
+         "properties": {"name": "a"}},
+        {"type": "Feature",
+         "geometry": {"type": "Polygon",
+                      "coordinates": [
+                          [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                          [[3, 3], [7, 3], [7, 7], [3, 7], [3, 3]]]},
+         "properties": {"name": "holed"}},
+        {"type": "Feature",
+         "geometry": {"type": "MultiPolygon",
+                      "coordinates": [
+                          [[[20, 20], [24, 20], [22, 23], [20, 20]]],
+                          [[[30, 30], [34, 30], [32, 33], [30, 30]]]]},
+         "properties": {"name": "multi"}},
+        {"type": "Feature",
+         "geometry": {"type": "LineString",
+                      "coordinates": [[0, 0], [5, 5], [10, 0]]},
+         "properties": {}},
+    ]
+    p = tmp_path / "feats.geojsonl"
+    p.write_text("\n".join(_json.dumps(f) for f in feats) + "\n")
+
+    df = geojson.read_geojsonl(spark, str(p)).toPandas().sort_values("geom_type")
+    assert sorted(df["geom_type"]) == ["linestring", "multipolygon", "point", "polygon"]
+    holed = df.loc[df["geom_type"] == "polygon", "geom_wkt"].iloc[0]
+    rings = wktm.parse_polygon_rings(holed)
+    assert len(rings) == 2
+    # hole center excluded, band included — even-odd semantics survive the trip
+    import numpy as np
+    assert not gcore.point_in_rings(np.array([5.0]), np.array([5.0]), list(rings))[0]
+    assert gcore.point_in_rings(np.array([1.0]), np.array([1.0]), list(rings))[0]
+    # FeatureCollection path agrees with the line path
+    fc = tmp_path / "feats.geojson"
+    fc.write_text(_json.dumps({"type": "FeatureCollection", "features": feats}))
+    df2 = geojson.read_geojson(spark, str(fc)).toPandas()
+    assert sorted(df2["geom_wkt"]) == sorted(df["geom_wkt"])
