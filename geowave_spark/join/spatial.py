@@ -489,10 +489,13 @@ def within_distance_join(
     )
 
 
-def poly_intersect_pred_sql(ka: int, ne_b: int) -> str:
-    """Polygon-intersects predicate as ONE whole-stage-codegen SQL
-    expression, shared verbatim by the engine's refine and the DuckDB
-    oracle (bit-identical IEEE doubles -> exact parity).
+def poly_intersect_terms_sql(ka: int, ne_b: int) -> list[str]:
+    """The polygon-intersects predicate as a LIST of OR-able SQL terms
+    (see `poly_intersect_pred_sql` for the semantics).  Exposed separately
+    so the engine can regroup terms into method-size-bounded chunks:
+    janino hard-fails past 64 KB of bytecode per generated method, and a
+    whole-stage join condition cannot be split across methods (inputs are
+    locals) — ka=6, ne_b=10 in one expression already trips it.
 
     Side A is a single-ring polygon in primitive vertex columns
     ``vx0..vy{ka-1}``; side B a (multi-ring) geometry in padded edge
@@ -516,6 +519,11 @@ def poly_intersect_pred_sql(ka: int, ne_b: int) -> str:
     def orient(ox, oy, px_, py_, qx, qy):
         return f"(({px_} - {ox}) * ({qy} - {oy}) - ({py_} - {oy}) * ({qx} - {ox}))"
 
+    # sign(d1)*sign(d2) < 0  ===  d1, d2 strictly opposite AND both nonzero
+    # (a zero orientation makes the product 0, never < 0) — each orientation
+    # determinant appears ONCE in the text, halving the generated code: the
+    # doubled form blew janino's 64 KB method limit at ka=6, ne_b=10 and
+    # silently dropped the whole join out of codegen.
     for i in range(ka):
         p = ka - 1 if i == 0 else i - 1
         ax0, ay0, ax1, ay1 = f"vx{p}", f"vy{p}", f"vx{i}", f"vy{i}"
@@ -526,10 +534,36 @@ def poly_intersect_pred_sql(ka: int, ne_b: int) -> str:
             d3 = orient(ax0, ay0, ax1, ay1, bx0, by0)
             d4 = orient(ax0, ay0, ax1, ay1, bx1, by1)
             terms.append(
-                f"((({d1} > 0) != ({d2} > 0)) AND (({d3} > 0) != ({d4} > 0))"
-                f" AND {d1} <> 0 AND {d2} <> 0 AND {d3} <> 0 AND {d4} <> 0)"
+                f"(sign({d1}) * sign({d2}) < 0 AND sign({d3}) * sign({d4}) < 0)"
             )
-    return "(" + " OR ".join(terms) + ")"
+    return terms
+
+
+def poly_intersect_pred_sql(ka: int, ne_b: int) -> str:
+    """Polygon-intersects predicate as ONE SQL expression — the form the
+    DuckDB oracle consumes verbatim (bit-identical IEEE doubles -> exact
+    parity; DuckDB has no method-size limit).  The engine side instead
+    chunks the same terms (`poly_intersect_terms_sql`) across several
+    codegen-sized join conditions."""
+    return "(" + " OR ".join(poly_intersect_terms_sql(ka, ne_b)) + ")"
+
+
+def chunk_terms_sql(terms: list[str], budget_chars: int = 8000) -> list[str]:
+    """Group OR-terms into predicate strings each under ``budget_chars``
+    (~18 K chars of this arithmetic compiles alone, but the condition inlines
+    into the stage's processNext() alongside the rest of the fused
+    pipeline; 8 K keeps the whole stage under the limit).
+    OR of the chunks == OR of the terms."""
+    chunks, cur, cur_len = [], [], 0
+    for t in terms:
+        if cur and cur_len + len(t) > budget_chars:
+            chunks.append("(" + " OR ".join(cur) + ")")
+            cur, cur_len = [], 0
+        cur.append(t)
+        cur_len += len(t) + 4
+    if cur:
+        chunks.append("(" + " OR ".join(cur) + ")")
+    return chunks
 
 
 def polygon_polygon_join(
@@ -557,8 +591,14 @@ def polygon_polygon_join(
       cand:   cell equi-join -> dropDuplicates (a pair can meet in several
               cells on BOTH sides — the reference pays the same
               reduceByKey dedup, TieredSpatialJoin.java:349)
-      refine: `poly_intersect_pred_sql` inside the second broadcast join's
-              condition — zero Python, single pass over candidates
+      refine: the `poly_intersect_terms_sql` predicate inside broadcast-
+              join conditions — zero Python.  The OR-term list is chunked
+              (`chunk_terms_sql`) into method-size-bounded conditions, one
+              broadcast join per chunk over the persisted candidate set,
+              unioned + pair-deduped: a single-expression condition at
+              ka=6, ne_b=10 exceeds janino's 64 KB method limit and drops
+              the whole join out of codegen (interpreted refine — the
+              exact cost you cannot pay at 100 TB candidate volume).
 
     At 100 TB only the dedup shuffles; swap the broadcast for the salted
     shuffle pattern (q56) when B outgrows broadcast size.
@@ -595,12 +635,20 @@ def polygon_polygon_join(
         b_pdf[f"ebx{i}"] = ebx[:, i]
         b_pdf[f"eby{i}"] = eby[:, i]
     b_attr = spark.createDataFrame(b_pdf)
-    pred = F.expr(poly_intersect_pred_sql(ka, ne_b))
-    return (
-        cand.join(F.broadcast(b_attr),
-                  on=(cand[bid_col] == b_attr["jb"]) & pred)
-        .select(aid_col, bid_col)
-    )
+    chunks = chunk_terms_sql(poly_intersect_terms_sql(ka, ne_b))
+    if len(chunks) > 1:
+        cand = cand.persist()
+    matched = None
+    for chunk in chunks:
+        m = cand.join(
+            F.broadcast(b_attr),
+            on=(cand[bid_col] == b_attr["jb"]) & F.expr(chunk),
+        ).select(aid_col, bid_col)
+        matched = m if matched is None else matched.unionByName(m)
+    if len(chunks) > 1:
+        # a pair can satisfy terms in several chunks
+        matched = matched.dropDuplicates([aid_col, bid_col])
+    return matched
 
 
 def haversine_km_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:

@@ -190,7 +190,35 @@ def test_polygon_polygon_join_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("ArrowEvalPython") == 1  # the bbox cover only
+    # every union branch re-lists the (cached) candidate subtree, so the
+    # cover UDF appears once per refine chunk pre-materialization; the
+    # persist() guarantees it executes once.  One chunk would mean the
+    # predicate regressed to a single >64KB-method expression.
+    from geowave_spark.join import spatial as spatial_mod
+    from geowave_spark.queries import _flagship_polys
+    from geowave_spark.geom import core as geom_core
+
+    ne_b = max(len(geom_core.rings_edges(v)[0])
+               for v in _flagship_polys().values())
+    n_chunks = len(spatial_mod.chunk_terms_sql(
+        spatial_mod.poly_intersect_terms_sql(6, ne_b)))
+    assert n_chunks > 1
+    assert plan.count("ArrowEvalPython") == n_chunks
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_polygon_polygon_join_compiles(spark, sf_dir):
+    """q58's refine predicate must stay within janino's 64 KB per-method
+    limit (the single-expression form silently fell back to interpreted
+    evaluation — the chunked conditions of `chunk_terms_sql` must not
+    regress).  codegen.fallback=false turns any compile failure fatal."""
+    from geowave_spark.queries import q58_polygon_polygon_join
+
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        assert q58_polygon_polygon_join(spark, sf_dir).count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
 
 
 def test_sql_spatial_join_rewrite_replaces_cartesian(spark, sf_dir):
