@@ -162,9 +162,14 @@ def point_in_polygon_join(
     tiers = sorted(int(r) for r in cover_pdf["res"].unique())
     if len(tiers) > 1:
         r_join = min(tiers[-1], data_res)
-        est = int(sum(n * 4 ** (r_join - int(r))
-                      for r, n in cover_pdf.groupby("res").size().items()))
-        if est <= single_tier_cells:
+        growth = 4 ** (r_join - cover_pdf["res"].astype(int))
+        # global budget AND a per-polygon bound: one continent-sized
+        # polygon just under the global budget would otherwise balloon to
+        # hundreds of times its tiered max_cells cover, bloating the
+        # broadcast + driver-side build far past what the tiered path pays
+        per_poly = growth.groupby(cover_pdf["poly_id"]).sum()
+        if (int(growth.sum()) <= single_tier_cells
+                and int(per_poly.max()) <= 4 * max_cells):
             cover_pdf = cov.polygon_cover(polys, res=r_join, curve="rowmajor")
 
     # closed-form row-major encode: the big point side never enters Python
