@@ -290,6 +290,18 @@ def register_geometry_functions(spark: SparkSession) -> list[str]:
     spark.udf.register("GeomWithinDistance", _wd)
     names.append("GeomWithinDistance")
 
+    @F.pandas_udf(BooleanType())
+    def _gwd(a: pd.Series, b: pd.Series, r_km: pd.Series) -> pd.Series:
+        # point-point geodesic "within r km" — CQL DWITHIN(meters/km)
+        # surface (reference: OrthodromicDistancePartitioner.java)
+        ax, ay = _series_points(a)
+        bx, by = _series_points(b)
+        return pd.Series(geom.haversine_km(ax, ay, bx, by)
+                         <= float(r_km.iloc[0]))
+
+    spark.udf.register("GeodesicWithinDistance", _gwd)
+    names.append("GeodesicWithinDistance")
+
     from pyspark.sql.types import StringType
 
     @F.pandas_udf(StringType())

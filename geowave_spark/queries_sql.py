@@ -145,9 +145,71 @@ GROUP BY qid ORDER BY qid
 """
 
 
+def _events_points_ts_sql() -> str:
+    """events point table WITH the event timestamp (CQL temporal predicates
+    need it; the shared helper omits it)."""
+    return (f"SELECT event_id AS eid, {geo.lon_sql('event_id')} AS lon, "
+            f"{geo.lat_sql('event_id')} AS lat, value, event_type, ts "
+            f"FROM events")
+
+
+_Q61_CQL = (
+    "(BBOX(geom, -90, -40, 40, 44) AND value BETWEEN 50 AND 900 "
+    "AND event_type IN ('click', 'view') "
+    "AND ts DURING '2024-01-05 00:00:00', '2024-01-22 00:00:00') "
+    "OR (DWITHIN(geom, POINT (120 20), 9.5, degrees) "
+    "AND NOT (event_type LIKE 'p%'))"
+)
+
+
+def q61_cql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL filter text as the query surface: the reference parses GeoTools
+    ECQL into its filter tree (`CQLToGeoWaveFilterVisitor.java`,
+    `OptimalCQLQuery.java` extracts index constraints from it).  Spark-first
+    twin: `plans/cql.cql_to_sql` compiles the same grammar subset to a SQL
+    predicate over the registered Geom* UDFs, then `spatial_sql` injects the
+    closed-form cell prefilter — CQL gets the same index acceleration as
+    hand-written SQL.  Exercises BBOX, DWITHIN, DURING, BETWEEN, IN, LIKE,
+    NOT, and OR in one filter."""
+    from .plans.cql import cql_to_sql
+
+    register_views(spark, sf_dir)
+    # bind the CQL geometry attribute to the UDF-surface expression the
+    # sqlrewrite prefilter patterns recognize
+    pred = cql_to_sql(_Q61_CQL, {"geom": "GeomPoint(lon, lat)"})
+    sql = f"""
+        WITH p AS ({_events_points_ts_sql()})
+        SELECT event_type,
+               cast(count(*) as bigint) AS n,
+               cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+        FROM p
+        WHERE {pred}
+        GROUP BY event_type ORDER BY event_type
+    """
+    return sqlrewrite.spatial_sql(spark, sql, optimize=True, res=6)
+
+
+Q61_SQL = f"""
+WITH p AS ({_events_points_ts_sql()})
+SELECT event_type,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+FROM p
+WHERE (lon >= -90 AND lon <= 40 AND lat >= -40 AND lat <= 44
+       AND value BETWEEN 50 AND 900
+       AND event_type IN ('click', 'view')
+       AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+       AND ts <= TIMESTAMP '2024-01-22 00:00:00')
+   OR (sqrt((lon - 120) * (lon - 120) + (lat - 20) * (lat - 20)) <= 9.5
+       AND NOT event_type LIKE 'p%')
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 SQL_QUERIES = {
     "q31_sql_geom_filter": (q31_sql_geom_filter, Q31_SQL),
     "q32_sql_geom_distance": (q32_sql_geom_distance, Q32_SQL),
     "q51_sql_within_distance": (q51_sql_within_distance, Q51_SQL),
     "q59_sql_spatial_join": (q59_sql_spatial_join, Q59_SQL),
+    "q61_cql_filter": (q61_cql_filter, Q61_SQL),
 }
