@@ -481,3 +481,43 @@ FROM p GROUP BY 1 ORDER BY gh
 
 
 AGG_QUERIES["q38_geohash_binning"] = (q38_geohash_binning, _q38_sql())
+
+
+def q62_mercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-CRS binned aggregation: events assigned to EPSG:3857
+    (web-mercator) slippy-map tiles at zoom 5 — the reference's
+    custom-CRS KDE/raster path (`CustomCRSKDERasterResizeIT.java`,
+    GeoTools-reprojected indices) re-expressed as a closed-form projection
+    in whole-stage-codegen SQL (`sfc/crs.py`); the oracle runs the
+    IDENTICAL expression text on DuckDB."""
+    from .sfc import crs
+
+    register_views(spark, sf_dir)
+    z = 5
+    ev = spark.sql(geo.events_points_sql())
+    tx, ty = crs.tile_xy_sql("lon", "lat", z)
+    return (
+        ev.withColumn("tx", F.expr(tx)).withColumn("ty", F.expr(ty))
+        .groupBy("tx", "ty")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("sum_cents"),
+        )
+        .orderBy("ty", "tx")
+    )
+
+
+def _q62_sql() -> str:
+    from .sfc import crs
+
+    tx, ty = crs.tile_xy_sql("lon", "lat", 5)
+    return f"""
+WITH p AS ({geo.events_points_sql()})
+SELECT {tx} AS tx, {ty} AS ty,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+FROM p GROUP BY 1, 2 ORDER BY ty, tx
+"""
+
+
+AGG_QUERIES["q62_mercator_tiles"] = (q62_mercator_tiles, _q62_sql())
