@@ -93,6 +93,47 @@ def test_salted_join_equals_unsalted(spark, pts):
     assert "salt" in plan
 
 
+def test_build_side_selection(spark, pts):
+    """`spatial_join_rects` — the reference's JoinOptions.BuildSide knob
+    (`TieredSpatialJoin.java:103,160`): explicit strategies agree, and
+    "auto" counts the rect side against the broadcast threshold to pick."""
+    rects = pd.DataFrame({
+        "rid": [1, 2, 3],
+        "lon0": [-50.0, 100.0, -10.0], "lat0": [-20.0, 10.0, -45.0],
+        "lon1": [0.0, 140.0, 35.0], "lat1": [30.0, 60.0, -5.0],
+    })
+    rects_df = spark.createDataFrame(rects)
+
+    def pairs(df):
+        return sorted(map(tuple, df.toPandas()[["pid", "rid"]]
+                          .to_numpy().tolist()))
+
+    bc = spatial.spatial_join_rects(spark, pts, rects_df,
+                                    strategy="broadcast", res=8)
+    sh = spatial.spatial_join_rects(spark, pts, rects_df,
+                                    strategy="shuffle", res=8)
+    assert pairs(bc) == pairs(sh) and len(pairs(bc)) > 0
+
+    # auto: 3 rects fit any real threshold -> broadcast plan
+    auto_small = spatial.spatial_join_rects(spark, pts, rects_df,
+                                            strategy="auto", res=8)
+    plan = auto_small._jdf.queryExecution().executedPlan().toString()
+    assert "salt" not in plan
+    # auto with a 2-rect cap -> the 3-rect side must take the salted path
+    auto_big = spatial.spatial_join_rects(
+        spark, pts, rects_df, strategy="auto", res=8,
+        broadcast_max_rects=2)
+    plan_big = auto_big._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan_big
+    assert pairs(auto_big) == pairs(bc)
+
+    try:
+        spatial.spatial_join_rects(spark, pts, rects_df, strategy="nope")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
 def test_salted_join_splits_hot_cell(spark, pts):
     """Hot-cell skew demonstration: 30% of all points collapsed onto one
     location (a 'city' cell).  The salted join must (a) still produce the
