@@ -78,6 +78,15 @@ class Dialect:
             return f"sequence({lo}, {hi})"
         return f"generate_series({lo}, {hi})"
 
+    def regexp_count(self, text: str, pattern: str) -> str:
+        """Number of non-overlapping matches of ``pattern`` in ``text``.
+        Keep patterns to the Java-regex/RE2 common subset (character
+        classes, alternation, +) and avoid backslash classes — Spark SQL
+        string literals eat backslashes that DuckDB keeps."""
+        if self.is_spark:
+            return f"size(regexp_extract_all({text}, '{pattern}', 0))"
+        return f"len(regexp_extract_all({text}, '{pattern}'))"
+
     def arr_filter(self, arr: str, body_of_x: str) -> str:
         fn = "filter" if self.is_spark else "list_filter"
         return f"{fn}({arr}, x -> {body_of_x})"

@@ -207,6 +207,43 @@ FROM documents WHERE {ntok} >= 1 ORDER BY doc_id
 """
 
 
+def _q63(d: G.Dialect) -> str:
+    """Document quality scoring — the LLM-pipeline filter pass: length,
+    punctuation ratio, alphabetic ratio, stopword ratio, whitespace vs
+    BPE-ish token counts, and a composite keep/drop flag (the C4/Gopher
+    rule shape: length band + punct bound + stopword floor).  Pure codegen
+    SQL in both engines (`regexp_count` on a Java/RE2-common pattern)."""
+    toks = G.tokens(d)
+    ntok = d.size(toks)
+    stop = d.size(d.arr_filter(toks, f"x IN {STOPWORDS}"))
+    bpe = d.regexp_count("text", "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]")
+    punct = d.regexp_count("text", "[^A-Za-z0-9 ]")
+    alpha = d.regexp_count("text", "[A-Za-z]")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         cast(length(text) as bigint) AS n_chars,
+         cast({ntok} as bigint) AS n_ws_tokens,
+         cast({bpe} as bigint) AS n_bpe_tokens,
+         cast({punct} as bigint) AS n_punct,
+         cast({alpha} as bigint) AS n_alpha,
+         cast({stop} as bigint) AS n_stop
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, n_chars, n_ws_tokens, n_bpe_tokens,
+       cast(floor(1000000.0 * n_punct / n_chars) as bigint) AS punct_ratio_micro,
+       cast(floor(1000000.0 * n_alpha / n_chars) as bigint) AS alpha_ratio_micro,
+       cast(floor(1000000.0 * n_stop / n_ws_tokens) as bigint) AS stop_ratio_micro,
+       cast(CASE WHEN n_chars BETWEEN 20 AND 100000
+                  AND n_ws_tokens >= 5
+                  AND 1000000.0 * n_punct / n_chars < 150000
+                  AND 1000000.0 * n_alpha / n_chars > 500000
+                  AND 1000000.0 * n_stop / n_ws_tokens >= 20000
+             THEN 1 ELSE 0 END as int) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 LANG_MARKERS = {
     "en": "('scan', 'join', 'sort')",
     "es": "('table', 'merge', 'hash')",
@@ -527,4 +564,5 @@ TEXT_QUERIES = {
     "q40_embedding_neardup": _dual(_q40),
     "q41_ann_ivf": _dual(_q41),
     "q50_text_search": _dual(_q50),
+    "q63_quality_score": _dual(_q63),
 }
