@@ -550,6 +550,64 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def _q64_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the canonical-document step after pair
+    generation.  q16's MinHash+LSH pairs are the edge list; alternating
+    large-star/small-star contraction (`agg/components.py`, O(log^2)
+    rounds, two shuffles per round, no driver graph state) labels every
+    document with its duplicate-cluster minimum; documents in no pair are
+    their own canonical.  Output: one row per document with its canonical
+    id and cluster size — exactly the keep/drop decision a 100 TB dedup
+    pipeline materializes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .agg.components import connected_components
+
+    pairs = _q16_spark(spark, sf_dir)
+    comp = connected_components(pairs, "d1", "d2")
+    docs = spark.table("documents").select("doc_id")
+    return (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+        )
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("canonical_id")),
+        )
+        .select("doc_id", "canonical_id",
+                F.col("n_members").cast("long").alias("n_members"))
+        .orderBy("doc_id")
+    )
+
+
+def _q64_duck() -> str:
+    """Oracle: transitive closure by recursive CTE over the IDENTICAL
+    q16 pair SQL — min reachable id per node is the component label."""
+    pairs_sql = _q16(G.DUCK)
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT d1, d2 FROM ({pairs_sql}) z),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS canonical_id,
+       cast(count(*) OVER (
+         PARTITION BY coalesce(c.component, d.doc_id)) as bigint
+       ) AS n_members
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -565,4 +623,5 @@ TEXT_QUERIES = {
     "q41_ann_ivf": _dual(_q41),
     "q50_text_search": _dual(_q50),
     "q63_quality_score": _dual(_q63),
+    "q64_dup_clusters": (_q64_spark, _q64_duck()),
 }
