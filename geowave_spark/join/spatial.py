@@ -488,6 +488,28 @@ def point_in_rects_join_salted(
     ).select(*out_cols)
 
 
+def resolve_query_side(spark: SparkSession, queries: DataFrame,
+                       broadcast_queries, disk_k: int) -> bool:
+    """Build-side auto-selection for the query-disk joins (the same
+    count-then-choose `spatial_join_rects` does; reference analog:
+    `JoinOptions.BuildSide` unset => size-based pick in
+    `TieredSpatialJoin.java:103,160`).
+
+    ``broadcast_queries`` may be True/False (explicit) or "auto": estimate
+    the broadcast cover at (2k+1)^2 disk cells x ~48 B per exploded row,
+    cap rows at autoBroadcastJoinThreshold, and count the query side only
+    up to cap+1 (a LIMIT count, not a full scan)."""
+    if broadcast_queries != "auto":
+        return bool(broadcast_queries)
+    thresh = int(str(spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760")).rstrip("b"))
+    if thresh <= 0:          # broadcast disabled session-wide
+        return False
+    per_row = 48 * (2 * disk_k + 1) ** 2
+    cap = max(1, thresh // per_row)
+    return queries.limit(cap + 1).count() <= cap
+
+
 def within_distance_join(
     spark: SparkSession,
     pts: DataFrame,
@@ -497,7 +519,7 @@ def within_distance_join(
     pid_col: str = "pid",
     qid_col: str = "qid",
     res: int = 8,
-    broadcast_queries: bool = True,
+    broadcast_queries: bool | str = "auto",
     salt_buckets: int = 8,
 ) -> DataFrame:
     """All (point, query) pairs with planar distance <= radius.
@@ -509,7 +531,9 @@ def within_distance_join(
 
     ``broadcast_queries`` picks the physical strategy for the candidate
     join (reference analog: build-side selection in TieredSpatialJoin):
-    True (default) broadcasts the query-side cover — zero shuffles, right
+    "auto" (default) counts the query side against the session broadcast
+    threshold (`resolve_query_side`); True broadcasts the query-side
+    cover — zero shuffles, right
     whenever the query set fits an executor; False runs a SALTED shuffled
     hash join (`TieredSpatialJoin.java:168-172` hash-partitions both
     sides) — the scale path when BOTH sides are large, with hot cells
@@ -518,6 +542,8 @@ def within_distance_join(
     """
     cell_h = 180.0 / (1 << res)
     k = int(np.ceil(radius / cell_h))
+    broadcast_queries = resolve_query_side(spark, queries,
+                                           broadcast_queries, k)
 
     # distributed candidate expansion: one fused point->disk UDF, exploded —
     # no driver-side collect, so the query side may itself be large.  The
@@ -739,7 +765,7 @@ def within_distance_join_geodesic(
     pid_col: str = "pid",
     qid_col: str = "qid",
     res: int = 7,
-    broadcast_queries: bool = True,
+    broadcast_queries: bool | str = "auto",
     salt_buckets: int = 8,
 ) -> DataFrame:
     """All (point, query) pairs within a GEODESIC radius in km — the
@@ -752,6 +778,10 @@ def within_distance_join_geodesic(
     evaluated as pure JVM SQL (`haversine_km_sql`).  Strategy selection
     mirrors `within_distance_join`.
     """
+    cell_h_km = 180.0 / (1 << res) * 111.195  # mean km per cell height
+    broadcast_queries = resolve_query_side(
+        spark, queries, broadcast_queries,
+        int(np.ceil(radius_km / cell_h_km)))
     q_cover = queries.select(
         F.col(qid_col), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
     ).withColumn(

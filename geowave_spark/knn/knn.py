@@ -35,14 +35,16 @@ def knn_join(
     res: int = 6,
     initial_ring: int = 1,
     max_iters: int = 8,
-    broadcast_queries: bool = True,
+    broadcast_queries: bool | str = "auto",
     salt_buckets: int = 8,
 ) -> DataFrame:
     """For each query point, the k nearest data points (planar metric).
 
     Returns (qid, pid, dist, rank).  Deterministic: ties broken by pid.
 
-    ``broadcast_queries=False`` switches every ring iteration's candidate
+    ``broadcast_queries`` defaults to "auto" (count the query side
+    against the session broadcast threshold via
+    `spatial.resolve_query_side`); False switches every ring iteration's candidate
     join from broadcast-hash to a SALTED shuffled hash join (query cover
     replicated per salt, data side salted by hash(pid)) — the big-big
     path when the query set itself is beyond broadcast size (reference:
@@ -50,6 +52,9 @@ def knn_join(
     remaining/done bookkeeping joins stay on the (shrinking) query side.
     """
     cell_h = 180.0 / (1 << res)
+    from ..join.spatial import resolve_query_side
+    broadcast_queries = resolve_query_side(
+        spark, queries, broadcast_queries, initial_ring)
 
     q_named = queries.select(
         F.col(qid_col), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")

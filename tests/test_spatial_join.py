@@ -331,3 +331,33 @@ def test_geodesic_join_matches_numpy_including_poles(spark, pts):
         d = geom.haversine_km(p["lon"], p["lat"], qr["lon"], qr["lat"])
         exp.extend((int(pid), int(qr["qid"])) for pid in p.loc[d <= r_km, "pid"])
     assert got_pairs == sorted(exp) and len(exp) > 0
+
+
+def test_query_side_auto_selection(spark, pts):
+    """`resolve_query_side`: within_distance/kNN default to "auto" —
+    small query sets broadcast; a floored broadcast threshold (or an
+    explicit False) flips the same call to the salted shuffle path,
+    results identical."""
+    q = spark.createDataFrame(
+        [(i, float(i * 7 % 60) - 30.0, float(i * 11 % 40) - 20.0)
+         for i in range(20)],
+        "qid long, lon double, lat double")
+
+    def pairs(df):
+        return sorted(map(tuple, df.toPandas()[["pid", "qid"]]
+                          .to_numpy().tolist()))
+
+    auto = spatial.within_distance_join(spark, pts, q, 2.0, res=8)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "salt" not in plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # 1 KB threshold: 20 queries x (2k+1)^2 disk cells never fit
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        forced = spatial.within_distance_join(spark, pts, q, 2.0, res=8)
+        plan_f = forced._jdf.queryExecution().executedPlan().toString()
+        assert "salt" in plan_f
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert pairs(auto) == pairs(forced) and len(pairs(auto)) > 0
