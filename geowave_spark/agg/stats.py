@@ -217,3 +217,113 @@ def balance_partitions(df: DataFrame, key: str, n_parts: int) -> DataFrame:
     from pyspark.sql import functions as F  # noqa: N812
 
     return df.repartitionByRange(n_parts, F.col(key)).sortWithinPartitions(key)
+
+
+# ------------------------------------------------- incremental maintenance
+
+def stats_state(
+    df: DataFrame,
+    *,
+    lon: str = "lon",
+    lat: str = "lat",
+    value: str | None = None,
+    distinct: str | None = None,
+    ts: str | None = None,
+) -> DataFrame:
+    """One MERGEABLE statistics row for a batch of rows.
+
+    The reference maintains its statistics incrementally at write time —
+    every ingested entry flows through `StatisticUpdateCallback.
+    entryIngested` (`core/store/src/main/java/.../statistics/
+    StatisticUpdateCallback.java:87`) and periodically-merged partials
+    (`StatisticValueWriter`/`StatisticValueReader`).  Spark-first, the
+    same contract is a commutative-monoid state row per ingest batch:
+    every component merges associatively (`merge_stats_states`), so a
+    100 TB store never recomputes statistics from scratch — each new
+    batch contributes one tiny state row, and reads fold the rows.
+
+    Components: row count; bbox (min/max lon/lat); optional time range;
+    optional value min/max/sum/sum-of-squares (mean/std derivable);
+    optional distinct-count as a Datasketches HLL sketch binary
+    (`hll_sketch_agg` — sketches union losslessly, unlike a scalar
+    `approx_count_distinct` which cannot be merged after the fact).
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.min(lon).alias("lon0"), F.max(lon).alias("lon1"),
+        F.min(lat).alias("lat0"), F.max(lat).alias("lat1"),
+    ]
+    if ts is not None:
+        aggs += [F.min(ts).alias("ts0"), F.max(ts).alias("ts1")]
+    if value is not None:
+        c = F.col(value).cast("double")
+        aggs += [
+            F.min(c).alias("vmin"), F.max(c).alias("vmax"),
+            F.sum(c).alias("vsum"), F.sum(c * c).alias("vsumsq"),
+        ]
+    if distinct is not None:
+        aggs += [F.hll_sketch_agg(distinct).alias("hll")]
+    return df.agg(*aggs)
+
+
+def merge_stats_states(*states: DataFrame) -> DataFrame:
+    """Fold any number of `stats_state` rows into one (associative and
+    commutative — the reference's `StatisticValueReader` merge loop)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    cols = set(u.columns)
+    aggs = [
+        F.sum("n").alias("n"),
+        F.min("lon0").alias("lon0"), F.max("lon1").alias("lon1"),
+        F.min("lat0").alias("lat0"), F.max("lat1").alias("lat1"),
+    ]
+    if "ts0" in cols:
+        aggs += [F.min("ts0").alias("ts0"), F.max("ts1").alias("ts1")]
+    if "vmin" in cols:
+        aggs += [
+            F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"),
+            F.sum("vsum").alias("vsum"), F.sum("vsumsq").alias("vsumsq"),
+        ]
+    if "hll" in cols:
+        aggs += [F.hll_union_agg("hll").alias("hll")]
+    return u.agg(*aggs)
+
+
+def stats_report(state: DataFrame) -> DataFrame:
+    """Finalize a (possibly merged) state row into user-facing numbers:
+    distinct estimate from the HLL sketch, mean/std from the moments."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    cols = set(state.columns)
+    out = state
+    if "hll" in cols:
+        out = out.withColumn(
+            "n_distinct", F.hll_sketch_estimate("hll")).drop("hll")
+    if "vmin" in cols:
+        mean = F.col("vsum") / F.col("n")
+        out = (
+            out.withColumn("vmean", mean)
+            .withColumn(
+                "vstd",
+                F.sqrt(F.greatest(
+                    F.col("vsumsq") / F.col("n") - mean * mean,
+                    F.lit(0.0))))
+            .drop("vsum", "vsumsq")
+        )
+    return out
+
+
+def merge_cell_hists(*hists: DataFrame) -> DataFrame:
+    """Merge per-batch `cell_histogram` outputs: union + keyed sum —
+    the binned-statistic merge (`StatisticValueWriter` per-bin merge)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    u = reduce(lambda a, b: a.unionByName(b), hists)
+    return u.groupBy("cell").agg(F.sum("n").alias("n"))

@@ -103,3 +103,45 @@ def test_balance_partitions_equalizes_skewed_key(spark, sf_dir):
         .groupBy("p").count().collect()
     )
     assert max(r["count"] for r in hash_parts) >= 90_000
+
+
+def test_incremental_stats_monoid_parity(spark, events_pts):
+    """stats over the full table == merge of per-batch states — the
+    reference's write-time incremental maintenance contract
+    (`StatisticUpdateCallback.java:87`, partial-value merges in
+    `StatisticValueWriter`/`Reader`)."""
+    ev = events_pts
+    halves = [ev.filter(f"pmod(eid, 2) = {i}") for i in (0, 1)]
+
+    full = stats.stats_report(stats.stats_state(
+        ev, value="value", distinct="event_type")).collect()[0]
+    merged = stats.stats_report(stats.merge_stats_states(*[
+        stats.stats_state(h, value="value", distinct="event_type")
+        for h in halves])).collect()[0]
+
+    assert merged["n"] == full["n"]
+    for c in ("lon0", "lon1", "lat0", "lat1", "vmin", "vmax"):
+        assert merged[c] == full[c], c
+    # sketches union losslessly: identical estimate, not just close
+    assert merged["n_distinct"] == full["n_distinct"]
+    assert abs(merged["vmean"] - full["vmean"]) < 1e-9
+    assert abs(merged["vstd"] - full["vstd"]) < 1e-9
+
+    # three-way split and merge-of-merges (associativity)
+    thirds = [ev.filter(f"pmod(eid, 3) = {i}") for i in range(3)]
+    s = [stats.stats_state(t, value="value", distinct="event_type")
+         for t in thirds]
+    m1 = stats.merge_stats_states(stats.merge_stats_states(s[0], s[1]), s[2])
+    r1 = stats.stats_report(m1).collect()[0]
+    assert r1["n"] == full["n"] and r1["n_distinct"] == full["n_distinct"]
+
+
+def test_merge_cell_hists(spark, events_pts):
+    ev = events_pts
+    halves = [ev.filter(f"pmod(eid, 2) = {i}") for i in (0, 1)]
+    full = {r["cell"]: r["n"]
+            for r in stats.cell_histogram(ev, 4).collect()}
+    merged = {r["cell"]: r["n"]
+              for r in stats.merge_cell_hists(
+                  *[stats.cell_histogram(h, 4) for h in halves]).collect()}
+    assert merged == full
