@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "q41_ann_ivf",
     "q56_bigbig_salted_join",
     "q58_polygon_polygon_join",
+    # the iterative connected-components dedup clustering (q16 pairs ->
+    # large-star/small-star contraction): the only multi-job operator in
+    # the suite, so driver-loop overhead regressions surface here
+    "q64_dup_clusters",
 ]
 
 

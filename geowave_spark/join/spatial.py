@@ -743,6 +743,102 @@ def polygon_polygon_join(
     return matched
 
 
+def _vertex_bbox_cover(df: DataFrame, k: int, res: int,
+                       prefix: str = "v") -> DataFrame:
+    """Distributed cover of a primitive-column polygon table: bbox from
+    vertex min/max (pure JVM), cells via the vectorized bbox UDF."""
+    xs = [F.col(f"{prefix}x{i}") for i in range(k)]
+    ys = [F.col(f"{prefix}y{i}") for i in range(k)]
+    return (
+        df.withColumn("lon0", F.least(*xs)).withColumn("lat0", F.least(*ys))
+        .withColumn("lon1", F.greatest(*xs)).withColumn("lat1", F.greatest(*ys))
+        .withColumn("cell", F.explode(cov.bbox_cells_udf(res, curve="rowmajor")(
+            F.col("lon0"), F.col("lat0"), F.col("lon1"), F.col("lat1"))))
+        .drop("lon0", "lat0", "lon1", "lat1")
+    )
+
+
+def polygon_polygon_join_bigbig(
+    spark: SparkSession,
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    *,
+    aid_col: str = "aid",
+    bid_col: str = "bid",
+    ka: int = 6,
+    kb: int = 6,
+    res: int = 6,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Polygon x polygon intersects with BOTH sides DataFrames — neither
+    collected nor broadcast (the 100 TB regime `polygon_polygon_join`'s
+    docstring defers to; reference: `TieredSpatialJoin.java:168-172`
+    hash-partitions both indexed RDDs).
+
+    Both sides are single-ring primitive-column polygons (vx0..vy{k-1};
+    holed/Multi geometries stay on the broadcast path, whose B side is a
+    geometry dict).  Shape:
+
+      cover:  each side covers DISTRIBUTED from its vertex columns
+              (`_vertex_bbox_cover`); B's cover is replicated per salt,
+              A's rows salt by hash(aid) — hot cells split S ways
+      cand:   ShuffledHashJoin on (cell, salt), projected to bare
+              (aid, bid) BEFORE the dedup shuffle (the covers' wide
+              vertex payloads never shuffle twice)
+      refine: candidates re-join each side's vertex columns by id (plain
+              equi-joins — narrow keys, the scale-canonical shape), then
+              the same chunked codegen `poly_intersect_terms_sql`
+              predicate as the broadcast path; B's edge columns derive
+              from its vertices in pure JVM projections.
+
+    Result-equality with `polygon_polygon_join` is asserted in
+    tests/test_spatial_join.py; the plan pin checks the candidate join is
+    a ShuffledHashJoin with no LocalTableScan on either cover.
+    """
+    from ..table.views import ensure_arrow
+
+    ensure_arrow(spark)
+    a_cov = cov.salted(
+        _vertex_bbox_cover(polys_a, ka, res).select(aid_col, "cell"),
+        aid_col, salt_buckets)
+    b_cov = _vertex_bbox_cover(polys_b, kb, res).select(bid_col, "cell") \
+        .withColumn("salt", F.explode(
+            F.array(*[F.lit(i) for i in range(salt_buckets)])))
+    cand = (
+        a_cov.join(b_cov.hint("shuffle_hash"), ["cell", "salt"])
+        .select(aid_col, bid_col)
+        .dropDuplicates([aid_col, bid_col])
+    )
+    # refine: bring the vertex payloads back by id.  B's edges (eax..eby)
+    # are JVM projections of its vertex columns: edge i = v[i] -> v[i+1].
+    # pack_polygons layout: edge i runs b = v[i-1] -> a = v[i] (wrapping)
+    b_edges = polys_b
+    for i in range(kb):
+        j = (i - 1) % kb
+        b_edges = (
+            b_edges.withColumn(f"eax{i}", F.col(f"vx{i}"))
+            .withColumn(f"eay{i}", F.col(f"vy{i}"))
+            .withColumn(f"ebx{i}", F.col(f"vx{j}"))
+            .withColumn(f"eby{i}", F.col(f"vy{j}"))
+        )
+    b_edges = b_edges.select(
+        bid_col, *[f"e{t}{i}" for i in range(kb) for t in ("ax", "ay", "bx", "by")])
+    enriched = (
+        cand.join(polys_a, aid_col)
+        .join(b_edges, bid_col)
+    )
+    chunks = chunk_terms_sql(poly_intersect_terms_sql(ka, kb))
+    if len(chunks) > 1:
+        # keep every chunk a separate janino-sized filter stage
+        out = None
+        enriched = enriched.persist()
+        for c in chunks:
+            m = enriched.filter(F.expr(c)).select(aid_col, bid_col)
+            out = m if out is None else out.unionByName(m)
+        return out.dropDuplicates([aid_col, bid_col])
+    return enriched.filter(F.expr(chunks[0])).select(aid_col, bid_col)
+
+
 def haversine_km_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     """Great-circle distance in km — ONE formula string shared by the
     Spark refine and the DuckDB oracle (radians/sin/cos/asin exist in

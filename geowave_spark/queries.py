@@ -462,6 +462,63 @@ GROUP BY r.rid ORDER BY r.rid
 """
 
 
+def _hex_b_sql() -> str:
+    """Side-B polygon table for the big-big polygon join: a second
+    deterministic hexagon per image, offset and differently scaled so the
+    overlap pattern is non-trivial."""
+    from .table import images as images_mod
+
+    s = "((1 + doc_id % 3) * 0.9)"
+    cols = ", ".join(
+        f"(lon0 + lon1) / 2 + 0.8 + {ox!r} * {s} AS vx{k}, "
+        f"(lat0 + lat1) / 2 - 0.5 + {oy!r} * {s} AS vy{k}"
+        for k, (ox, oy) in enumerate(_HEX_OFFSETS)
+    )
+    return (
+        f"SELECT image_id AS bid, {cols} "
+        f"FROM ({images_mod.images_base_sql()}) base"
+    )
+
+
+def q65_polygon_bigbig_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon x polygon with BOTH sides DataFrames (neither collected
+    nor broadcast): the q58 hexagons x a second derived hexagon table,
+    through `polygon_polygon_join_bigbig` — distributed covers on both
+    sides, salted ShuffledHashJoin candidates, id-join refine with the
+    shared chunked codegen intersects predicate.  Completes the join
+    matrix the broadcast-path docstring defers to (reference:
+    `TieredSpatialJoin.java:168-172` hash-partitions both indexed RDDs).
+    Oracle: brute-force cross join on the IDENTICAL predicate SQL."""
+    register_views(spark, sf_dir)
+    a_df = spark.sql(_hex_a_sql())
+    b_df = spark.sql(_hex_b_sql())
+    pairs = spatial.polygon_polygon_join_bigbig(
+        spark, a_df, b_df, ka=6, kb=6, res=6)
+    return (
+        pairs.groupBy("aid")
+        .agg(F.count("*").alias("n_b"), F.min("bid").alias("min_bid"))
+        .orderBy("aid")
+    )
+
+
+def _q65_sql() -> str:
+    pred = spatial.poly_intersect_pred_sql(6, 6)
+    # B's edge columns per the pack_polygons layout: edge i = v[i-1] -> v[i]
+    edges = ", ".join(
+        f"vx{i} AS eax{i}, vy{i} AS eay{i}, "
+        f"vx{(i - 1) % 6} AS ebx{i}, vy{(i - 1) % 6} AS eby{i}"
+        for i in range(6)
+    )
+    return f"""
+WITH a AS ({_hex_a_sql()}),
+b0 AS ({_hex_b_sql()}),
+b AS (SELECT bid, {edges} FROM b0)
+SELECT a.aid, cast(count(*) as bigint) AS n_b, min(b.bid) AS min_bid
+FROM a JOIN b ON {pred}
+GROUP BY a.aid ORDER BY a.aid
+"""
+
+
 def q07_distance_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-distance join (grid_disk candidates), aggregated per query point."""
     register_views(spark, sf_dir)
@@ -675,6 +732,7 @@ QUERIES = {
     "q55_image_polygon_join": (q55_image_polygon_join, _q55_sql()),
     "q56_bigbig_salted_join": (q56_bigbig_salted_join, _q56_sql()),
     "q58_polygon_polygon_join": (q58_polygon_polygon_join, _q58_sql()),
+    "q65_polygon_bigbig_join": (q65_polygon_bigbig_join, _q65_sql()),
     "q57_geodesic_distance_join": (q57_geodesic_distance_join, _q57_sql()),
     "q60_knn_geodesic": (q60_knn_geodesic, _q60_sql()),
     "q08_knn": (q08_knn, Q08_SQL),

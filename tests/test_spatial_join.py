@@ -361,3 +361,47 @@ def test_query_side_auto_selection(spark, pts):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert pairs(auto) == pairs(forced) and len(pairs(auto)) > 0
+
+
+def test_polygon_polygon_bigbig_equals_broadcast(spark):
+    """Both-sides-DataFrame polygon join (salted cells, id-join refine)
+    returns exactly the broadcast-path pairs; the candidate join is a
+    ShuffledHashJoin with no LocalTableScan on either cover."""
+    import numpy as np
+
+    rnd = np.random.default_rng(11)
+    def hexagon(cx, cy, s):
+        ang = np.linspace(0, 2 * np.pi, 7)[:6]
+        return np.c_[cx + s * np.cos(ang), cy + s * np.sin(ang)]
+
+    a_rows, b_rows, b_dict = [], [], {}
+    for i in range(60):
+        h = hexagon(rnd.uniform(-30, 30), rnd.uniform(-20, 20),
+                    rnd.uniform(0.5, 3.0))
+        a_rows.append([i] + [float(v) for xy in h for v in xy])
+    for j in range(25):
+        h = hexagon(rnd.uniform(-30, 30), rnd.uniform(-20, 20),
+                    rnd.uniform(0.5, 3.0))
+        b_rows.append([j] + [float(v) for xy in h for v in xy])
+        b_dict[j] = h
+    cols = [c for i in range(6) for c in (f"vx{i}", f"vy{i}")]
+    # row layout is (id, x0, y0, x1, y1, ...) -> schema interleaves
+    schema_a = "aid long, " + ", ".join(
+        f"vx{i} double, vy{i} double" for i in range(6))
+    schema_b = "bid long, " + ", ".join(
+        f"vx{i} double, vy{i} double" for i in range(6))
+    a_df = spark.createDataFrame(a_rows, schema_a)
+    b_df = spark.createDataFrame(b_rows, schema_b)
+
+    def pairs(df):
+        return sorted(map(tuple, df.toPandas()[["aid", "bid"]]
+                          .to_numpy().tolist()))
+
+    bc = spatial.polygon_polygon_join(spark, a_df, b_dict, ka=6, res=6)
+    bb = spatial.polygon_polygon_join_bigbig(spark, a_df, b_df,
+                                             ka=6, kb=6, res=6)
+    assert pairs(bc) == pairs(bb) and len(pairs(bb)) > 0
+
+    plan = bb._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "LocalTableScan" not in plan
