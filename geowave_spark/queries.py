@@ -524,7 +524,13 @@ def q07_distance_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     pts = spark.sql(geo.lineitem_points_sql())
     qs = spark.sql(geo.customer_points_sql()).withColumnRenamed("cid", "qid")
-    pairs = spatial.within_distance_join(spark, pts, qs, radius=2.0, qid_col="qid", res=8)
+    # explicit broadcast: the query side is the customer sample (~1.5% of
+    # points, ~35 MB of cover rows at sf0.1) — comfortably executor-sized
+    # but past the conservative 10 MB autoBroadcastJoinThreshold, where
+    # the "auto" default would fall back to the salted shuffle (measured
+    # 2x slower here; the zero-shuffle plan is pinned in tests/test_plans)
+    pairs = spatial.within_distance_join(spark, pts, qs, radius=2.0, qid_col="qid",
+                                         res=8, broadcast_queries=True)
     return (
         pairs.groupBy("qid")
         .agg(

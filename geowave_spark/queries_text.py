@@ -108,7 +108,16 @@ def _q18(d: G.Dialect) -> str:
     formulation: intersection sizes come from a shingle-equality join
     (pairs with empty intersection never materialize; the >= 30000
     threshold implies ninter >= 1, so results are identical to the
-    all-pairs nested-array version)."""
+    all-pairs nested-array version).
+
+    Scale contract: the join key is (source, shingle), so fan-out is
+    bounded by within-source co-occurrence — a stop-shingle shared by all
+    n_s docs of one source still yields O(n_s^2) join rows, which is
+    INHERENT to exact pairwise Jaccard at a 0.03 threshold (prefix
+    filtering prunes nothing that low).  This operator is the exact
+    verifier for bounded groups, mirroring the reference's brute-force
+    side (`GeoWaveSparkSpatialJoinIT.java:228-255`); the 100 TB candidate
+    path is q16's banded MinHash join, whose band keys are uniform."""
     sh = G.shingles3_from(d, "v")
     return f"""
 WITH wv AS (SELECT doc_id, source, {G.wordvals(d)} AS v FROM documents),
