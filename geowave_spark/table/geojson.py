@@ -96,3 +96,88 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
         doc = json.load(fh)
     feats = doc["features"] if doc.get("type") == "FeatureCollection" else [doc]
     return spark.createDataFrame(_features_to_pdf(feats))
+
+
+# ------------------------------------------------------------------ export
+
+def _parse_paren(s: str, i: int):
+    """Parse a WKT parenthesis tree starting at s[i] == '(' -> (node, j).
+    Leaves are coordinate lists [[x, y], ...]."""
+    assert s[i] == "("
+    i += 1
+    children = []
+    buf = ""
+    while i < len(s):
+        c = s[i]
+        if c == "(":
+            node, i = _parse_paren(s, i)
+            children.append(node)
+        elif c == ")":
+            if not children:
+                # leaf group: raw coordinate list
+                return [[float(t) for t in pt.split()[:2]]
+                        for pt in buf.split(",") if pt.strip()], i + 1
+            return children, i + 1
+        else:
+            buf += c
+            i += 1
+    raise ValueError("unbalanced WKT parentheses")
+
+
+def wkt_to_geometry(wkt: str) -> dict:
+    """WKT -> GeoJSON geometry dict (inverse of `feature_to_wkt`)."""
+    head, rest = wkt.split("(", 1)
+    kind = head.strip().upper()
+    tree, _ = _parse_paren("(" + rest, 0)
+    if kind == "POINT":
+        return {"type": "Point", "coordinates": tree[0]}
+    if kind == "MULTIPOINT":
+        # both MULTIPOINT (x y, x y) and ((x y), (x y)) forms
+        coords = (tree if isinstance(tree[0][0], float)
+                  else [t[0] if isinstance(t[0], list) else t for t in tree])
+        if isinstance(coords[0][0], list):
+            coords = [c[0] for c in coords]
+        return {"type": "MultiPoint", "coordinates": coords}
+    if kind == "LINESTRING":
+        return {"type": "LineString", "coordinates": tree}
+    if kind == "MULTILINESTRING":
+        return {"type": "MultiLineString", "coordinates": tree}
+    if kind == "POLYGON":
+        rings = tree if isinstance(tree[0][0], list) else [tree]
+        return {"type": "Polygon", "coordinates": rings}
+    if kind == "MULTIPOLYGON":
+        polys = []
+        for poly in tree:
+            polys.append(poly if isinstance(poly[0][0], list) else [poly])
+        return {"type": "MultiPolygon", "coordinates": polys}
+    raise ValueError(f"unsupported WKT type {kind!r}")
+
+
+def write_geojsonl(df: DataFrame, path: str) -> None:
+    """Distributed GeoJSONL export: one Feature per line, one output file
+    per partition — the reference's per-mapper vector export shape
+    (`extensions/adapters/vector/.../export/VectorMRExportJobRunner.java`
+    writes per-mapper files; avro SimpleFeature there, GeoJSONL here).
+    ``df`` needs (geom_wkt, properties-as-JSON-string) columns; every
+    other column is folded into properties."""
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            extra = [c for c in pdf.columns
+                     if c not in ("geom_wkt", "properties")]
+            lines = []
+            for _, row in pdf.iterrows():
+                props = json.loads(row["properties"]) \
+                    if "properties" in pdf.columns else {}
+                for c in extra:
+                    v = row[c]
+                    props[c] = v.item() if hasattr(v, "item") else v
+                lines.append(json.dumps({
+                    "type": "Feature",
+                    "geometry": wkt_to_geometry(row["geom_wkt"]),
+                    "properties": props,
+                }, sort_keys=True))
+            yield pd.DataFrame({"value": lines})
+
+    df.mapInPandas(emit, schema="value string").write.mode(
+        "overwrite").text(path)
