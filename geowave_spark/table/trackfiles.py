@@ -150,3 +150,49 @@ def read_gdelt(spark: SparkSession, path: str) -> DataFrame:
     return raw.select(*sel).filter(
         F.col("lat").isNotNull() & F.col("lon").isNotNull()
     ).withColumn("ts", F.to_date("day", "yyyyMMdd"))
+
+
+def read_tdrive(spark: SparkSession, path: str) -> DataFrame:
+    """T-Drive taxi trajectory ingest: `taxiid,timestamp,lon,lat` lines
+    (reference: `extensions/formats/tdrive/.../TdriveIngestPlugin.java:97-106`,
+    date format `TdriveUtils.java:34`).  Pure splittable csv scan — the
+    whole parse is JVM-side casts, block-parallel at any size."""
+    return (
+        spark.read.csv(path, sep=",")
+        .select(
+            F.col("_c0").cast("int").alias("taxi_id"),
+            F.to_timestamp("_c1", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.col("_c2").cast("double").alias("lon"),
+            F.col("_c3").cast("double").alias("lat"),
+        )
+        .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+    )
+
+
+def read_geolife(spark: SparkSession, path: str) -> DataFrame:
+    """GeoLife .plt trajectory ingest: `lat,lng,0,alt,days,date,time`
+    lines, 6-line header skipped by the != 7-field rule, track id taken
+    from the source file, points numbered per track
+    (reference: `extensions/formats/geolife/.../GeoLifeIngestPlugin.java:
+    160-187`).  Pure JVM: text scan + split/casts + a per-track window —
+    no Python in the parse path."""
+    from pyspark.sql.window import Window
+
+    lines = (
+        spark.read.text(path)
+        .withColumn("track_id", F.regexp_extract(
+            F.input_file_name(), r"([^/]+)\.plt$", 1))
+        .withColumn("f", F.split("value", ","))
+        .filter(F.size("f") == 7)
+    )
+    pts = lines.select(
+        "track_id",
+        F.col("f")[1].cast("double").alias("lon"),
+        F.col("f")[0].cast("double").alias("lat"),
+        F.col("f")[3].cast("double").alias("alt"),
+        F.to_timestamp(F.concat_ws(" ", F.col("f")[5], F.col("f")[6]),
+                       "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    ).filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+    w = Window.partitionBy("track_id").orderBy("ts")
+    return pts.withColumn("point_instance",
+                          F.row_number().over(w) - F.lit(1))

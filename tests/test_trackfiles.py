@@ -84,3 +84,30 @@ def test_read_gdelt_column_map(spark, tmp_path):
     assert (r["lat"], r["lon"], r["country_code"]) == (52.52, 13.40, "DE")
     assert r["avg_tone"] == -1.5 and r["num_mentions"] == 4
     assert str(r["ts"]) == "2024-02-15"
+
+
+def test_read_tdrive(spark, tmp_path):
+    (tmp_path / "1.txt").write_text(
+        "1,2008-02-02 15:36:08,116.51172,39.92123\n"
+        "1,2008-02-02 15:46:08,116.51135,39.93883\n"
+        "2,2008-02-02 15:30:00,116.40000,39.90000\n")
+    pdf = tf.read_tdrive(spark, str(tmp_path / "1.txt")).toPandas()
+    assert len(pdf) == 3
+    assert sorted(pdf["taxi_id"].unique()) == [1, 2]
+    assert pdf.loc[0, "lon"] == 116.51172
+    assert str(pdf.loc[0, "ts"]) == "2008-02-02 15:36:08"
+
+
+def test_read_geolife(spark, tmp_path):
+    hdr = "Geolife trajectory\nWGS 84\nAltitude is in Feet\nReserved 3\n" \
+          "0,2,255,My Track,0,0,2,8421376\n0\n"
+    body = ("39.984702,116.318417,0,492,39744.245,2008-10-23,05:53:05\n"
+            "39.984683,116.318450,0,492,39744.245,2008-10-23,05:53:10\n")
+    (tmp_path / "20081023055305.plt").write_text(hdr + body)
+    pdf = (tf.read_geolife(spark, str(tmp_path))
+           .toPandas().sort_values("point_instance"))
+    assert len(pdf) == 2
+    assert pdf.iloc[0]["track_id"] == "20081023055305"
+    assert pdf.iloc[0]["lat"] == 39.984702 and pdf.iloc[0]["lon"] == 116.318417
+    assert list(pdf["point_instance"]) == [0, 1]
+    assert str(pdf.iloc[1]["ts"]) == "2008-10-23 05:53:10"
