@@ -3,10 +3,9 @@
 Reference analog (/root/reference): the vector format plugins under
 `extensions/formats/geojson/src/main/java/.../format/geojson/
 GeoJsonGeometryHandler.java` (GeoTools FeatureJSON there; plain `json` +
-WKT emit here).  Shapefile/GDELT/GPX remain out of scope (binary sidecar
-formats; the synthetic generator covers the north-rule input shape) — this
-closes the "first real vector file a user loads" gap for the one
-text-based, line-splittable format.
+WKT emit here).  Sibling format readers: shapefile (`table/shapefile.py`),
+GPX/GDELT/T-Drive/GeoLife (`table/trackfiles.py`); `write_geojsonl` below
+is the matching distributed export.
 
 Scale shape: newline-delimited GeoJSON (one Feature per line, a.k.a.
 GeoJSONL / geojsonseq) is the only variant that splits across executors —
