@@ -230,3 +230,38 @@ def point_geodisk_cells_udf(res: int, radius_km: float, curve: str = "rowmajor")
         return pd.Series(out)
 
     return _gd.asNondeterministic()
+
+
+def wkt_bbox_cells_udf(res: int, curve: str = "rowmajor"):
+    """Vectorized WKT-geometry -> array<cell> pandas UDF: bbox cover of
+    each geometry's coordinates (POLYGON/MULTIPOLYGON/LINESTRING/...).
+    Over-covers by bbox — callers keep the exact predicate as the refine,
+    so the cover only needs completeness (reference: envelope-based
+    insertion ids, `GeoWaveIndexedRDD.java:106-141`)."""
+    import re
+
+    _nums = re.compile(r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cov(wkt: pd.Series) -> pd.Series:
+        n = len(wkt)
+        lon0 = np.empty(n)
+        lat0 = np.empty(n)
+        lon1 = np.empty(n)
+        lat1 = np.empty(n)
+        for i, w in enumerate(wkt):
+            vals = np.array([float(t) for t in _nums.findall(w)])
+            xs, ys = vals[0::2], vals[1::2]
+            lon0[i], lat0[i] = xs.min(), ys.min()
+            lon1[i], lat1[i] = xs.max(), ys.max()
+        row, cells = grid.cover_bbox(lon0, lat0, lon1, lat1, res, curve)
+        cells = cells.astype(np.int64)
+        out = [[] for _ in range(n)]
+        if len(row):
+            bounds = np.flatnonzero(np.diff(row)) + 1
+            chunks = np.split(cells, bounds)
+            for r, ch in zip(row[np.concatenate(([0], bounds))], chunks):
+                out[int(r)] = ch.tolist()
+        return pd.Series(out)
+
+    return _cov

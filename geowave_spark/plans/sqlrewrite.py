@@ -164,6 +164,61 @@ def rewrite_spatial_join(spark: SparkSession, sql: str,
     return sql[: m.start()] + replacement + sql[m.end():]
 
 
+# point-in-polygon JOIN between two views: the polygon side carries a WKT
+# geometry COLUMN (not a literal), so the filter-rewrite above cannot fire
+# and Spark plans a cartesian UDF join.  Both predicate shapes:
+#   GeomContains(z.geom, GeomPoint(p.lon, p.lat))
+#   GeomIntersects(GeomPoint(p.lon, p.lat), z.geom)
+_PAT_PIP_JOIN = re.compile(
+    rf"FROM\s+({_IDENT})\s+(\w+)\s+JOIN\s+({_IDENT})\s+(\w+)\s+ON\s+"
+    rf"((?:GeomContains\(\s*(\w+)\.(\w+)\s*,\s*GeomPoint\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)\s*\))"
+    rf"|(?:GeomIntersects\(\s*GeomPoint\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)\s*,\s*(\w+)\.(\w+)\s*\)))",
+    re.I,
+)
+
+
+def rewrite_pip_join(spark: SparkSession, sql: str, res: int = 7) -> str:
+    """Detect a point-in-polygon JOIN between two views —
+    `FROM pts p JOIN zones z ON GeomContains(z.geom, GeomPoint(p.lon,
+    p.lat))` (or the GeomIntersects argument order) — and re-plug the
+    engine's cell join: the polygon view is re-registered with its WKT
+    bbox-cover cells exploded (`cover.wkt_bbox_cells_udf`, distributed),
+    and the condition becomes `cell(p) = z.__gw_cell AND <original
+    predicate>` — a hash equi-join feeding the exact UDF refine instead
+    of a cartesian product (`SqlQueryRunner.java:109-245` re-plug)."""
+    m = _PAT_PIP_JOIN.search(sql)
+    if not m:
+        return sql
+    g = m.groups()
+    view_a, alias_a, view_b, alias_b, pred = g[0], g[1], g[2], g[3], g[4]
+    if g[5] is not None:      # GeomContains(z.geom, GeomPoint(p.lon, p.lat))
+        geo_alias, geo_col = g[5], g[6]
+        pt_alias, lon_c, lat_c = g[7], g[8], g[10]
+    else:                     # GeomIntersects(GeomPoint(...), z.geom)
+        pt_alias, lon_c, lat_c = g[11], g[12], g[14]
+        geo_alias, geo_col = g[15], g[16]
+    # normalize: the point side must be one alias, the geometry the other
+    if {pt_alias, geo_alias} != {alias_a, alias_b}:
+        return sql
+    pt_view, pt_al = (view_a, alias_a) if pt_alias == alias_a else (view_b, alias_b)
+    geo_view, geo_al = (view_b, alias_b) if pt_alias == alias_a else (view_a, alias_a)
+    cover_view = f"__gw_pipcover_{geo_view}_{res}"
+    from pyspark.sql import functions as F  # noqa: N812
+
+    (
+        spark.table(geo_view)
+        .withColumn("__gw_cell", F.explode(
+            cov.wkt_bbox_cells_udf(res, curve="rowmajor")(F.col(geo_col))))
+        .createOrReplaceTempView(cover_view)
+    )
+    cell_pt = geo.rowmajor_cell_sql(f"{pt_al}.{lon_c}", f"{pt_al}.{lat_c}", res)
+    replacement = (
+        f"FROM {pt_view} {pt_al} JOIN {cover_view} {geo_al} "
+        f"ON {cell_pt} = {geo_al}.__gw_cell AND {pred}"
+    )
+    return sql[: m.start()] + replacement + sql[m.end():]
+
+
 def spatial_sql(spark: SparkSession, sql: str, *, optimize: bool = True,
                 res: int = 8, max_cells: int = 512,
                 join_res: int = 7) -> DataFrame:
@@ -172,4 +227,5 @@ def spatial_sql(spark: SparkSession, sql: str, *, optimize: bool = True,
     if optimize:
         sql = inject_cell_prefilter(sql, res=res, max_cells=max_cells)
         sql = rewrite_spatial_join(spark, sql, res=join_res)
+        sql = rewrite_pip_join(spark, sql, res=join_res)
     return spark.sql(sql)

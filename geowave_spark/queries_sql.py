@@ -206,10 +206,61 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def _hex_wkt_view_sql() -> str:
+    """Hexagon zone table with BOTH a WKT geometry column (the SQL-surface
+    input) and the raw vertex columns (what the DuckDB oracle raycasts)."""
+    from .queries import _hex_a_sql
+
+    ring = ", ".join(f"vx{i}, ' ', vy{i}, ', '" for i in range(6))
+    return (
+        "SELECT aid, "
+        + ", ".join(f"vx{i}, vy{i}" for i in range(6))
+        + ", concat('POLYGON ((', "
+        + ring
+        + ", vx0, ' ', vy0, '))') AS geom "
+        + f"FROM ({_hex_a_sql()}) h"
+    )
+
+
+def q66_sql_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon JOIN through the SQL surface where the polygon is
+    a COLUMN of the second view (not a literal): without the rewrite the
+    Geom* UDF is the only join condition and Spark must plan a cartesian
+    product.  `rewrite_pip_join` re-registers the zone view with its WKT
+    bbox-cover cells exploded and re-plugs a cell hash equi-join in front
+    of the exact UDF refine (`SqlQueryRunner.java:109-245` re-plug; plan
+    swap pinned in tests/test_plans.py).  Oracle: brute-force raycast
+    join over the same hexagons' vertex columns."""
+    register_views(spark, sf_dir)
+    spark.sql(geo.lineitem_points_sql()).createOrReplaceTempView("gw_pts3")
+    spark.sql(_hex_wkt_view_sql()).createOrReplaceTempView("gw_zones")
+    sql = """
+        SELECT z.aid, cast(count(*) as bigint) AS n_points
+        FROM gw_pts3 p JOIN gw_zones z
+          ON GeomContains(z.geom, GeomPoint(p.lon, p.lat))
+        GROUP BY z.aid ORDER BY aid
+    """
+    return sqlrewrite.spatial_sql(spark, sql, optimize=True, join_res=7)
+
+
+def _q66_sql() -> str:
+    from .join import spatial
+
+    raycast = spatial.raycast_flat_sql("p.lon", "p.lat", 6)
+    return f"""
+WITH p AS ({geo.lineitem_points_sql()}),
+z AS ({_hex_wkt_view_sql()})
+SELECT z.aid, cast(count(*) as bigint) AS n_points
+FROM p JOIN z ON {raycast}
+GROUP BY z.aid ORDER BY aid
+"""
+
+
 SQL_QUERIES = {
     "q31_sql_geom_filter": (q31_sql_geom_filter, Q31_SQL),
     "q32_sql_geom_distance": (q32_sql_geom_distance, Q32_SQL),
     "q51_sql_within_distance": (q51_sql_within_distance, Q51_SQL),
     "q59_sql_spatial_join": (q59_sql_spatial_join, Q59_SQL),
     "q61_cql_filter": (q61_cql_filter, Q61_SQL),
+    "q66_sql_pip_join": (q66_sql_pip_join, _q66_sql()),
 }

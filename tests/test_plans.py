@@ -257,3 +257,48 @@ def test_sql_spatial_join_rewrite_replaces_cartesian(spark, sf_dir):
     a = sorted(map(tuple, slow.toPandas().to_numpy().tolist()))
     b = sorted(map(tuple, fast.toPandas().to_numpy().tolist()))
     assert a == b and len(a) > 0
+
+
+def test_sql_pip_join_rewrite(spark, sf_dir):
+    """q66: point-in-polygon JOIN where the polygon is a WKT COLUMN of
+    the second view.  Unoptimized, the Geom* UDF is the only join
+    condition -> nested-loop cartesian; `rewrite_pip_join` must re-plug a
+    cell hash equi-join (WKT bbox cover exploded on the zone side)."""
+    from geowave_spark.plans import sqlrewrite
+    from geowave_spark.queries_sql import _hex_wkt_view_sql
+    from geowave_spark.table import geo
+    from geowave_spark.table.views import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(geo.lineitem_points_sql()).createOrReplaceTempView("gw_pts3")
+    spark.sql(_hex_wkt_view_sql()).createOrReplaceTempView("gw_zones")
+    sql = """
+        SELECT z.aid, cast(count(*) as bigint) AS n_points
+        FROM gw_pts3 p JOIN gw_zones z
+          ON GeomContains(z.geom, GeomPoint(p.lon, p.lat))
+        GROUP BY z.aid ORDER BY aid
+    """
+    slow = sqlrewrite.spatial_sql(spark, sql, optimize=False)
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert ("BroadcastNestedLoopJoin" in slow_plan
+            or "CartesianProduct" in slow_plan)
+    fast = sqlrewrite.spatial_sql(spark, sql, optimize=True, join_res=7)
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in fast_plan
+    assert "CartesianProduct" not in fast_plan
+    assert "HashJoin" in fast_plan
+    a = sorted(map(tuple, slow.toPandas().to_numpy().tolist()))
+    b = sorted(map(tuple, fast.toPandas().to_numpy().tolist()))
+    assert a == b and len(a) > 0
+
+    # GeomIntersects argument order matches the same rewrite
+    sql2 = """
+        SELECT z.aid, cast(count(*) as bigint) AS n_points
+        FROM gw_pts3 p JOIN gw_zones z
+          ON GeomIntersects(GeomPoint(p.lon, p.lat), z.geom)
+        GROUP BY z.aid ORDER BY aid
+    """
+    fast2 = sqlrewrite.spatial_sql(spark, sql2, optimize=True, join_res=7)
+    plan2 = fast2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan2
+    assert "CartesianProduct" not in plan2
