@@ -521,3 +521,67 @@ FROM p GROUP BY 1, 2 ORDER BY ty, tx
 
 
 AGG_QUERIES["q62_mercator_tiles"] = (q62_mercator_tiles, _q62_sql())
+
+
+_SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12 hours
+
+
+def q67_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization — the log-pipeline op Structured Streaming
+    runs with the SAME operator on an unbounded stream.  Spark-first:
+    the native `session_window(ts, gap)` grouping (state-store-backed in
+    streaming, a single keyed aggregation in batch — no window-function
+    shuffle-sort over the raw events).  Session semantics: an event
+    extends the session iff it falls strictly inside the previous
+    event's gap window; the oracle is the classic gaps-and-islands
+    lag/cumsum formulation with the matching `>= gap` break rule.
+    Reference has no sessionization (no streaming engine, SURVEY §2.9);
+    this is training-data-pipeline surface."""
+    register_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id", "ts", F.expr("unix_micros(cast(ts as timestamp))").alias("tus"))
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "12 hours"))
+        .agg(F.count("*").alias("n"),
+             F.min("tus").alias("t0"), F.max("tus").alias("t1"))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.max(F.col("t1") - F.col("t0")).alias("max_span_us"),
+            F.max("n").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _q67_sql() -> str:
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+x AS (
+  SELECT user_id, tus,
+         CASE WHEN tus - lag(tus) OVER w >= {_SESSION_GAP_US}
+              OR lag(tus) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+),
+s AS (
+  SELECT user_id, tus,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+g AS (
+  SELECT user_id, sid, count(*) AS n, min(tus) AS t0, max(tus) AS t1
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, cast(count(*) as bigint) AS n_sessions,
+       cast(sum(n) as bigint) AS n_events,
+       cast(max(t1 - t0) as bigint) AS max_span_us,
+       cast(max(n) as bigint) AS max_session_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+AGG_QUERIES["q67_sessionize"] = (q67_sessionize, _q67_sql())
