@@ -66,3 +66,24 @@ def test_q39_band_candidates_scale():
     # and the wide banding is orders of magnitude below the old 4-bit keys
     c_narrow = _band_candidates(table(n), narrow)
     assert c_narrow > 50 * c1, (c_narrow, c1)
+
+
+def test_shingle_codegen_matches_hof(spark, sf_dir):
+    """The codegen shingle build (posexplode + lead windows,
+    `shingle_rows_sql_spark`) yields the IDENTICAL (doc_id, shingle) set
+    as the dual-dialect HOF transform the DuckDB oracle evaluates."""
+    from geowave_spark.functions import sqlgen as G
+    from geowave_spark.queries_text import shingle_rows_sql_spark
+    from geowave_spark.table.views import register_views
+
+    register_views(spark, str(sf_dir))
+    d = G.SPARK
+    sh = G.shingles3_from(d, "v")
+    old = spark.sql(f"""
+        SELECT DISTINCT doc_id, {d.explode(sh)} AS shingle
+        FROM (SELECT doc_id, {G.wordvals(d)} AS v FROM documents) wv
+        WHERE {d.size('v')} >= 3
+    """)
+    new = spark.sql(shingle_rows_sql_spark())
+    assert old.exceptAll(new).isEmpty() and new.exceptAll(old).isEmpty()
+    assert new.count() > 0
