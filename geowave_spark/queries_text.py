@@ -342,6 +342,35 @@ ORDER BY d1, d2
 """
 
 
+def _q39_sig_sql_spark_fast() -> str:
+    """Spark-side twin of `_q39_sig_sql`, whole-stage codegen: words
+    explode to rows once and the 64 bit votes become 64 SUM aggregates
+    (map-side partial) instead of 64 HOF folds per document
+    (CodegenFallback, interpreted).  The vote sum is order-independent,
+    so the signature is bit-identical to the fold formulation; parity is
+    the q39 oracle itself plus test_q39_sig_codegen_matches_fold."""
+    wv = ("cast(961 * length(w) + 31 * ascii(w) + "
+          "ascii(substr(w, length(w), 1)) as bigint)")
+    sums = ", ".join(
+        f"sum(case when (x * 2654435761 + {b} * 2246822519) % 2147483648"
+        f" >= 1073741824 then 1 else -1 end) AS s{b}"
+        for b in range(64))
+    lo = " + ".join(
+        f"(case when s{b} > 0 then {1 << b} else 0 end)" for b in range(32))
+    hi = " + ".join(
+        f"(case when s{b} > 0 then {1 << (b - 32)} else 0 end)"
+        for b in range(32, 64))
+    return f"""
+SELECT doc_id, cast({lo} as bigint) AS lo, cast({hi} as bigint) AS hi
+FROM (
+  SELECT doc_id, {sums}
+  FROM (SELECT doc_id, {wv} AS x
+        FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents))
+  GROUP BY doc_id
+)
+"""
+
+
 def _q39_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded candidate join + exact Hamming refine.
 
@@ -359,7 +388,7 @@ def _q39_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     d = G.SPARK
-    sig_df = spark.sql(_q39_sig_sql(d)).persist()
+    sig_df = spark.sql(_q39_sig_sql_spark_fast()).persist()
     sig_df.createOrReplaceTempView("q39_sig")
     sig_df.count()  # eager build: band branches race the cache otherwise
     band_exprs = [

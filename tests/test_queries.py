@@ -87,3 +87,18 @@ def test_shingle_codegen_matches_hof(spark, sf_dir):
     new = spark.sql(shingle_rows_sql_spark())
     assert old.exceptAll(new).isEmpty() and new.exceptAll(old).isEmpty()
     assert new.count() > 0
+
+
+def test_q39_sig_codegen_matches_fold(spark, sf_dir):
+    """The 64-SUM codegen SimHash signature equals the dual-dialect
+    64-fold HOF formulation bit for bit."""
+    from geowave_spark.functions import sqlgen as G
+    from geowave_spark.queries_text import (_q39_sig_sql,
+                                            _q39_sig_sql_spark_fast)
+    from geowave_spark.table.views import register_views
+
+    register_views(spark, str(sf_dir))
+    old = spark.sql(_q39_sig_sql(G.SPARK))
+    new = spark.sql(_q39_sig_sql_spark_fast())
+    assert old.exceptAll(new).isEmpty() and new.exceptAll(old).isEmpty()
+    assert new.count() > 0
