@@ -363,28 +363,10 @@ ORDER BY pid, poly_id
 """
 
 
-# exact-double hexagon offsets (cos/sin would differ across engines in the
-# last ulp; these literals multiply identically everywhere)
-_HEX_OFFSETS = [(1.0, 0.0), (0.5, 0.866), (-0.5, 0.866),
-                (-1.0, 0.0), (-0.5, -0.866), (0.5, -0.866)]
 
 
 def _hex_a_sql() -> str:
-    """Side-A polygon table for the polygon x polygon join: one hexagon per
-    image, centered on its footprint, scale from doc_id — every vertex a
-    closed-form double both engines derive identically."""
-    from .table import images as images_mod
-
-    s = "((1 + doc_id % 4) * 0.7)"
-    cols = ", ".join(
-        f"(lon0 + lon1) / 2 + {ox!r} * {s} AS vx{k}, "
-        f"(lat0 + lat1) / 2 + {oy!r} * {s} AS vy{k}"
-        for k, (ox, oy) in enumerate(_HEX_OFFSETS)
-    )
-    return (
-        f"SELECT image_id AS aid, {cols} "
-        f"FROM ({images_mod.images_base_sql()}) base"
-    )
+    return geo.hex_a_sql()
 
 
 def q58_polygon_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,21 +445,7 @@ GROUP BY r.rid ORDER BY r.rid
 
 
 def _hex_b_sql() -> str:
-    """Side-B polygon table for the big-big polygon join: a second
-    deterministic hexagon per image, offset and differently scaled so the
-    overlap pattern is non-trivial."""
-    from .table import images as images_mod
-
-    s = "((1 + doc_id % 3) * 0.9)"
-    cols = ", ".join(
-        f"(lon0 + lon1) / 2 + 0.8 + {ox!r} * {s} AS vx{k}, "
-        f"(lat0 + lat1) / 2 - 0.5 + {oy!r} * {s} AS vy{k}"
-        for k, (ox, oy) in enumerate(_HEX_OFFSETS)
-    )
-    return (
-        f"SELECT image_id AS bid, {cols} "
-        f"FROM ({images_mod.images_base_sql()}) base"
-    )
+    return geo.hex_b_sql()
 
 
 def q65_polygon_bigbig_join(spark: SparkSession, sf_dir: str) -> DataFrame:

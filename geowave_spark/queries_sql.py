@@ -209,8 +209,6 @@ GROUP BY event_type ORDER BY event_type
 def _hex_wkt_view_sql() -> str:
     """Hexagon zone table with BOTH a WKT geometry column (the SQL-surface
     input) and the raw vertex columns (what the DuckDB oracle raycasts)."""
-    from .queries import _hex_a_sql
-
     ring = ", ".join(f"vx{i}, ' ', vy{i}, ', '" for i in range(6))
     return (
         "SELECT aid, "
@@ -218,7 +216,7 @@ def _hex_wkt_view_sql() -> str:
         + ", concat('POLYGON ((', "
         + ring
         + ", vx0, ' ', vy0, '))') AS geom "
-        + f"FROM ({_hex_a_sql()}) h"
+        + f"FROM ({geo.hex_a_sql()}) h"
     )
 
 
@@ -240,7 +238,9 @@ def q66_sql_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON GeomContains(z.geom, GeomPoint(p.lon, p.lat))
         GROUP BY z.aid ORDER BY aid
     """
-    return sqlrewrite.spatial_sql(spark, sql, optimize=True, join_res=7)
+    # res 8: measured 21s/11s/9s at join_res 7/8/9 on sf0.1 — past 8 the
+    # cover fan-out grows faster than the candidate set shrinks
+    return sqlrewrite.spatial_sql(spark, sql, optimize=True, join_res=8)
 
 
 def _q66_sql() -> str:

@@ -117,3 +117,46 @@ def rowmajor_cell_sql(lon: str, lat: str, res: int) -> str:
     x = f"least(greatest(cast(ceil(({lon} + 180e0) / 360e0 * {n}) as bigint) - 1, 0), {n - 1})"
     y = f"least(greatest(cast(ceil(({lat} + 90e0) / 180e0 * {n}) as bigint) - 1, 0), {n - 1})"
     return f"({y} * {n} + {x})"
+
+
+# exact-double hexagon offsets (cos/sin would differ across engines in the
+# last ulp; these literals multiply identically everywhere)
+HEX_OFFSETS = [(1.0, 0.0), (0.5, 0.866), (-0.5, 0.866),
+               (-1.0, 0.0), (-0.5, -0.866), (0.5, -0.866)]
+
+
+def hex_a_sql() -> str:
+    """Side-A polygon table for the polygon x polygon join: one hexagon per
+    image, centered on its footprint, scale from doc_id — every vertex a
+    closed-form double both engines derive identically."""
+    from . import images as images_mod
+
+    s = "((1 + doc_id % 4) * 0.7)"
+    cols = ", ".join(
+        f"(lon0 + lon1) / 2 + {ox!r} * {s} AS vx{k}, "
+        f"(lat0 + lat1) / 2 + {oy!r} * {s} AS vy{k}"
+        for k, (ox, oy) in enumerate(HEX_OFFSETS)
+    )
+    return (
+        f"SELECT image_id AS aid, {cols} "
+        f"FROM ({images_mod.images_base_sql()}) base"
+    )
+
+
+def hex_b_sql() -> str:
+    """Side-B polygon table for the big-big polygon join: a second
+    deterministic hexagon per image, offset and differently scaled so the
+    overlap pattern is non-trivial."""
+    from . import images as images_mod
+
+    s = "((1 + doc_id % 3) * 0.9)"
+    cols = ", ".join(
+        f"(lon0 + lon1) / 2 + 0.8 + {ox!r} * {s} AS vx{k}, "
+        f"(lat0 + lat1) / 2 - 0.5 + {oy!r} * {s} AS vy{k}"
+        for k, (ox, oy) in enumerate(HEX_OFFSETS)
+    )
+    return (
+        f"SELECT image_id AS bid, {cols} "
+        f"FROM ({images_mod.images_base_sql()}) base"
+    )
+
