@@ -245,7 +245,15 @@ def to_double_arr(d: Dialect, arr: str) -> str:
 
 
 def dot(d: Dialect, a: str, b: str, n: int) -> str:
-    """Sequential-fold dot product — bit-identical across engines."""
+    """Sequential-fold dot product — bit-identical across engines.
+
+    Measured note: an unrolled 64-term element_at sum (scalar codegen)
+    was tried and REVERTED — it ran 2-4x SLOWER than this fold across
+    every ANN query (q40 4.9s -> 12s at sf0.1): 64 independent
+    element_at calls re-check bounds/null per term and the giant
+    expression defeats common-subexpression reuse, while the HOF
+    iterates the array data once.  CodegenFallback is not automatically
+    the loser; measure per shape."""
     prods_idx = d.seq("1", str(n))
     ea = d.at(a, "i")
     eb = d.at(b, "i")

@@ -52,6 +52,12 @@ def _lloyd_sql(points_sql: str, k: int = 8, iters: int = 3) -> str:
     break on centroid id.  At 100 TB each iteration is one broadcast join
     (k centroid rows) + one keyed agg — the same shape MLlib's Lloyd uses
     internally, expressed declaratively so Catalyst fuses the scan chain.
+
+    The argmin is a plain min() over the ENCODED value dist * k + j
+    (dist <= 2.6e17 and k = 8 keep it inside int64; smallest dist wins,
+    ties break on smallest j — identical semantics to the row_number
+    formulation this replaces, which sort-shuffled k*n rows per
+    iteration: measured 25.5s -> hash-agg partial combine at sf0.1).
     """
     ctes = [
         f"p AS (SELECT pid, cast(floor(lon * 1000000) as bigint) AS x, "
@@ -61,11 +67,10 @@ def _lloyd_sql(points_sql: str, k: int = 8, iters: int = 3) -> str:
     ]
     for i in range(1, iters + 1):
         ctes.append(
-            f"a{i} AS (SELECT pid, x, y, j FROM ("
-            f"SELECT p.pid, p.x, p.y, c.j, row_number() OVER ("
-            f"PARTITION BY p.pid ORDER BY (p.x - c.cx) * (p.x - c.cx) "
-            f"+ (p.y - c.cy) * (p.y - c.cy) ASC, c.j ASC) AS rn "
-            f"FROM p CROSS JOIN c{i - 1} c) t WHERE rn = 1)"
+            f"a{i} AS (SELECT pid, x, y, cast(m % {k} as bigint) AS j FROM ("
+            f"SELECT p.pid, p.x, p.y, min(((p.x - c.cx) * (p.x - c.cx) "
+            f"+ (p.y - c.cy) * (p.y - c.cy)) * {k} + c.j) AS m "
+            f"FROM p CROSS JOIN c{i - 1} c GROUP BY p.pid, p.x, p.y) t)"
         )
         if i < iters:
             ctes.append(
@@ -89,9 +94,49 @@ Q33_SQL = _lloyd_sql(geo.lineitem_points_sql())
 def q33_kmeans_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd KMeans over lineitem points: per-cluster size +
     integer bbox.  (Hull generation over the same clustering is exercised in
-    tests/test_analytics.py; MLlib KMeans parity likewise.)"""
+    tests/test_analytics.py; MLlib KMeans parity likewise.)
+
+    Spark side iterates the SAME integer arithmetic as the one-text oracle
+    (`_lloyd_sql`) but materializes: the point projection is persisted
+    once (its derivation carries a dedup shuffle that the inlined CTE
+    chain re-ran per reference — 4.5s/iteration at sf0.1), and each
+    iteration's 8 centroid rows are collected and inlined as VALUES into
+    the next assignment — exactly MLlib Lloyd's broadcast-centroids
+    shape.  Centroids are int64, so the collect round-trip is exact."""
     register_views(spark, sf_dir)
-    return spark.sql(Q33_SQL)
+    k, iters = 8, 3
+    p = spark.sql(
+        "SELECT pid, cast(floor(lon * 1000000) as bigint) AS x, "
+        "cast(floor(lat * 1000000) as bigint) AS y "
+        f"FROM ({geo.lineitem_points_sql()}) src"
+    ).persist()
+    p.createOrReplaceTempView("q33_p")
+    cents = [(r["j"], r["cx"], r["cy"]) for r in spark.sql(
+        f"SELECT row_number() OVER (ORDER BY pid) - 1 AS j, x AS cx, y AS cy "
+        f"FROM (SELECT pid, x, y FROM q33_p ORDER BY pid LIMIT {k}) init"
+    ).collect()]
+    for i in range(1, iters + 1):
+        vals = ", ".join(f"({j}, {cx}, {cy})" for j, cx, cy in cents)
+        assign = f"""
+            SELECT pid, x, y, cast(m % {k} as bigint) AS j FROM (
+              SELECT p.pid, p.x, p.y,
+                     min(((p.x - c.cx) * (p.x - c.cx)
+                        + (p.y - c.cy) * (p.y - c.cy)) * {k} + c.j) AS m
+              FROM q33_p p CROSS JOIN (VALUES {vals}) AS c(j, cx, cy)
+              GROUP BY p.pid, p.x, p.y) t
+        """
+        if i < iters:
+            cents = [(r["j"], r["cx"], r["cy"]) for r in spark.sql(
+                f"SELECT j, cast(floor(sum(x) * 1.0 / count(*)) as bigint) AS cx, "
+                f"cast(floor(sum(y) * 1.0 / count(*)) as bigint) AS cy "
+                f"FROM ({assign}) a GROUP BY j"
+            ).collect()]
+    return spark.sql(f"""
+        SELECT j AS cluster, cast(count(*) as bigint) AS n_points,
+               min(x) AS min_x_micro, max(x) AS max_x_micro,
+               min(y) AS min_y_micro, max(y) AS max_y_micro
+        FROM ({assign}) fin GROUP BY j ORDER BY cluster
+    """)
 
 
 def q34_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
