@@ -278,7 +278,8 @@ def test_polygon_polygon_join_matches_numpy(spark):
     import numpy as np
 
     from geowave_spark.geom import core as geom
-    from geowave_spark.queries import _HEX_OFFSETS, _flagship_polys
+    from geowave_spark.queries import _flagship_polys
+    from geowave_spark.table.geo import HEX_OFFSETS as _HEX_OFFSETS
 
     rng = np.random.default_rng(11)
     rows = []
