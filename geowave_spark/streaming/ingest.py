@@ -82,3 +82,22 @@ def run_to_memory(result_df: DataFrame, name: str, checkpoint_dir: str,
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def session_counts(stream_df: DataFrame, ts_col: str = "ts",
+                   gap: str = "12 hours",
+                   watermark: str = "30 days") -> DataFrame:
+    """Watermarked per-user SESSION windows on an unbounded stream — the
+    streaming twin of the batch q67 operator: the same
+    `session_window(ts, gap)` grouping, state-store-backed (sessions
+    merge as late-but-within-watermark events arrive; state for sessions
+    older than the watermark is evicted)."""
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy("user_id", F.session_window(ts_col, gap).alias("sw"))
+        .agg(F.count("*").alias("n"),
+             F.min(F.unix_micros(F.col(ts_col))).alias("t0"),
+             F.max(F.unix_micros(F.col(ts_col))).alias("t1"))
+        .select("user_id", "n", "t0", "t1")
+    )

@@ -136,3 +136,34 @@ def test_windowed_counts_match_batch(spark, sf_dir, dirs):
     )
     want = {(r["win_start"], r["event_type"]): r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_sessions_match_batch_q67(spark, sf_dir, dirs):
+    """The streaming session_window aggregation produces EXACTLY the
+    session set of the batch q67 operator over the same events — the
+    claim in q67's docstring, proven end-to-end through a checkpointed
+    availableNow stream."""
+    src, _dest, cp = dirs
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part1.parquet")
+    schema = _events_schema(spark, sf_dir)
+
+    stream = ingest.indexed_file_stream(spark, str(src), schema)
+    ingest.run_to_memory(ingest.session_counts(stream), "sessions", cp)
+    got = sorted(
+        (r["user_id"], r["n"], r["t0"], r["t1"])
+        for r in spark.table("sessions").collect()
+    )
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "12 hours"))
+        .agg(F.count("*").alias("n"),
+             F.min(F.unix_micros("ts")).alias("t0"),
+             F.max(F.unix_micros("ts")).alias("t1"))
+    )
+    want = sorted(
+        (r["user_id"], r["n"], r["t0"], r["t1"]) for r in batch.collect())
+    assert got == want and len(got) > 0
