@@ -196,3 +196,31 @@ def read_geolife(spark: SparkSession, path: str) -> DataFrame:
     w = Window.partitionBy("track_id").orderBy("ts")
     return pts.withColumn("point_instance",
                           F.row_number().over(w) - F.lit(1))
+
+
+def read_twitter(spark: SparkSession, path: str) -> DataFrame:
+    """Twitter JSON-lines ingest — geolocated tweets only, the reference's
+    attribute set (`extensions/formats/twitter/.../TwitterUtils.java:42-51`:
+    geom from coordinates.coordinates [lon, lat], dtg from created_at,
+    user id/name, text, reply ids, retweet_count, lang).  Spark-first:
+    `spark.read.json` IS the parser — JSONL splits by block, schema
+    fields prune at the scan, no custom code anywhere."""
+    raw = spark.read.json(path)
+    return (
+        raw.filter("coordinates is not null")
+        .select(
+            F.col("coordinates.coordinates")[0].alias("lon"),
+            F.col("coordinates.coordinates")[1].alias("lat"),
+            # Spark's formatter refuses EEE in parse mode; the weekday
+            # prefix is fixed-width, so drop it
+            F.expr("to_timestamp(substring(created_at, 5), "
+                   "'MMM dd HH:mm:ss Z yyyy')").alias("dtg"),
+            F.col("user.id").cast("long").alias("user_id"),
+            F.col("user.screen_name").alias("user_name"),
+            "text",
+            F.col("in_reply_to_user_id").cast("long"),
+            F.col("in_reply_to_status_id").cast("long"),
+            F.col("retweet_count").cast("int"),
+            "lang",
+        )
+    )

@@ -111,3 +111,28 @@ def test_read_geolife(spark, tmp_path):
     assert pdf.iloc[0]["lat"] == 39.984702 and pdf.iloc[0]["lon"] == 116.318417
     assert list(pdf["point_instance"]) == [0, 1]
     assert str(pdf.iloc[1]["ts"]) == "2008-10-23 05:53:10"
+
+
+def test_read_twitter(spark, tmp_path):
+    import json
+    tweets = [
+        {"coordinates": {"type": "Point", "coordinates": [13.4, 52.5]},
+         "created_at": "Wed Feb 14 10:33:00 +0000 2024",
+         "user": {"id": 42, "screen_name": "alice"},
+         "text": "hello spree", "in_reply_to_user_id": None,
+         "in_reply_to_status_id": None, "retweet_count": 3, "lang": "en"},
+        {"coordinates": None,  # no geo -> dropped, per the reference
+         "created_at": "Wed Feb 14 10:34:00 +0000 2024",
+         "user": {"id": 43, "screen_name": "bob"},
+         "text": "no geo", "in_reply_to_user_id": 42,
+         "in_reply_to_status_id": 7, "retweet_count": 0, "lang": "en"},
+    ]
+    (tmp_path / "tweets.json").write_text(
+        "\n".join(json.dumps(t) for t in tweets))
+    pdf = tf.read_twitter(spark, str(tmp_path / "tweets.json")).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert (r["lon"], r["lat"], r["user_name"], r["lang"]) == (
+        13.4, 52.5, "alice", "en")
+    assert r["retweet_count"] == 3
+    assert str(r["dtg"]).startswith("2024-02-14 10:33:00")
