@@ -39,8 +39,11 @@ NOTES = {
         "percent_rank window after a single shuffle."
     ),
     "q16_minhash_lsh_pairs": (
-        "MinHash LSH: relational shape (explode/groupBy-min/band equi-join), "
-        "persisted intermediates so the self-joined relations compute once."
+        "MinHash LSH: relational shape (posexplode words + lead-window "
+        "shingles — whole-stage codegen, no HOF CodegenFallback — then "
+        "groupBy-min signatures and band equi-join), persisted "
+        "intermediates so the self-joined relations compute once.  Zero "
+        "Python nodes."
     ),
     "q53_kde_pyramid": (
         "KDE pyramid rollup: one finest-res splat, each coarser level a "
@@ -78,9 +81,12 @@ NOTES = {
         "refine is closed-form codegen arithmetic, no Python."
     ),
     "q39_simhash_neardup": (
-        "SimHash near-dup at scale parameters: 64-bit signature, 4 bands "
-        "x 16 bits (65,536 join-key values per band) — the band self-join "
-        "stays ~O(n*dup_rate); exact Hamming refine via bit_count(xor)."
+        "SimHash near-dup at scale parameters: 64-bit signature computed "
+        "as 64 SUM aggregates over exploded word rows (map-side partials, "
+        "whole-stage codegen — replaced 64 interpreted HOF folds), 4 "
+        "bands x 16 bits (65,536 join-key values per band) — the band "
+        "self-join stays ~O(n*dup_rate); exact Hamming refine via "
+        "bit_count(xor).  Zero Python nodes."
     ),
     "q41_ann_ivf": (
         "IVF ANN: FIXED-K sampled centroids broadcast to both sides "
