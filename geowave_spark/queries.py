@@ -734,3 +734,7 @@ QUERIES.update(ANALYTICS_QUERIES)
 from .queries_multimodal import MULTIMODAL_QUERIES  # noqa: E402
 
 QUERIES.update(MULTIMODAL_QUERIES)
+
+from .queries_lake import LAKE_QUERIES  # noqa: E402
+
+QUERIES.update(LAKE_QUERIES)

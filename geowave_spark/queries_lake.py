@@ -1,0 +1,132 @@
+"""Registry queries for the snapshot-table (lakehouse) layer.
+
+q68 — the reference's indexed range scan re-expressed as manifest file
+pruning: the events point set is written clustered by its SFC cell key, a
+query window decomposes to a cell-range conjunct, and only files whose
+footer stats overlap reach the Spark job (reference:
+`core/store/.../base/BaseConstraintsQuery.java:332-341` range scan in
+/root/reference).  q69 — snapshot isolation through a copy-on-write DELETE
+and a compaction: every snapshot stays readable at its own version
+(reference analog: delete/requery cycles in
+`test/src/test/java/.../GeoWaveBasicSpatialVectorIT.java`).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: N812
+
+from .table import geo, snapshots as S
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        ".scratch")
+
+_RES = 7
+_N = 1 << _RES
+# query window: lat band x lon range (band → contiguous row-major cell range)
+_LAT0, _LAT1 = 10.0, 35.0
+_LON0, _LON1 = -120.0, 30.0
+
+
+def _events_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the snapshot table of events clustered by
+    cell — the write-side 'sortedBy(cell)' that makes pruning sharp."""
+    path = os.path.join(_SCRATCH, f"snap_events_{os.path.basename(os.path.normpath(sf_dir))}")
+    if S.current_snapshot(path) == 0:
+        shutil.rmtree(path, ignore_errors=True)  # clear any crashed half-build
+        ev = spark.sql(geo.events_points_sql(sf_dir=sf_dir)).withColumn(
+            "cell", F.expr(geo.rowmajor_cell_sql("lon", "lat", _RES))
+        )
+        S.create(ev, path, cluster_by=["cell"], num_files=16)
+    return path
+
+
+def _band_cells() -> tuple[int, int]:
+    """Row-major cell bounds of the latitude band (same ceil(c*n)-1
+    normalization as geo.rowmajor_cell_sql)."""
+    def _y(lat: float) -> int:
+        import math
+        return min(max(int(math.ceil((lat + 90.0) / 180.0 * _N)) - 1, 0), _N - 1)
+    return _y(_LAT0) * _N, (_y(_LAT1) + 1) * _N - 1
+
+
+_WHERE = (
+    f"lat >= {_LAT0} AND lat < {_LAT1} AND lon >= {_LON0} AND lon < {_LON1}"
+)
+
+
+def q68_snapshot_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan through the manifest: prune files by the cell-range
+    conjunct (a superset of the window), refine with the exact predicate,
+    aggregate.  Pruning effectiveness is pinned in tests/test_snapshots.py."""
+    path = _events_table(spark, sf_dir)
+    lo, hi = _band_cells()
+    return (
+        S.scan(spark, path, prune=[("cell", "between", (lo, hi))], where=_WHERE)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("sum_value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q68_SQL = f"""
+WITH e AS ({geo.events_points_sql()})
+SELECT event_type,
+       cast(count(*) as bigint) AS n_events,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_value_cents
+FROM e
+WHERE {_WHERE}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q69_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create → copy-on-write DELETE → compact, then read every snapshot at
+    its own version.  The per-snapshot aggregates prove isolation: v1 keeps
+    the deleted rows, v3 (rewritten files) equals v2 exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "l_orderkey", "l_linenumber", "cast(l_quantity as bigint) AS qty"
+    )
+    path = os.path.join(_SCRATCH, f"snap_tt_{uuid.uuid4().hex}")
+    try:
+        S.create(li, path, cluster_by=["l_orderkey"], num_files=8)
+        S.delete_where(spark, path, "qty > 40")
+        S.compact(spark, path, target_rows=1_000_000)
+        rows = []
+        for snap in (1, 2, 3):
+            r = S.scan(spark, path, snapshot=snap).agg(
+                F.count("*").alias("n"), F.sum("qty").alias("s")
+            ).first()
+            rows.append((snap, r["n"], r["s"]))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "snapshot int, n_rows bigint, sum_qty bigint"
+    ).orderBy("snapshot")
+
+
+Q69_SQL = """
+WITH q AS (SELECT cast(l_quantity as bigint) AS qty FROM lineitem)
+SELECT cast(1 as int) AS snapshot, cast(count(*) as bigint) AS n_rows,
+       cast(sum(qty) as bigint) AS sum_qty FROM q
+UNION ALL
+SELECT cast(2 as int), cast(count(*) as bigint), cast(sum(qty) as bigint)
+FROM q WHERE NOT (qty > 40)
+UNION ALL
+SELECT cast(3 as int), cast(count(*) as bigint), cast(sum(qty) as bigint)
+FROM q WHERE NOT (qty > 40)
+ORDER BY snapshot
+"""
+
+
+LAKE_QUERIES = {
+    "q68_snapshot_prune_scan": (q68_snapshot_prune_scan, Q68_SQL),
+    "q69_snapshot_time_travel": (q69_snapshot_time_travel, Q69_SQL),
+}

@@ -1,0 +1,175 @@
+"""Snapshot table format: atomicity, isolation, pruning, maintenance.
+
+Mirrors the contract Iceberg's spec tests pin (commit atomicity, snapshot
+isolation, stats-based file skipping) — the reference's equivalent
+guarantees live in its datastore ITs (`test/src/test/java/.../GeoWaveBasicSpatialVectorIT`
+delete/requery cycles in /root/reference)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from geowave_spark.table import snapshots as S
+
+
+def _mk(spark, n=10_000, parts=8):
+    return spark.range(n).selectExpr(
+        "id",
+        "id % 97 AS cell",
+        "cast(id % 13 as double) AS value",
+        "concat('row-', id) AS name",
+    ).repartition(parts)
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_create_read_roundtrip(spark, tdir):
+    df = _mk(spark)
+    info = S.create(df, tdir, cluster_by=["cell"], num_files=8)
+    assert info["snapshot"] == 1 and info["added_rows"] == 10_000
+    got = S.scan(spark, tdir)
+    assert got.count() == 10_000
+    assert got.agg({"value": "sum"}).first()[0] == df.agg({"value": "sum"}).first()[0]
+    # schema preserved exactly (modulo file-source nullability)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+
+
+def test_append_and_history(spark, tdir):
+    S.create(_mk(spark, 1000), tdir, cluster_by=["cell"], num_files=4)
+    S.append(spark.range(1000, 1500).selectExpr(
+        "id", "id % 97 AS cell", "cast(id % 13 as double) AS value",
+        "concat('row-', id) AS name"), tdir)
+    assert S.scan(spark, tdir).count() == 1500
+    h = S.history(tdir)
+    assert [x["operation"] for x in h] == ["create", "append"]
+    # time travel: snapshot 1 unaffected by the append
+    assert S.scan(spark, tdir, snapshot=1).count() == 1000
+
+
+def test_pruning_skips_files_and_loses_no_rows(spark, tdir):
+    S.create(_mk(spark, 20_000), tdir, cluster_by=["cell"], num_files=16)
+    total_files = len(S.load_manifest(tdir)["files"])
+    kept, total = S.plan_files(tdir, prune=[("cell", "between", (10, 20))])
+    assert total == total_files
+    assert 0 < len(kept) < total_files, "clustered write must make pruning effective"
+    pruned = S.scan(spark, tdir, prune=[("cell", "between", (10, 20))],
+                    where="cell BETWEEN 10 AND 20")
+    full = S.scan(spark, tdir, where="cell BETWEEN 10 AND 20")
+    assert pruned.count() == full.count()
+    assert pruned.agg({"value": "sum"}).first()[0] == full.agg({"value": "sum"}).first()[0]
+
+
+@pytest.mark.parametrize(
+    "prune,where",
+    [
+        ([("cell", "=", 42)], "cell = 42"),
+        ([("cell", "<", 5)], "cell < 5"),
+        ([("cell", ">=", 90)], "cell >= 90"),
+        ([("cell", "in", [3, 77])], "cell IN (3, 77)"),
+        ([("name", ">=", "row-9")], "name >= 'row-9'"),  # string stats prune too
+    ],
+)
+def test_prune_safety_property(spark, tdir, prune, where):
+    S.create(_mk(spark, 5_000), tdir, cluster_by=["cell"], num_files=8)
+    a = sorted(S.scan(spark, tdir, prune=prune, where=where).collect())
+    b = sorted(S.scan(spark, tdir, where=where).collect())
+    assert a == b
+
+
+def test_empty_prune_result_keeps_schema(spark, tdir):
+    df = _mk(spark, 100)
+    S.create(df, tdir, cluster_by=["cell"], num_files=2)
+    got = S.scan(spark, tdir, prune=[("cell", ">", 10_000)], where="cell > 10000")
+    assert got.count() == 0
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+
+
+def test_delete_where_copy_on_write_and_time_travel(spark, tdir):
+    S.create(_mk(spark, 10_000), tdir, cluster_by=["cell"], num_files=8)
+    info = S.delete_where(spark, tdir, "cell BETWEEN 30 AND 40")
+    expect_deleted = 10_000 - S.scan(spark, tdir).count()
+    assert info["deleted_rows"] == expect_deleted > 0
+    assert S.scan(spark, tdir, where="cell BETWEEN 30 AND 40").count() == 0
+    # old snapshot still complete (copy-on-write)
+    assert S.scan(spark, tdir, snapshot=1).count() == 10_000
+    # only files overlapping the range were rewritten
+    assert info["rewritten_files"] < len(S.load_manifest(tdir, 1)["files"])
+
+
+def test_compact_preserves_rows(spark, tdir):
+    S.create(_mk(spark, 4_000), tdir, cluster_by=["cell"], num_files=16)
+    before = S.scan(spark, tdir).agg({"value": "sum"}).first()[0]
+    info = S.compact(spark, tdir, target_rows=4_000)
+    assert info["after_files"] < info["before_files"]
+    assert S.scan(spark, tdir).agg({"value": "sum"}).first()[0] == before
+    assert S.scan(spark, tdir).count() == 4_000
+
+
+def test_crashed_commit_is_invisible_then_repairable(spark, tdir):
+    S.create(_mk(spark, 1_000), tdir, num_files=2)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        S.append(_mk(spark, 10), tdir, fail_before_pointer=True)
+    # reader still on snapshot 1; orphan manifest blocks the id
+    assert S.current_snapshot(tdir) == 1
+    assert S.scan(spark, tdir).count() == 1_000
+    with pytest.raises(S.CommitConflict):
+        S.append(_mk(spark, 10), tdir)
+    assert S.repair(tdir) == [2]
+    S.append(_mk(spark, 10), tdir)
+    assert S.scan(spark, tdir).count() == 1_010
+
+
+def test_concurrent_commit_conflict(spark, tdir):
+    S.create(_mk(spark, 100), tdir, num_files=1)
+    base = S.load_manifest(tdir)
+    # writer A commits...
+    S.append(_mk(spark, 10), tdir)
+    # ...writer B built its manifest from the same parent: must conflict
+    stale = S._new_manifest(tdir, "append", base["files"], base["schema"], {})
+    stale["snapshot"] = base["snapshot"] + 1  # what B computed before A won
+    with pytest.raises(S.CommitConflict):
+        S._commit(tdir, stale)
+
+
+def test_expire_snapshots_drops_unreferenced_files(spark, tdir):
+    S.create(_mk(spark, 5_000), tdir, cluster_by=["cell"], num_files=8)
+    S.delete_where(spark, tdir, "cell < 50")
+    n_data_before = len(os.listdir(os.path.join(tdir, "data")))
+    info = S.expire_snapshots(tdir, keep_last=1)
+    assert info["dropped_manifests"] == 1 and info["dropped_files"] > 0
+    assert len(os.listdir(os.path.join(tdir, "data"))) < n_data_before
+    # current snapshot fully readable after expiry
+    cur = S.scan(spark, tdir)
+    assert cur.filter("cell < 50").count() == 0 and cur.count() > 0
+    # expired snapshot is gone
+    with pytest.raises(FileNotFoundError):
+        S.load_manifest(tdir, 1)
+
+
+def test_q68_pruning_is_effective(spark, sf_dir):
+    """The registry query's cell-range conjunct must actually skip files —
+    the point of clustering the write by the SFC key."""
+    from geowave_spark import queries_lake as QL
+
+    path = QL._events_table(spark, sf_dir)
+    lo, hi = QL._band_cells()
+    kept, total = S.plan_files(path, prune=[("cell", "between", (lo, hi))])
+    assert len(kept) < total, f"pruned {len(kept)}/{total} — no files skipped"
+
+
+def test_manifest_lineage_fields(spark, tdir):
+    S.create(_mk(spark, 100), tdir, num_files=2)
+    m = S.load_manifest(tdir)
+    for f in m["files"]:
+        assert f["app_id"] == spark.sparkContext.applicationId
+        assert f["snapshot_added"] == 1
+        assert f["rows"] > 0 and f["bytes"] > 0 and "cell" in f["stats"]
