@@ -287,7 +287,8 @@ def _group_bounds(pdf: pd.DataFrame, key_cols: list[str]):
     return starts, ends
 
 
-def merge_tiles_df(tiles_df, tile_px: int = TILE_PX, src_payload: str = "png"):
+def merge_tiles_df(tiles_df, tile_px: int = TILE_PX, src_payload: str = "png",
+                   num_partitions: int | None = None):
     """One row per (res, tile_id): no-data-aware composite of all sources.
 
     Deterministic: sources applied in image_id order; a later source fills
@@ -300,6 +301,16 @@ def merge_tiles_df(tiles_df, tile_px: int = TILE_PX, src_payload: str = "png"):
     same data movement as groupBy().applyInPandas but without its
     per-group Arrow round-trip, which dominates when most tiles have only
     a few sources.
+
+    The shuffle width defaults to 4x the cluster parallelism, NOT
+    `spark.sql.shuffle.partitions`: the keyless default is a fixed number
+    AQE then coalesces by *data size*, which lands on the same task count
+    at every cluster size — measured 11 reduce tasks at both local[2] and
+    local[8], i.e. 2 ragged waves (8 then 3 tasks) at 8 cores and ~30%
+    idle in the merge stage (N->4N tile efficiency 0.806).  Width
+    proportional to cores keeps the reduce waves full at every cluster
+    size; 4x gives AQE-free load balancing headroom against uneven tile
+    groups while keeping per-task Arrow/pandas overhead amortized.
     """
     if src_payload == "png":
         dec = lambda b: codec.png_decode(bytes(b))  # noqa: E731
@@ -327,8 +338,9 @@ def merge_tiles_df(tiles_df, tile_px: int = TILE_PX, src_payload: str = "png"):
                 out, columns=["res", "tile_id", "n_src", "px"]
             )
 
+    n_part = num_partitions or 4 * tiles_df.sparkSession.sparkContext.defaultParallelism
     return (
-        tiles_df.repartition("res", "tile_id")
+        tiles_df.repartition(n_part, "res", "tile_id")
         .sortWithinPartitions("res", "tile_id", "image_id")
         .mapInPandas(
             merge_stream, schema="res int, tile_id long, n_src int, px binary"
@@ -405,8 +417,12 @@ def pyramid_level_df(merged_df, tile_px: int = TILE_PX):
                 out, columns=["res", "tile_id", "n_src", "px"]
             )
 
+    # width ∝ cores for full reduce waves at every cluster size (see
+    # merge_tiles_df); pyramid levels shrink 4x per level so 4x-par width
+    # also keeps small upper levels from collapsing to one task
+    n_part = 4 * quads.sparkSession.sparkContext.defaultParallelism
     return (
-        quads.repartition("res", "tile_id")
+        quads.repartition(n_part, "res", "tile_id")
         .sortWithinPartitions("res", "tile_id", "qy", "qx")
         .mapInPandas(
             stitch_stream, schema="res int, tile_id long, n_src int, px binary"

@@ -37,6 +37,14 @@ def main() -> None:
     )
     ap.add_argument("--polys", type=int, default=100)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--tile-target", type=int, default=40_000,
+        help="row count of the staged corpus snapshot table (--amplify mode)",
+    )
+    ap.add_argument(
+        "--corpus-root", default=None,
+        help="directory holding the staged corpus table (default: repo .scratch)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,27 +60,14 @@ def main() -> None:
     out = {"sf_dir": args.sf_dir, "master": spark.sparkContext.master}
 
     if args.amplify:
-        from pyspark.sql import functions as F  # noqa: N812
+        # same workload definition as bench.py --scaling: scan the staged
+        # Iceberg-analog image+caption snapshot table, amplify in flight
+        from geowave_spark.table import corpus
 
-        from geowave_spark.geom import core as geom
-
-        par = spark.sparkContext.defaultParallelism
-        pts = spark.sql(geo.lineitem_points_sql()).repartition(par).persist()
-        mult = max(1, args.amplify // pts.count())
-        pts = pts.crossJoin(
-            spark.range(mult).select(F.col("id").alias("m_"))
-        ).select(
-            (F.col("pid") * mult + F.col("m_")).alias("pid"), "lon", "lat"
-        )
-        rect = spark.sql(geo.supplier_rects_sql()).toPandas()
-        if len(rect) > args.polys:
-            rect = rect.iloc[:: len(rect) // args.polys].head(args.polys)
-        polys = {
-            int(r.rid): geom.regular_polygon(
-                (r.lon0 + r.lon1) / 2, (r.lat0 + r.lat1) / 2,
-                max(r.lon1 - r.lon0, r.lat1 - r.lat0) / 2, 12)
-            for r in rect.itertuples()
-        }
+        path = corpus.ensure_image_table(spark, args.sf_dir, args.tile_target,
+                                         root=args.corpus_root)
+        pts, _ = corpus.image_points(spark, path, amplify=args.amplify)
+        polys = corpus.query_polygons(spark, args.sf_dir, max_polys=args.polys)
         joined = spatial.point_in_polygon_join(
             spark, pts, polys, data_res=10, max_cells=1024
         )
