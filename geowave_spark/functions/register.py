@@ -339,6 +339,34 @@ def register_geometry_functions(spark: SparkSession) -> list[str]:
 
     spark.udf.register("GeomFromWKT", _fromwkt)
     names.append("GeomFromWKT")
+
+    @F.pandas_udf(StringType())
+    def _envelope(w: pd.Series) -> pd.Series:
+        out = []
+        for s in w:
+            x0, y0, x1, y1 = wktm.bounds(s)
+            if x0 == x1 and y0 == y1:
+                out.append(wktm.point_wkt(x0, y0))
+            else:
+                out.append(f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                           f"{x0} {y1}, {x0} {y0}))")
+        return pd.Series(out)
+
+    spark.udf.register("GeomEnvelope", _envelope)
+    names.append("GeomEnvelope")
+
+    for nm, idx in (("GeomMinX", 0), ("GeomMinY", 1),
+                    ("GeomMaxX", 2), ("GeomMaxY", 3)):
+        def _mk(i):
+            @F.pandas_udf(DoubleType())
+            def _coord(w: pd.Series) -> pd.Series:
+                return pd.Series([wktm.bounds(s)[i] for s in w],
+                                 dtype="float64")
+
+            return _coord
+
+        spark.udf.register(nm, _mk(idx))
+        names.append(nm)
     return names
 
 

@@ -158,3 +158,21 @@ def polygon_wkt(ring: np.ndarray) -> str:
         ring = np.vstack([ring, ring[:1]])
     body = ", ".join(f"{x!r} {y!r}" for x, y in ring)
     return f"POLYGON (({body}))"
+
+
+def bounds(wkt: str) -> tuple[float, float, float, float]:
+    """Envelope (minx, miny, maxx, maxy) of any supported WKT geometry.
+    Reference analog: JTS Geometry.getEnvelopeInternal() as used by the
+    loose/envelope query paths."""
+    t = geom_type(wkt)
+    if t == "point":
+        x, y = parse_point(wkt)
+        return x, y, x, y
+    if t == "polygon":
+        pts = np.concatenate(parse_polygon_rings(wkt))
+    elif t == "linestring":
+        pts = parse_linestring(wkt)
+    else:
+        pts = np.concatenate(parse_multilinestring(wkt))
+    return (float(pts[:, 0].min()), float(pts[:, 1].min()),
+            float(pts[:, 0].max()), float(pts[:, 1].max()))

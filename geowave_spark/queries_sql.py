@@ -256,6 +256,83 @@ GROUP BY z.aid ORDER BY aid
 """
 
 
+_Q70_GWQL = (
+    "SELECT COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v, "
+    "SUM(cents) AS sum_cents FROM event_points "
+    "WHERE bbox(geom, -120.3500003, -55.1500003, 60.2500003, 62.4500003) "
+    "AND ts DURING '2024-01-03/2024-05-20' "
+    "AND (strstartswith(event_type, 's') OR strcontains(event_type, 'i')) "
+    "AND value * 2e0 + 1e1 > 1e2"
+)
+
+
+def _event_points_cents_sql() -> str:
+    """event_points + an exact integer cents column: the GWQL grammar's
+    aggregate arg is a bare column (GWQL.g4 functionArg), and an int64 SUM
+    is order-independent (a float SUM would hash-mismatch the oracle)."""
+    return (f"SELECT *, cast(round(value * 100) as bigint) AS cents "
+            f"FROM ({_events_points_ts_sql()})")
+
+
+def q70_gwql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GWQL — the reference's query language — as the query surface: the
+    full SELECT statement (aggregates, spatial BBOX, temporal DURING, text
+    predicates, arithmetic) compiled by `plans/gwql.py` to one Spark SQL
+    string and accelerated by the same sqlrewrite cell prefilter as
+    hand-written SQL.  Reference: grammar GWQL.g4 + SelectStatement.java
+    (core/store/.../query/gwql in /root/reference)."""
+    from .plans.gwql import gwql
+
+    register_views(spark, sf_dir)
+    spark.sql(_event_points_cents_sql()).createOrReplaceTempView("event_points")
+    return gwql(spark, _Q70_GWQL, geom_map={"geom": "GeomPoint(lon, lat)"},
+                res=6)
+
+
+Q70_SQL = f"""
+WITH p AS ({_events_points_ts_sql()})
+SELECT cast(count(*) as bigint) AS n, min(value) AS min_v,
+       max(value) AS max_v,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+FROM p
+WHERE lon >= -120.3500003 AND lon <= 60.2500003
+  AND lat >= -55.1500003 AND lat <= 62.4500003
+  AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+  AND ts <= TIMESTAMP '2024-05-20 00:00:00'
+  AND (starts_with(event_type, 's') OR contains(event_type, 'i'))
+  AND value * 2 + 10 > 100
+"""
+
+
+_Q71_GWQL = (
+    "SELECT eid, event_type AS kind, value FROM event_points "
+    "WHERE (value BETWEEN 50 AND 120 AND NOT strcontains(event_type, 'i')) "
+    "OR [strendswith(event_type, 'w') AND value::number > 850 "
+    "AND eid IS NOT NULL]"
+)
+
+
+def q71_gwql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GWQL column-selector statement: aliases, BETWEEN, NOT, bracket
+    grouping, ::number cast, IS NOT NULL, OR — the non-aggregating half of
+    the reference's SelectStatement surface."""
+    from .plans.gwql import gwql
+
+    register_views(spark, sf_dir)
+    spark.sql(_events_points_ts_sql()).createOrReplaceTempView("event_points")
+    return gwql(spark, _Q71_GWQL)
+
+
+Q71_SQL = f"""
+WITH p AS ({_events_points_ts_sql()})
+SELECT eid, event_type AS kind, value
+FROM p
+WHERE (value BETWEEN 50 AND 120 AND NOT contains(event_type, 'i'))
+   OR (suffix(event_type, 'w') AND cast(value as double) > 850
+       AND eid IS NOT NULL)
+"""
+
+
 SQL_QUERIES = {
     "q31_sql_geom_filter": (q31_sql_geom_filter, Q31_SQL),
     "q32_sql_geom_distance": (q32_sql_geom_distance, Q32_SQL),
@@ -263,4 +340,6 @@ SQL_QUERIES = {
     "q59_sql_spatial_join": (q59_sql_spatial_join, Q59_SQL),
     "q61_cql_filter": (q61_cql_filter, Q61_SQL),
     "q66_sql_pip_join": (q66_sql_pip_join, _q66_sql()),
+    "q70_gwql_agg": (q70_gwql_agg, Q70_SQL),
+    "q71_gwql_select": (q71_gwql_select, Q71_SQL),
 }
