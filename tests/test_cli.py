@@ -1,0 +1,87 @@
+"""CLI surface (`python -m geowave_spark ...`) — the reference's
+`geowave` command-line operations re-expressed over the library API."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def run_cli(*args, timeout=240):
+    env = {**os.environ, "PYTHONPATH": ROOT, "SPARK_GRAFT_CPUS": "4",
+           "SPARK_GRAFT_SHUFFLE": "4"}
+    proc = subprocess.run(
+        [sys.executable, "-m", "geowave_spark", *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=ROOT,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return proc.stdout
+
+
+def test_query_gwql_aggregate():
+    out = run_cli(
+        "query",
+        "SELECT COUNT(*) AS n, MAX(value) AS mx FROM events "
+        "WHERE value BETWEEN 100 AND 500",
+        "--sf-dir", SF, "--format", "json",
+    )
+    row = json.loads(out.strip().splitlines()[-1])
+    assert row["n"] > 0 and 100 <= row["mx"] <= 500
+
+
+def test_query_sql_dialect():
+    out = run_cli("query", "--dialect", "sql",
+                  "SELECT n_name FROM nation ORDER BY n_name LIMIT 3",
+                  "--sf-dir", SF)
+    lines = out.strip().splitlines()
+    assert lines[0] == "n_name" and len(lines) == 4
+
+
+def test_ingest_geojsonl_and_table_maintenance(tmp_path):
+    # build a tiny GeoJSONL file via the library writer's inverse format
+    src = tmp_path / "pts.geojsonl"
+    feats = [
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [i * 1.0, i * 0.5]},
+         "properties": {"name": f"p{i}", "rank": i}}
+        for i in range(6)
+    ]
+    src.write_text("\n".join(json.dumps(f) for f in feats))
+    dest = str(tmp_path / "tbl")
+    out = run_cli("ingest", "geojsonl", str(src), dest, "--snapshot")
+    assert json.loads(out.strip().splitlines()[-1])["added_rows"] == 6
+
+    # properties stay a JSON column (GEOJSON_SCHEMA); predicate via SQL json
+    out = run_cli("table", "delete", dest, "--where",
+                  "get_json_object(properties, '$.rank') > 3")
+    assert json.loads(out.strip().splitlines()[-1])["deleted_rows"] == 2
+
+    out = run_cli("table", "history", dest)
+    hist = [json.loads(l) for l in out.strip().splitlines()]
+    assert [h["operation"] for h in hist] == ["create", "delete"]
+    assert hist[-1]["rows"] == 4
+
+    out = run_cli("table", "compact", dest)
+    assert json.loads(out.strip().splitlines()[-1])["after_files"] == 1
+
+    out = run_cli("table", "expire", dest, "--keep-last", "1")
+    assert json.loads(out.strip().splitlines()[-1])["dropped_manifests"] == 2
+
+
+def test_stat_report():
+    out = run_cli("stat", "events", "--sf-dir", SF)
+    row = json.loads(out.strip().splitlines()[-1])
+    assert row["n"] > 0
+    assert -180 <= row["lon0"] <= row["lon1"] <= 180
+
+
+def test_analytic_kde():
+    out = run_cli("analytic", "kde", "--sf-dir", SF, "--res", "4",
+                  "--limit", "5")
+    lines = out.strip().splitlines()
+    assert len(lines) >= 2  # header + rows
+    assert "cell" in lines[0]
