@@ -85,3 +85,12 @@ def test_analytic_kde():
     lines = out.strip().splitlines()
     assert len(lines) >= 2  # header + rows
     assert "cell" in lines[0]
+
+
+def test_analytic_kmeans_and_dbscan(tmp_path):
+    out = run_cli("analytic", "kmeans", "--sf-dir", SF, "--k", "3",
+                  "--max-iter", "2", "--out", str(tmp_path / "km"))
+    assert json.loads(out.strip().splitlines()[-1])["rows"] > 0
+    out = run_cli("analytic", "dbscan", "--sf-dir", SF, "--eps", "5",
+                  "--min-pts", "3", "--limit", "5")
+    assert "cluster" in out.strip().splitlines()[0]
