@@ -85,6 +85,13 @@ def cmd_query(args) -> int:
         if isinstance(df, dict):  # DELETE summary
             print(json.dumps(df))
             return 0
+    if args.out:
+        # distributed sink: console output collects to the driver, which is
+        # for humans — a big result set goes to parquet executor-side
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": spark.read.parquet(args.out).count(),
+                          "out": args.out}))
+        return 0
     _emit(df, args.format, args.limit)
     return 0
 
@@ -224,6 +231,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="geometry binding attr=SQL_EXPR (repeatable)")
     q.add_argument("--format", choices=("csv", "json"), default="csv")
     q.add_argument("--limit", type=int)
+    q.add_argument("--out", help="write the result to parquet (distributed) "
+                                 "instead of printing to the console")
     q.set_defaults(fn=cmd_query)
 
     ing = sub.add_parser("ingest", help="ingest a vector/raster/track format")

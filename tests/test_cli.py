@@ -94,3 +94,10 @@ def test_analytic_kmeans_and_dbscan(tmp_path):
     out = run_cli("analytic", "dbscan", "--sf-dir", SF, "--eps", "5",
                   "--min-pts", "3", "--limit", "5")
     assert "cluster" in out.strip().splitlines()[0]
+
+
+def test_query_out_parquet(tmp_path):
+    out = run_cli("query", "--dialect", "sql",
+                  "SELECT r_regionkey, r_name FROM region",
+                  "--sf-dir", SF, "--out", str(tmp_path / "res"))
+    assert json.loads(out.strip().splitlines()[-1])["rows"] == 5
