@@ -126,7 +126,66 @@ ORDER BY snapshot
 """
 
 
+def _orders_attr_table(spark: SparkSession, sf_dir: str) -> str:
+    """Snapshot table of orders clustered by o_totalprice — the reference's
+    ATTRIBUTE (secondary) index: an index whose sort dimension is a plain
+    field, so range predicates on that field prune at the index instead of
+    scanning (`core/store/.../index/AttributeIndexImpl.java` and the
+    secondary-index fast paths `BaseDataStore.java:381-465` in
+    /root/reference).  Spark-first: cluster_by=attribute => disjoint
+    footer-stat ranges => manifest planning skips the files."""
+    path = os.path.join(
+        _SCRATCH, f"snap_orders_{os.path.basename(os.path.normpath(sf_dir))}")
+    if S.current_snapshot(path) == 0:
+        shutil.rmtree(path, ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "cast(round(o_totalprice * 100) as bigint) AS price_cents",
+            "o_orderdate",
+        )
+        S.create(orders, path, cluster_by=["price_cents"], num_files=16)
+    return path
+
+
+_Q72_LO, _Q72_HI = 5_000_00, 40_000_00  # 5k..40k dollars in cents
+
+
+def q72_attribute_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate on the attribute-index sort key: manifest stats
+    pruning keeps only the files whose [min,max] price overlaps, the exact
+    predicate refines, and the aggregate runs over the survivors.  A
+    pruning-effectiveness pytest pins that files are actually skipped."""
+    path = _orders_attr_table(spark, sf_dir)
+    return (
+        S.scan(spark, path,
+               prune=[("price_cents", "between", (_Q72_LO, _Q72_HI))],
+               where=f"price_cents BETWEEN {_Q72_LO} AND {_Q72_HI}")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price_cents").alias("sum_cents"),
+            F.min("price_cents").alias("min_cents"),
+            F.max("price_cents").alias("max_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q72_SQL = f"""
+SELECT o_orderstatus,
+       cast(count(*) as bigint) AS n_orders,
+       cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS sum_cents,
+       cast(min(cast(round(o_totalprice * 100) as bigint)) as bigint) AS min_cents,
+       cast(max(cast(round(o_totalprice * 100) as bigint)) as bigint) AS max_cents
+FROM orders
+WHERE cast(round(o_totalprice * 100) as bigint) BETWEEN {_Q72_LO} AND {_Q72_HI}
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 LAKE_QUERIES = {
     "q68_snapshot_prune_scan": (q68_snapshot_prune_scan, Q68_SQL),
     "q69_snapshot_time_travel": (q69_snapshot_time_travel, Q69_SQL),
+    "q72_attribute_index_scan": (q72_attribute_index_scan, Q72_SQL),
 }

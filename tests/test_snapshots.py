@@ -173,3 +173,25 @@ def test_manifest_lineage_fields(spark, tdir):
         assert f["app_id"] == spark.sparkContext.applicationId
         assert f["snapshot_added"] == 1
         assert f["rows"] > 0 and f["bytes"] > 0 and "cell" in f["stats"]
+
+
+def test_q72_attribute_index_pruning_is_effective(spark, sf_dir):
+    """The attribute index (cluster_by a plain field) must actually skip
+    files for a narrow range predicate — the reference's secondary-index
+    fast path, not just a full scan with a filter."""
+    from geowave_spark import queries_lake as QL
+
+    path = QL._orders_attr_table(spark, sf_dir)
+    kept, total = S.plan_files(
+        path, prune=[("price_cents", "between", (QL._Q72_LO, QL._Q72_HI))])
+    assert total == 16
+    assert len(kept) < total / 2  # narrow range -> most files pruned
+    # pruning is a superset guarantee: pruned scan + refine == full refine
+    pruned = S.scan(
+        spark, path,
+        prune=[("price_cents", "between", (QL._Q72_LO, QL._Q72_HI))],
+        where=f"price_cents BETWEEN {QL._Q72_LO} AND {QL._Q72_HI}").count()
+    full = S.scan(
+        spark, path,
+        where=f"price_cents BETWEEN {QL._Q72_LO} AND {QL._Q72_HI}").count()
+    assert pruned == full > 0
