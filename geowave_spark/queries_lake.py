@@ -184,8 +184,69 @@ ORDER BY o_orderstatus
 """
 
 
+def _rollup_tables(spark: SparkSession, sf_dir: str) -> str:
+    """Events snapshot table built in TWO appends + a rollup refreshed
+    after each — the hypertable-rollup flow (`table/rollup.py`).  Build is
+    idempotent per sf_dir; a half-built state (crashed run) is detected
+    and rebuilt."""
+    sfn = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(_SCRATCH, f"snap_ev_ts_{sfn}")
+    dst = os.path.join(_SCRATCH, f"rollup_ev_{sfn}")
+    from .table import rollup as R
+
+    def _ev(half: int):
+        return spark.sql(
+            f"SELECT event_id, ts, event_type, "
+            f"cast(round(value * 100) as bigint) AS cents "
+            f"FROM parquet.`{sf_dir}/events.parquet` "
+            f"WHERE event_id % 2 = {half}"
+        )
+
+    complete = (S.current_snapshot(src) == 2
+                and S.current_snapshot(dst) >= 2
+                and S.load_manifest(dst)["summary"].get("src_snapshot") == 2)
+    if not complete:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        S.create(_ev(0), src, cluster_by=["ts"], num_files=4)
+        R.refresh_rollup(spark, src, dst, time_col="ts",
+                         keys=["event_type"], value_col="cents")
+        S.append(_ev(1), src, num_files=4)
+        info = R.refresh_rollup(spark, src, dst, time_col="ts",
+                                keys=["event_type"], value_col="cents")
+        assert info["mode"] == "incremental", info
+    return dst
+
+
+def q73_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate refreshed INCREMENTALLY across two ingest
+    batches: the second refresh scans only the appended files (pinned in
+    tests/test_rollup.py), yet the result equals a from-scratch
+    aggregation — the oracle computes exactly that from the raw events."""
+    dst = _rollup_tables(spark, sf_dir)
+    return (
+        S.scan(spark, dst)
+        .selectExpr("bucket", "event_type", "n", "sum_v AS sum_cents",
+                    "min_v AS min_cents", "max_v AS max_cents")
+        .orderBy("bucket", "event_type")
+    )
+
+
+Q73_SQL = """
+SELECT date_trunc('day', ts) AS bucket, event_type,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents,
+       cast(min(cast(round(value * 100) as bigint)) as bigint) AS min_cents,
+       cast(max(cast(round(value * 100) as bigint)) as bigint) AS max_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+"""
+
+
 LAKE_QUERIES = {
     "q68_snapshot_prune_scan": (q68_snapshot_prune_scan, Q68_SQL),
     "q69_snapshot_time_travel": (q69_snapshot_time_travel, Q69_SQL),
     "q72_attribute_index_scan": (q72_attribute_index_scan, Q72_SQL),
+    "q73_hypertable_rollup": (q73_hypertable_rollup, Q73_SQL),
 }

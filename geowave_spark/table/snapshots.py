@@ -312,6 +312,41 @@ def create(
     return m["summary"] | {"snapshot": m["snapshot"]}
 
 
+def overwrite(
+    df: DataFrame,
+    path: str,
+    num_files: int | None = None,
+    summary_extra: dict | None = None,
+    **commit_kw,
+) -> dict:
+    """Replace the table contents in one new snapshot (Iceberg's
+    ``overwrite`` operation).  Prior snapshots stay readable (their files
+    are untouched until :func:`expire_snapshots`); creates the table when
+    it does not exist yet.  ``summary_extra`` lands in the snapshot
+    summary — e.g. a refresh watermark for incremental rollups."""
+    if current_snapshot(path) == 0:
+        os.makedirs(path, exist_ok=True)
+        entries = _stage_files(df, path, 1, None, num_files)
+        m = _new_manifest(
+            path, "overwrite", entries, _nullable_schema_json(df.schema),
+            {"added_files": len(entries),
+             "added_rows": sum(e["rows"] for e in entries),
+             **(summary_extra or {})},
+        )
+    else:
+        base = load_manifest(path)
+        snap = base["snapshot"] + 1
+        entries = _stage_files(df, path, snap, base.get("cluster_by"), num_files)
+        m = _new_manifest(
+            path, "overwrite", entries, base["schema"],
+            {"added_files": len(entries),
+             "added_rows": sum(e["rows"] for e in entries),
+             **(summary_extra or {})},
+        )
+    _commit(path, m, **commit_kw)
+    return m["summary"] | {"snapshot": m["snapshot"]}
+
+
 def append(
     df: DataFrame,
     path: str,
