@@ -34,10 +34,17 @@ CELL_RES = 7  # footprint-centroid SFC cell used as the cluster key
 
 
 def _scratch_root() -> str:
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
+    """Staging directory: $SPARK_GRAFT_SCRATCH, else the repo's .scratch —
+    but when the package is imported from a --py-files ZIP, __file__ points
+    inside the archive, so fall back to cwd (the spark-submit working dir)."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return env
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if os.path.isdir(repo):
+        return os.path.join(repo, ".scratch")
+    return os.path.join(os.getcwd(), ".scratch")
 
 
 def ensure_image_table(
