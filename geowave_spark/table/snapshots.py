@@ -347,18 +347,44 @@ def overwrite(
     return m["summary"] | {"snapshot": m["snapshot"]}
 
 
+def _evolve_schema(base_json: str, df_schema: StructType) -> str:
+    """Iceberg-style additive schema evolution: appending a DataFrame with
+    NEW columns widens the table schema (new fields nullable; existing
+    files read them back as NULL via the explicit-read-schema path in
+    :func:`scan`).  A type change on an existing column is refused —
+    Iceberg only allows safe promotions, and parquet files already written
+    with the old type cannot be reinterpreted here."""
+    base = StructType.fromJson(json.loads(base_json))
+    have = {f.name: f for f in base.fields}
+    out = list(base.fields)
+    for f in df_schema.fields:
+        prev = have.get(f.name)
+        if prev is None:
+            out.append(f)
+        elif prev.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution: column {f.name!r} changes type "
+                f"{prev.dataType.simpleString()} -> {f.dataType.simpleString()}"
+            )
+    return _nullable_schema_json(StructType(out))
+
+
 def append(
     df: DataFrame,
     path: str,
     num_files: int | None = None,
     **commit_kw,
 ) -> dict:
-    """Append a snapshot: existing files carried forward untouched."""
+    """Append a snapshot: existing files carried forward untouched.
+    Extra columns in ``df`` widen the table schema additively
+    (:func:`_evolve_schema`); columns ``df`` lacks read back as NULL from
+    the new files the same way old files NULL-fill newly added columns."""
     base = load_manifest(path)
     snap = base["snapshot"] + 1
+    schema_json = _evolve_schema(base["schema"], df.schema)
     entries = _stage_files(df, path, snap, base.get("cluster_by"), num_files)
     m = _new_manifest(
-        path, "append", base["files"] + entries, base["schema"],
+        path, "append", base["files"] + entries, schema_json,
         {"added_files": len(entries), "added_rows": sum(e["rows"] for e in entries)},
     )
     _commit(path, m, **commit_kw)
@@ -460,7 +486,12 @@ def delete_where(spark: SparkSession, path: str, condition_sql: str, **commit_kw
     files = base["files"]
     if not files:
         return {"snapshot": base["snapshot"], "deleted_rows": 0, "rewritten_files": 0}
-    full = spark.read.parquet(*[os.path.join(path, f["path"]) for f in files])
+    # read with the MANIFEST schema: after schema evolution the data files
+    # are heterogeneous, and a bare read would take one file's schema and
+    # silently drop the others' columns in the rewrite
+    tbl_schema = StructType.fromJson(json.loads(base["schema"]))
+    full = spark.read.schema(tbl_schema).parquet(
+        *[os.path.join(path, f["path"]) for f in files])
     hit = (
         full.filter(condition_sql)
         .select(F.input_file_name().alias("f"))
@@ -475,7 +506,7 @@ def delete_where(spark: SparkSession, path: str, condition_sql: str, **commit_kw
     snap = base["snapshot"] + 1
     new_entries: list[dict] = []
     if affected:
-        keep = spark.read.parquet(
+        keep = spark.read.schema(tbl_schema).parquet(
             *[os.path.join(path, f["path"]) for f in affected]
         ).filter(f"NOT ({condition_sql})")
         new_entries = _stage_files(
@@ -499,7 +530,9 @@ def compact(
     base = load_manifest(path)
     total = sum(f["rows"] for f in base["files"])
     n = max(1, -(-total // target_rows))
-    df = spark.read.parquet(*[os.path.join(path, f["path"]) for f in base["files"]])
+    df = spark.read.schema(
+        StructType.fromJson(json.loads(base["schema"]))
+    ).parquet(*[os.path.join(path, f["path"]) for f in base["files"]])
     snap = base["snapshot"] + 1
     entries = _stage_files(df, path, snap, base.get("cluster_by"), n)
     m = _new_manifest(

@@ -195,3 +195,33 @@ def test_q72_attribute_index_pruning_is_effective(spark, sf_dir):
         spark, path,
         where=f"price_cents BETWEEN {QL._Q72_LO} AND {QL._Q72_HI}").count()
     assert pruned == full > 0
+
+
+def test_schema_evolution_add_column(spark, tdir):
+    """Iceberg-style additive evolution: append with a NEW column widens
+    the table; old files read the column as NULL, and maintenance ops
+    (delete/compact) preserve the widened schema."""
+    S.create(_mk(spark, 100), tdir, num_files=2)
+    widened = spark.range(100, 160).selectExpr(
+        "id", "id % 97 AS cell", "cast(id % 13 as double) AS value",
+        "concat('row-', id) AS name", "id * 10 AS score")
+    S.append(widened, tdir, num_files=1)
+    got = S.scan(spark, tdir)
+    assert "score" in got.columns
+    assert got.filter("score IS NULL").count() == 100   # old files null-fill
+    assert got.filter("score IS NOT NULL").count() == 60
+    # time travel: the pre-evolution snapshot keeps the narrow schema
+    assert "score" not in S.scan(spark, tdir, snapshot=1).columns
+    # type change on an existing column is refused
+    bad = spark.range(5).selectExpr("id", "cast(id as string) AS value",
+                                    "id % 97 AS cell", "concat('r', id) AS name")
+    with pytest.raises(ValueError, match="changes type"):
+        S.append(bad, tdir)
+    # maintenance ops keep the widened schema across heterogeneous files
+    # (cell = 5 hits id 5 from the narrow batch AND id 102 from the wide one)
+    S.delete_where(spark, tdir, "cell = 5")
+    S.compact(spark, tdir, target_rows=1_000_000)
+    got = S.scan(spark, tdir)
+    assert "score" in got.columns
+    assert got.filter("score IS NOT NULL").count() == 59
+    assert got.filter("score IS NULL").count() == 99
