@@ -101,3 +101,40 @@ def session_counts(stream_df: DataFrame, ts_col: str = "ts",
              F.max(F.unix_micros(F.col(ts_col))).alias("t1"))
         .select("user_id", "n", "t0", "t1")
     )
+
+
+def run_ingest_to_table(stream_df: DataFrame, table_path: str,
+                        checkpoint_dir: str, rollup_path: str | None = None,
+                        rollup_kw: dict | None = None,
+                        timeout_s: int = 120) -> None:
+    """Stream into a SNAPSHOT TABLE, one atomic commit per micro-batch —
+    and optionally keep a continuous aggregate current.
+
+    foreachBatch gives exactly-once table commits: Structured Streaming
+    replays a failed batch, and the snapshot commit is atomic, so readers
+    only ever see whole batches (the Iceberg streaming-sink contract; the
+    reference's streaming analog is its per-range writer commits).  When
+    ``rollup_path`` is set, each batch is followed by an incremental
+    `table/rollup.refresh_rollup` — the streaming form of the hypertable
+    rollup: the refresh scans only the files the batch just added.
+    """
+    from ..table import rollup as R, snapshots as S
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if S.current_snapshot(table_path) == 0:
+            S.create(batch_df, table_path)
+        else:
+            S.append(batch_df, table_path)
+        if rollup_path is not None:
+            R.refresh_rollup(batch_df.sparkSession, table_path, rollup_path,
+                             **(rollup_kw or {}))
+
+    q = (
+        stream_df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -167,3 +167,50 @@ def test_streaming_sessions_match_batch_q67(spark, sf_dir, dirs):
     want = sorted(
         (r["user_id"], r["n"], r["t0"], r["t1"]) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_streaming_snapshot_table_with_continuous_rollup(spark, sf_dir, dirs):
+    """Stream -> snapshot-table commits per micro-batch, each followed by
+    an incremental rollup refresh; the final rollup equals a from-scratch
+    aggregation of everything ingested, and the table history is one
+    atomic commit per batch."""
+    from pyspark.sql import functions as F
+    from geowave_spark.table import snapshots as S
+
+    src, dest, cp = dirs
+    tbl = dest + "_tbl"
+    roll = dest + "_roll"
+    schema = _events_schema(spark, sf_dir)
+    kw = dict(time_col="ts", keys=["event_type"], value_col="value")
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def _drop(df, name):
+        # the file stream lists plain files: write to a staging dir, copy
+        # the single part file into the watched directory
+        import glob
+
+        stage = str(src) + f"_stage_{name}"
+        df.coalesce(1).write.parquet(stage)
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], src / name)
+
+    _drop(ev.filter("event_id % 2 = 0"), "batch1.parquet")
+    stream = ingest.indexed_file_stream(spark, str(src), schema, res=8)
+    ingest.run_ingest_to_table(stream, tbl, cp, rollup_path=roll, rollup_kw=kw)
+
+    _drop(ev.filter("event_id % 2 = 1"), "batch2.parquet")
+    ingest.run_ingest_to_table(stream, tbl, cp, rollup_path=roll, rollup_kw=kw)
+
+    assert S.scan(spark, tbl).count() == ev.count()
+    got = {(r["bucket"], r["event_type"]): (r["n"], r["sum_v"]) for r in
+           S.scan(spark, roll).select("bucket", "event_type", "n", "sum_v").collect()}
+    exp = {(r["bucket"], r["event_type"]): (r["n"], r["sum_v"]) for r in
+           ev.groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type")
+           .agg(F.count("*").alias("n"), F.sum("value").alias("sum_v")).collect()}
+    assert got.keys() == exp.keys()
+    for k, (n, sv) in exp.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(sv)  # float-sum order differs
+    # one atomic table commit per non-empty micro-batch
+    ops = [h["operation"] for h in S.history(tbl)]
+    assert ops[0] == "create" and set(ops[1:]) <= {"append"}
