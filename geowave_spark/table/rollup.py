@@ -65,10 +65,13 @@ def refresh_rollup(
     if cur == last:
         return {"mode": "noop", "files_scanned": 0, "src_snapshot": cur}
 
+    hist = {h["snapshot"]: h["operation"]
+            for h in snap.history(src) if last < h["snapshot"] <= cur}
+    # every snapshot in the window must be present AND an append: an
+    # EXPIRED manifest could hide a delete/compact whose rewritten files
+    # carry a fresh snapshot_added — diffing would double count those rows
     appends_only = all(
-        h["operation"] in ("create", "append")
-        for h in snap.history(src)
-        if last < h["snapshot"] <= cur
+        hist.get(s) in ("create", "append") for s in range(last + 1, cur + 1)
     )
     incremental = last > 0 and appends_only
     files = [

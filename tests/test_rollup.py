@@ -89,3 +89,21 @@ def test_overwrite_op(spark, tmp_path):
     assert S.scan(spark, path, snapshot=1).count() == 10
     assert S.load_manifest(path)["summary"]["mark"] == 9
     assert [h["operation"] for h in S.history(path)] == ["overwrite", "overwrite"]
+
+
+def test_expired_window_snapshot_forces_rebuild(spark, tmp_path):
+    """An expired manifest inside the diff window could hide a delete, so
+    the refresh must not trust the remaining history — rebuild."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "roll")
+    S.create(_events(spark, 0, 2000), src, num_files=2)
+    R.refresh_rollup(spark, src, dst, time_col="ts", keys=["kind"],
+                     value_col="v")
+    S.delete_where(spark, src, "v >= 50")          # snapshot 2 (delete)
+    S.append(_events(spark, 2000, 2500), src)      # snapshot 3
+    S.expire_snapshots(src, keep_last=1)           # delete's manifest gone
+    info = R.refresh_rollup(spark, src, dst, time_col="ts", keys=["kind"],
+                            value_col="v")
+    assert info["mode"] == "rebuild"
+    full = _events(spark, 0, 2000).filter("v < 50").union(
+        _events(spark, 2000, 2500))
+    _assert_equals_full(spark, dst, full)
