@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     # large-star/small-star contraction): the only multi-job operator in
     # the suite, so driver-loop overhead regressions surface here
     "q64_dup_clusters",
+    # lake layer: manifest-pruned snapshot scan and the incremental rollup
+    # (both stage their tables once under .scratch on the first rep; the
+    # best-of-N minimum measures the warm scan path)
+    "q68_snapshot_prune_scan",
+    "q73_hypertable_rollup",
 ]
 
 
