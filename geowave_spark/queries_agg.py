@@ -312,18 +312,17 @@ def q47_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: brute-force range join.  At 100 TB the bin equi-join is the
     only scalable shape — a naive theta-join would be a cartesian product.
     """
+    from .join.temporal import interval_join
+
     register_views(spark, sf_dir)
-    iv = spark.sql(_IVL).withColumn(
-        "bin", F.explode(F.expr("sequence(start_s div 86400, (end_s - 1) div 86400)"))
-    )
+    iv = spark.sql(_IVL)
     ev = spark.table("events").select(
         "event_id",
         F.expr("unix_timestamp(ts)").alias("ts_s"),
         F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
-    ).withColumn("bin", F.expr("ts_s div 86400"))
-    cand = ev.join(F.broadcast(iv), "bin")
+    )
     return (
-        cand.filter((F.col("ts_s") >= F.col("start_s")) & (F.col("ts_s") < F.col("end_s")))
+        interval_join(ev, iv, ts="ts_s", start="start_s", end="end_s")
         .groupBy("ivl_id")
         .agg(
             F.count("*").alias("n_events"),
@@ -368,38 +367,19 @@ def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: brute-force `row_number() over (order by tq desc)` theta-join.
     """
-    from pyspark.sql import Window
+    from .join.temporal import asof_join
 
     register_views(spark, sf_dir)
-    q = spark.sql(_QUOTES).withColumn("bin", F.expr("tq div 86400"))
+    q = spark.sql(_QUOTES)
     ev = spark.table("events").select(
         "event_id", F.expr("unix_timestamp(ts)").alias("ts_s")
-    ).withColumn("bin", F.expr("ts_s div 86400"))
-
-    m = F.max(F.struct("tq", "qid")).alias("m")
-    inbin = (
-        ev.join(F.broadcast(q), "bin")
-        .filter(F.col("tq") <= F.col("ts_s"))
-        .groupBy("event_id").agg(m)
-    )
-    binagg = q.groupBy("bin").agg(m)  # one row per day — always tiny
-    ebins = ev.select("bin").distinct()
-    fallback = (
-        ebins.join(
-            F.broadcast(binagg.withColumnRenamed("bin", "qbin")),
-            F.col("qbin") < F.col("bin"),
-        )
-        .groupBy("bin").agg(F.max("m").alias("pm"))
     )
     return (
-        ev.join(inbin, "event_id", "left")
-        .join(F.broadcast(fallback), "bin", "left")
-        .withColumn("w", F.coalesce("m", "pm"))
-        .filter(F.col("w").isNotNull())
+        asof_join(ev, q, left_ts="ts_s", right_ts="tq", how="inner")
         .select(
             "event_id",
-            F.col("w.tq").alias("quote_ts_s"),
-            F.col("w.qid").alias("quote_id"),
+            F.col("tq").alias("quote_ts_s"),
+            F.col("qid").alias("quote_id"),
         )
         .orderBy("event_id")
     )
