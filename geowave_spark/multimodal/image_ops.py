@@ -1,0 +1,104 @@
+"""Image-payload operators: photometric quality statistics and box-filter
+thumbnailing over encoded image bytes.
+
+These are the image-side quality/resize steps of a multimodal
+training-data pipeline, built the same way the reference builds its raster
+operators — decode → numpy kernel → re-aggregate — but as Arrow-batched
+`mapInPandas` stages instead of server-side iterators
+(`extensions/adapters/raster/.../RasterDataAdapter.java` decode path,
+`analytics/mapreduce/.../kde/` resize pipeline in /root/reference).
+
+Scale notes: both operators are a single narrow `mapInPandas` pass — no
+shuffle, no driver traffic; partitions stream Arrow batches, decode each
+image once, and emit fixed-width scalar rows, so the stage parallelizes
+linearly with input splits at any volume.  The kernels are pure integer
+numpy, so the DuckDB oracles (closed-form pixel formula, `table/images.py
+luma_sql`) can reproduce every output bit-for-bit without decoding bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..raster import codec
+from ..table.images import gray
+
+PHOTO_SCHEMA = (
+    "image_id string, w int, h int, mean_luma bigint, contrast bigint"
+)
+THUMB_SCHEMA = "image_id string, tw int, th int, thumb_sum bigint"
+
+
+def photometric_stats_df(img: DataFrame) -> DataFrame:
+    """Per-image integer luma statistics from the *decoded* payload:
+    `mean_luma = sum(luma) // npx`, `contrast = max - min`.
+
+    The usual pre-training quality gates (too dark / blown out / flat)
+    filter directly on these columns.
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, means, contrasts = [], [], [], [], []
+            for _, r in pdf.iterrows():
+                g = gray(codec.decode(r["bytes"], r["fmt"]))
+                h, w = g.shape
+                ids.append(r["image_id"])
+                ws.append(w)
+                hs.append(h)
+                means.append(int(g.sum()) // (w * h))
+                contrasts.append(int(g.max()) - int(g.min()))
+            yield pd.DataFrame({
+                "image_id": ids,
+                "w": np.asarray(ws, dtype=np.int32),
+                "h": np.asarray(hs, dtype=np.int32),
+                "mean_luma": np.asarray(means, dtype=np.int64),
+                "contrast": np.asarray(contrasts, dtype=np.int64),
+            })
+
+    return img.select("image_id", "bytes", "fmt").mapInPandas(
+        stats, schema=PHOTO_SCHEMA
+    )
+
+
+def box_thumb_sum(g: np.ndarray) -> tuple[int, int, int]:
+    """2x2 integer box downsample of a luma plane; returns
+    (tw, th, sum of thumbnail pixels).  Each output pixel is
+    `floor(block_sum / 4)` — exact integer semantics an independent SQL
+    twin can reproduce."""
+    h, w = g.shape
+    th, tw = h // 2, w // 2
+    g = g[: th * 2, : tw * 2].astype(np.int64)
+    block = g[0::2, 0::2] + g[1::2, 0::2] + g[0::2, 1::2] + g[1::2, 1::2]
+    return tw, th, int((block // 4).sum())
+
+
+def thumbnail_sums_df(img: DataFrame) -> DataFrame:
+    """2x box-filter thumbnail per image, summarized as a checksum
+    (`thumb_sum`) plus thumbnail dims — the resize stage's verifiable
+    fingerprint (full thumbnail bytes would just be re-encoded payload)."""
+
+    def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tws, ths, sums = [], [], [], []
+            for _, r in pdf.iterrows():
+                g = gray(codec.decode(r["bytes"], r["fmt"]))
+                tw, th, s = box_thumb_sum(g)
+                ids.append(r["image_id"])
+                tws.append(tw)
+                ths.append(th)
+                sums.append(s)
+            yield pd.DataFrame({
+                "image_id": ids,
+                "tw": np.asarray(tws, dtype=np.int32),
+                "th": np.asarray(ths, dtype=np.int32),
+                "thumb_sum": np.asarray(sums, dtype=np.int64),
+            })
+
+    return img.select("image_id", "bytes", "fmt").mapInPandas(
+        thumbs, schema=THUMB_SCHEMA
+    )

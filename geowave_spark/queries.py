@@ -738,3 +738,7 @@ QUERIES.update(MULTIMODAL_QUERIES)
 from .queries_lake import LAKE_QUERIES  # noqa: E402
 
 QUERIES.update(LAKE_QUERIES)
+
+from .queries_pipeline import PIPELINE_QUERIES  # noqa: E402
+
+QUERIES.update(PIPELINE_QUERIES)

@@ -161,8 +161,119 @@ SELECT id1, id2, hamming FROM pairs WHERE hamming <= 14 ORDER BY id1, id2
 """
 
 
+def q78_image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact image dedup by md5 over the *encoded payload bytes* — the
+    first pass of any image-corpus dedup stack (before phash near-dup,
+    q46).  Engine hashes real blobs (duplicate-content table,
+    `table/images.dup_images_df`); the oracle groups by the content seed
+    without touching bytes — two independent definitions of 'identical'.
+
+    Scale: groupBy on md5 is one keyed shuffle of 16-byte keys; the blob
+    column is reduced map-side (partial min/count), so shuffle volume is
+    O(rows), not O(bytes)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    img = img_tab.dup_images_df(spark, sf_dir)
+    return (
+        img.groupBy(F.md5("bytes").alias("content_md5"))
+        .agg(
+            F.min("image_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+        .orderBy("canonical_id")
+    )
+
+
+Q78_SQL = f"""
+SELECT min({img_tab.image_id_sql()}) AS canonical_id,
+       cast(count(*) as bigint) AS n_copies
+FROM documents GROUP BY doc_id % 101 ORDER BY canonical_id
+"""
+
+
+def _photometric_base_sql() -> str:
+    """Shared oracle CTE: per-pixel decoded luma over the closed-form
+    image field (models the q6 lossy round-trip exactly)."""
+    luma = img_tab.luma_sql("xs.g", "ys.g", decoded=True)
+    return f"""
+base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, image_id, w, h, xs.g AS x, ys.g AS y, {luma} AS luma
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
+)"""
+
+
+def q79_image_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Photometric quality gate: per-image mean luma + contrast from the
+    DECODED payload, keeping only 'trainable' images (not too dark/bright,
+    not flat) — the image twin of the q63 text-quality score.  Thresholds
+    are calibrated to the synthetic field's spread so the gate actually
+    rejects ~40% of rows (a pass-everything filter tests nothing)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from .multimodal import image_ops
+
+    stats = image_ops.photometric_stats_df(img_tab.images_df(spark, sf_dir))
+    return (
+        stats.where(
+            (F.col("mean_luma").between(126, 129)) & (F.col("contrast") >= 240)
+        )
+        .select("image_id", "w", "h", "mean_luma", "contrast")
+        .orderBy("image_id")
+    )
+
+
+Q79_SQL = f"""
+WITH {_photometric_base_sql()},
+st AS (
+  SELECT image_id, w, h,
+         cast(sum(luma) // (w * h) as bigint) AS mean_luma,
+         cast(max(luma) - min(luma) as bigint) AS contrast
+  FROM px GROUP BY image_id, w, h
+)
+SELECT image_id, w, h, mean_luma, contrast
+FROM st
+WHERE mean_luma BETWEEN 126 AND 129 AND contrast >= 240
+ORDER BY image_id
+"""
+
+
+def q80_thumbnail_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x box-filter thumbnail (the resize stage of an image ingest
+    pipeline): per-image thumbnail dims + integer checksum, verified
+    against a blockwise SQL twin that never decodes bytes."""
+    from .multimodal import image_ops
+
+    return image_ops.thumbnail_sums_df(
+        img_tab.images_df(spark, sf_dir)
+    ).orderBy("image_id")
+
+
+Q80_SQL = f"""
+WITH {_photometric_base_sql()},
+blk AS (
+  SELECT image_id, w, h, x // 2 AS bx, y // 2 AS by,
+         cast(sum(luma) as bigint) AS bsum
+  FROM px GROUP BY image_id, w, h, x // 2, y // 2
+)
+SELECT image_id, cast(w // 2 as int) AS tw, cast(h // 2 as int) AS th,
+       cast(sum(bsum // 4) as bigint) AS thumb_sum
+FROM blk GROUP BY image_id, w, h ORDER BY image_id
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q44_frame_sample": (q44_frame_sample, Q44_SQL),
     "q45_audio_features": (q45_audio_features, Q45_SQL),
     "q46_phash_neardup": (q46_phash_neardup, _q46_sql()),
+    "q78_image_exact_dedup": (q78_image_exact_dedup, Q78_SQL),
+    "q79_image_quality_stats": (q79_image_quality_stats, Q79_SQL),
+    "q80_thumbnail_checksum": (q80_thumbnail_checksum, Q80_SQL),
 }

@@ -1,0 +1,185 @@
+"""Training-data pipeline query registry: deterministic stratified
+sampling, per-stratum reservoir, temperature-weighted source mixing, and
+sequence packing over the documents table (`pipeline/sampling.py`,
+`pipeline/packing.py`).
+
+Engine side is the DataFrame operator API; every oracle is an independent
+hand-written DuckDB formulation of the same deterministic definition
+(hash membership / recursive next-fit fold), so the check is
+engine-vs-spec, not engine-vs-itself.  GeoWave has no sampling surface —
+these extend the engine toward the corpus-preparation workload (the same
+"beyond the reference" lane as q47/q48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+
+from .pipeline.packing import pack_oracle_sql, pack_sequences
+from .pipeline.sampling import (
+    stratified_sample,
+    topk_per_stratum,
+    weighted_mixture,
+)
+from .table.views import register_views
+
+#: tokens-per-doc proxy shared by q76/q77 and their oracles
+_TOK = "n_chars div 4 + 1"
+_TOK_DUCK = "n_chars // 4 + 1"
+
+
+def q74_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance languages: hash-Bernoulli downsample of every lang stratum
+    to ~the smallest lang's count.  Scan + broadcast rate join + codegen
+    filter — the data side never shuffles."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang", "source")
+    return (
+        stratified_sample(docs, ["lang"], "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+Q74_SQL = """
+WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tgt AS (SELECT min(n) AS t FROM cnt),
+rate AS (
+  SELECT lang, least(1000, (t * 1000) // n) AS rate_milli FROM cnt, tgt
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rate r ON r.lang = d.lang
+WHERE ((d.doc_id * 40503 + 2531011) % 1000003) % 1000 < r.rate_milli
+ORDER BY d.doc_id
+"""
+
+
+def q75_reservoir_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-4 deterministic docs per (lang, source) stratum, ranked by
+    hash — the fixed-size per-stratum sample a curriculum/eval split
+    needs."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang", "source")
+    return (
+        topk_per_stratum(docs, ["lang", "source"], "doc_id", k=4)
+        .select("lang", "source", "doc_id", "rk")
+        .orderBy("lang", "source", "rk")
+    )
+
+
+Q75_SQL = """
+SELECT lang, source, doc_id, rk FROM (
+  SELECT lang, source, doc_id,
+         cast(row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY (doc_id * 69069 + 12345) % 1000003, doc_id
+         ) as bigint) AS rk
+  FROM documents
+) WHERE rk <= 4
+ORDER BY lang, source, rk
+"""
+
+
+def q76_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) source mix under a 40% token budget:
+    per-source manifest of docs/tokens actually drawn."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", "source", F.expr(_TOK).alias("tok")
+    )
+    sel = weighted_mixture(docs, "source", "tok", "doc_id")
+    return (
+        sel.groupBy("source", "src_budget")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("toks_taken"),
+        )
+        .select("source", "n_docs", "toks_taken", "src_budget")
+        .orderBy("source")
+    )
+
+
+Q76_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, {_TOK_DUCK} AS tok FROM documents
+),
+src AS (SELECT source, sum(tok) AS toks FROM docs GROUP BY source),
+isq AS (
+  SELECT source, toks,
+         CASE WHEN (r + 1) * (r + 1) <= toks THEN r + 1 ELSE r END AS w
+  FROM (
+    SELECT source, toks,
+           CASE WHEN r0 * r0 > toks THEN r0 - 1 ELSE r0 END AS r
+    FROM (SELECT source, toks,
+                 cast(floor(sqrt(cast(toks as double))) as bigint) AS r0
+          FROM src)
+  )
+),
+tot AS (
+  SELECT cast(sum(w) as bigint) AS sw, cast(sum(toks) as bigint) AS st
+  FROM isq
+),
+bud AS (
+  SELECT source, cast(((st * 2) // 5) * w // sw as bigint) AS src_budget
+  FROM isq, tot
+),
+sel AS (
+  SELECT d.doc_id, d.source, d.tok,
+         sum(tok) OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 48271 + 11) % 1000003, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tok
+  FROM docs d
+)
+SELECT s.source, cast(count(*) as bigint) AS n_docs,
+       cast(sum(s.tok) as bigint) AS toks_taken, b.src_budget
+FROM sel s JOIN bud b ON b.source = s.source
+WHERE s.cum_tok <= b.src_budget
+GROUP BY s.source, b.src_budget
+ORDER BY s.source
+"""
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 32
+
+
+def q77_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing of documents into 512-token packs,
+    sharded by doc_id % 32: per-pack (n_docs, pack_tokens) manifest.
+    One keyed shuffle + per-group fold (`pipeline/packing.py`)."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_TOK).alias("tok")
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "tok", budget=_PACK_BUDGET, shards=_PACK_SHARDS
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("pack_tokens"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+Q77_SQL = f"""
+WITH packed AS ({pack_oracle_sql(
+    f"SELECT doc_id AS id, {_TOK_DUCK} AS tok FROM documents",
+    budget=_PACK_BUDGET, shards=_PACK_SHARDS)})
+SELECT shard, cast(pack_id as bigint) AS pack_id,
+       cast(count(*) as bigint) AS n_docs,
+       cast(sum(tok) as bigint) AS pack_tokens
+FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id
+"""
+
+
+PIPELINE_QUERIES = {
+    "q74_stratified_sample": (q74_stratified_sample, Q74_SQL),
+    "q75_reservoir_per_stratum": (q75_reservoir_per_stratum, Q75_SQL),
+    "q76_weighted_mixture": (q76_weighted_mixture, Q76_SQL),
+    "q77_sequence_packing": (q77_sequence_packing, Q77_SQL),
+}

@@ -246,3 +246,49 @@ def images_df(spark, sf_dir: str, mult: int = 1):
                 yield gen_images_pdf(pdf)
 
     return docs.mapInPandas(gen, schema=IMG_SCHEMA)
+
+
+# --- duplicate-content variant (exact-dedup workloads) ---------------------
+
+DUP_IMG_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def gen_dup_images_pdf(docs: pd.DataFrame, content_mod: int) -> pd.DataFrame:
+    """Like `gen_images_pdf` but ALL content (dims, format, pixels) derives
+    from `doc_id % content_mod`, so rows with equal seeds carry
+    byte-identical payloads — exact duplicates by construction, while
+    image_id stays per-doc.  Independent oracles group by the seed without
+    ever touching bytes."""
+    doc_id = docs["doc_id"].to_numpy(dtype=np.int64)
+    seed = doc_id % content_mod
+    ws = 32 + (seed * 13) % 7 * 8
+    hs = 32 + (seed * 17) % 6 * 8
+    fmt_idx = seed % 3
+    blobs, fmts = [], []
+    for i in range(len(doc_id)):
+        img = gen_pixels(int(seed[i]), int(ws[i]), int(hs[i]))
+        f = FMTS[int(fmt_idx[i])]
+        blobs.append(codec.encode(img, f))
+        fmts.append(f)
+    return pd.DataFrame(
+        {
+            "image_id": ["img" + str(d).zfill(10) for d in doc_id.tolist()],
+            "bytes": blobs,
+            "w": ws.astype(np.int32),
+            "h": hs.astype(np.int32),
+            "fmt": fmts,
+        }
+    )
+
+
+def dup_images_df(spark, sf_dir: str, content_mod: int = 101):
+    """Distributed synthesis of the duplicate-content image table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_dup_images_pdf(pdf, content_mod)
+
+    return docs.mapInPandas(gen, schema=DUP_IMG_SCHEMA)
