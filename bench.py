@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     # best-of-N minimum measures the warm scan path)
     "q68_snapshot_prune_scan",
     "q73_hypertable_rollup",
+    # training-data prep layer: the per-shard applyInPandas packing fold
+    # and the image decode -> photometric-gate pass — regressions in the
+    # Arrow group/batch plumbing or the pixel codecs surface here
+    "q77_sequence_packing",
+    "q79_image_quality_stats",
 ]
 
 

@@ -177,9 +177,57 @@ FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id
 """
 
 
+def q81_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: the corpus (doc_id % 3 != 0) is a
+    persisted MinHash band index (snapshot table, staged once); the new
+    batch (doc_id % 3 = 0) is deduplicated against index + itself WITHOUT
+    rescanning corpus text (`pipeline/dedup_index.py`).  Output = exactly
+    the q16 pair set restricted to pairs touching the batch — the oracle
+    is q16's full SQL with that filter, so the incremental path is checked
+    against the from-scratch definition."""
+    import os
+    import shutil
+
+    from .pipeline import dedup_index as DX
+    from .table import snapshots as S
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0"
+    ).createOrReplaceTempView("q81_corpus")
+    spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0"
+    ).createOrReplaceTempView("q81_batch")
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+    )
+    path = os.path.join(
+        scratch,
+        f"dedup_idx_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if S.current_snapshot(path) == 0:
+        shutil.rmtree(path, ignore_errors=True)
+        DX.build_index(spark, "q81_corpus", path)
+    return DX.dedup_batch(spark, path, "q81_batch", "documents")
+
+
+def _q81_sql() -> str:
+    from .functions import sqlgen as G
+    from .queries_text import _q16
+
+    return f"""
+SELECT d1, d2, jac_micro FROM ({_q16(G.DUCK)})
+WHERE d1 % 3 = 0 OR d2 % 3 = 0
+ORDER BY d1, d2
+"""
+
+
 PIPELINE_QUERIES = {
     "q74_stratified_sample": (q74_stratified_sample, Q74_SQL),
     "q75_reservoir_per_stratum": (q75_reservoir_per_stratum, Q75_SQL),
     "q76_weighted_mixture": (q76_weighted_mixture, Q76_SQL),
     "q77_sequence_packing": (q77_sequence_packing, Q77_SQL),
+    "q81_incremental_dedup": (q81_incremental_dedup, _q81_sql()),
 }

@@ -138,3 +138,63 @@ def run_ingest_to_table(stream_df: DataFrame, table_path: str,
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def run_streaming_dedup(stream_df: DataFrame, root_dir: str,
+                        checkpoint_dir: str, timeout_s: int = 120) -> dict:
+    """Continuous near-dup detection: each micro-batch of documents
+    `(doc_id, text)` is deduplicated against everything ingested so far,
+    then folded into the persisted MinHash band index — the streaming form
+    of `pipeline/dedup_index.py` (exactly like `run_ingest_to_table` is
+    the streaming form of the snapshot writer).
+
+    Per batch (all snapshot commits atomic, replay-safe via foreachBatch):
+      1. append the batch's docs to `<root>/docs` (the refine's text store),
+      2. emit near-dup pairs of batch vs (index ∪ batch)
+         → appended to `<root>/pairs`,
+      3. append the batch's band rows to `<root>/index`.
+    Accumulated `<root>/pairs` rows equal the from-scratch q16 pair set
+    over all ingested docs (asserted in tests/test_streaming.py).
+    """
+    import os
+
+    from ..pipeline import dedup_index as DX
+    from ..table import snapshots as S
+
+    docs_path = os.path.join(root_dir, "docs")
+    index_path = os.path.join(root_dir, "index")
+    pairs_path = os.path.join(root_dir, "pairs")
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select("doc_id", "text")
+        if S.current_snapshot(docs_path) == 0:
+            S.create(batch_df, docs_path)
+        else:
+            S.append(batch_df, docs_path)
+        S.scan(spark, docs_path).createOrReplaceTempView("stream_dedup_docs")
+        batch_df.createOrReplaceTempView("stream_dedup_batch")
+        first = S.current_snapshot(index_path) == 0
+        if first:
+            # batch 1 IS the initial index; deduping it against an index
+            # that already contains it yields exactly its internal pairs
+            DX.build_index(spark, "stream_dedup_batch", index_path)
+        pairs = DX.dedup_batch(spark, index_path, "stream_dedup_batch",
+                               "stream_dedup_docs")
+        if S.current_snapshot(pairs_path) == 0:
+            S.create(pairs, pairs_path)
+        else:
+            S.append(pairs, pairs_path)
+        if not first:
+            DX.append_batch(spark, "stream_dedup_batch", index_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return {"docs": docs_path, "index": index_path, "pairs": pairs_path}

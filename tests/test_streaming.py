@@ -214,3 +214,35 @@ def test_streaming_snapshot_table_with_continuous_rollup(spark, sf_dir, dirs):
     # one atomic table commit per non-empty micro-batch
     ops = [h["operation"] for h in S.history(tbl)]
     assert ops[0] == "create" and set(ops[1:]) <= {"append"}
+
+
+def test_streaming_dedup_accumulates_full_q16(spark, sf_dir, dirs):
+    """Three document micro-batches through the streaming dedup: the
+    accumulated pairs table equals the from-scratch q16 pair set, the
+    band index grows one atomic commit per batch."""
+    import glob
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+    from geowave_spark.table import snapshots as S
+
+    src, dest, cp = dirs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+    def _drop(df, name):
+        stage = str(src) + f"_stage_{name}"
+        df.coalesce(1).write.parquet(stage)
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], src / name)
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    for b in range(3):
+        _drop(docs.filter(f"doc_id % 3 = {b}"), f"batch{b}.parquet")
+        out = ingest.run_streaming_dedup(stream, dest, cp)
+
+    got = {(r["d1"], r["d2"], r["jac_micro"])
+           for r in S.scan(spark, out["pairs"]).collect()}
+    full = TEXT_QUERIES["q16_minhash_lsh_pairs"][0](spark, sf_dir)
+    exp = {(r["d1"], r["d2"], r["jac_micro"]) for r in full.collect()}
+    assert got == exp
+    assert S.current_snapshot(out["index"]) == 3
+    assert S.scan(spark, out["docs"]).count() == docs.count()
