@@ -102,3 +102,33 @@ def test_q39_sig_codegen_matches_fold(spark, sf_dir):
     new = spark.sql(_q39_sig_sql_spark_fast())
     assert old.exceptAll(new).isEmpty() and new.exceptAll(old).isEmpty()
     assert new.count() > 0
+
+
+def test_q82_pq_adc_ranks_and_recall(spark, sf_dir):
+    """PQ/ADC sanity: 3 ranked rows per query, and the ADC top-3 of each
+    query lands inside the TRUE L2 top-20 — the quantizer is lossy by
+    design, but an 8x-compressed code that can't keep its nearest
+    neighbors in the top-4% would be broken."""
+    import numpy as np
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    rows = TEXT_QUERIES["q82_ann_pq_adc"][0](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append((r["rk"], r["neighbor_id"],
+                                               r["adc_dist"]))
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .collect()}
+    assert by_q and set(by_q) == {v for v in emb if v % 100 == 7}
+    for q, entries in by_q.items():
+        assert [e[0] for e in sorted(entries)] == [1, 2, 3]
+        dists = [e[2] for e in sorted(entries)]
+        assert dists == sorted(dists)
+        qa = emb[q]
+        true = sorted((float(((qa - v) ** 2).sum()), i)
+                      for i, v in emb.items() if i != q)[:20]
+        true_ids = {i for _, i in true}
+        got_ids = {e[1] for e in entries}
+        assert got_ids & true_ids, f"query {q}: no ADC hit in true top-20"

@@ -93,6 +93,30 @@ NOTES = {
         "(centroid count independent of table size); per-cell candidate "
         "search + window top-k."
     ),
+    "q77_sequence_packing": (
+        "Next-fit sequence packing: ONE hash shuffle on the shard key into "
+        "FlatMapGroupsInPandas (the sequential fold is per-shard), then a "
+        "partial-aggregated pack rollup — no window over the full table, "
+        "no driver traffic."
+    ),
+    "q79_image_quality_stats": (
+        "Image quality gate: two chained ArrowEvalPython-free mapInPandas "
+        "stages (synthesis, then decode+stats) in a single narrow pipeline "
+        "— zero shuffles until the final sort; scales with input splits."
+    ),
+    "q81_incremental_dedup": (
+        "Incremental dedup refine: candidates come from materialized "
+        "(persisted) band joins; the shingle rebuild sits ABOVE a "
+        "documents-join on candidate ids (the Join is the Window's child), "
+        "so non-candidate corpus text is never tokenized."
+    ),
+    "q82_ann_pq_adc": (
+        "PQ encode + ADC: dims posexplode -> grouped integer SUMs with "
+        "map-side partials + encoded least() argmin (no join, no window "
+        "in the encode path); ADC joins 8-int codes to the broadcast "
+        "query distance table; the only wide shuffle carries (vec_id, m, "
+        "code)."
+    ),
     "q65_polygon_bigbig_join": (
         "Polygon x polygon with BOTH sides DataFrames: distributed "
         "vertex-bbox covers, salted ShuffledHashJoin candidates projected "
