@@ -44,13 +44,16 @@ def _events_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _band_y(lat: float) -> int:
+    """Row index of a latitude (same ceil(c*n)-1 normalization as
+    geo.rowmajor_cell_sql)."""
+    import math
+    return min(max(int(math.ceil((lat + 90.0) / 180.0 * _N)) - 1, 0), _N - 1)
+
+
 def _band_cells() -> tuple[int, int]:
-    """Row-major cell bounds of the latitude band (same ceil(c*n)-1
-    normalization as geo.rowmajor_cell_sql)."""
-    def _y(lat: float) -> int:
-        import math
-        return min(max(int(math.ceil((lat + 90.0) / 180.0 * _N)) - 1, 0), _N - 1)
-    return _y(_LAT0) * _N, (_y(_LAT1) + 1) * _N - 1
+    """Row-major cell bounds of the latitude band."""
+    return _band_y(_LAT0) * _N, (_band_y(_LAT1) + 1) * _N - 1
 
 
 _WHERE = (
@@ -244,9 +247,79 @@ ORDER BY bucket, event_type
 """
 
 
+# window for q86 — disjoint from q68's band so the two oracles differ
+_O_LAT0, _O_LAT1 = -55.0, -20.0
+_O_LON0, _O_LON1 = -40.0, 100.0
+_O_WHERE = (
+    f"lat >= {_O_LAT0} AND lat < {_O_LAT1} "
+    f"AND lon >= {_O_LON0} AND lon < {_O_LON1}"
+)
+
+
+def _optimized_events_table(spark: SparkSession, sf_dir: str) -> str:
+    """Events written UNCLUSTERED (ingest order — every file's cell range
+    spans the world), then rewritten with `snapshots.optimize` clustered
+    by the SFC cell key.  Snapshot 1 keeps the messy layout (time travel
+    shows the before state); snapshot 2 is the pruning-sharp one."""
+    sfn = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_SCRATCH, f"snap_opt_{sfn}")
+    complete = (S.current_snapshot(path) == 2
+                and S.load_manifest(path)["operation"] == "optimize")
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        ev = spark.sql(geo.events_points_sql(sf_dir=sf_dir)).withColumn(
+            "cell", F.expr(geo.rowmajor_cell_sql("lon", "lat", _RES))
+        )
+        S.create(ev, path, num_files=16)  # ingest order: no cluster key
+        total = sum(f["rows"] for f in S.load_manifest(path)["files"])
+        S.optimize(spark, path, cluster_by=["cell"],
+                   target_rows=max(1, -(-total // 16)))
+    return path
+
+
+def q86_optimize_recluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE (re-cluster) then pruned range scan: the table starts in
+    ingest order where every file overlaps every query window (manifest
+    pruning keeps all 16 files — measured in tests/test_snapshots.py),
+    one `optimize(cluster_by=cell)` rewrite later the same window query
+    plans only the overlapping files.  This is the Delta
+    ``OPTIMIZE ZORDER``/Iceberg sort-order-rewrite operation expressed
+    against the snapshot layer — the write-side dual of the reference's
+    indexed range scan (`core/store/.../base/BaseConstraintsQuery.java:
+    332-341` in /root/reference): same predicate, same answer, the layout
+    alone decides how much data moves.  The oracle never sees the table —
+    it recomputes the aggregate from raw events."""
+    path = _optimized_events_table(spark, sf_dir)
+    lo_y = _band_y(_O_LAT0) * _N
+    hi_y = (_band_y(_O_LAT1) + 1) * _N - 1
+    return (
+        S.scan(spark, path, prune=[("cell", "between", (lo_y, hi_y))],
+               where=_O_WHERE)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("sum_value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q86_SQL = f"""
+WITH e AS ({geo.events_points_sql()})
+SELECT event_type,
+       cast(count(*) as bigint) AS n_events,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_value_cents
+FROM e
+WHERE {_O_WHERE}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 LAKE_QUERIES = {
     "q68_snapshot_prune_scan": (q68_snapshot_prune_scan, Q68_SQL),
     "q69_snapshot_time_travel": (q69_snapshot_time_travel, Q69_SQL),
     "q72_attribute_index_scan": (q72_attribute_index_scan, Q72_SQL),
     "q73_hypertable_rollup": (q73_hypertable_rollup, Q73_SQL),
+    "q86_optimize_recluster_scan": (q86_optimize_recluster_scan, Q86_SQL),
 }

@@ -269,6 +269,57 @@ FROM blk GROUP BY image_id, w, h ORDER BY image_id
 """
 
 
+def q85_dup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted canonical selection: among content-identical images
+    (same payload md5), keep the row with the BEST caption (longest; ties
+    break to the lowest doc id) instead of q78's min-id policy — the
+    representative-selection step of image-corpus dedup, where dropping
+    the richer caption loses training signal.
+
+    The argmax is an ENCODED hash aggregate, not a window:
+    `min((100000 - n_chars) * 10^10 + doc_id)` packs (quality, tiebreak)
+    into one int64, so the whole operator is a single map-side-combining
+    groupBy on the 16-byte md5 — no sort, no per-group row ranking (the
+    measured round-2 lesson: encoded hash-agg argmin beats row_number).
+
+    Engine hashes REAL payload bytes and reads caption length from the
+    joined documents row; the oracle groups by the synthesis seed and
+    recomputes lengths from driver-owned n_chars — independent
+    definitions of both 'identical' and 'best'.
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    img = img_tab.dup_images_df(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    j = img.withColumn(
+        "doc_id", F.expr("cast(substr(image_id, 4) as bigint)")
+    ).join(docs, "doc_id")
+    enc = F.expr("min((100000 - n_chars) * 10000000000 + doc_id)")
+    return (
+        j.groupBy(F.md5("bytes").alias("content_md5"))
+        .agg(enc.alias("enc"), F.count("*").alias("n_copies"))
+        .select(
+            F.expr("enc % 10000000000").alias("canonical_id"),
+            F.expr("100000 - enc div 10000000000").alias("best_caption_chars"),
+            "n_copies",
+        )
+        .orderBy("canonical_id")
+    )
+
+
+Q85_SQL = """
+SELECT canonical_id, best_caption_chars, n_copies FROM (
+  SELECT min((100000 - n_chars) * 10000000000 + doc_id) AS enc,
+         cast(count(*) as bigint) AS n_copies
+  FROM documents GROUP BY doc_id % 101
+) g, LATERAL (SELECT enc % 10000000000 AS canonical_id,
+                     100000 - enc // 10000000000 AS best_caption_chars)
+ORDER BY canonical_id
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q44_frame_sample": (q44_frame_sample, Q44_SQL),
     "q45_audio_features": (q45_audio_features, Q45_SQL),
@@ -276,4 +327,5 @@ MULTIMODAL_QUERIES = {
     "q78_image_exact_dedup": (q78_image_exact_dedup, Q78_SQL),
     "q79_image_quality_stats": (q79_image_quality_stats, Q79_SQL),
     "q80_thumbnail_checksum": (q80_thumbnail_checksum, Q80_SQL),
+    "q85_dup_canonical_by_quality": (q85_dup_canonical_by_quality, Q85_SQL),
 }

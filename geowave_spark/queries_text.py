@@ -706,6 +706,115 @@ ORDER BY doc_id
 """
 
 
+# --- semantic dedup (q83) ---------------------------------------------------
+
+
+def _q83(d: G.Dialect) -> str:
+    """SemDeDup: semantic (embedding-space) deduplication — cluster the
+    embeddings with a fixed-K coarse quantizer, then drop every vector
+    that is cosine-similar (>= 0.34) to a lower-id vector in the SAME
+    cluster.  This is the cluster-then-pairwise shape of semantic dedup
+    for training corpora: K keeps the pairwise step bounded per cluster
+    (all-pairs happens only WITHIN a cell, never across the corpus), so
+    cost is sum over cells of |cell|^2 — with K scaled ~n/avg_cell the
+    per-cell work is constant and the whole operator is one assignment
+    broadcast join + one cell-keyed self-join.  Reuses q41's fixed-K
+    deterministic centroids (K independent of n — the round-1 lesson).
+
+    Output: one row per dropped vector with its earliest similar keeper,
+    how many cluster members it duplicated, and the strongest similarity.
+    All aggregates are plain min/max/count — no argmin encoding needed.
+    """
+    dt_ac = G.dot(d, "a.v", "c.v", 64)
+    dt_ab = G.dot(d, "a.v", "b.v", 64)
+    return f"""
+WITH v0 AS (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v FROM embeddings),
+vecs AS (SELECT vec_id, v, sqrt({G.dot(d, 'v', 'v', 64)}) AS nv FROM v0),
+cent AS (SELECT vec_id AS cent_id, v, nv
+         FROM (SELECT vec_id, v, nv FROM vecs ORDER BY vec_id LIMIT 16) t),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT a.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ({dt_ac}) / (a.nv * c.nv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+  ) t WHERE rn = 1
+),
+cells AS (
+  SELECT s.vec_id, s.v, s.nv, a.cent_id
+  FROM vecs s JOIN assign a ON a.vec_id = s.vec_id
+),
+sim AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.cent_id,
+         cast(floor(1000000.0 * ({dt_ab}) / (a.nv * b.nv)) as bigint) AS sim_micro
+  FROM cells a JOIN cells b
+    ON b.cent_id = a.cent_id AND a.vec_id < b.vec_id
+)
+SELECT drop_id, min(keep_id) AS kept_for, min(cent_id) AS cent_id,
+       cast(count(*) as bigint) AS n_similar, max(sim_micro) AS max_sim_micro
+FROM sim WHERE sim_micro >= 340000
+GROUP BY drop_id ORDER BY drop_id
+"""
+
+
+# --- n-gram LM familiarity score (q84) --------------------------------------
+
+
+def _q84_body(sh_rows: str, d: G.Dialect) -> str:
+    """Shared q84 body over a (doc_id, shingle) relation: global trigram
+    document frequencies, then per-doc mean RELATIVE df — integer-exact,
+    and scale-invariant (df is normalized by corpus size, so the rare
+    threshold means the same thing at sf0.01 and at 10^12 rows)."""
+    fam = d.intdiv("(1000000 * sum_df)", "(n_grams * n_docs)")
+    return f"""
+WITH sh_rows AS ({sh_rows}),
+nd AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents),
+tdf AS (SELECT shingle, cast(count(*) as bigint) AS df
+        FROM sh_rows GROUP BY shingle),
+per_doc AS (
+  SELECT s.doc_id, cast(count(*) as bigint) AS n_grams,
+         sum(t.df) AS sum_df
+  FROM sh_rows s JOIN tdf t ON t.shingle = s.shingle
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_grams,
+       cast({fam} as bigint) AS fam_micro,
+       cast((CASE WHEN {fam} < 3400 THEN 1 ELSE 0 END) as bigint) AS is_rare
+FROM per_doc CROSS JOIN nd ORDER BY doc_id
+"""
+
+
+def _q84_duck() -> str:
+    d = G.DUCK
+    sh = G.shingles3_from(d, "v")
+    sh_rows = (
+        f"SELECT DISTINCT doc_id, {d.explode(sh)} AS shingle "
+        f"FROM (SELECT doc_id, {G.wordvals(d)} AS v FROM documents) wv "
+        f"WHERE {d.size('v')} >= 3"
+    )
+    return _q84_body(sh_rows, d)
+
+
+def _q84_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language-model familiarity score — the frequency-based
+    quality filter of LLM data pipelines (a doc whose n-grams are rare in
+    the corpus is boilerplate, noise, or another language; the standard
+    perplexity gate with the LM replaced by corpus document frequencies,
+    which keeps the score integer-exact for the oracle).
+
+    Scale shape: the whole operator is two keyed shuffles — groupBy
+    shingle for the model 'training' pass, join-back + groupBy doc for
+    scoring — on well-spread 64-bit shingle keys.  The model table is
+    O(distinct trigrams) and never collects; scoring is a shuffle join
+    (broadcastable when the model is small after a min-df cut).  Shingle
+    rows come from the codegen build (posexplode + lead windows, no
+    CodegenFallback HOFs — the measured 3-5x round-2 lesson)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q84_body(shingle_rows_sql_spark(), G.SPARK))
+
+
 # --- product quantization ANN (q82) ----------------------------------------
 
 _PQ_M = 32         # subvectors (64 dims / 2)
@@ -830,4 +939,6 @@ TEXT_QUERIES = {
     "q63_quality_score": _dual(_q63),
     "q64_dup_clusters": (_q64_spark, _q64_duck()),
     "q82_ann_pq_adc": _dual(_q82),
+    "q83_semantic_dedup": _dual(_q83),
+    "q84_lm_familiarity": (_q84_spark, _q84_duck()),
 }

@@ -543,6 +543,44 @@ def compact(
     return m["summary"] | {"snapshot": m["snapshot"]}
 
 
+def optimize(
+    spark: SparkSession,
+    path: str,
+    cluster_by: list[str],
+    target_rows: int = 1_000_000,
+    **commit_kw,
+) -> dict:
+    """Re-cluster the table on a (possibly new) sort key — the Delta
+    ``OPTIMIZE ... ZORDER BY`` / Iceberg rewrite-with-new-sort-order
+    operation.  One distributed range-partitioned rewrite sorted by
+    ``cluster_by``; the new snapshot ALSO updates the table's declared
+    cluster key, so later appends, deletes and compactions preserve it.
+
+    This is the write-side half of the reference's indexed range scan
+    (`core/store/.../base/BaseConstraintsQuery.java:332-341` in
+    /root/reference): once rows are clustered by the SFC cell key, footer
+    min/max stats make :func:`plan_files` pruning sharp — an unclustered
+    table matches every file, an optimized one only the range's files.
+    Old snapshots keep reading the unclustered files (time travel intact).
+    """
+    base = load_manifest(path)
+    total = sum(f["rows"] for f in base["files"])
+    n = max(1, -(-total // target_rows))
+    df = spark.read.schema(
+        StructType.fromJson(json.loads(base["schema"]))
+    ).parquet(*[os.path.join(path, f["path"]) for f in base["files"]])
+    snap = base["snapshot"] + 1
+    entries = _stage_files(df, path, snap, cluster_by, n)
+    m = _new_manifest(
+        path, "optimize", entries, base["schema"],
+        {"before_files": len(base["files"]), "after_files": len(entries),
+         "cluster_by": cluster_by},
+        cluster_by=cluster_by,
+    )
+    _commit(path, m, **commit_kw)
+    return m["summary"] | {"snapshot": m["snapshot"]}
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Drop old snapshots' manifests and any data file no kept snapshot
     references (Iceberg `expire_snapshots` + orphan-file cleanup)."""

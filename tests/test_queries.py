@@ -132,3 +132,74 @@ def test_q82_pq_adc_ranks_and_recall(spark, sf_dir):
         true_ids = {i for _, i in true}
         got_ids = {e[1] for e in entries}
         assert got_ids & true_ids, f"query {q}: no ADC hit in true top-20"
+
+
+def test_q83_semdedup_matches_numpy_brute_force(spark, sf_dir):
+    """Independent recomputation of the whole SemDeDup pipeline (centroid
+    assignment, intra-cluster pairs, threshold, per-drop aggregates) in
+    numpy — the engine's SQL and this share no code path."""
+    import numpy as np
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    rows = TEXT_QUERIES["q83_semantic_dedup"][0](spark, sf_dir).collect()
+    got = {r["drop_id"]: (r["kept_for"], r["cent_id"], r["n_similar"],
+                          r["max_sim_micro"]) for r in rows}
+
+    pdf = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .orderBy("vec_id").toPandas())
+    V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    nv = np.linalg.norm(V, axis=1)
+    C, cn, cids = V[:16], nv[:16], ids[:16]
+    cell = ((V @ C.T) / np.outer(nv, cn)).argmax(axis=1)  # ties -> lowest
+    want: dict[int, list] = {}
+    for c in range(16):
+        idx = np.where(cell == c)[0]
+        S = (V[idx] @ V[idx].T) / np.outer(nv[idx], nv[idx])
+        for a in range(len(idx)):
+            for b in range(a + 1, len(idx)):
+                sim = int(np.floor(1_000_000 * S[a, b]))
+                if sim >= 340_000:
+                    e = want.setdefault(int(ids[idx[b]]),
+                                        [int(ids[idx[a]]), int(cids[c]), 0, sim])
+                    e[2] += 1
+                    e[3] = max(e[3], sim)
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert len(got) > 10  # threshold actually bites
+
+
+def test_q84_familiarity_properties(spark, sf_dir):
+    """Every doc's familiarity >= 1.0 (a trigram is at least in its own
+    doc), rare flag consistent with the threshold, and a doc made of
+    corpus-common trigrams scores above a doc of unique ones."""
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    pdf = TEXT_QUERIES["q84_lm_familiarity"][0](spark, sf_dir).toPandas()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # every trigram is at least in its own doc: fam >= 1e6 / n_docs
+    assert (pdf["fam_micro"] >= 1_000_000 // n_docs).all()
+    assert ((pdf["fam_micro"] < 3400) == (pdf["is_rare"] == 1)).all()
+    assert 0 < pdf["is_rare"].sum() < len(pdf)  # the gate splits the corpus
+
+
+def test_q85_canonical_has_best_caption(spark, sf_dir):
+    """The selected canonical really carries the longest caption of its
+    duplicate group (ties to lowest id), checked against raw documents."""
+    from geowave_spark.queries_multimodal import MULTIMODAL_QUERIES
+
+    pdf = (MULTIMODAL_QUERIES["q85_dup_canonical_by_quality"][0](spark, sf_dir)
+           .toPandas())
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("doc_id", "n_chars").toPandas())
+    docs["seed"] = docs["doc_id"] % 101
+    best = {}
+    for seed, grp in docs.groupby("seed"):
+        mx = grp["n_chars"].max()
+        best[seed] = (int(grp.loc[grp["n_chars"] == mx, "doc_id"].min()),
+                      int(mx), len(grp))
+    got = {int(r.canonical_id) % 101: (int(r.canonical_id),
+                                       int(r.best_caption_chars),
+                                       int(r.n_copies))
+           for r in pdf.itertuples()}
+    assert got == best

@@ -225,3 +225,30 @@ def test_schema_evolution_add_column(spark, tdir):
     assert "score" in got.columns
     assert got.filter("score IS NOT NULL").count() == 59
     assert got.filter("score IS NULL").count() == 99
+
+
+def test_optimize_recluster_sharpens_pruning_and_keeps_rows(spark, tdir):
+    """OPTIMIZE on a new cluster key: an ingest-order (random-layout) table
+    prunes nothing; after optimize the same conjunct skips most files, rows
+    and sums are unchanged, the old snapshot still reads the old layout,
+    and the table's declared cluster key is updated for later commits."""
+    # random ingest order: round-robin partitions -> every file spans ~all cells
+    S.create(_mk(spark, 20_000, parts=16), tdir, num_files=16)
+    kept0, total0 = S.plan_files(tdir, prune=[("cell", "between", (10, 20))])
+    assert total0 == 16 and len(kept0) == 16, "unclustered layout must not prune"
+
+    info = S.optimize(spark, tdir, cluster_by=["cell"], target_rows=1_250)
+    assert info["snapshot"] == 2
+
+    kept1, total1 = S.plan_files(tdir, prune=[("cell", "between", (10, 20))])
+    assert len(kept1) < total1 / 2, (len(kept1), total1)
+    pruned = S.scan(spark, tdir, prune=[("cell", "between", (10, 20))],
+                    where="cell BETWEEN 10 AND 20")
+    expect = sum(1 for i in range(20_000) if 10 <= i % 97 <= 20)
+    assert pruned.count() == expect
+    # time travel: snapshot 1 keeps the unclustered files
+    assert S.scan(spark, tdir, snapshot=1).count() == 20_000
+    assert S.load_manifest(tdir)["cluster_by"] == ["cell"]
+    # later maintenance preserves the new key
+    S.compact(spark, tdir, target_rows=1_000_000)
+    assert S.load_manifest(tdir)["cluster_by"] == ["cell"]
