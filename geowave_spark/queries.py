@@ -628,6 +628,61 @@ ORDER BY qid, rank
 """
 
 
+def _q88_body(micros: str) -> str:
+    """Shared q88 SQL (Spark and DuckDB differ only in the
+    timestamp→microseconds function).  Per-user trajectory rollup:
+    one window pass (lag over ts) turns the point stream into geodesic
+    segments, then a keyed aggregate — the standard track-statistics
+    shape (total distance, longest hop, top speed) of GPX/T-Drive-style
+    trajectory data (reference analog: the track rollup the STANAG 4676
+    ingest feeds, `stanag_tracks`, and orthodromic distance
+    `OrthodromicDistancePartitioner.java` in /root/reference).
+
+    Scale: the window and the aggregate share the user_id hash partition —
+    AQE plans ONE shuffle; segment math is codegen floats.  Distances
+    floor to integer meters and speeds to micro-m/s before output, so the
+    DuckDB twin hashes identically."""
+    hav = spatial.haversine_km_sql("plon", "plat", "lon", "lat")
+    return f"""
+WITH t AS (
+  SELECT user_id, ts, {micros} AS us, event_id,
+         {geo.lon_sql('event_id')} AS lon, {geo.lat_sql('event_id')} AS lat
+  FROM events
+),
+seg AS (
+  SELECT user_id, us, lon, lat,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY us, event_id) AS plon,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY us, event_id) AS plat,
+         lag(us)  OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus
+  FROM t
+),
+d AS (
+  SELECT user_id,
+         cast(floor({hav} * 1000) as bigint) AS seg_m,
+         us - pus AS dt_us
+  FROM seg WHERE plon IS NOT NULL
+)
+SELECT user_id,
+       cast(count(*) + 1 as bigint) AS n_points,
+       cast(sum(seg_m) as bigint) AS total_dist_m,
+       cast(max(seg_m) as bigint) AS max_seg_m,
+       cast(max(CASE WHEN dt_us > 0
+                     THEN floor((seg_m * 1000000.0) / dt_us) ELSE 0 END) as bigint)
+         AS max_speed_mps
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q88_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    # ts is TIMESTAMP_NTZ in the parquet; the session TZ is pinned UTC
+    # everywhere (tests, bench, the driver gate), so the cast is identity
+    return spark.sql(_q88_body("unix_micros(cast(ts as timestamp))"))
+
+
+q88_trajectory_stats.__doc__ = _q88_body.__doc__
+
+
 def q09_binned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned aggregation: group events by grid cell (reference:
     `BinningAggregation.java` + `SpatialSimpleFeatureBinningStrategy.java`).
@@ -709,6 +764,7 @@ QUERIES = {
     "q65_polygon_bigbig_join": (q65_polygon_bigbig_join, _q65_sql()),
     "q57_geodesic_distance_join": (q57_geodesic_distance_join, _q57_sql()),
     "q60_knn_geodesic": (q60_knn_geodesic, _q60_sql()),
+    "q88_trajectory_stats": (q88_trajectory_stats, _q88_body("epoch_us(ts)")),
     "q08_knn": (q08_knn, Q08_SQL),
     "q09_binned_agg": (q09_binned_agg, Q09_SQL),
     "q10_bbox_agg": (q10_bbox_agg, Q10_SQL),

@@ -192,6 +192,143 @@ FROM plan ORDER BY res, tile_id
 """
 
 
+def _q87_zones_sql(src: str = "supplier") -> str:
+    """Zone rectangles for q87 — deliberately NOT `geo.supplier_rects_sql`:
+    that table's centers share the 7919 LCG multiplier with the image
+    footprints, and two same-multiplier lattices are rigidly offset in the
+    scrambled coordinate space (measured: ZERO bbox overlaps across all
+    suppliers×images at sf0.01).  Distinct multipliers decorrelate the
+    lattices, giving overlap rates near the area fraction — the same fix
+    as `table/corpus._mixed_center` for the scaling bench."""
+    from .table import geo
+
+    cx = geo.lon_sql("s_suppkey * 6007 + 29")
+    cy = geo.lat_sql("s_suppkey * 3001 + 11")
+    w = "(2e0 + (s_suppkey % 700) / 1e2)"
+    h = "(1e0 + (s_suppkey % 500) / 1e2)"
+    return (
+        f"SELECT s_suppkey AS rid, "
+        f"greatest({cx} - {w}, -180e0) AS zlon0, "
+        f"greatest({cy} - {h}, -90e0) AS zlat0, "
+        f"least({cx} + {w}, 180e0) AS zlon1, "
+        f"least({cy} + {h}, 90e0) AS zlat1 "
+        f"FROM {src} WHERE s_suppkey % 5 = 0"
+    )
+
+
+def q87_zonal_stats(spark, sf_dir: str):
+    """Zonal statistics — the classic raster×vector fusion op: aggregate
+    DECODED pixel values of every raster whose footprint overlaps a vector
+    zone, clipped to the zone, grouped per zone (per-district mean
+    elevation / per-field NDVI; reference analog: coverage pixel
+    aggregation `RasterTileResizeIT` + vector query regions
+    `GeoWaveBasicSpatialVectorIT` combined, in /root/reference).
+
+    Scale shape: zones broadcast (small dim side), bbox-overlap candidate
+    join in pure codegen, then ONE narrow mapInPandas computes the clipped
+    pixel-window sum per (image, zone) — the decode emits 3 scalars per
+    pair, never pixels, so shuffle volume is O(pairs); the final rollup is
+    a keyed hash aggregate.  Pixel-center inclusion uses the same float64
+    expression order as the oracle (`lon0 + (x+0.5)*(lon1-lon0)/w`), so
+    results are bit-identical.
+
+    The oracle never decodes: it explodes the closed-form pixel field
+    (`table/images.luma_sql(decoded=True)`) under the same clip — engine
+    pixels come from real encoded bytes (the q6 format is lossy; both
+    sides model its round-trip).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from .raster import codec
+    from .table import geo
+    from .table.images import gray, images_df
+
+    img = images_df(spark, sf_dir).select(
+        "image_id", "bytes", "fmt", "w", "h", "lon0", "lat0", "lon1", "lat1"
+    )
+    zones = spark.sql(
+        _q87_zones_sql(f"parquet.`{sf_dir}/supplier.parquet`")
+    )
+    pairs = img.join(
+        F.broadcast(zones),
+        (F.col("lon1") > F.col("zlon0")) & (F.col("lon0") < F.col("zlon1"))
+        & (F.col("lat1") > F.col("zlat0")) & (F.col("lat0") < F.col("zlat1")),
+    )
+
+    def clip_sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rids, iids, npx, sums = [], [], [], []
+            for _, r in pdf.iterrows():
+                g = gray(codec.decode(r["bytes"], r["fmt"])).astype(np.int64)
+                h, w = g.shape
+                cx = r["lon0"] + (np.arange(w) + 0.5) * (r["lon1"] - r["lon0"]) / w
+                cy = r["lat0"] + (np.arange(h) + 0.5) * (r["lat1"] - r["lat0"]) / h
+                mx = (cx >= r["zlon0"]) & (cx < r["zlon1"])
+                my = (cy >= r["zlat0"]) & (cy < r["zlat1"])
+                n = int(mx.sum()) * int(my.sum())
+                if n == 0:
+                    continue
+                rids.append(r["rid"])
+                iids.append(r["image_id"])
+                npx.append(n)
+                sums.append(int(g[np.ix_(my, mx)].sum()))
+            yield pd.DataFrame({
+                "rid": pd.Series(rids, dtype="int64"),
+                "image_id": pd.Series(iids, dtype="object"),
+                "n_px": pd.Series(npx, dtype="int64"),
+                "sum_luma": pd.Series(sums, dtype="int64"),
+            })
+
+    per_pair = pairs.mapInPandas(
+        clip_sum, schema="rid long, image_id string, n_px long, sum_luma long"
+    )
+    return (
+        per_pair.groupBy("rid")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_px").alias("n_pixels"),
+            F.sum("sum_luma").alias("sum_luma"),
+        )
+        .withColumn("mean_luma", F.expr("sum_luma div n_pixels"))
+        .orderBy("rid")
+    )
+
+
+def _q87_sql() -> str:
+    from .table import images as img_tab
+
+    luma = img_tab.luma_sql("xs.g", "ys.g", decoded=True)
+    return f"""
+WITH z AS ({_q87_zones_sql()}),
+img AS ({img_tab.images_base_sql()}),
+pairs AS (
+  SELECT img.*, z.rid, z.zlon0, z.zlat0, z.zlon1, z.zlat1
+  FROM img JOIN z
+    ON img.lon1 > z.zlon0 AND img.lon0 < z.zlon1
+   AND img.lat1 > z.zlat0 AND img.lat0 < z.zlat1
+),
+px AS (
+  SELECT rid, image_id, doc_id, {luma} AS luma
+  FROM pairs,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
+  WHERE lon0 + (xs.g + 0.5) * (lon1 - lon0) / w >= zlon0
+    AND lon0 + (xs.g + 0.5) * (lon1 - lon0) / w < zlon1
+    AND lat0 + (ys.g + 0.5) * (lat1 - lat0) / h >= zlat0
+    AND lat0 + (ys.g + 0.5) * (lat1 - lat0) / h < zlat1
+)
+SELECT rid, cast(count(DISTINCT image_id) as bigint) AS n_images,
+       cast(count(*) as bigint) AS n_pixels,
+       cast(sum(luma) as bigint) AS sum_luma,
+       cast(sum(luma) // count(*) as bigint) AS mean_luma
+FROM px GROUP BY rid ORDER BY rid
+"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -199,4 +336,5 @@ RASTER_QUERIES = {
     "q14_pyramid_counts": (q14_pyramid_counts, Q14_SQL),
     "q35_raster_stats": (q35_raster_stats, Q35_SQL),
     "q49_tile_resize": (q49_tile_resize, Q49_SQL),
+    "q87_zonal_stats": (q87_zonal_stats, _q87_sql()),
 }

@@ -203,3 +203,85 @@ def test_q85_canonical_has_best_caption(spark, sf_dir):
                                        int(r.n_copies))
            for r in pdf.itertuples()}
     assert got == best
+
+
+def test_q87_zonal_stats_pixel_exact(spark, sf_dir):
+    """Recompute one zone's clipped pixel sum straight from gen_pixels —
+    independent of BOTH the engine's decode path and the oracle's
+    closed-form luma."""
+    import numpy as np
+
+    from geowave_spark.queries_raster import RASTER_QUERIES, _q87_zones_sql
+    from geowave_spark.table.images import gen_images_pdf, gray
+    from geowave_spark.raster import codec
+
+    pdf = RASTER_QUERIES["q87_zonal_stats"][0](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert ((pdf["mean_luma"] >= 0) & (pdf["mean_luma"] <= 255)).all()
+    assert (pdf["sum_luma"] == pdf["mean_luma"] * pdf["n_pixels"]
+            + pdf["sum_luma"] % pdf["n_pixels"]).all()
+
+    zones = spark.sql(
+        _q87_zones_sql(f"parquet.`{sf_dir}/supplier.parquet`")).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").toPandas()
+    imgs = gen_images_pdf(docs)
+    want = {}
+    for z in zones.itertuples():
+        n_img = n_px = s_luma = 0
+        for r in imgs.itertuples():
+            if not (r.lon1 > z.zlon0 and r.lon0 < z.zlon1
+                    and r.lat1 > z.zlat0 and r.lat0 < z.zlat1):
+                continue
+            g = gray(codec.decode(r.bytes, r.fmt)).astype(np.int64)
+            h, w = g.shape
+            cx = r.lon0 + (np.arange(w) + 0.5) * (r.lon1 - r.lon0) / w
+            cy = r.lat0 + (np.arange(h) + 0.5) * (r.lat1 - r.lat0) / h
+            mx = (cx >= z.zlon0) & (cx < z.zlon1)
+            my = (cy >= z.zlat0) & (cy < z.zlat1)
+            n = int(mx.sum()) * int(my.sum())
+            if n == 0:
+                continue
+            n_img += 1
+            n_px += n
+            s_luma += int(g[np.ix_(my, mx)].sum())
+        if n_img:
+            want[z.rid] = (n_img, n_px, s_luma)
+    got = {int(r.rid): (int(r.n_images), int(r.n_pixels), int(r.sum_luma))
+           for r in pdf.itertuples()}
+    assert got == want
+
+
+def test_q88_trajectory_matches_pandas_fold(spark, sf_dir):
+    """Independent per-user recomputation with geom.haversine_km over the
+    pandas-sorted event stream."""
+    import numpy as np
+    import pandas as pd
+
+    from geowave_spark.geom.core import haversine_km
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    got = {int(r.user_id): (int(r.n_points), int(r.total_dist_m),
+                            int(r.max_seg_m), int(r.max_speed_mps))
+           for r in QUERIES["q88_trajectory_stats"][0](spark, sf_dir)
+           .toPandas().itertuples()}
+
+    ev = spark.sql(
+        f"SELECT user_id, unix_micros(cast(ts as timestamp)) AS us, event_id, "
+        f"{geo.lon_sql('event_id')} AS lon, {geo.lat_sql('event_id')} AS lat "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        if len(g) < 2:
+            continue
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        us = g["us"].to_numpy()
+        seg = np.floor(haversine_km(lon[:-1], lat[:-1], lon[1:], lat[1:])
+                       * 1000).astype(np.int64)
+        dt = us[1:] - us[:-1]
+        sp = np.where(dt > 0, np.floor(seg * 1_000_000.0 / np.where(dt > 0, dt, 1)), 0)
+        want[int(uid)] = (len(g), int(seg.sum()), int(seg.max()),
+                          int(sp.max()))
+    assert got == want
