@@ -117,6 +117,35 @@ NOTES = {
         "query distance table; the only wide shuffle carries (vec_id, m, "
         "code)."
     ),
+    "q83_semantic_dedup": (
+        "SemDeDup: the 16-row centroid side broadcasts twice (assignment, "
+        "then never again); the pairwise stage is ONE cell-keyed "
+        "SortMergeJoin of the assigned table with itself — all-pairs work "
+        "is confined within a cluster cell, the corpus never cross-joins."
+    ),
+    "q84_lm_familiarity": (
+        "Trigram-LM familiarity: codegen shingle build (posexplode + lead "
+        "windows), then exactly two keyed shuffles — groupBy shingle "
+        "(model) and join-back + groupBy doc (scoring), both map-side "
+        "partial-aggregated; the corpus-size scalar is a 1-row broadcast."
+    ),
+    "q86_optimize_recluster_scan": (
+        "Post-OPTIMIZE pruned scan: the manifest already dropped "
+        "non-overlapping files, so the plan is scan(few files) -> filter "
+        "-> two-phase HashAggregate; the layout decision happened at "
+        "write time, not in the query."
+    ),
+    "q87_zonal_stats": (
+        "Zonal stats: zones broadcast (BroadcastNestedLoopJoin on the bbox "
+        "range conjuncts — the candidate set, refined inside the pandas "
+        "kernel), ONE narrow MapInPandas emits 3 scalars per pair, "
+        "pixels never reach an Exchange; keyed rollup after."
+    ),
+    "q88_trajectory_stats": (
+        "Trajectory rollup: ONE Exchange on user_id feeds both the lag "
+        "Window and the final HashAggregate (same partitioning reused); "
+        "segment haversine is pure codegen floats."
+    ),
     "q65_polygon_bigbig_join": (
         "Polygon x polygon with BOTH sides DataFrames: distributed "
         "vertex-bbox covers, salted ShuffledHashJoin candidates projected "
