@@ -683,6 +683,113 @@ def q88_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 q88_trajectory_stats.__doc__ = _q88_body.__doc__
 
 
+def _q89_body(d) -> str:
+    """Inverse-distance-weighted (IDW) spatial interpolation onto the
+    res-6 grid — the standard scattered-points→surface operator (sensor
+    readings → continuous field; the smooth sibling of the KDE heatmap
+    q24; reference analog: the KDE raster pipeline
+    `analytics/mapreduce/.../kde/KDEJobRunner.java` in /root/reference).
+
+    Scale shape: ZERO joins — every event fans out to its 9 neighboring
+    grid cells (a bounded explode, exactly the KDE splat pattern), the
+    radius cutoff filters in codegen, and one keyed hash aggregate sums
+    integer-floored weight terms.  Per-term flooring makes both sums
+    order-independent int64s, so the DuckDB twin is bit-exact (a float
+    IDW would hash-diverge on summation order).
+    """
+    n = 64
+    x = f"least(greatest(cast(ceil((lon + 180e0) / 360e0 * {n}) as bigint) - 1, 0), {n - 1})"
+    y = f"least(greatest(cast(ceil((lat + 90e0) / 180e0 * {n}) as bigint) - 1, 0), {n - 1})"
+    off = d.explode(d.seq("-1", "1"))
+    cx = f"((tx + 0.5e0) * 360e0 / {n} - 180e0)"
+    cy = f"((ty + 0.5e0) * 180e0 / {n} - 90e0)"
+    d2 = f"((lon - {cx}) * (lon - {cx}) + (lat - {cy}) * (lat - {cy}))"
+    return f"""
+WITH e AS (
+  SELECT event_id AS eid, value,
+         {geo.lon_sql('event_id')} AS lon, {geo.lat_sql('event_id')} AS lat,
+         {x} AS x, {y} AS y
+  FROM events
+),
+dx AS (SELECT {off} AS gx FROM (SELECT 1 AS one) t1),
+dy AS (SELECT {off} AS gy FROM (SELECT 1 AS one) t2),
+cand AS (
+  SELECT eid, value, lon, lat, x + gx AS tx, y + gy AS ty
+  FROM e CROSS JOIN dx CROSS JOIN dy
+  WHERE x + gx BETWEEN 0 AND {n - 1} AND y + gy BETWEEN 0 AND {n - 1}
+),
+terms AS (
+  SELECT ty * {n} + tx AS cell,
+         cast(floor(1000000e0 * value / ({d2} + 1e-2)) as bigint) AS wnum,
+         cast(floor(1000000e0 / ({d2} + 1e-2)) as bigint) AS wden
+  FROM cand WHERE {d2} <= 9e0
+)
+SELECT cell, cast(count(*) as bigint) AS n_pts,
+       cast({d.intdiv('(1000 * sum(wnum))', 'sum(wden)')} as bigint)
+         AS idw_milli
+FROM terms GROUP BY cell HAVING sum(wden) > 0 ORDER BY cell
+"""
+
+
+def q89_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    from .functions import sqlgen as G
+
+    return spark.sql(_q89_body(G.SPARK))
+
+
+def _q89_duck_sql() -> str:
+    from .functions import sqlgen as G
+
+    return _q89_body(G.DUCK)
+
+
+q89_idw_interpolation.__doc__ = _q89_body.__doc__
+
+
+def _q90_sql() -> str:
+    """Temporal change detection: per-cell activity deltas between two time
+    windows in ONE conditional aggregation pass — no self-join of the two
+    periods, no second scan (the before/after split is a CASE inside the
+    partial aggregate).  The hot-spot/cold-spot report every monitoring
+    pipeline runs (reference analog: time-range binned statistics,
+    `core/geotime/.../binning/TemporalBinningStrategy.java` in
+    /root/reference).  `day(ts)` is dialect-shared; deltas are integers.
+    """
+    cell = geo.rowmajor_cell_sql("lon", "lat", 6)
+    return f"""
+WITH e AS (
+  SELECT day(ts) AS d, value,
+         {geo.lon_sql('event_id')} AS lon, {geo.lat_sql('event_id')} AS lat
+  FROM events
+),
+c AS (
+  SELECT {cell} AS cell,
+         sum(CASE WHEN d <= 15 THEN 1 ELSE 0 END) AS n_before,
+         sum(CASE WHEN d > 15 THEN 1 ELSE 0 END) AS n_after,
+         sum(CASE WHEN d <= 15 THEN cast(round(value * 100) as bigint)
+                  ELSE 0 END) AS cents_before,
+         sum(CASE WHEN d > 15 THEN cast(round(value * 100) as bigint)
+                  ELSE 0 END) AS cents_after
+  FROM e GROUP BY 1
+)
+SELECT cell, cast(n_before as bigint) AS n_before,
+       cast(n_after as bigint) AS n_after,
+       cast(n_after - n_before as bigint) AS delta_n,
+       cast(cents_after - cents_before as bigint) AS delta_cents
+FROM c WHERE abs(n_after - n_before) >= 3
+ORDER BY delta_n, cell
+"""
+
+
+def q90_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_q90_sql())
+
+
+q90_change_detection.__doc__ = _q90_sql.__doc__
+
+
 def q09_binned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned aggregation: group events by grid cell (reference:
     `BinningAggregation.java` + `SpatialSimpleFeatureBinningStrategy.java`).
@@ -765,6 +872,8 @@ QUERIES = {
     "q57_geodesic_distance_join": (q57_geodesic_distance_join, _q57_sql()),
     "q60_knn_geodesic": (q60_knn_geodesic, _q60_sql()),
     "q88_trajectory_stats": (q88_trajectory_stats, _q88_body("epoch_us(ts)")),
+    "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
+    "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q08_knn": (q08_knn, Q08_SQL),
     "q09_binned_agg": (q09_binned_agg, Q09_SQL),
     "q10_bbox_agg": (q10_bbox_agg, Q10_SQL),

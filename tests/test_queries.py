@@ -285,3 +285,84 @@ def test_q88_trajectory_matches_pandas_fold(spark, sf_dir):
         want[int(uid)] = (len(g), int(seg.sum()), int(seg.max()),
                           int(sp.max()))
     assert got == want
+
+
+def test_q89_idw_matches_numpy(spark, sf_dir):
+    """Exact numpy recomputation of the neighborhood-IDW surface (splat
+    fan-out, radius cutoff, integer-floored weight terms)."""
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    got = {int(r.cell): (int(r.n_pts), int(r.idw_milli))
+           for r in QUERIES["q89_idw_interpolation"][0](spark, sf_dir)
+           .toPandas().itertuples()}
+
+    ev = spark.sql(
+        f"SELECT value, {geo.lon_sql('event_id')} AS lon, "
+        f"{geo.lat_sql('event_id')} AS lat "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    n = 64
+    lon, lat, val = (ev["lon"].to_numpy(), ev["lat"].to_numpy(),
+                     ev["value"].to_numpy())
+    x = np.clip(np.ceil((lon + 180.0) / 360.0 * n).astype(np.int64) - 1, 0, n - 1)
+    y = np.clip(np.ceil((lat + 90.0) / 180.0 * n).astype(np.int64) - 1, 0, n - 1)
+    acc: dict[int, list] = {}
+    for gx in (-1, 0, 1):
+        for gy in (-1, 0, 1):
+            tx, ty = x + gx, y + gy
+            ok = (tx >= 0) & (tx < n) & (ty >= 0) & (ty < n)
+            cx = (tx + 0.5) * 360.0 / n - 180.0
+            cy = (ty + 0.5) * 180.0 / n - 90.0
+            d2 = (lon - cx) ** 2 + (lat - cy) ** 2
+            ok &= d2 <= 9.0
+            wn = np.floor(1_000_000.0 * val / (d2 + 1e-2)).astype(np.int64)
+            wd = np.floor(1_000_000.0 / (d2 + 1e-2)).astype(np.int64)
+            for c, a, b in zip((ty[ok] * n + tx[ok]).tolist(),
+                               wn[ok].tolist(), wd[ok].tolist()):
+                e = acc.setdefault(int(c), [0, 0, 0])
+                e[0] += 1
+                e[1] += a
+                e[2] += b
+    want = {c: (m, (1000 * sn) // sd) for c, (m, sn, sd) in acc.items() if sd > 0}
+    assert got == want
+
+
+def test_q90_change_detection_matches_pandas(spark, sf_dir):
+    """Conditional-aggregation change report equals the two-pass pandas
+    recomputation."""
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    got = {int(r.cell): (int(r.n_before), int(r.n_after), int(r.delta_n),
+                         int(r.delta_cents))
+           for r in QUERIES["q90_change_detection"][0](spark, sf_dir)
+           .toPandas().itertuples()}
+
+    ev = spark.sql(
+        f"SELECT day(ts) AS d, value, {geo.lon_sql('event_id')} AS lon, "
+        f"{geo.lat_sql('event_id')} AS lat "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    n = 64
+    x = np.clip(np.ceil((ev['lon'].to_numpy() + 180.0) / 360.0 * n)
+                .astype(np.int64) - 1, 0, n - 1)
+    y = np.clip(np.ceil((ev['lat'].to_numpy() + 90.0) / 180.0 * n)
+                .astype(np.int64) - 1, 0, n - 1)
+    ev = ev.assign(cell=y * n + x,
+                   cents=np.round(ev['value'].to_numpy() * 100).astype(np.int64))
+    want = {}
+    for cell, g in ev.groupby("cell"):
+        nb = int((g['d'] <= 15).sum())
+        na = int((g['d'] > 15).sum())
+        if abs(na - nb) >= 3:
+            cb = int(g.loc[g['d'] <= 15, 'cents'].sum())
+            ca = int(g.loc[g['d'] > 15, 'cents'].sum())
+            want[int(cell)] = (nb, na, na - nb, ca - cb)
+    assert got == want
+    # the |delta| >= 3 gate only bites with enough events per cell; the
+    # driver's sf0.01 gate checks the non-trivial case (390 rows there)
+    if len(ev) >= 5000:
+        assert len(got) > 0
