@@ -316,10 +316,111 @@ ORDER BY event_type
 """
 
 
+def _cdc_events_table(spark: SparkSession, sf_dir: str) -> str:
+    """Events in THREE append-only snapshots (event_id % 3 thirds) — the
+    producer side of an incremental-consumption pipeline."""
+    sfn = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_SCRATCH, f"snap_cdc_{sfn}")
+    if S.current_snapshot(path) != 3:
+        shutil.rmtree(path, ignore_errors=True)
+
+        def third(i: int):
+            return spark.sql(
+                f"SELECT event_id, event_type, "
+                f"cast(round(value * 100) as bigint) AS cents "
+                f"FROM parquet.`{sf_dir}/events.parquet` "
+                f"WHERE event_id % 3 = {i}"
+            )
+
+        S.create(third(0), path, num_files=4)
+        S.append(third(1), path, num_files=4)
+        S.append(third(2), path, num_files=4)
+    return path
+
+
+def q91_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style incremental read: rows added AFTER snapshot 1 (appends 2
+    and 3 only — the create batch never re-reads), aggregated per event
+    type.  The consumer contract of Iceberg's incremental append scan:
+    each batch is processed exactly once, history is never rescanned
+    (`snapshots.incremental_scan` plans only files with snapshot_added in
+    the range; non-append ops in the range raise)."""
+    path = _cdc_events_table(spark, sf_dir)
+    return (
+        S.incremental_scan(spark, path, from_snapshot=1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents"))
+        .orderBy("event_type")
+    )
+
+
+Q91_SQL = """
+SELECT event_type, cast(count(*) as bigint) AS n_events,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+FROM events WHERE event_id % 3 <> 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q92_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (copy-on-write upsert): update every key ≡ 0 mod 7
+    (qty + 1000, whole-row replace) and insert a fresh row (negated key)
+    for every key ≡ 3 mod 11, in ONE merge commit that rewrites only the
+    files holding matched keys.  Output: per-snapshot row counts and
+    aggregates — v1 proves time travel (pre-merge state intact), v2
+    proves the merge semantics against the closed-form oracle."""
+    li = spark.sql(geo.lineitem_points_sql(sf_dir=sf_dir)).selectExpr(
+        "pid", "cast(qty as bigint) AS qty"
+    )
+    path = os.path.join(_SCRATCH, f"snap_merge_{uuid.uuid4().hex}")
+    try:
+        S.create(li, path, cluster_by=["pid"], num_files=8)
+        src = spark.sql(f"""
+            SELECT pid, cast(qty as bigint) + 1000 AS qty
+            FROM ({geo.lineitem_points_sql(sf_dir=sf_dir)}) WHERE pid % 7 = 0
+            UNION ALL
+            SELECT -pid - 1 AS pid, cast(qty as bigint) AS qty
+            FROM ({geo.lineitem_points_sql(sf_dir=sf_dir)}) WHERE pid % 11 = 3
+        """)
+        info = S.merge_into(spark, path, src, key_cols=["pid"])
+        assert info["updated_rows"] > 0 and info["inserted_rows"] > 0, info
+        rows = []
+        for snap in (1, 2):
+            r = S.scan(spark, path, snapshot=snap).agg(
+                F.count("*").alias("n"), F.sum("qty").alias("s"),
+                F.sum(F.expr("CASE WHEN pid < 0 THEN 1 ELSE 0 END")).alias("ins"),
+            ).first()
+            rows.append((snap, r["n"], r["s"], r["ins"]))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "snapshot int, n_rows bigint, sum_qty bigint, n_inserted bigint"
+    ).orderBy("snapshot")
+
+
+Q92_SQL = f"""
+WITH base AS (SELECT pid, cast(qty as bigint) AS qty
+              FROM ({geo.lineitem_points_sql()}) t)
+SELECT cast(1 as int) AS snapshot, cast(count(*) as bigint) AS n_rows,
+       cast(sum(qty) as bigint) AS sum_qty, cast(0 as bigint) AS n_inserted
+FROM base
+UNION ALL
+SELECT cast(2 as int),
+       cast(count(*) + (SELECT count(*) FROM base WHERE pid % 11 = 3) as bigint),
+       cast(sum(qty + CASE WHEN pid % 7 = 0 THEN 1000 ELSE 0 END)
+            + (SELECT sum(qty) FROM base WHERE pid % 11 = 3) as bigint),
+       cast((SELECT count(*) FROM base WHERE pid % 11 = 3) as bigint)
+FROM base
+ORDER BY snapshot
+"""
+
+
 LAKE_QUERIES = {
     "q68_snapshot_prune_scan": (q68_snapshot_prune_scan, Q68_SQL),
     "q69_snapshot_time_travel": (q69_snapshot_time_travel, Q69_SQL),
     "q72_attribute_index_scan": (q72_attribute_index_scan, Q72_SQL),
     "q73_hypertable_rollup": (q73_hypertable_rollup, Q73_SQL),
     "q86_optimize_recluster_scan": (q86_optimize_recluster_scan, Q86_SQL),
+    "q91_incremental_scan": (q91_incremental_scan, Q91_SQL),
+    "q92_merge_upsert": (q92_merge_upsert, Q92_SQL),
 }

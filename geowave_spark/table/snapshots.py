@@ -521,6 +521,117 @@ def delete_where(spark: SparkSession, path: str, condition_sql: str, **commit_kw
     return m["summary"] | {"snapshot": m["snapshot"]}
 
 
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    **commit_kw,
+) -> dict:
+    """Copy-on-write ``MERGE INTO`` (upsert): source rows UPDATE the target
+    row with the same key (whole-row replace, ``UPDATE SET *``) or INSERT
+    when no target row matches — the Iceberg/Delta merge operation, and
+    the reference's write path for re-ingested features (same insertion
+    id overwrites, `core/store/.../base/BaseDataStore.java:381-465` in
+    /root/reference).
+
+    One distributed pass finds the files holding matched keys
+    (`input_file_name` + a broadcast-able semi-join on the source keys);
+    ONLY those files are rewritten (their unmatched rows carried over,
+    matched rows replaced by the source version); unmatched source rows
+    land in fresh insert files.  Untouched files carry forward — a merge
+    touching 0.1% of keys rewrites ~0.1% of the table.  Old snapshots
+    keep reading the pre-merge files.
+    """
+    base = load_manifest(path)
+    tbl_schema = StructType.fromJson(json.loads(base["schema"]))
+    cols = [f.name for f in tbl_schema.fields]
+    if sorted(source.columns) != sorted(cols):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} != table {sorted(cols)}")
+    src = source.select(*cols)
+    if src.groupBy(*key_cols).count().filter("count > 1").limit(1).count():
+        raise ValueError("merge source has duplicate keys — not a function "
+                         "of the merge key")
+    files = base["files"]
+    full = spark.read.schema(tbl_schema).parquet(
+        *[os.path.join(path, f["path"]) for f in files]
+    ) if files else spark.createDataFrame([], tbl_schema)
+    keys = src.select(*key_cols).dropDuplicates()
+    # pin input_file_name to the scan BEFORE the join (after a join the
+    # expression is ambiguous across sources and Spark rejects it)
+    hit = (
+        full.withColumn("f", F.input_file_name())
+        .join(F.broadcast(keys), key_cols, "left_semi")
+        .groupBy("f").count().collect()
+    )
+    hit_names = {os.path.basename(r["f"]) for r in hit}
+    updated = sum(r["count"] for r in hit)
+    affected = [f for f in files if os.path.basename(f["path"]) in hit_names]
+    untouched = [f for f in files if os.path.basename(f["path"]) not in hit_names]
+    snap = base["snapshot"] + 1
+    new_entries: list[dict] = []
+    if affected:
+        aff = spark.read.schema(tbl_schema).parquet(
+            *[os.path.join(path, f["path"]) for f in affected])
+        kept = aff.join(F.broadcast(keys), key_cols, "left_anti")
+        matched_src = src.join(
+            full.select(*key_cols).dropDuplicates(), key_cols, "left_semi")
+        new_entries += _stage_files(
+            kept.unionByName(matched_src), path, snap,
+            base.get("cluster_by"), max(1, len(affected)))
+    inserts = src.join(
+        full.select(*key_cols).dropDuplicates(), key_cols, "left_anti")
+    n_inserted = inserts.count()
+    if n_inserted:
+        new_entries += _stage_files(
+            inserts, path, snap, base.get("cluster_by"), 1)
+    m = _new_manifest(
+        path, "merge", untouched + new_entries, base["schema"],
+        {"updated_rows": updated, "inserted_rows": n_inserted,
+         "rewritten_files": len(affected), "key": key_cols},
+    )
+    _commit(path, m, **commit_kw)
+    return m["summary"] | {"snapshot": m["snapshot"]}
+
+
+def incremental_scan(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Rows ADDED between two snapshots (Iceberg's incremental append
+    scan / CDC read): reads ONLY the files whose ``snapshot_added`` lies
+    in ``(from_snapshot, to_snapshot]`` — a downstream consumer processes
+    each batch exactly once without ever rescanning history (the pattern
+    `table/rollup.py` uses internally, exposed as a reader).
+
+    Raises if any operation in the range is not append-only (delete/
+    overwrite/compact/merge rewrite history — an incremental read across
+    them would double-count or miss rows; Iceberg's incremental scan has
+    the same restriction).
+    """
+    cur = current_snapshot(path)
+    to_snapshot = cur if to_snapshot is None else to_snapshot
+    if not from_snapshot <= to_snapshot <= cur:
+        raise ValueError(f"bad range ({from_snapshot}, {to_snapshot}] @ {cur}")
+    for s in range(from_snapshot + 1, to_snapshot + 1):
+        op = load_manifest(path, s)["operation"]
+        if op not in ("create", "append"):
+            raise ValueError(
+                f"snapshot {s} is '{op}' — incremental scan requires an "
+                f"append-only range")
+    m = load_manifest(path, to_snapshot)
+    new = [f for f in m["files"]
+           if from_snapshot < f["snapshot_added"] <= to_snapshot]
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not new:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(path, f["path"]) for f in new])
+
+
 def compact(
     spark: SparkSession, path: str, target_rows: int = 1_000_000, **commit_kw
 ) -> dict:

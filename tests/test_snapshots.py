@@ -252,3 +252,58 @@ def test_optimize_recluster_sharpens_pruning_and_keeps_rows(spark, tdir):
     # later maintenance preserves the new key
     S.compact(spark, tdir, target_rows=1_000_000)
     assert S.load_manifest(tdir)["cluster_by"] == ["cell"]
+
+
+def test_merge_into_upsert_semantics(spark, tdir):
+    """MERGE: matched keys are whole-row replaced, unmatched source rows
+    insert, only files holding matched keys rewrite, and the pre-merge
+    snapshot still time-travels."""
+    S.create(_mk(spark, 10_000), tdir, cluster_by=["cell"], num_files=10)
+    n_files_before = len(S.load_manifest(tdir)["files"])
+    # update ids 0..49 (value -> 999.0), insert ids 20000..20009
+    src = spark.range(50).selectExpr(
+        "id", "id % 97 AS cell", "cast(999 as double) AS value",
+        "concat('upd-', id) AS name",
+    ).unionByName(spark.range(20_000, 20_010).selectExpr(
+        "id", "id % 97 AS cell", "cast(1 as double) AS value",
+        "concat('new-', id) AS name",
+    ))
+    info = S.merge_into(spark, tdir, src, key_cols=["id"])
+    assert info["updated_rows"] == 50 and info["inserted_rows"] == 10
+    assert 0 < info["rewritten_files"] < n_files_before
+    got = S.scan(spark, tdir)
+    assert got.count() == 10_010
+    assert got.filter("id < 50 AND value = 999.0").count() == 50
+    assert got.filter("name LIKE 'new-%'").count() == 10
+    # no duplicate keys after merge
+    assert got.groupBy("id").count().filter("count > 1").count() == 0
+    # time travel: snapshot 1 is the pre-merge table
+    v1 = S.scan(spark, tdir, snapshot=1)
+    assert v1.count() == 10_000 and v1.filter("value = 999.0").count() == 0
+    # a source that is not a function of the key is refused
+    bad = src.unionByName(src.limit(1))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        S.merge_into(spark, tdir, bad, key_cols=["id"])
+    # schema mismatch is refused
+    with pytest.raises(ValueError, match="columns"):
+        S.merge_into(spark, tdir, spark.range(3), key_cols=["id"])
+
+
+def test_incremental_scan_append_only_contract(spark, tdir):
+    S.create(_mk(spark, 1_000), tdir, num_files=2)           # snapshot 1
+    S.append(_mk(spark, 500).selectExpr("id + 100000 AS id", "cell",
+                                        "value", "name"), tdir, num_files=2)  # 2
+    S.append(_mk(spark, 300).selectExpr("id + 200000 AS id", "cell",
+                                        "value", "name"), tdir, num_files=2)  # 3
+    assert S.incremental_scan(spark, tdir, 1).count() == 800
+    assert S.incremental_scan(spark, tdir, 1, 2).count() == 500
+    assert S.incremental_scan(spark, tdir, 2, 3).count() == 300
+    assert S.incremental_scan(spark, tdir, 3).count() == 0
+    assert S.incremental_scan(spark, tdir, 0, 1).count() == 1_000
+    with pytest.raises(ValueError, match="bad range"):
+        S.incremental_scan(spark, tdir, 2, 9)
+    S.delete_where(spark, tdir, "cell = 5")                  # snapshot 4
+    with pytest.raises(ValueError, match="append-only"):
+        S.incremental_scan(spark, tdir, 2)
+    # ranges that stop BEFORE the delete still work
+    assert S.incremental_scan(spark, tdir, 1, 3).count() == 800
