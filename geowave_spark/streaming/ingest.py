@@ -103,6 +103,50 @@ def session_counts(stream_df: DataFrame, ts_col: str = "ts",
     )
 
 
+def geofence_alerts(stream_df: DataFrame, zones: DataFrame,
+                    res: int = 7) -> DataFrame:
+    """Streaming geofence: emit an alert row for every streamed point that
+    falls inside a zone rectangle — the continuous form of the engine's
+    point-in-region join (reference analog: a standing spatial query over
+    arriving features; GeoWave runs these as repeated range scans, here
+    it is ONE stream-static broadcast join).
+
+    The static ``zones`` (zone_id, lon0, lat0, lon1, lat1) expand ONCE to
+    their res-`res` cell cover (bounded sequence explode, pure codegen);
+    the stream side already carries `cell` (indexed_file_stream), so the
+    hot path is a BroadcastHashJoin on cell + an exact bounds refine —
+    zero Python, zero state store, per-event cost independent of the
+    stream's history.
+    """
+    n = 1 << res
+
+    def gx(lon: str) -> str:
+        return (f"least(greatest(cast(ceil(({lon} + 180e0) / 360e0 * {n}) "
+                f"as bigint) - 1, 0), {n - 1})")
+
+    def gy(lat: str) -> str:
+        return (f"least(greatest(cast(ceil(({lat} + 90e0) / 180e0 * {n}) "
+                f"as bigint) - 1, 0), {n - 1})")
+
+    cover = (
+        zones.withColumn("gx", F.expr(
+            f"explode(sequence({gx('lon0')}, {gx('lon1')}))"))
+        .withColumn("gy", F.expr(
+            f"explode(sequence({gy('lat0')}, {gy('lat1')}))"))
+        .withColumn("gf_cell", F.expr(f"gy * {n} + gx"))
+        .drop("gx", "gy")
+    )
+    # re-encode at the geofence res — the stream's own `cell` may use a
+    # different resolution
+    keyed = stream_df.withColumn(
+        "gf_cell", F.expr(geo.rowmajor_cell_sql("lon", "lat", res)))
+    return (
+        keyed.join(F.broadcast(cover), "gf_cell")
+        .where("lon >= lon0 AND lon < lon1 AND lat >= lat0 AND lat < lat1")
+        .drop("gf_cell", "lon0", "lat0", "lon1", "lat1")
+    )
+
+
 def run_ingest_to_table(stream_df: DataFrame, table_path: str,
                         checkpoint_dir: str, rollup_path: str | None = None,
                         rollup_kw: dict | None = None,

@@ -246,3 +246,48 @@ def test_streaming_dedup_accumulates_full_q16(spark, sf_dir, dirs):
     assert got == exp
     assert S.current_snapshot(out["index"]) == 3
     assert S.scan(spark, out["docs"]).count() == docs.count()
+
+
+def test_geofence_alerts_match_batch_filter(spark, sf_dir, dirs):
+    """Streaming geofence over two micro-batch files == the batch
+    point-in-rect filter (cover+refine, exactly-once resume)."""
+    src, dest, cp = dirs
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part1.parquet")
+
+    zones = spark.createDataFrame(
+        [(1, -170.0, -80.0, -30.0, -10.0), (2, 10.0, 5.0, 160.0, 75.0),
+         (3, -20.0, -88.0, 15.0, 88.0)],
+        "zone_id int, lon0 double, lat0 double, lon1 double, lat1 double",
+    )
+    schema = _events_schema(spark, sf_dir)
+
+    def drain():
+        stream = ingest.indexed_file_stream(spark, str(src), schema, res=8)
+        ingest.run_ingest(
+            ingest.geofence_alerts(stream, zones, res=7).select(
+                "event_id", "zone_id"),
+            dest, cp,
+        )
+
+    drain()
+    got = {(r["event_id"], r["zone_id"])
+           for r in spark.read.parquet(dest).collect()}
+
+    from geowave_spark.table import geo
+
+    batch = spark.sql(
+        f"SELECT event_id, {geo.lon_sql('event_id')} AS lon, "
+        f"{geo.lat_sql('event_id')} AS lat "
+        f"FROM parquet.`{sf_dir}/events.parquet`"
+    ).join(zones).where(
+        "lon >= lon0 AND lon < lon1 AND lat >= lat0 AND lat < lat1")
+    want = {(r["event_id"], r["zone_id"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+    # a second identical file arrives: resume ingests ONLY the new file,
+    # so every alert pair now appears exactly twice
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part2.parquet")
+    drain()
+    out = spark.read.parquet(dest).groupBy("event_id", "zone_id").count()
+    assert out.filter("count <> 2").count() == 0
+    assert out.count() == len(want)
