@@ -108,17 +108,21 @@ _INGEST_READERS = {
     "stanag4676": ("table.stanag", "read_stanag4676"),
     "avro": ("table.avrofmt", "read_avro_features"),
     "geotiff": ("raster.geotiff", "read_geotiff"),
+    "parquet": (None, None),  # plain parquet, special-cased in cmd_ingest
 }
 
 
 def cmd_ingest(args) -> int:
     import importlib
 
-    mod_name, fn_name = _INGEST_READERS[args.format]
-    mod = importlib.import_module(f".{mod_name}", package=__package__)
     spark = _make_spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    df = getattr(mod, fn_name)(spark, args.src)
+    if args.format == "parquet":
+        df = spark.read.parquet(args.src)
+    else:
+        mod_name, fn_name = _INGEST_READERS[args.format]
+        mod = importlib.import_module(f".{mod_name}", package=__package__)
+        df = getattr(mod, fn_name)(spark, args.src)
     if args.snapshot:
         from .table import snapshots as snap
 
@@ -149,6 +153,26 @@ def cmd_table(args) -> int:
         spark.sparkContext.setLogLevel("ERROR")
         print(json.dumps(snap.compact(spark, args.path,
                                       target_rows=args.target_rows)))
+    elif args.table_cmd == "optimize":
+        spark = _make_spark(args.cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(snap.optimize(
+            spark, args.path, cluster_by=args.cluster_by.split(","),
+            target_rows=args.target_rows)))
+    elif args.table_cmd == "merge":
+        spark = _make_spark(args.cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        src = spark.read.parquet(args.source)
+        print(json.dumps(snap.merge_into(
+            spark, args.path, src, key_cols=args.key.split(","))))
+    elif args.table_cmd == "incremental":
+        spark = _make_spark(args.cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        df = snap.incremental_scan(spark, args.path, args.from_snapshot,
+                                   args.to_snapshot)
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": spark.read.parquet(args.out).count(),
+                          "out": args.out}))
     elif args.table_cmd == "expire":
         print(json.dumps(snap.expire_snapshots(args.path,
                                                keep_last=args.keep_last)))
@@ -259,6 +283,23 @@ def build_parser() -> argparse.ArgumentParser:
     te.add_argument("--keep-last", type=int, default=1)
     tr = tsub.add_parser("repair")
     tr.add_argument("path")
+    to = tsub.add_parser("optimize")
+    to.add_argument("path")
+    to.add_argument("--cluster-by", required=True,
+                    help="comma-separated sort key, e.g. cell")
+    to.add_argument("--target-rows", type=int, default=1_000_000)
+    tm = tsub.add_parser("merge")
+    tm.add_argument("path")
+    tm.add_argument("--source", required=True,
+                    help="parquet path of the upsert source")
+    tm.add_argument("--key", required=True,
+                    help="comma-separated merge key columns")
+    ti = tsub.add_parser("incremental")
+    ti.add_argument("path")
+    ti.add_argument("--from-snapshot", type=int, required=True)
+    ti.add_argument("--to-snapshot", type=int, default=None)
+    ti.add_argument("--out", required=True,
+                    help="parquet path for the incremental rows")
     t.set_defaults(fn=cmd_table)
 
     st = sub.add_parser("stat", help="table statistics report")

@@ -701,6 +701,7 @@ def _q89_body(d) -> str:
     x = f"least(greatest(cast(ceil((lon + 180e0) / 360e0 * {n}) as bigint) - 1, 0), {n - 1})"
     y = f"least(greatest(cast(ceil((lat + 90e0) / 180e0 * {n}) as bigint) - 1, 0), {n - 1})"
     off = d.explode(d.seq("-1", "1"))
+    off2 = d.explode(d.seq("-1", "1"))
     cx = f"((tx + 0.5e0) * 360e0 / {n} - 180e0)"
     cy = f"((ty + 0.5e0) * 180e0 / {n} - 90e0)"
     d2 = f"((lon - {cx}) * (lon - {cx}) + (lat - {cy}) * (lat - {cy}))"
@@ -711,11 +712,10 @@ WITH e AS (
          {x} AS x, {y} AS y
   FROM events
 ),
-dx AS (SELECT {off} AS gx FROM (SELECT 1 AS one) t1),
-dy AS (SELECT {off} AS gy FROM (SELECT 1 AS one) t2),
+c1 AS (SELECT eid, value, lon, lat, x, y, {off} AS gx FROM e),
 cand AS (
   SELECT eid, value, lon, lat, x + gx AS tx, y + gy AS ty
-  FROM e CROSS JOIN dx CROSS JOIN dy
+  FROM (SELECT eid, value, lon, lat, x, y, gx, {off2} AS gy FROM c1)
   WHERE x + gx BETWEEN 0 AND {n - 1} AND y + gy BETWEEN 0 AND {n - 1}
 ),
 terms AS (
@@ -788,6 +788,130 @@ def q90_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q90_change_detection.__doc__ = _q90_sql.__doc__
+
+
+def _q93_body(d) -> str:
+    """Spatial autocorrelation (Moran's I components) over res-6 cell
+    counts — the hot-spot statistic of exploratory spatial analysis
+    (reference analog: the binned statistics the reference exposes per
+    spatial bin, `SpatialSimpleFeatureBinningStrategy.java`, taken one
+    step further to NEIGHBOR covariance).
+
+    Shape: one binned aggregate, then the 8-neighbor link set comes from
+    an offset explode + equi-join of the cell table with itself (keys are
+    well-spread cell ids; fan-out bounded at 8).  All outputs are raw
+    integer sums (milli-deviations) — the final I ratio is left
+    unreduced because Spark's `div` truncates toward zero while DuckDB's
+    `//` floors, and deviation products go negative.
+    """
+    n = 64
+    x = f"least(greatest(cast(ceil((lon + 180e0) / 360e0 * {n}) as bigint) - 1, 0), {n - 1})"
+    y = f"least(greatest(cast(ceil((lat + 90e0) / 180e0 * {n}) as bigint) - 1, 0), {n - 1})"
+    off = d.explode(d.seq("-1", "1"))
+    off2 = d.explode(d.seq("-1", "1"))
+    return f"""
+WITH e AS (
+  SELECT {x} AS x, {y} AS y
+  FROM (SELECT {geo.lon_sql('event_id')} AS lon,
+               {geo.lat_sql('event_id')} AS lat FROM events) p
+),
+cells AS (SELECT x, y, cast(count(*) as bigint) AS cnt FROM e GROUP BY x, y),
+mu AS (
+  SELECT cast(count(*) as bigint) AS n_cells,
+         cast({d.intdiv('(1000 * sum(cnt))', 'count(*)')} as bigint) AS mu_milli
+  FROM cells
+),
+dev AS (SELECT x, y, 1000 * cnt - mu_milli AS dv
+        FROM cells CROSS JOIN mu),
+links AS (
+  SELECT a.dv AS da, b.dv AS db
+  FROM (
+    SELECT x, y, dv, x + gx AS nx, y + gy AS ny, gx, gy
+    FROM (SELECT x, y, dv, gx, {off2} AS gy
+          FROM (SELECT x, y, dv, {off} AS gx FROM dev))
+    WHERE NOT (gx = 0 AND gy = 0)
+  ) a
+  JOIN dev b ON b.x = a.nx AND b.y = a.ny
+)
+SELECT (SELECT n_cells FROM mu) AS n_cells,
+       cast(count(*) as bigint) AS w_links,
+       cast(sum(da * db) as bigint) AS i_num_milli2,
+       (SELECT cast(sum(dv * dv) as bigint) FROM dev) AS i_den_milli2
+FROM links
+"""
+
+
+def q93_spatial_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    from .functions import sqlgen as G
+
+    return spark.sql(_q93_body(G.SPARK))
+
+
+q93_spatial_autocorrelation.__doc__ = _q93_body.__doc__
+
+
+def _q93_duck_sql() -> str:
+    from .functions import sqlgen as G
+
+    return _q93_body(G.DUCK)
+
+
+def _q94_sql() -> str:
+    """Coverage-gap analysis: grid cells inside a study region with ZERO
+    events — the data-completeness audit of any collection pipeline
+    (which tiles have no imagery? which areas lack sensor readings?).
+    The full region grid comes from two bounded sequence explodes (no
+    table), occupied cells from one binned aggregate, and the gaps from a
+    broadcastable anti-join (LEFT JOIN ... IS NULL keeps the one-text
+    oracle).  Dialect-shared SQL."""
+    n = 64
+    cell = geo.rowmajor_cell_sql("lon", "lat", 6)
+    # study region: lon [-30, 60), lat [0, 45) -> x 26..42, y 32..47
+    return f"""
+WITH occupied AS (
+  SELECT {cell} AS cell, cast(count(*) as bigint) AS cnt
+  FROM (SELECT {geo.lon_sql('event_id')} AS lon,
+               {geo.lat_sql('event_id')} AS lat FROM events) p
+  GROUP BY 1
+),
+region AS (
+  SELECT ys.g * {n} + xs.g AS cell
+  FROM (SELECT 1 AS one) t,
+       LATERAL (SELECT unnest(generate_series(26, 42)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(32, 47)) AS g) ys
+)
+SELECT r.cell
+FROM region r LEFT JOIN occupied o ON o.cell = r.cell
+WHERE o.cell IS NULL
+ORDER BY r.cell
+"""
+
+
+def q94_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    n = 64
+    cell = geo.rowmajor_cell_sql("lon", "lat", 6)
+    return spark.sql(f"""
+WITH occupied AS (
+  SELECT {cell} AS cell, cast(count(*) as bigint) AS cnt
+  FROM (SELECT {geo.lon_sql('event_id')} AS lon,
+               {geo.lat_sql('event_id')} AS lat FROM events) p
+  GROUP BY 1
+),
+region AS (
+  SELECT ys * {n} + xs AS cell
+  FROM (SELECT xs, explode(sequence(32, 47)) AS ys
+        FROM (SELECT explode(sequence(26, 42)) AS xs))
+)
+SELECT r.cell
+FROM region r LEFT JOIN occupied o ON o.cell = r.cell
+WHERE o.cell IS NULL
+ORDER BY r.cell
+""")
+
+
+q94_coverage_gaps.__doc__ = _q94_sql.__doc__
 
 
 def q09_binned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,6 +998,8 @@ QUERIES = {
     "q88_trajectory_stats": (q88_trajectory_stats, _q88_body("epoch_us(ts)")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
+    "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),
+    "q94_coverage_gaps": (q94_coverage_gaps, _q94_sql()),
     "q08_knn": (q08_knn, Q08_SQL),
     "q09_binned_agg": (q09_binned_agg, Q09_SQL),
     "q10_bbox_agg": (q10_bbox_agg, Q10_SQL),

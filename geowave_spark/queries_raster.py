@@ -329,6 +329,84 @@ FROM px GROUP BY rid ORDER BY rid
 """
 
 
+def q95_band_math(spark, sf_dir: str):
+    """Per-image band math (map algebra 'local' op): an NDVI-style
+    normalized difference index (g−r)/(g+r) over DECODED channels, rolled
+    up per image — the band-arithmetic stage of any remote-sensing
+    pipeline (reference analog: the per-band raster merge strategies,
+    `extensions/adapters/raster/.../RasterTileMergeStrategy` family in
+    /root/reference).
+
+    Scale shape: one narrow mapInPandas (decode + vectorized numpy index
+    per image, 4 scalars out — pixels never shuffle), then only a
+    presentation sort.  Per-pixel index values floor to integer micro
+    units, so sums are order-independent int64 and the closed-form oracle
+    (channels re-derived without touching bytes) matches bit-for-bit;
+    the mean is left as (sum, count) because negative intdiv semantics
+    differ across engines.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .raster import codec
+    from .table.images import images_df
+
+    img = images_df(spark, sf_dir).select("image_id", "bytes", "fmt")
+
+    def band_idx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, npx, sums, mins, maxs = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                px = codec.decode(row["bytes"], row["fmt"]).astype(np.int64)
+                r, g = px[:, :, 0], px[:, :, 1]
+                idx = np.floor(1_000_000.0 * (g - r) / (g + r + 1)).astype(np.int64)
+                ids.append(row["image_id"])
+                npx.append(idx.size)
+                sums.append(int(idx.sum()))
+                mins.append(int(idx.min()))
+                maxs.append(int(idx.max()))
+            yield pd.DataFrame({
+                "image_id": pd.Series(ids, dtype="object"),
+                "n_px": pd.Series(npx, dtype="int64"),
+                "sum_idx_micro": pd.Series(sums, dtype="int64"),
+                "min_idx_micro": pd.Series(mins, dtype="int64"),
+                "max_idx_micro": pd.Series(maxs, dtype="int64"),
+            })
+
+    return img.mapInPandas(
+        band_idx,
+        schema=("image_id string, n_px long, sum_idx_micro long, "
+                "min_idx_micro long, max_idx_micro long"),
+    ).orderBy("image_id")
+
+
+def _q95_sql() -> str:
+    from .table import images as img_tab
+
+    r, g, _b = img_tab.channels_sql("xs.g", "ys.g", decoded=True)
+    idx = f"cast(floor(1000000.0 * ({g} - {r}) / ({g} + {r} + 1)) as bigint)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, image_id, {idx} AS idx
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
+)
+SELECT image_id, cast(count(*) as bigint) AS n_px,
+       cast(sum(idx) as bigint) AS sum_idx_micro,
+       cast(min(idx) as bigint) AS min_idx_micro,
+       cast(max(idx) as bigint) AS max_idx_micro
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -337,4 +415,5 @@ RASTER_QUERIES = {
     "q35_raster_stats": (q35_raster_stats, Q35_SQL),
     "q49_tile_resize": (q49_tile_resize, Q49_SQL),
     "q87_zonal_stats": (q87_zonal_stats, _q87_sql()),
+    "q95_band_math": (q95_band_math, _q95_sql()),
 }

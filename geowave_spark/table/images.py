@@ -102,6 +102,14 @@ def luma_sql(x: str, y: str, doc_id: str = "doc_id",
     pixels: the q6 format (doc_id % 3 = 2) is lossy — decode reconstructs
     each channel at its 4-wide bin center, (v // 4) * 4 + 2 (raster/
     codec.py q6_decode); png and raw round-trip exactly."""
+    r, g, bl = channels_sql(x, y, doc_id, decoded)
+    return f"(({r} * 299 + {g} * 587 + {bl} * 114) // 1000)"
+
+
+def channels_sql(x: str, y: str, doc_id: str = "doc_id",
+                 decoded: bool = False) -> tuple[str, str, str]:
+    """Closed-form (r, g, b) channel expressions of pixel (x, y) — see
+    `luma_sql` for the decoded-vs-original contract."""
     base = f"(({x}) * (3 + ({doc_id} * 31) % 11) + ({y}) * (5 + ({doc_id} * 57) % 13) + {doc_id} * 97)"
     r = f"({base} % 256)"
     g = f"(({base} * 3 + ((({x}) + ({y})) % 17) * 40) % 256)"
@@ -111,7 +119,7 @@ def luma_sql(x: str, y: str, doc_id: str = "doc_id",
             f"(CASE WHEN {doc_id} % 3 = 2 THEN ({c} // 4) * 4 + 2 ELSE {c} END)"
             for c in (r, g, bl)
         )
-    return f"(({r} * 299 + {g} * 587 + {bl} * 114) // 1000)"
+    return r, g, bl
 
 
 # --- pixel synthesis (numpy mirror of nothing — pixels are engine-only) ----

@@ -302,3 +302,49 @@ def test_sql_pip_join_rewrite(spark, sf_dir):
     plan2 = fast2._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan2
     assert "CartesianProduct" not in plan2
+
+
+def test_q87_zonal_stats_pixels_never_shuffle(spark, sf_dir):
+    """Pixels stay inside the narrow MapInPandas: the only Exchanges in
+    the plan sit ABOVE the pandas stage (the 3-scalar rollup), and the
+    candidate join is a broadcast, not a shuffle join."""
+    from geowave_spark.queries_raster import RASTER_QUERIES
+
+    plan = (RASTER_QUERIES["q87_zonal_stats"][0](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the MapInPandas stage consumes the join directly — no Exchange between
+    body = plan[plan.index("MapInPandas"):]
+    assert "Broadcast" in body  # join below the pandas stage
+    head = plan[: plan.index("MapInPandas")]
+    assert "Exchange hashpartitioning" in head  # the rollup above it
+
+
+def test_q88_trajectory_single_hash_exchange(spark, sf_dir):
+    """Window and aggregate share ONE user_id hash partitioning; the only
+    other Exchange is the final presentation sort."""
+    plan = _plan(spark, sf_dir, "q88_trajectory_stats")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q89_idw_zero_joins(spark, sf_dir):
+    """IDW is splat-shaped: no join operator of any kind, one hash
+    aggregate exchange, pure codegen."""
+    plan = _plan(spark, sf_dir, "q89_idw_interpolation")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin",
+               "ArrowEvalPython", "BatchEvalPython"):
+        assert op not in plan, op
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q90_change_detection_single_pass(spark, sf_dir):
+    """Before/after deltas come from ONE conditional aggregation: no join
+    of two period scans, a single parquet scan in the plan."""
+    plan = _plan(spark, sf_dir, "q90_change_detection")
+    assert plan.count("Scan parquet") == 1
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, op

@@ -366,3 +366,65 @@ def test_q90_change_detection_matches_pandas(spark, sf_dir):
     # driver's sf0.01 gate checks the non-trivial case (390 rows there)
     if len(ev) >= 5000:
         assert len(got) > 0
+
+
+def test_q93_moran_components_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    r = QUERIES["q93_spatial_autocorrelation"][0](spark, sf_dir).first()
+
+    ev = spark.sql(
+        f"SELECT {geo.lon_sql('event_id')} AS lon, "
+        f"{geo.lat_sql('event_id')} AS lat "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    n = 64
+    x = np.clip(np.ceil((ev['lon'].to_numpy() + 180.0) / 360.0 * n)
+                .astype(np.int64) - 1, 0, n - 1)
+    y = np.clip(np.ceil((ev['lat'].to_numpy() + 90.0) / 180.0 * n)
+                .astype(np.int64) - 1, 0, n - 1)
+    cnt: dict[tuple, int] = {}
+    for xi, yi in zip(x.tolist(), y.tolist()):
+        cnt[(xi, yi)] = cnt.get((xi, yi), 0) + 1
+    n_cells = len(cnt)
+    mu_milli = (1000 * sum(cnt.values())) // n_cells
+    dev = {k: 1000 * v - mu_milli for k, v in cnt.items()}
+    num = links = 0
+    for (xi, yi), da in dev.items():
+        for gx in (-1, 0, 1):
+            for gy in (-1, 0, 1):
+                if gx == gy == 0:
+                    continue
+                db = dev.get((xi + gx, yi + gy))
+                if db is not None:
+                    links += 1
+                    num += da * db
+    den = sum(v * v for v in dev.values())
+    assert (r["n_cells"], r["w_links"], r["i_num_milli2"],
+            r["i_den_milli2"]) == (n_cells, links, num, den)
+    assert links > 0
+
+
+def test_q94_gaps_are_truly_empty(spark, sf_dir):
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    gaps = {int(r.cell) for r in
+            QUERIES["q94_coverage_gaps"][0](spark, sf_dir).toPandas()
+            .itertuples()}
+    ev = spark.sql(
+        f"SELECT {geo.lon_sql('event_id')} AS lon, "
+        f"{geo.lat_sql('event_id')} AS lat "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    n = 64
+    x = np.clip(np.ceil((ev['lon'].to_numpy() + 180.0) / 360.0 * n)
+                .astype(np.int64) - 1, 0, n - 1)
+    y = np.clip(np.ceil((ev['lat'].to_numpy() + 90.0) / 180.0 * n)
+                .astype(np.int64) - 1, 0, n - 1)
+    occupied = set((y * n + x).tolist())
+    region = {yy * n + xx for xx in range(26, 43) for yy in range(32, 48)}
+    assert gaps == region - occupied
