@@ -914,6 +914,39 @@ ORDER BY r.cell
 q94_coverage_gaps.__doc__ = _q94_sql.__doc__
 
 
+def _q97_body(json_k: str) -> str:
+    """Semi-structured (JSON) property extraction + rollup: parse the
+    events `props` JSON column, bucket the extracted numeric field, and
+    aggregate per (event_type, bucket) — the schema-on-read path every
+    telemetry/feature table needs (the reference stores free-form
+    SimpleFeature attributes; Spark-first this is `get_json_object`
+    inside whole-stage codegen, no UDF, with the parse + filter pushed
+    into the same scan stage).  Only the JSON accessor differs by
+    dialect (`get_json_object` vs `json_extract_string`)."""
+    return f"""
+WITH e AS (
+  SELECT event_type, cast({json_k} as bigint) AS k,
+         cast(round(value * 100) as bigint) AS cents
+  FROM events
+)
+SELECT event_type, cast({{bkt}} as bigint) AS k_bucket,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cents) as bigint) AS sum_cents,
+       cast(min(k) as bigint) AS min_k, cast(max(k) as bigint) AS max_k
+FROM e WHERE k IS NOT NULL AND k >= 10
+GROUP BY event_type, {{bkt}}
+ORDER BY event_type, k_bucket
+""".replace("{bkt}", "(k - k % 20)")
+
+
+def q97_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_q97_body("get_json_object(props, '$.k')"))
+
+
+q97_json_props_rollup.__doc__ = _q97_body.__doc__
+
+
 def q09_binned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned aggregation: group events by grid cell (reference:
     `BinningAggregation.java` + `SpatialSimpleFeatureBinningStrategy.java`).
@@ -1000,6 +1033,10 @@ QUERIES = {
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),
     "q94_coverage_gaps": (q94_coverage_gaps, _q94_sql()),
+    "q97_json_props_rollup": (
+        q97_json_props_rollup,
+        _q97_body("json_extract_string(props, '$.k')"),
+    ),
     "q08_knn": (q08_knn, Q08_SQL),
     "q09_binned_agg": (q09_binned_agg, Q09_SQL),
     "q10_bbox_agg": (q10_bbox_agg, Q10_SQL),

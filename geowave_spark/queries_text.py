@@ -922,6 +922,52 @@ FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
 """
 
 
+# --- decontamination (q96) --------------------------------------------------
+
+
+def _q96_body(sh_rows: str) -> str:
+    """Shared q96 SQL over a (doc_id, shingle) relation."""
+    return f"""
+WITH sh_rows AS ({sh_rows}),
+eval_sh AS (SELECT doc_id AS eval_id, shingle FROM sh_rows
+            WHERE doc_id % 50 = 7),
+train_sh AS (SELECT doc_id AS train_id, shingle FROM sh_rows
+             WHERE doc_id % 50 <> 7),
+hits AS (
+  SELECT t.train_id, e.eval_id, cast(count(*) as bigint) AS n_shared
+  FROM train_sh t JOIN eval_sh e ON e.shingle = t.shingle
+  GROUP BY t.train_id, e.eval_id
+)
+SELECT train_id, eval_id, n_shared
+FROM hits WHERE n_shared >= 5
+ORDER BY train_id, eval_id
+"""
+
+
+def _q96_duck() -> str:
+    d = G.DUCK
+    sh = G.shingles3_from(d, "v")
+    sh_rows = (
+        f"SELECT DISTINCT doc_id, {d.explode(sh)} AS shingle "
+        f"FROM (SELECT doc_id, {G.wordvals(d)} AS v FROM documents) wv "
+        f"WHERE {d.size('v')} >= 3"
+    )
+    return _q96_body(sh_rows)
+
+
+def _q96_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing >= 5
+    distinct trigrams with any eval-set document — the overlap scrub every
+    serious pre-training pipeline runs before training (eval contamination
+    inflates benchmarks).  Same candidate-contract as the reference's
+    indexed-vs-brute joins: the EXACT n-gram join is the verifier; at
+    10^12 docs the eval side is tiny and broadcasts, so the hot path is a
+    map-side hash join on the shingle key — the train side never shuffles.
+    Shingles come from the codegen build (posexplode + lead windows)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q96_body(shingle_rows_sql_spark()))
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -941,4 +987,5 @@ TEXT_QUERIES = {
     "q82_ann_pq_adc": _dual(_q82),
     "q83_semantic_dedup": _dual(_q83),
     "q84_lm_familiarity": (_q84_spark, _q84_duck()),
+    "q96_decontamination": (_q96_spark, _q96_duck()),
 }

@@ -428,3 +428,64 @@ def test_q94_gaps_are_truly_empty(spark, sf_dir):
     occupied = set((y * n + x).tolist())
     region = {yy * n + xx for xx in range(26, 43) for yy in range(32, 48)}
     assert gaps == region - occupied
+
+
+def test_q96_decontamination_matches_python_shingles(spark, sf_dir):
+    """Exact recomputation of the eval-overlap scrub with pure-python
+    trigram sets (same word-hash as the engine's shingle build)."""
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    got = {(r["train_id"], r["eval_id"]): r["n_shared"]
+           for r in TEXT_QUERIES["q96_decontamination"][0](spark, sf_dir)
+           .collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").toPandas()
+
+    def wv(w):
+        return 961 * len(w) + 31 * ord(w[0]) + ord(w[-1])
+
+    def tri(text):
+        v = [wv(w) for w in text.split()]
+        return {(v[i] * 1009 + v[i + 1]) * 1009 + v[i + 2]
+                for i in range(len(v) - 2)}
+
+    sh = {int(r.doc_id): tri(r.text) for r in docs.itertuples()
+          if len(r.text.split()) >= 3}
+    ev = {d: s for d, s in sh.items() if d % 50 == 7}
+    want = {}
+    for t, ts in sh.items():
+        if t % 50 == 7:
+            continue
+        for e, es in ev.items():
+            n = len(ts & es)
+            if n >= 5:
+                want[(t, e)] = n
+    assert got == want
+
+
+def test_q97_json_rollup_matches_pandas(spark, sf_dir):
+    import json as _json
+
+    from geowave_spark.queries import QUERIES
+
+    got = {(r["event_type"], r["k_bucket"]): (r["n"], r["sum_cents"],
+                                              r["min_k"], r["max_k"])
+           for r in QUERIES["q97_json_props_rollup"][0](spark, sf_dir)
+           .collect()}
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value", "props").toPandas()
+    acc = {}
+    for r in ev.itertuples():
+        k = _json.loads(r.props).get("k")
+        if k is None or int(k) < 10:
+            continue
+        k = int(k)
+        key = (r.event_type, k - k % 20)
+        e = acc.setdefault(key, [0, 0, k, k])
+        e[0] += 1
+        e[1] += round(r.value * 100)
+        e[2] = min(e[2], k)
+        e[3] = max(e[3], k)
+    assert got == {k: tuple(v) for k, v in acc.items()} and len(got) > 0
