@@ -407,6 +407,176 @@ FROM px GROUP BY image_id ORDER BY image_id
 """
 
 
+def _focal_tiles(spark: SparkSession, sf_dir: str):
+    """Shared q98/q103 input: the doc_id % 5 image subset split into a
+    16x16 luma tile relation (subset only bounds the 9-way oracle join —
+    the operators are subset-independent)."""
+    from .raster import focal
+    from .table.images import IMG_SCHEMA, gen_images_pdf
+
+    _register_documents(spark, sf_dir)
+    docs = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 3"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield gen_images_pdf(pdf)
+
+    img = docs.mapInPandas(gen, schema=IMG_SCHEMA).select(
+        "image_id", "bytes", "fmt")
+    return focal.tile_rows(img, tile=16)
+
+
+def q98_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal map algebra: 3x3 edge-aware focal mean of the decoded luma,
+    computed over a distributed tile relation via halo exchange — each
+    16x16 tile ships only its 1-px edge strips to its neighbors, one
+    shuffle on the tile key gathers tile+halo, a vectorized kernel pads
+    and convolves (see `raster/focal.py`).  No node ever assembles a whole
+    raster: at 100 TB the tiles ARE the table.  The doc_id % 5 subset
+    bounds the 9-way oracle join; the operator itself is
+    subset-independent.  (Reference ships per-tile merge/resize only —
+    `RasterTileResizeSparkRunner.java` — no focal op; this is the
+    slope/hillshade/smoothing gap.)"""
+    from .raster import focal
+
+    return focal.focal_mean_stats(_focal_tiles(spark, sf_dir)) \
+        .orderBy("image_id", "ty", "tx")
+
+
+def q103_focal_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal Sobel gradient magnitude |gx|+|gy| (slope / edge strength)
+    over the same halo-exchange tile harness as q98 — integer-exact
+    weighted kernel, border pixels (incomplete 3x3 neighborhood)
+    excluded rather than zero-padded."""
+    from .raster import focal
+
+    return focal.focal_sobel_stats(_focal_tiles(spark, sf_dir)) \
+        .orderBy("image_id", "ty", "tx")
+
+
+def q104_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour segment counts per tile (the local step of
+    raster -> vector isoline extraction) on the halo-exchange harness —
+    2x2 blocks straddling tile edges read the exchanged halo.  Threshold
+    128 on decoded luma."""
+    from .raster import focal
+
+    return focal.focal_contour_stats(_focal_tiles(spark, sf_dir)) \
+        .orderBy("image_id", "ty", "tx")
+
+
+def _q104_sql() -> str:
+    from .table import images as img_tab
+
+    def bit(x: str, y: str) -> str:
+        return f"(CASE WHEN {img_tab.luma_sql(x, y, decoded=True)} >= 128 THEN 1 ELSE 0 END)"
+
+    cfg = (f"({bit('xs.g', 'ys.g')} + 2 * {bit('(xs.g + 1)', 'ys.g')}"
+           f" + 4 * {bit('xs.g', '(ys.g + 1)')}"
+           f" + 8 * {bit('(xs.g + 1)', '(ys.g + 1)')})")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
+  FROM documents WHERE doc_id % 5 = 3
+),
+blk AS (
+  SELECT image_id, xs.g AS x, ys.g AS y,
+         CASE WHEN {cfg} IN (0, 15) THEN 0
+              WHEN {cfg} IN (6, 9) THEN 2 ELSE 1 END AS segs
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, w - 2)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 2)) AS g) ys
+)
+SELECT image_id, cast(y // 16 as int) AS ty, cast(x // 16 as int) AS tx,
+       cast(count(*) as bigint) AS n_px, cast(sum(segs) as bigint) AS sum_f,
+       cast(min(segs) as bigint) AS min_f, cast(max(segs) as bigint) AS max_f
+FROM blk GROUP BY 1, 2, 3 ORDER BY image_id, ty, tx
+"""
+
+
+def _q103_sql() -> str:
+    from .table import images as img_tab
+
+    luma = img_tab.luma_sql("xs.g", "ys.g", decoded=True)
+    weights = ", ".join(
+        f"({dx}, {dy}, {wx}, {wy})"
+        for dx, dy, wx, wy in [
+            (-1, -1, -1, -1), (-1, 0, -2, 0), (-1, 1, -1, 1),
+            (0, -1, 0, -2), (0, 1, 0, 2),
+            (1, -1, 1, -1), (1, 0, 2, 0), (1, 1, 1, 1),
+        ])
+    return f"""
+WITH base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
+  FROM documents WHERE doc_id % 5 = 3
+),
+px AS (
+  SELECT doc_id, image_id, w, h, xs.g AS x, ys.g AS y, {luma} AS v
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
+),
+o(dx, dy, wx, wy) AS (VALUES {weights}),
+f AS (
+  SELECT p.image_id, p.x, p.y,
+         abs(cast(sum(q.v * o.wx) as bigint))
+         + abs(cast(sum(q.v * o.wy) as bigint)) AS mag
+  FROM px p
+  CROSS JOIN o
+  JOIN px q ON q.doc_id = p.doc_id
+           AND q.x = p.x + o.dx AND q.y = p.y + o.dy
+  WHERE p.x >= 1 AND p.x <= p.w - 2 AND p.y >= 1 AND p.y <= p.h - 2
+  GROUP BY 1, 2, 3
+)
+SELECT image_id, cast(y // 16 as int) AS ty, cast(x // 16 as int) AS tx,
+       cast(count(*) as bigint) AS n_px, cast(sum(mag) as bigint) AS sum_f,
+       cast(min(mag) as bigint) AS min_f, cast(max(mag) as bigint) AS max_f
+FROM f GROUP BY 1, 2, 3 ORDER BY image_id, ty, tx
+"""
+
+
+def _q98_sql() -> str:
+    from .table import images as img_tab
+
+    luma = img_tab.luma_sql("xs.g", "ys.g", decoded=True)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
+  FROM documents WHERE doc_id % 5 = 3
+),
+px AS (
+  SELECT doc_id, image_id, xs.g AS x, ys.g AS y, {luma} AS v
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
+),
+o AS (
+  SELECT dxs.g AS dx, dys.g AS dy
+  FROM (SELECT unnest(generate_series(-1, 1)) AS g) dxs,
+       (SELECT unnest(generate_series(-1, 1)) AS g) dys
+),
+f AS (
+  SELECT p.image_id, p.x, p.y,
+         cast(sum(q.v) as bigint) // cast(count(*) as bigint) AS fv
+  FROM px p
+  CROSS JOIN o
+  JOIN px q ON q.doc_id = p.doc_id
+           AND q.x = p.x + o.dx AND q.y = p.y + o.dy
+  GROUP BY 1, 2, 3
+)
+SELECT image_id, cast(y // 16 as int) AS ty, cast(x // 16 as int) AS tx,
+       cast(count(*) as bigint) AS n_px, cast(sum(fv) as bigint) AS sum_f,
+       cast(min(fv) as bigint) AS min_f, cast(max(fv) as bigint) AS max_f
+FROM f GROUP BY 1, 2, 3 ORDER BY image_id, ty, tx
+"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -416,4 +586,7 @@ RASTER_QUERIES = {
     "q49_tile_resize": (q49_tile_resize, Q49_SQL),
     "q87_zonal_stats": (q87_zonal_stats, _q87_sql()),
     "q95_band_math": (q95_band_math, _q95_sql()),
+    "q98_focal_mean": (q98_focal_mean, _q98_sql()),
+    "q103_focal_sobel": (q103_focal_sobel, _q103_sql()),
+    "q104_contour_segments": (q104_contour_segments, _q104_sql()),
 }

@@ -317,3 +317,70 @@ def test_raw_intermediate_merge_parity(spark, sf_dir):
     for a, b in zip(via_png, via_raw):
         assert (a["res"], a["tile_id"], a["n_src"]) == (b["res"], b["tile_id"], b["n_src"])
         assert bytes(a["px"]) == bytes(b["px"])
+
+
+# --------------------------------------------------------------------- focal
+
+def test_q98_focal_mean_matches_whole_image_numpy(spark, sf_dir, img_pdf):
+    """Independent recompute: decode each WHOLE image (no tiling, no halo)
+    and take the 3x3 edge-aware focal mean with shifted sums; the tiled
+    halo-exchange result must agree tile for tile."""
+    from geowave_spark.queries_raster import RASTER_QUERIES
+
+    got = {(r["image_id"], r["ty"], r["tx"]):
+           (r["n_px"], r["sum_f"], r["min_f"], r["max_f"])
+           for r in RASTER_QUERIES["q98_focal_mean"][0](spark, sf_dir)
+           .collect()}
+
+    want = {}
+    for _, row in img_pdf.iterrows():
+        if int(row["image_id"][3:]) % 5 != 3:
+            continue
+        g = images.gray(codec.decode(row["bytes"], row["fmt"]))
+        h, w = g.shape
+        pad = np.zeros((h + 2, w + 2), dtype=np.int64)
+        msk = np.zeros((h + 2, w + 2), dtype=np.int64)
+        pad[1:h + 1, 1:w + 1] = g
+        msk[1:h + 1, 1:w + 1] = 1
+        s = np.zeros((h, w), dtype=np.int64)
+        n = np.zeros((h, w), dtype=np.int64)
+        for dy in range(3):
+            for dx in range(3):
+                s += pad[dy:dy + h, dx:dx + w]
+                n += msk[dy:dy + h, dx:dx + w]
+        f = s // n
+        for ty in range((h + 15) // 16):
+            for tx in range((w + 15) // 16):
+                blk = f[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+                want[(row["image_id"], ty, tx)] = (
+                    blk.size, int(blk.sum()), int(blk.min()), int(blk.max()))
+    assert got == want and len(got) > 0
+
+
+def test_q104_contour_matches_whole_image_numpy(spark, sf_dir, img_pdf):
+    """Whole-image marching-squares recompute (no tiling/halo)."""
+    from geowave_spark.queries_raster import RASTER_QUERIES
+
+    got = {(r["image_id"], r["ty"], r["tx"]):
+           (r["n_px"], r["sum_f"], r["min_f"], r["max_f"])
+           for r in RASTER_QUERIES["q104_contour_segments"][0](spark, sf_dir)
+           .collect()}
+
+    want = {}
+    for _, row in img_pdf.iterrows():
+        if int(row["image_id"][3:]) % 5 != 3:
+            continue
+        g = images.gray(codec.decode(row["bytes"], row["fmt"]))
+        b = (g >= 128).astype(np.int64)
+        cfg = (b[:-1, :-1] + 2 * b[:-1, 1:] + 4 * b[1:, :-1] + 8 * b[1:, 1:])
+        segs = np.where((cfg == 0) | (cfg == 15), 0,
+                        np.where((cfg == 6) | (cfg == 9), 2, 1))
+        h, w = segs.shape
+        for ty in range((h + 15) // 16):
+            for tx in range((w + 15) // 16):
+                blk = segs[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+                if blk.size:
+                    want[(row["image_id"], ty, tx)] = (
+                        blk.size, int(blk.sum()), int(blk.min()),
+                        int(blk.max()))
+    assert got == want and len(got) > 0
