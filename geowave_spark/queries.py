@@ -857,6 +857,136 @@ def _q93_duck_sql() -> str:
     return _q93_body(G.DUCK)
 
 
+def _q100_body(d) -> str:
+    """Getis-Ord Gi* hot-spot components over res-6 cell counts — the
+    companion statistic to q93's Moran's I (global autocorrelation tells
+    you THAT clustering exists; Gi* tells you WHERE).  Per occupied cell:
+    the 3x3 local sum (self + up to 8 occupied neighbors), the local
+    weight count, and the raw Gi* numerator 1000*local_sum -
+    mu_milli*n_nb, unreduced for the same Spark-div-vs-DuckDB-floor
+    reason as q93.  Empty cells contribute 0 and are not counted in n_nb
+    (occupied-cell neighborhood semantics, documented).
+
+    Shape: one binned aggregate, an 8+1-offset explode + self equi-join
+    (fan-out bounded at 9), one keyed re-aggregate — two shuffles total,
+    both on well-spread cell keys.  Top 25 by numerator with (x, y)
+    tiebreak keeps the LIMIT deterministic in both engines."""
+    n = 64
+    x = f"least(greatest(cast(ceil((lon + 180e0) / 360e0 * {n}) as bigint) - 1, 0), {n - 1})"
+    y = f"least(greatest(cast(ceil((lat + 90e0) / 180e0 * {n}) as bigint) - 1, 0), {n - 1})"
+    off = d.explode(d.seq("-1", "1"))
+    off2 = d.explode(d.seq("-1", "1"))
+    return f"""
+WITH e AS (
+  SELECT {x} AS x, {y} AS y
+  FROM (SELECT {geo.lon_sql('event_id')} AS lon,
+               {geo.lat_sql('event_id')} AS lat FROM events) p
+),
+cells AS (SELECT x, y, cast(count(*) as bigint) AS cnt FROM e GROUP BY x, y),
+mu AS (
+  SELECT cast({d.intdiv('(1000 * sum(cnt))', 'count(*)')} as bigint) AS mu_milli
+  FROM cells
+),
+nb AS (
+  SELECT a.x, a.y, b.cnt
+  FROM (
+    SELECT x, y, x + gx AS nx, y + gy AS ny
+    FROM (SELECT x, y, gx, {off2} AS gy
+          FROM (SELECT x, y, {off} AS gx FROM cells))
+  ) a
+  JOIN cells b ON b.x = a.nx AND b.y = a.ny
+),
+loc AS (
+  SELECT x, y, cast(count(*) as bigint) AS n_nb,
+         cast(sum(cnt) as bigint) AS local_sum
+  FROM nb GROUP BY x, y
+)
+SELECT cast(x as bigint) AS x, cast(y as bigint) AS y, n_nb, local_sum,
+       cast(1000 * local_sum - (SELECT mu_milli FROM mu) * n_nb as bigint)
+         AS gi_num_milli
+FROM loc
+ORDER BY gi_num_milli DESC, x, y
+LIMIT 25
+"""
+
+
+def q100_hotspots_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    from .functions import sqlgen as G
+
+    return spark.sql(_q100_body(G.SPARK))
+
+
+q100_hotspots_gi.__doc__ = _q100_body.__doc__
+
+
+def _q100_duck_sql() -> str:
+    from .functions import sqlgen as G
+
+    return _q100_body(G.DUCK)
+
+
+def _q102_body() -> str:
+    """Emerging hot-spot analysis (space-time cube): per grid cell, the
+    Mann-Kendall trend statistic S = sum over period pairs t1<t2 of
+    sign(cnt_t2 - cnt_t1) — ESRI's EmergingHotSpotAnalysis on top of the
+    binning the reference exposes
+    (`SpatialSimpleFeatureBinningStrategy.java` +
+    `TemporalBinningStrategy.java` in /root/reference, composed).
+
+    Shape: ONE (cell, month) aggregate collapses the event stream (the
+    100 TB reduction step), then a per-cell self-join whose fan-out is
+    bounded by C(months, 2) — months is a constant (12 here), so the
+    pair stage is O(cells), not O(events).  Sign via CASE (portable
+    integers; Spark's sign() returns DOUBLE).  Observed-period semantics:
+    periods with zero events in a cell are absent, not zero (documented).
+    The driver testdata spans one month, so periods are DAYS on a 16x16
+    grid (a real deployment would pass months on res 6 — the statistic is
+    bin-agnostic).  Deterministic top-25 by (S desc, x, y)."""
+    n = 16
+    x = f"least(greatest(cast(ceil((lon + 180e0) / 360e0 * {n}) as bigint) - 1, 0), {n - 1})"
+    y = f"least(greatest(cast(ceil((lat + 90e0) / 180e0 * {n}) as bigint) - 1, 0), {n - 1})"
+    return f"""
+WITH e AS (
+  SELECT {x} AS x, {y} AS y,
+         cast(year(ts) * 10000 + month(ts) * 100 + day(ts) as bigint) AS m
+  FROM (SELECT ts, {geo.lon_sql('event_id')} AS lon,
+               {geo.lat_sql('event_id')} AS lat FROM events) p
+),
+cm AS (
+  SELECT x, y, m, cast(count(*) as bigint) AS cnt
+  FROM e GROUP BY x, y, m
+),
+pairs AS (
+  SELECT a.x, a.y,
+         CASE WHEN b.cnt > a.cnt THEN 1
+              WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sgn
+  FROM cm a JOIN cm b ON b.x = a.x AND b.y = a.y AND b.m > a.m
+),
+per AS (
+  SELECT x, y, cast(count(DISTINCT m) as bigint) AS n_periods
+  FROM cm GROUP BY x, y
+),
+s AS (
+  SELECT x, y, cast(sum(sgn) as bigint) AS s_stat
+  FROM pairs GROUP BY x, y
+)
+SELECT cast(s.x as bigint) AS x, cast(s.y as bigint) AS y,
+       per.n_periods, s.s_stat
+FROM s JOIN per ON per.x = s.x AND per.y = s.y
+ORDER BY s_stat DESC, x, y
+LIMIT 25
+"""
+
+
+def q102_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_q102_body())
+
+
+q102_emerging_hotspots.__doc__ = _q102_body.__doc__
+
+
 def _q94_sql() -> str:
     """Coverage-gap analysis: grid cells inside a study region with ZERO
     events — the data-completeness audit of any collection pipeline
@@ -912,6 +1042,56 @@ ORDER BY r.cell
 
 
 q94_coverage_gaps.__doc__ = _q94_sql.__doc__
+
+
+def _q101_zones_sql() -> str:
+    """Overlay zone rectangles (aid, alon0..alat1) — supplier-keyed lattice
+    with LCG multipliers distinct from the image footprints' 7919 (the
+    aligned-lattice degeneracy of `_q87_zones_sql`'s docstring), unfiltered
+    so the overlay has real density."""
+    cx = geo.lon_sql("s_suppkey * 6007 + 29")
+    cy = geo.lat_sql("s_suppkey * 3001 + 11")
+    w = "(2e0 + (s_suppkey % 700) / 1e2)"
+    h = "(1e0 + (s_suppkey % 500) / 1e2)"
+    return (
+        f"SELECT s_suppkey AS aid, "
+        f"greatest({cx} - {w}, -180e0) AS lon0, "
+        f"greatest({cy} - {h}, -90e0) AS lat0, "
+        f"least({cx} + {w}, 180e0) AS lon1, "
+        f"least({cy} + {h}, 90e0) AS lat1 "
+        f"FROM supplier"
+    )
+
+
+def q101_rect_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector overlay join: intersection AREA of every (zone, image
+    footprint) pair — see `join.spatial.rect_overlay_join` for the
+    shuffle-free SW-corner dedup and the distributed cover."""
+    from .table import images as images_mod
+
+    register_views(spark, sf_dir)
+    zones = spark.sql(_q101_zones_sql())
+    fps = spark.sql(
+        f"SELECT doc_id AS bid, lon0, lat0, lon1, lat1 "
+        f"FROM ({images_mod.images_base_sql()})")
+    return spatial.rect_overlay_join(
+        spark, fps, zones, res=7, aid_col="bid", bid_col="aid",
+    ).select("aid", "bid", "area_micro").orderBy("aid", "bid")
+
+
+def _q101_sql() -> str:
+    from .table import images as images_mod
+
+    area = ("cast(floor(1000000.0 * (least(a.lon1, b.lon1) - greatest(a.lon0, b.lon0))"
+            " * (least(a.lat1, b.lat1) - greatest(a.lat0, b.lat0))) as bigint)")
+    return f"""
+WITH a AS ({_q101_zones_sql()}), b AS ({images_mod.images_base_sql()})
+SELECT a.aid, b.doc_id AS bid, {area} AS area_micro
+FROM a JOIN b
+  ON a.lon0 < b.lon1 AND b.lon0 < a.lon1
+ AND a.lat0 < b.lat1 AND b.lat0 < a.lat1
+ORDER BY aid, bid
+"""
 
 
 def _q97_body(json_k: str) -> str:
@@ -1033,6 +1213,9 @@ QUERIES = {
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),
     "q94_coverage_gaps": (q94_coverage_gaps, _q94_sql()),
+    "q100_hotspots_gi": (q100_hotspots_gi, _q100_duck_sql()),
+    "q102_emerging_hotspots": (q102_emerging_hotspots, _q102_body()),
+    "q101_rect_overlay": (q101_rect_overlay, _q101_sql()),
     "q97_json_props_rollup": (
         q97_json_props_rollup,
         _q97_body("json_extract_string(props, '$.k')"),

@@ -489,3 +489,186 @@ def test_q97_json_rollup_matches_pandas(spark, sf_dir):
         e[2] = min(e[2], k)
         e[3] = max(e[3], k)
     assert got == {k: tuple(v) for k, v in acc.items()} and len(got) > 0
+
+
+def test_q99_bm25_matches_python(spark, sf_dir):
+    """Pure-python BM25 recompute (same rational-idf formula, floats via
+    the identical two-division shape)."""
+    import math
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    got = [(r["doc_id"], r["score_micro"])
+           for r in TEXT_QUERIES["q99_bm25_scoring"][0](spark, sf_dir)
+           .collect()]
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").toPandas()
+    words = {int(r.doc_id): r.text.split() for r in docs.itertuples()}
+    qterms = sorted(set(words[7]))[:8]
+    n_docs = len(words)
+    total_len = sum(len(w) for w in words.values())
+    df = {q: sum(1 for ws in words.values() if q in ws) for q in qterms}
+    scores = {}
+    for d, ws in words.items():
+        s = 0
+        dl = len(ws)
+        for q in qterms:
+            tf = ws.count(q)
+            if tf == 0:
+                continue
+            idf = (2 * n_docs - 2 * df[q] + 1) / (2 * df[q] + 1)
+            rest = (22 * tf * total_len) / (
+                10 * tf * total_len + 3 * total_len + 9 * dl * n_docs)
+            s += math.floor(1000000.0 * idf * rest)
+        if s:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want and len(got) == 20
+
+
+def test_q100_gi_hotspots_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    got = [(r["x"], r["y"], r["n_nb"], r["local_sum"], r["gi_num_milli"])
+           for r in QUERIES["q100_hotspots_gi"][0](spark, sf_dir).collect()]
+
+    ev = spark.sql(
+        f"SELECT {geo.lon_sql('event_id')} AS lon, "
+        f"{geo.lat_sql('event_id')} AS lat "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    n = 64
+    x = np.clip(np.ceil((ev['lon'].to_numpy() + 180.0) / 360.0 * n)
+                .astype(np.int64) - 1, 0, n - 1)
+    y = np.clip(np.ceil((ev['lat'].to_numpy() + 90.0) / 180.0 * n)
+                .astype(np.int64) - 1, 0, n - 1)
+    cnt: dict[tuple, int] = {}
+    for xi, yi in zip(x.tolist(), y.tolist()):
+        cnt[(xi, yi)] = cnt.get((xi, yi), 0) + 1
+    mu_milli = (1000 * sum(cnt.values())) // len(cnt)
+    rows = []
+    for (xi, yi) in cnt:
+        n_nb = local = 0
+        for gx in (-1, 0, 1):
+            for gy in (-1, 0, 1):
+                c = cnt.get((xi + gx, yi + gy))
+                if c is not None:
+                    n_nb += 1
+                    local += c
+        rows.append((xi, yi, n_nb, local, 1000 * local - mu_milli * n_nb))
+    rows.sort(key=lambda r: (-r[4], r[0], r[1]))
+    assert got == rows[:25]
+
+
+def test_q101_overlay_matches_bruteforce(spark, sf_dir):
+    """Brute-force all-pairs rect intersection (pandas) vs the cover-join
+    engine path with SW-corner dedup."""
+    import math
+
+    from geowave_spark.queries import QUERIES, _q101_zones_sql
+    from geowave_spark.table import images as images_mod
+
+    got = {(r["aid"], r["bid"]): r["area_micro"]
+           for r in QUERIES["q101_rect_overlay"][0](spark, sf_dir).collect()}
+
+    zones = spark.sql(_q101_zones_sql()).toPandas()
+    fps = spark.sql(
+        f"SELECT doc_id AS bid, lon0, lat0, lon1, lat1 "
+        f"FROM ({images_mod.images_base_sql()})").toPandas()
+    want = {}
+    for a in zones.itertuples():
+        for b in fps.itertuples():
+            if (a.lon0 < b.lon1 and b.lon0 < a.lon1
+                    and a.lat0 < b.lat1 and b.lat0 < a.lat1):
+                area = ((min(a.lon1, b.lon1) - max(a.lon0, b.lon0))
+                        * (min(a.lat1, b.lat1) - max(a.lat0, b.lat0)))
+                want[(int(a.aid), int(b.bid))] = math.floor(1000000.0 * area)
+    assert got == want and len(got) > 0
+
+
+def test_q102_mann_kendall_matches_python(spark, sf_dir):
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    got = [(r["x"], r["y"], r["n_periods"], r["s_stat"])
+           for r in QUERIES["q102_emerging_hotspots"][0](spark, sf_dir)
+           .collect()]
+
+    ev = spark.sql(
+        f"SELECT ts, {geo.lon_sql('event_id')} AS lon, "
+        f"{geo.lat_sql('event_id')} AS lat "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    n = 16
+    x = np.clip(np.ceil((ev['lon'].to_numpy() + 180.0) / 360.0 * n)
+                .astype(np.int64) - 1, 0, n - 1)
+    y = np.clip(np.ceil((ev['lat'].to_numpy() + 90.0) / 180.0 * n)
+                .astype(np.int64) - 1, 0, n - 1)
+    m = (ev['ts'].dt.year * 10000 + ev['ts'].dt.month * 100
+         + ev['ts'].dt.day).to_numpy()
+    cnt: dict[tuple, int] = {}
+    for xi, yi, mi in zip(x.tolist(), y.tolist(), m.tolist()):
+        cnt[(xi, yi, mi)] = cnt.get((xi, yi, mi), 0) + 1
+    bycell: dict[tuple, list] = {}
+    for (xi, yi, mi), c in cnt.items():
+        bycell.setdefault((xi, yi), []).append((mi, c))
+    rows = []
+    for (xi, yi), periods in bycell.items():
+        periods.sort()
+        s = 0
+        for i in range(len(periods)):
+            for j in range(i + 1, len(periods)):
+                d = periods[j][1] - periods[i][1]
+                s += (d > 0) - (d < 0)
+        rows.append((xi, yi, len(periods), s))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == rows[:25]
+
+
+def test_q103_sobel_matches_whole_image_numpy(spark, sf_dir):
+    """Whole-image Sobel (no tiling/halo) recompute; interior pixels only."""
+    import numpy as np
+
+    from geowave_spark.queries_raster import RASTER_QUERIES
+    from geowave_spark.raster import codec
+    from geowave_spark.table import images
+
+    got = {(r["image_id"], r["ty"], r["tx"]):
+           (r["n_px"], r["sum_f"], r["min_f"], r["max_f"])
+           for r in RASTER_QUERIES["q103_focal_sobel"][0](spark, sf_dir)
+           .collect()}
+
+    import duckdb
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id % 5 = 3 ORDER BY doc_id").df()
+    img_pdf = images.gen_images_pdf(docs)
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.int64)
+    ky = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], dtype=np.int64)
+    want = {}
+    for _, row in img_pdf.iterrows():
+        g = images.gray(codec.decode(row["bytes"], row["fmt"]))
+        h, w = g.shape
+        gx = np.zeros((h, w), dtype=np.int64)
+        gy = np.zeros((h, w), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                win = g[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                gx[1:h - 1, 1:w - 1] += kx[dy + 1, dx + 1] * win
+                gy[1:h - 1, 1:w - 1] += ky[dy + 1, dx + 1] * win
+        mag = np.abs(gx) + np.abs(gy)
+        valid = np.zeros((h, w), dtype=bool)
+        valid[1:h - 1, 1:w - 1] = True
+        for ty in range((h + 15) // 16):
+            for tx in range((w + 15) // 16):
+                sl = (slice(ty * 16, (ty + 1) * 16),
+                      slice(tx * 16, (tx + 1) * 16))
+                v = mag[sl][valid[sl]]
+                if v.size:
+                    want[(row["image_id"], ty, tx)] = (
+                        v.size, int(v.sum()), int(v.min()), int(v.max()))
+    assert got == want and len(got) > 0
