@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     # Arrow group/batch plumbing or the pixel codecs surface here
     "q77_sequence_packing",
     "q79_image_quality_stats",
+    # focal map algebra: the tile halo-exchange harness (strip emit +
+    # groupBy-assemble applyInPandas) — regressions in the per-tile Python
+    # overhead or the exchange shuffle surface here
+    "q98_focal_mean",
 ]
 
 

@@ -839,6 +839,57 @@ def polygon_polygon_join_bigbig(
     return enriched.filter(F.expr(chunks[0])).select(aid_col, bid_col)
 
 
+def rect_overlay_join(
+    spark: SparkSession,
+    a_df: DataFrame,
+    b_df: DataFrame,
+    *,
+    res: int = 7,
+    aid_col: str = "aid",
+    bid_col: str = "bid",
+    broadcast_b: bool = True,
+) -> DataFrame:
+    """Overlay (intersection-area) join of two rectangle DataFrames —
+    (aid, bid, area_micro) for every strictly-overlapping pair.
+
+    The vector-overlay primitive (ArcGIS Intersect / PostGIS
+    ST_Intersection+ST_Area) the reference's predicate joins stop short
+    of: GeomIntersects answers WHETHER, this answers HOW MUCH (reference
+    `analytics/spark/.../udf/GeomFunction.java:17-35` in /root/reference
+    has no area-of-overlay op).
+
+    Scale shape: both sides cover distributedly (`rect_cover_df`, Arrow
+    UDF + explode — never the driver), equi-join on the cell key, codegen
+    refine.  Duplicate suppression is shuffle-free: a pair is emitted ONLY
+    in the cell containing the intersection's SW corner — that point lies
+    inside both rects, so exactly one common cover cell owns each pair (no
+    dropDuplicates pass, the `full`-flag trick of the polygon join applied
+    to overlays).  Intersection area floors to integer micro-deg^2 from
+    IEEE-exact min/max/mul, so oracle hashes match bit-for-bit.  Set
+    ``broadcast_b=False`` for big-big (the cell join then shuffles; salt
+    with `cov.salted` upstream if a hot cell skews).
+    """
+    ensure_arrow(spark)
+    from ..table import geo
+
+    ca = rect_cover_df(a_df, res, rid_col=aid_col) \
+        .withColumnRenamed("lon0", "alon0").withColumnRenamed("lat0", "alat0") \
+        .withColumnRenamed("lon1", "alon1").withColumnRenamed("lat1", "alat1")
+    cb = rect_cover_df(b_df, res, rid_col=bid_col) \
+        .withColumnRenamed("lon0", "blon0").withColumnRenamed("lat0", "blat0") \
+        .withColumnRenamed("lon1", "blon1").withColumnRenamed("lat1", "blat1")
+    sw_cell = geo.rowmajor_cell_sql(
+        "greatest(alon0, blon0)", "greatest(alat0, blat0)", res)
+    pairs = ca.join(F.broadcast(cb) if broadcast_b else cb, "cell").filter(
+        (F.col("alon0") < F.col("blon1")) & (F.col("blon0") < F.col("alon1"))
+        & (F.col("alat0") < F.col("blat1")) & (F.col("blat0") < F.col("alat1"))
+        & (F.col("cell") == F.expr(sw_cell))
+    )
+    area = ("cast(floor(1000000.0 * (least(alon1, blon1) - greatest(alon0, blon0))"
+            " * (least(alat1, blat1) - greatest(alat0, blat0))) as bigint)")
+    return pairs.select(aid_col, bid_col, F.expr(area).alias("area_micro"))
+
+
 def haversine_km_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     """Great-circle distance in km — ONE formula string shared by the
     Spark refine and the DuckDB oracle (radians/sin/cos/asin exist in

@@ -968,6 +968,71 @@ def _q96_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q96_body(shingle_rows_sql_spark()))
 
 
+# --- BM25 retrieval scoring (q99) -------------------------------------------
+
+
+def _q99(d: G.Dialect) -> str:
+    """BM25-style relevance scoring (k1=1.2, b=0.75) of the corpus against
+    a fixed query — the retrieval primitive behind quality-weighted data
+    selection and search-based eval mining.  Query terms are the 8
+    alphabetically-smallest distinct words of doc 7 (deterministic, corpus-
+    derived — no external data).
+
+    Scale shape: the postings explode is filtered by a BROADCAST semi-join
+    on the 8 query terms BEFORE any aggregation, so the 100 TB token
+    stream reduces to matching postings immediately; document length is a
+    scalar expression on `documents` (never exploded); df/avgdl are scalar
+    aggregates.  One small shuffle on (doc_id, word).
+
+    Exactness: idf uses the rational Robertson form without the log,
+    idf = (2N - 2df + 1)/(2df + 1), and each per-term score is floored to
+    integer micro units from two IEEE-exact double divisions — so the
+    cross-engine hash match is deterministic (ln() and float sum order
+    would not be).  int64-safe: numerators < 2^53 at sf1."""
+    split = d.split_ws("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {d.explode(split)} AS word FROM documents
+),
+qterms AS (
+  SELECT word FROM (SELECT DISTINCT word FROM tok WHERE doc_id = 7) q
+  ORDER BY word LIMIT 8
+),
+stats AS (
+  SELECT cast(count(*) as bigint) AS n_docs,
+         cast(sum({d.size(split)}) as bigint) AS total_len
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, cast({d.size(split)} as bigint) AS dl FROM documents
+),
+tf AS (
+  SELECT t.doc_id, t.word, cast(count(*) as bigint) AS tf
+  FROM tok t JOIN qterms q ON q.word = t.word
+  GROUP BY t.doc_id, t.word
+),
+df AS (SELECT word, cast(count(*) as bigint) AS df FROM tf GROUP BY word),
+term AS (
+  SELECT tf.doc_id,
+         cast(floor(
+           1000000.0
+           * (cast(2 * s.n_docs - 2 * df.df + 1 as double)
+              / cast(2 * df.df + 1 as double))
+           * (cast(22 * tf.tf * s.total_len as double)
+              / cast(10 * tf.tf * s.total_len + 3 * s.total_len
+                     + 9 * dl.dl * s.n_docs as double))
+         ) as bigint) AS term_micro
+  FROM tf JOIN df ON df.word = tf.word
+       JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN stats s
+)
+SELECT doc_id, cast(sum(term_micro) as bigint) AS score_micro
+FROM term GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT 20
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -988,4 +1053,5 @@ TEXT_QUERIES = {
     "q83_semantic_dedup": _dual(_q83),
     "q84_lm_familiarity": (_q84_spark, _q84_duck()),
     "q96_decontamination": (_q96_spark, _q96_duck()),
+    "q99_bm25_scoring": _dual(_q99),
 }
