@@ -348,3 +348,27 @@ def test_q90_change_detection_single_pass(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert op not in plan, op
+
+
+def test_q98_focal_halo_exchange_shape(spark, sf_dir):
+    """Focal op: exactly ONE hash Exchange (the tile-key halo gather) feeds
+    FlatMapGroupsInPandas; no join operator anywhere (the halo arrives via
+    union, not a join), so pixel data only moves as tile+strip rows."""
+    plan = _plan(spark, sf_dir, "q98_focal_mean")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_q101_overlay_no_dedup_shuffle(spark, sf_dir):
+    """Overlay join: SW-corner ownership replaces dropDuplicates — no
+    aggregate/dedup node above the join, both covers are Arrow UDFs (no
+    driver-side LocalTableScan), single equi-join."""
+    plan = _plan(spark, sf_dir, "q101_rect_overlay")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("ArrowEvalPython") == 2
+    assert "LocalTableScan" not in plan
+    for op in ("SortMergeJoin", "CartesianProduct", "HashAggregate"):
+        assert op not in plan, op

@@ -146,6 +146,20 @@ NOTES = {
         "Window and the final HashAggregate (same partitioning reused); "
         "segment haversine is pure codegen floats."
     ),
+    "q98_focal_mean": (
+        "Focal map algebra via halo exchange: the tile relation unions "
+        "with its own 1-px edge strips (both mapInPandas, narrow), then "
+        "ONE Exchange on the tile key (image_id, ty, tx) feeds "
+        "FlatMapGroupsInPandas — shuffle volume is O(perimeter), pixels "
+        "other than the halo never move, no whole image assembles "
+        "anywhere."
+    ),
+    "q101_rect_overlay": (
+        "Rect overlay area join: both covers distributed (Arrow UDF + "
+        "explode), cell equi-join, codegen refine, and NO dedup shuffle — "
+        "a pair is emitted only in the cell owning the intersection's SW "
+        "corner, so no dropDuplicates node appears."
+    ),
     "q65_polygon_bigbig_join": (
         "Polygon x polygon with BOTH sides DataFrames: distributed "
         "vertex-bbox covers, salted ShuffledHashJoin candidates projected "
