@@ -1253,3 +1253,11 @@ QUERIES.update(LAKE_QUERIES)
 from .queries_pipeline import PIPELINE_QUERIES  # noqa: E402
 
 QUERIES.update(PIPELINE_QUERIES)
+
+from .queries_security import SECURITY_QUERIES  # noqa: E402
+
+QUERIES.update(SECURITY_QUERIES)
+
+from .queries_osm import OSM_QUERIES  # noqa: E402
+
+QUERIES.update(OSM_QUERIES)
