@@ -426,7 +426,7 @@ def _focal_tiles(spark: SparkSession, sf_dir: str):
 
     img = docs.mapInPandas(gen, schema=IMG_SCHEMA).select(
         "image_id", "bytes", "fmt")
-    return focal.tile_rows(img, tile=16)
+    return focal.tile_rows(img, tile=16, with_halo=True)
 
 
 def q98_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,7 +442,7 @@ def q98_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope/hillshade/smoothing gap.)"""
     from .raster import focal
 
-    return focal.focal_mean_stats(_focal_tiles(spark, sf_dir)) \
+    return focal.focal_mean_stats(_focal_tiles(spark, sf_dir), halo_included=True) \
         .orderBy("image_id", "ty", "tx")
 
 
@@ -453,7 +453,7 @@ def q103_focal_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded rather than zero-padded."""
     from .raster import focal
 
-    return focal.focal_sobel_stats(_focal_tiles(spark, sf_dir)) \
+    return focal.focal_sobel_stats(_focal_tiles(spark, sf_dir), halo_included=True) \
         .orderBy("image_id", "ty", "tx")
 
 
@@ -464,7 +464,7 @@ def q104_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     128 on decoded luma."""
     from .raster import focal
 
-    return focal.focal_contour_stats(_focal_tiles(spark, sf_dir)) \
+    return focal.focal_contour_stats(_focal_tiles(spark, sf_dir), halo_included=True) \
         .orderBy("image_id", "ty", "tx")
 
 

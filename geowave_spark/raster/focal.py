@@ -44,27 +44,39 @@ KIND_CORE = 0
 KIND_HALO = 1
 
 
-def tile_rows(img_df, tile: int = 16):
+def tile_rows(img_df, tile: int = 16, with_halo: bool = False):
     """Split whole-image rows into a luma tile relation (one decode each).
 
     Stands in for a stored tile table (`raster/tiles.py` holds the
     geo-resampled one); the focal operator below consumes ANY relation of
     this shape.
+
+    ``with_halo=True`` also emits each tile's neighbor-addressed edge
+    strips in the SAME pass — when the tile relation is derived (not
+    stored), this avoids executing the decode/split subtree twice for the
+    ``union(tiles, halo_strips(tiles))`` DAG; strip rows are a by-product
+    of the scan and the downstream shuffle volume is identical.
     """
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                g = gray(codec.decode(row["bytes"], row["fmt"])).astype(np.uint8)
+            for iid, bts, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                g = gray(codec.decode(bts, fmt)).astype(np.uint8)
                 h, w = g.shape
                 for ty in range((h + tile - 1) // tile):
                     for tx in range((w + tile - 1) // tile):
                         y0, x0 = ty * tile, tx * tile
                         blk = g[y0:y0 + tile, x0:x0 + tile]
-                        rows.append((row["image_id"], ty, tx, y0, x0,
+                        rows.append((iid, ty, tx, y0, x0,
                                      blk.shape[0], blk.shape[1], KIND_CORE,
                                      blk.tobytes()))
+                        if with_halo:
+                            for nty, ntx, sy, sx, s in _strips(
+                                    blk, ty, tx, y0, x0):
+                                rows.append((iid, nty, ntx, sy, sx,
+                                             s.shape[0], s.shape[1], KIND_HALO,
+                                             np.ascontiguousarray(s).tobytes()))
             if rows:
                 yield pd.DataFrame(rows, columns=[
                     "image_id", "ty", "tx", "y0", "x0", "th", "tw",
@@ -96,12 +108,13 @@ def halo_strips(tiles_df):
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                blk = np.frombuffer(row["data"], dtype=np.uint8).reshape(
-                    row["th"], row["tw"])
+            for iid, ty, tx, y0, x0, th, tw, data in zip(
+                    pdf["image_id"], pdf["ty"], pdf["tx"], pdf["y0"],
+                    pdf["x0"], pdf["th"], pdf["tw"], pdf["data"]):
+                blk = np.frombuffer(data, dtype=np.uint8).reshape(th, tw)
                 for nty, ntx, sy, sx, s in _strips(
-                        blk, row["ty"], row["tx"], row["y0"], row["x0"]):
-                    rows.append((row["image_id"], nty, ntx, sy, sx,
+                        blk, int(ty), int(tx), int(y0), int(x0)):
+                    rows.append((iid, nty, ntx, sy, sx,
                                  s.shape[0], s.shape[1], KIND_HALO,
                                  np.ascontiguousarray(s).tobytes()))
             if rows:
@@ -117,45 +130,71 @@ _OUT_SCHEMA = ("image_id string, ty int, tx int, n_px long, "
                "sum_f long, min_f long, max_f long")
 
 
-def _focal_apply(tiles_df, kernel):
+def _focal_apply(tiles_df, kernel, halo_included: bool = False):
     """Shared halo-exchange harness: union core tiles with their neighbor
-    strips, one shuffle on the tile key, then ``kernel(pad, msk, th, tw)``
-    — padded (th+2, tw+2) int64 values + presence mask — returns the
-    per-pixel result array and a validity mask over the tile's own pixels.
-    Aggregates to (image_id, ty, tx, n_px, sum_f, min_f, max_f)."""
-    full = tiles_df.unionByName(halo_strips(tiles_df))
+    strips, ONE hash shuffle on the tile key + in-partition sort, then a
+    single streaming mapInPandas pass assembles each tile's padded
+    (th+2, tw+2) int64 values + presence mask and calls
+    ``kernel(pad, msk, th, tw)`` -> (per-pixel result, validity over the
+    tile's own pixels).  Aggregates to
+    (image_id, ty, tx, n_px, sum_f, min_f, max_f).
 
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        core = pdf[pdf["kind"] == KIND_CORE]
-        if len(core) != 1:           # orphan halo group past the extent
-            return pd.DataFrame(columns=_OUT_COLS)
-        c = core.iloc[0]
-        th, tw = int(c["th"]), int(c["tw"])
-        pad = np.zeros((th + 2, tw + 2), dtype=np.int64)
-        msk = np.zeros((th + 2, tw + 2), dtype=np.int64)
-        for _, row in pdf.iterrows():
-            blk = np.frombuffer(row["data"], dtype=np.uint8).reshape(
-                row["th"], row["tw"])
-            ry = int(row["y0"]) - int(c["y0"]) + 1
-            rx = int(row["x0"]) - int(c["x0"]) + 1
-            pad[ry:ry + blk.shape[0], rx:rx + blk.shape[1]] = blk
-            msk[ry:ry + blk.shape[0], rx:rx + blk.shape[1]] = 1
-        f, valid = kernel(pad, msk, th, tw)
-        f = f[valid]
-        if f.size == 0:
-            return pd.DataFrame(columns=_OUT_COLS)
-        return pd.DataFrame({
-            "image_id": [c["image_id"]], "ty": [int(c["ty"])],
-            "tx": [int(c["tx"])], "n_px": [int(f.size)],
-            "sum_f": [int(f.sum())], "min_f": [int(f.min())],
-            "max_f": [int(f.max())],
-        })
+    Same data movement as ``groupBy().applyInPandas`` but without its
+    per-group Arrow round-trip + pandas construct — ruinous here because a
+    group is ONE 16x16 tile (measured 17.5 s -> ~2 s on the q98 bench
+    input; the identical lesson as `tiles._complete_groups` for mosaic
+    merge).  Shuffle width scales with cores, not the fixed
+    spark.sql.shuffle.partitions (see tile_merge's rationale).
+    """
+    from .tiles import _complete_groups, _group_bounds
 
-    return full.groupBy("image_id", "ty", "tx").applyInPandas(
-        assemble, schema=_OUT_SCHEMA)
+    key_cols = ["image_id", "ty", "tx"]
+    full = tiles_df if halo_included else tiles_df.unionByName(halo_strips(tiles_df))
+    width = tiles_df.sparkSession.sparkContext.defaultParallelism * 4
+    keyed = full.repartition(width, *key_cols).sortWithinPartitions(*key_cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in _complete_groups(batches, key_cols):
+            kinds = pdf["kind"].to_numpy()
+            y0s = pdf["y0"].to_numpy()
+            x0s = pdf["x0"].to_numpy()
+            ths = pdf["th"].to_numpy()
+            tws = pdf["tw"].to_numpy()
+            datas = pdf["data"].to_numpy()
+            ids = pdf["image_id"].to_numpy()
+            tys = pdf["ty"].to_numpy()
+            txs = pdf["tx"].to_numpy()
+            out: list[tuple] = []
+            starts, ends = _group_bounds(pdf, key_cols)
+            for s, e in zip(starts, ends):
+                core = np.flatnonzero(kinds[s:e] == KIND_CORE)
+                if core.size != 1:   # orphan halo group past the extent
+                    continue
+                ci = s + int(core[0])
+                th, tw = int(ths[ci]), int(tws[ci])
+                cy0, cx0 = int(y0s[ci]), int(x0s[ci])
+                pad = np.zeros((th + 2, tw + 2), dtype=np.int64)
+                msk = np.zeros((th + 2, tw + 2), dtype=np.int64)
+                for j in range(s, e):
+                    blk = np.frombuffer(datas[j], dtype=np.uint8).reshape(
+                        int(ths[j]), int(tws[j]))
+                    ry = int(y0s[j]) - cy0 + 1
+                    rx = int(x0s[j]) - cx0 + 1
+                    pad[ry:ry + blk.shape[0], rx:rx + blk.shape[1]] = blk
+                    msk[ry:ry + blk.shape[0], rx:rx + blk.shape[1]] = 1
+                f, valid = kernel(pad, msk, th, tw)
+                f = f[valid]
+                if f.size == 0:
+                    continue
+                out.append((ids[ci], int(tys[ci]), int(txs[ci]), int(f.size),
+                            int(f.sum()), int(f.min()), int(f.max())))
+            if out:
+                yield pd.DataFrame(out, columns=_OUT_COLS)
+
+    return keyed.mapInPandas(run, schema=_OUT_SCHEMA)
 
 
-def focal_mean_stats(tiles_df):
+def focal_mean_stats(tiles_df, halo_included: bool = False):
     """3x3 edge-aware focal mean per tile: integer floor of (sum of
     in-image neighbors including self) / (count of in-image neighbors)."""
 
@@ -168,7 +207,7 @@ def focal_mean_stats(tiles_df):
                 n += msk[dy:dy + th, dx:dx + tw]
         return s // n, np.ones((th, tw), dtype=bool)
 
-    return _focal_apply(tiles_df, mean_kernel)
+    return _focal_apply(tiles_df, mean_kernel, halo_included)
 
 
 # Sobel weights, (dy, dx) offsets in -1..1
@@ -178,7 +217,7 @@ _SOBEL_Y = {(-1, -1): -1, (-1, 0): -2, (-1, 1): -1,
             (1, -1): 1, (1, 0): 2, (1, 1): 1}
 
 
-def focal_contour_stats(tiles_df, threshold: int = 128):
+def focal_contour_stats(tiles_df, threshold: int = 128, halo_included: bool = False):
     """Marching-squares isoline segment count per 2x2 pixel block — the
     local step of raster vectorization (contour extraction).  Each block
     anchored at (x, y) classifies its 4 corners against ``threshold``;
@@ -199,10 +238,10 @@ def focal_contour_stats(tiles_df, threshold: int = 128):
                   & msk[2:th + 2, 1:tw + 1] & msk[2:th + 2, 2:tw + 2]) == 1)
         return segs, valid
 
-    return _focal_apply(tiles_df, contour_kernel)
+    return _focal_apply(tiles_df, contour_kernel, halo_included)
 
 
-def focal_sobel_stats(tiles_df):
+def focal_sobel_stats(tiles_df, halo_included: bool = False):
     """3x3 Sobel gradient magnitude |gx| + |gy| (the slope / edge-strength
     op of terrain and image analysis) — integer-exact, computed only for
     pixels whose FULL 3x3 neighborhood is in-image (border pixels have no
@@ -224,4 +263,4 @@ def focal_sobel_stats(tiles_df):
                     gy += wy * win
         return np.abs(gx) + np.abs(gy), n == 9
 
-    return _focal_apply(tiles_df, sobel_kernel)
+    return _focal_apply(tiles_df, sobel_kernel, halo_included)

@@ -352,10 +352,13 @@ def test_q90_change_detection_single_pass(spark, sf_dir):
 
 def test_q98_focal_halo_exchange_shape(spark, sf_dir):
     """Focal op: exactly ONE hash Exchange (the tile-key halo gather) feeds
-    FlatMapGroupsInPandas; no join operator anywhere (the halo arrives via
+    a streaming MapInPandas over sorted complete groups (NOT per-group
+    FlatMapGroupsInPandas — a group is one 16x16 tile, so per-group Arrow
+    overhead dominates); no join operator anywhere (the halo arrives via
     union, not a join), so pixel data only moves as tile+strip rows."""
     plan = _plan(spark, sf_dir, "q98_focal_mean")
-    assert "FlatMapGroupsInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                "CartesianProduct"):
