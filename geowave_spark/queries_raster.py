@@ -577,6 +577,142 @@ FROM f GROUP BY 1, 2, 3 ORDER BY image_id, ty, tx
 """
 
 
+# ------------------------------------------------------------------ q108
+# fixed global analysis lattice for the warp: 8 px/degree, 8x8-px tiles
+_WARP_G = 8.0
+_WARP_T = 8
+
+
+def q108_raster_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster reprojection (warp): resample every image from its own pixel
+    grid onto a FIXED global lon/lat analysis lattice (8 px/degree) by
+    nearest-neighbor inverse mapping — the re-gridding step before
+    mosaicking overlapping scenes (reference analog: the resample/merge
+    path `RasterDataAdapter.java:444-550` + `RasterTileResizeSparkRunner
+    .java`, which re-cuts tiles but only within one grid; warping BETWEEN
+    grids is the gap).
+
+    Scale shape: per-image independent, so ONE narrow mapInPandas (decode
+    + vectorized inverse map per image, per-target-tile scalars out —
+    pixels never shuffle), then only the presentation sort (the q95/q87
+    pattern).  The inverse mapping is pure rational double arithmetic
+    (+,-,*,/ and floor only, NO trig), written in the exact operation
+    order of the oracle SQL, so IEEE determinism makes the DuckDB twin
+    bit-identical; decoded luma floors the q6 lossy codec the same way
+    q95 does.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .raster import codec
+    from .table.images import IMG_SCHEMA, gen_images_pdf, gray
+
+    _register_documents(spark, sf_dir)
+    docs = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 7 = 1"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_images_pdf(pdf)
+
+    img = docs.mapInPandas(gen, schema=IMG_SCHEMA).select(
+        "image_id", "bytes", "fmt", "w", "h", "lon0", "lat0", "lon1", "lat1")
+
+    G, T = _WARP_G, _WARP_T
+
+    def warp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for iid, bts, fmt, w, h, lon0, lat0, lon1, lat1 in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"],
+                    pdf["h"], pdf["lon0"], pdf["lat0"], pdf["lon1"],
+                    pdf["lat1"]):
+                w, h = int(w), int(h)
+                luma = gray(codec.decode(bts, fmt))
+                # target-pixel window whose CENTERS fall inside the footprint
+                x0 = int(np.ceil((lon0 + 180.0) * G - 0.5))
+                x1 = int(np.ceil((lon1 + 180.0) * G - 0.5)) - 1
+                y0 = int(np.ceil((lat0 + 90.0) * G - 0.5))
+                y1 = int(np.ceil((lat1 + 90.0) * G - 0.5)) - 1
+                if x1 < x0 or y1 < y0:
+                    continue
+                tx = np.arange(x0, x1 + 1, dtype=np.float64)
+                ty = np.arange(y0, y1 + 1, dtype=np.float64)
+                # EXACT oracle op order: ((X+0.5)/G - 180 - lon0) * w / span
+                ix = np.floor(((tx + 0.5) / G - 180.0 - lon0) * w
+                              / (lon1 - lon0)).astype(np.int64)
+                iy = np.floor(((ty + 0.5) / G - 90.0 - lat0) * h
+                              / (lat1 - lat0)).astype(np.int64)
+                ix = np.clip(ix, 0, w - 1)   # ulp guard at the far edge
+                iy = np.clip(iy, 0, h - 1)
+                vals = luma[np.ix_(iy, ix)]
+                tys = np.arange(y0, y1 + 1, dtype=np.int64) // T
+                txs = np.arange(x0, x1 + 1, dtype=np.int64) // T
+                for tty in np.unique(tys):
+                    rmask = tys == tty
+                    for ttx in np.unique(txs):
+                        blk = vals[np.ix_(rmask, txs == ttx)]
+                        out.append((iid, int(tty), int(ttx), int(blk.size),
+                                    int(blk.sum()), int(blk.min()),
+                                    int(blk.max())))
+            if out:
+                yield pd.DataFrame(out, columns=[
+                    "image_id", "tty", "ttx", "n_px", "sum_luma",
+                    "min_luma", "max_luma"])
+
+    return img.mapInPandas(
+        warp,
+        schema=("image_id string, tty long, ttx long, n_px long, "
+                "sum_luma long, min_luma long, max_luma long"),
+    ).orderBy("image_id", "tty", "ttx")
+
+
+def _q108_sql() -> str:
+    from .table import images as img_tab
+
+    fp = img_tab.footprint_sql()
+    luma = img_tab.luma_sql("px.ix", "px.iy", decoded=True)
+    g, t = _WARP_G, _WARP_T
+    return f"""
+WITH base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h,
+         {fp['lon0']} AS lon0, {fp['lat0']} AS lat0,
+         {fp['lon1']} AS lon1, {fp['lat1']} AS lat1
+  FROM documents WHERE doc_id % 7 = 1
+),
+win AS (
+  SELECT *,
+         cast(ceil((lon0 + 180e0) * {g} - 0.5e0) as bigint) AS x0,
+         cast(ceil((lon1 + 180e0) * {g} - 0.5e0) as bigint) - 1 AS x1,
+         cast(ceil((lat0 + 90e0) * {g} - 0.5e0) as bigint) AS y0,
+         cast(ceil((lat1 + 90e0) * {g} - 0.5e0) as bigint) - 1 AS y1
+  FROM base
+),
+px AS (
+  SELECT doc_id, image_id, ys.g // {t} AS tty, xs.g // {t} AS ttx,
+         least(greatest(cast(floor(((xs.g + 0.5e0) / {g} - 180e0 - lon0)
+               * w / (lon1 - lon0)) as bigint), 0), w - 1) AS ix,
+         least(greatest(cast(floor(((ys.g + 0.5e0) / {g} - 90e0 - lat0)
+               * h / (lat1 - lat0)) as bigint), 0), h - 1) AS iy
+  FROM win,
+       LATERAL (SELECT unnest(generate_series(x0, x1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(y0, y1)) AS g) ys
+)
+SELECT image_id, tty, ttx,
+       cast(count(*) as bigint) AS n_px,
+       cast(sum({luma}) as bigint) AS sum_luma,
+       cast(min({luma}) as bigint) AS min_luma,
+       cast(max({luma}) as bigint) AS max_luma
+FROM px GROUP BY image_id, tty, ttx
+ORDER BY image_id, tty, ttx
+"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -589,4 +725,5 @@ RASTER_QUERIES = {
     "q98_focal_mean": (q98_focal_mean, _q98_sql()),
     "q103_focal_sobel": (q103_focal_sobel, _q103_sql()),
     "q104_contour_segments": (q104_contour_segments, _q104_sql()),
+    "q108_raster_warp": (q108_raster_warp, _q108_sql()),
 }

@@ -672,3 +672,51 @@ def test_q103_sobel_matches_whole_image_numpy(spark, sf_dir):
                     want[(row["image_id"], ty, tx)] = (
                         v.size, int(v.sum()), int(v.min()), int(v.max()))
     assert got == want and len(got) > 0
+
+
+def test_q108_raster_warp_pixel_exact(spark, sf_dir):
+    """Recompute one image's warped tile stats straight from gen_pixels
+    (python floats + per-pixel loops) — independent of BOTH the engine's
+    vectorized inverse map and the oracle's SQL formulation."""
+    import numpy as np
+
+    from geowave_spark.queries_raster import RASTER_QUERIES, _WARP_G, _WARP_T
+    from geowave_spark.raster import codec
+    from geowave_spark.table.images import gen_images_pdf, gray
+
+    pdf = RASTER_QUERIES["q108_raster_warp"][0](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert ((pdf["min_luma"] >= 0) & (pdf["max_luma"] <= 255)).all()
+    assert (pdf["n_px"] >= 1).all()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").toPandas()
+    docs = docs[docs["doc_id"] % 7 == 1].head(3)
+    imgs = gen_images_pdf(docs)
+    G, T = _WARP_G, _WARP_T
+    for r in imgs.itertuples():
+        g = gray(codec.decode(r.bytes, r.fmt)).astype(np.int64)
+        h, w = g.shape
+        got = pdf[pdf["image_id"] == r.image_id]
+        tiles = {}
+        x0 = int(np.ceil((r.lon0 + 180.0) * G - 0.5))
+        x1 = int(np.ceil((r.lon1 + 180.0) * G - 0.5)) - 1
+        y0 = int(np.ceil((r.lat0 + 90.0) * G - 0.5))
+        y1 = int(np.ceil((r.lat1 + 90.0) * G - 0.5)) - 1
+        for ty in range(y0, y1 + 1):
+            for tx in range(x0, x1 + 1):
+                ix = int(np.floor(((tx + 0.5) / G - 180.0 - r.lon0)
+                                  * w / (r.lon1 - r.lon0)))
+                iy = int(np.floor(((ty + 0.5) / G - 90.0 - r.lat0)
+                                  * h / (r.lat1 - r.lat0)))
+                ix = min(max(ix, 0), w - 1)
+                iy = min(max(iy, 0), h - 1)
+                key = (ty // T, tx // T)
+                tiles.setdefault(key, []).append(int(g[iy, ix]))
+        assert len(got) == len(tiles)
+        for row in got.itertuples():
+            vals = tiles[(row.tty, row.ttx)]
+            assert row.n_px == len(vals)
+            assert row.sum_luma == sum(vals)
+            assert row.min_luma == min(vals)
+            assert row.max_luma == max(vals)
