@@ -1261,3 +1261,7 @@ QUERIES.update(SECURITY_QUERIES)
 from .queries_osm import OSM_QUERIES  # noqa: E402
 
 QUERIES.update(OSM_QUERIES)
+
+from .queries_scenes import SCENE_QUERIES  # noqa: E402
+
+QUERIES.update(SCENE_QUERIES)
