@@ -101,3 +101,56 @@ def test_block_parallelism_plan(spark, tmp_path):
     assert len(index) >= 10  # block_size=10
     dfs = osm.read_osm_pbf(spark, path)
     assert dfs["nodes"].rdd.getNumPartitions() > 1
+
+
+def test_relations_to_multipolygons(spark, tmp_path):
+    """Multipolygon relation: closed outer ring, an inner ring split into
+    two OPEN member ways (exercises endpoint stitching incl. a reversed
+    leg), plus a second stand-alone outer — reference analog
+    `OsmProvider.java` relation conversion + `OSMRelationMapper.java`."""
+    import json
+
+    # grid of nanodegree coords (multiples of 100 for granularity)
+    def nd(v):
+        return v * 1_000_000_000
+
+    nodes = [
+        # outer square (0,0)-(10,10), ids 1-4
+        (1, nd(0), nd(0), {}), (2, nd(10), nd(0), {}),
+        (3, nd(10), nd(10), {}), (4, nd(0), nd(10), {}),
+        # inner square (2,2)-(4,4), ids 5-8
+        (5, nd(2), nd(2), {}), (6, nd(4), nd(2), {}),
+        (7, nd(4), nd(4), {}), (8, nd(2), nd(4), {}),
+        # second outer triangle far away, ids 9-11
+        (9, nd(50), nd(50), {}), (10, nd(52), nd(50), {}),
+        (11, nd(51), nd(52), {}),
+    ]
+    ways = [
+        (100, [1, 2, 3, 4, 1], {}),          # closed outer
+        (101, [5, 6, 7], {}),                # inner half (open)
+        (102, [5, 8, 7], {}),                # inner other half (open, reversed fit)
+        (103, [9, 10, 11, 9], {}),           # second outer, no holes
+    ]
+    rels = [
+        (300, [(100, "outer", "way"), (101, "inner", "way"),
+               (102, "inner", "way"), (103, "outer", "way")],
+         {"type": "multipolygon", "name": "mp"}),
+    ]
+    path = os.path.join(str(tmp_path), "mp.pbf")
+    osm.write_osm_pbf(path, nodes, ways, rels)
+    dfs = osm.read_osm_pbf(spark, path)
+    out = osm.relations_to_multipolygons(
+        dfs["nodes"], dfs["ways"], dfs["relations"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.id == 300
+    assert r.n_outer == 2 and r.n_inner == 1
+    assert json.loads(r.tags)["type"] == "multipolygon"
+    assert r.wkt.startswith("MULTIPOLYGON (")
+    # the hole must be nested inside the (0,0)-(10,10) shell's part
+    shell_part = [p for p in r.wkt.split("((")[1:] if "10.0 10.0" in p][0]
+    assert shell_part.count("(") >= 1  # carries its hole ring
+    assert "2.0 2.0" in shell_part
+    # the triangle part carries no hole
+    tri_part = [p for p in r.wkt.split("((")[1:] if "51.0 52.0" in p][0]
+    assert "2.0 2.0" not in tri_part
