@@ -683,6 +683,75 @@ def q88_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 q88_trajectory_stats.__doc__ = _q88_body.__doc__
 
 
+_RESAMPLE_US = 6 * 3600 * 1000000  # 6-hour grid step in microseconds
+
+
+def _q113_body(d, micros: str) -> str:
+    """Trajectory resampling: linearly interpolate each user's position
+    onto a fixed 6-hour time grid — the regularization step before
+    track analytics (fixed-rate comparison, gap detection, ML feature
+    windows).  Reference analog: the track reassembly + per-track rollup
+    shape of the GPX/STANAG ingest (`GPXConsumer.java`, `Stanag4676
+    IngestPlugin.java:235-470` in /root/reference) which consumes
+    irregular fixes; resampling is the canonical next operator over them.
+
+    Scale shape: ONE window pass (lead over ts inside the user_id hash
+    partition) turns fixes into segments; each segment emits only the
+    grid instants it covers (a bounded explode, like the KDE splat) and
+    interpolation is codegen double arithmetic in the exact op order of
+    the oracle, floored to integer micro-degrees — no joins at all.
+    The 100 TB contract: output volume = grid instants covered, and the
+    only shuffle is the window's keyed sort."""
+    H = _RESAMPLE_US
+    h0 = d.intdiv(f"(us + {H} - 1)", str(H))
+    h1 = d.intdiv("(nus - 1)", str(H))
+    frac = f"((h * {H} - us) * 1.0 / (nus - us))"
+    return f"""
+WITH t AS (
+  SELECT user_id, {micros} AS us, event_id,
+         {geo.lon_sql('event_id')} AS lon, {geo.lat_sql('event_id')} AS lat
+  FROM events
+),
+seg AS (
+  SELECT user_id, us, lon, lat,
+         lead(us)  OVER (PARTITION BY user_id ORDER BY us, event_id) AS nus,
+         lead(lon) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nlon,
+         lead(lat) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nlat
+  FROM t
+),
+grid AS (
+  SELECT user_id, us, lon, lat, nus, nlon, nlat,
+         {d.explode(d.seq(h0, h1))} AS h
+  FROM seg
+  WHERE nus IS NOT NULL AND nus > us AND {h0} <= {h1}
+)
+SELECT user_id, cast(h as bigint) AS grid_idx,
+       cast(floor(1000000.0 * (lon + (nlon - lon) * {frac})) as bigint)
+         AS lon_micro,
+       cast(floor(1000000.0 * (lat + (nlat - lat) * {frac})) as bigint)
+         AS lat_micro
+FROM grid ORDER BY user_id, grid_idx
+"""
+
+
+def q113_trajectory_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import sqlgen as G
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q113_body(G.SPARK, "unix_micros(cast(ts as timestamp))")
+    )
+
+
+def _q113_duck_sql() -> str:
+    from .functions import sqlgen as G
+
+    return _q113_body(G.DUCK, "epoch_us(ts)")
+
+
+q113_trajectory_resample.__doc__ = _q113_body.__doc__
+
+
 def _q89_body(d) -> str:
     """Inverse-distance-weighted (IDW) spatial interpolation onto the
     res-6 grid — the standard scattered-points→surface operator (sensor
@@ -1209,6 +1278,7 @@ QUERIES = {
     "q57_geodesic_distance_join": (q57_geodesic_distance_join, _q57_sql()),
     "q60_knn_geodesic": (q60_knn_geodesic, _q60_sql()),
     "q88_trajectory_stats": (q88_trajectory_stats, _q88_body("epoch_us(ts)")),
+    "q113_trajectory_resample": (q113_trajectory_resample, _q113_duck_sql()),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

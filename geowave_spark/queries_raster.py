@@ -713,6 +713,175 @@ ORDER BY image_id, tty, ttx
 """
 
 
+# ----------------------------------------------------------------- q114
+# composite lattice: 2 px/degree so scene footprints actually overlap
+# (42% of covered cells see >= 2 scenes at sf0.01), 8x8-px tiles
+_COMP_G = 2.0
+_COMP_T = 8
+
+
+def q114_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-value composite (MVC) across overlapping scenes — the
+    classic EO time-series compositing operator (Holben 1986: per-pixel
+    max over all scenes covering a lattice cell, e.g. cloud-free NDVI
+    composites).  The reference merges tiles only within one coverage
+    (`RasterTileMergeStrategy`, `NoDataMergeStrategy` in
+    /root/reference/extensions/adapters/raster); compositing ACROSS
+    scenes on a common lattice is the companion gap, and reuses q108's
+    warp arithmetic to get every scene onto that lattice first.
+
+    Scale shape: warp is per-scene narrow (mapInPandas decode + inverse
+    map, identical double op order to the oracle); the composite itself
+    is the one inherent shuffle of this operator — per-LATTICE-pixel max
+    + scene count, a keyed integer aggregate whose volume is lattice
+    coverage x scene redundancy, NOT raw pixels (the warp already
+    collapsed each scene to its covered lattice cells).  The tile rollup
+    reuses the aggregate's hash partitioning."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from .raster import codec
+    from .table.images import IMG_SCHEMA, gen_images_pdf, gray
+
+    _register_documents(spark, sf_dir)
+    docs = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_images_pdf(pdf)
+
+    img = docs.mapInPandas(gen, schema=IMG_SCHEMA).select(
+        "image_id", "bytes", "fmt", "w", "h", "lon0", "lat0", "lon1", "lat1")
+
+    G = _COMP_G
+
+    def warp_px(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            gxs: list[np.ndarray] = []
+            gys: list[np.ndarray] = []
+            vs: list[np.ndarray] = []
+            for bts, fmt, w, h, lon0, lat0, lon1, lat1 in zip(
+                    pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"],
+                    pdf["lon0"], pdf["lat0"], pdf["lon1"], pdf["lat1"]):
+                w, h = int(w), int(h)
+                luma = gray(codec.decode(bts, fmt))
+                x0 = int(np.ceil((lon0 + 180.0) * G - 0.5))
+                x1 = int(np.ceil((lon1 + 180.0) * G - 0.5)) - 1
+                y0 = int(np.ceil((lat0 + 90.0) * G - 0.5))
+                y1 = int(np.ceil((lat1 + 90.0) * G - 0.5)) - 1
+                if x1 < x0 or y1 < y0:
+                    continue
+                tx = np.arange(x0, x1 + 1, dtype=np.float64)
+                ty = np.arange(y0, y1 + 1, dtype=np.float64)
+                # EXACT oracle op order (q108's inverse mapping)
+                ix = np.floor(((tx + 0.5) / G - 180.0 - lon0) * w
+                              / (lon1 - lon0)).astype(np.int64)
+                iy = np.floor(((ty + 0.5) / G - 90.0 - lat0) * h
+                              / (lat1 - lat0)).astype(np.int64)
+                ix = np.clip(ix, 0, w - 1)
+                iy = np.clip(iy, 0, h - 1)
+                vals = luma[np.ix_(iy, ix)]
+                gx, gy = np.meshgrid(np.arange(x0, x1 + 1, dtype=np.int64),
+                                     np.arange(y0, y1 + 1, dtype=np.int64))
+                gxs.append(gx.ravel())
+                gys.append(gy.ravel())
+                vs.append(vals.ravel().astype(np.int64))
+            if gxs:
+                yield pd.DataFrame({
+                    "gx": np.concatenate(gxs),
+                    "gy": np.concatenate(gys),
+                    "luma": np.concatenate(vs),
+                })
+
+    px = img.mapInPandas(warp_px, schema="gx long, gy long, luma long")
+    comp = px.groupBy("gx", "gy").agg(
+        F.max("luma").alias("comp_luma"),
+        F.count(F.lit(1)).alias("n_scenes"),
+    )
+    T = _COMP_T
+    return (
+        comp.groupBy(
+            # floor tile index via pmod (sign-safe; lattice coords are >= 0
+            # for the global grid but the math must not depend on that)
+            F.expr(f"(gy - pmod(gy, {T})) div {T}").alias("tty_k"),
+            F.expr(f"(gx - pmod(gx, {T})) div {T}").alias("ttx_k"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_px"),
+            F.sum(F.expr("case when n_scenes >= 2 then 1 else 0 end"))
+             .alias("n_multi"),
+            F.sum("comp_luma").alias("sum_comp_luma"),
+            F.max("comp_luma").alias("max_comp_luma"),
+        )
+        .select(
+            F.col("tty_k").cast("long").alias("tty"),
+            F.col("ttx_k").cast("long").alias("ttx"),
+            F.col("n_px").cast("long"),
+            F.col("n_multi").cast("long"),
+            F.col("sum_comp_luma").cast("long"),
+            F.col("max_comp_luma").cast("long"),
+        )
+        .orderBy("tty", "ttx")
+    )
+
+
+def _q114_sql() -> str:
+    from .table import images as img_tab
+
+    fp = img_tab.footprint_sql()
+    luma = img_tab.luma_sql("px.ix", "px.iy", decoded=True)
+    g, t = _COMP_G, _COMP_T
+    return f"""
+WITH base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h,
+         {fp['lon0']} AS lon0, {fp['lat0']} AS lat0,
+         {fp['lon1']} AS lon1, {fp['lat1']} AS lat1
+  FROM documents WHERE doc_id % 2 = 1
+),
+win AS (
+  SELECT *,
+         cast(ceil((lon0 + 180e0) * {g} - 0.5e0) as bigint) AS x0,
+         cast(ceil((lon1 + 180e0) * {g} - 0.5e0) as bigint) - 1 AS x1,
+         cast(ceil((lat0 + 90e0) * {g} - 0.5e0) as bigint) AS y0,
+         cast(ceil((lat1 + 90e0) * {g} - 0.5e0) as bigint) - 1 AS y1
+  FROM base
+),
+px AS (
+  SELECT doc_id, xs.g AS gx, ys.g AS gy,
+         least(greatest(cast(floor(((xs.g + 0.5e0) / {g} - 180e0 - lon0)
+               * w / (lon1 - lon0)) as bigint), 0), w - 1) AS ix,
+         least(greatest(cast(floor(((ys.g + 0.5e0) / {g} - 90e0 - lat0)
+               * h / (lat1 - lat0)) as bigint), 0), h - 1) AS iy
+  FROM win,
+       LATERAL (SELECT unnest(generate_series(x0, x1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(y0, y1)) AS g) ys
+),
+comp AS (
+  SELECT gx, gy, max({luma}) AS comp_luma, count(*) AS n_scenes
+  FROM px GROUP BY gx, gy
+)
+SELECT cast(CASE WHEN gy >= 0 THEN gy // {t}
+                 ELSE -((-gy + {t} - 1) // {t}) END as bigint) AS tty,
+       cast(CASE WHEN gx >= 0 THEN gx // {t}
+                 ELSE -((-gx + {t} - 1) // {t}) END as bigint) AS ttx,
+       cast(count(*) as bigint) AS n_px,
+       cast(sum(CASE WHEN n_scenes >= 2 THEN 1 ELSE 0 END) as bigint)
+         AS n_multi,
+       cast(sum(comp_luma) as bigint) AS sum_comp_luma,
+       cast(max(comp_luma) as bigint) AS max_comp_luma
+FROM comp GROUP BY 1, 2
+ORDER BY tty, ttx
+"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -726,4 +895,5 @@ RASTER_QUERIES = {
     "q103_focal_sobel": (q103_focal_sobel, _q103_sql()),
     "q104_contour_segments": (q104_contour_segments, _q104_sql()),
     "q108_raster_warp": (q108_raster_warp, _q108_sql()),
+    "q114_temporal_composite": (q114_temporal_composite, _q114_sql()),
 }

@@ -1033,6 +1033,206 @@ LIMIT 20
 """
 
 
+def _q110(d: G.Dialect) -> str:
+    """Exact duplicated-span detection (the word-level analog of
+    exact-substring dedup, Lee et al. 2022): any shared run of >= 8
+    consecutive words between two documents shares at least one 8-gram,
+    so positional 8-gram hash rows + an equality self-join find every
+    such span, and a gaps-and-islands pass over the match positions
+    (constant pa-pb diagonal => consecutive pa values) recovers the
+    LENGTH of the longest shared span exactly — not an estimate like
+    q16's MinHash Jaccard.  Reference analog: the indexed-vs-brute
+    candidate contract of `test/.../spark/GeoWaveSparkSpatialJoinIT
+    .java:228-255` in /root/reference (candidates from an equi-join on a
+    derived key, exact refine after).
+
+    Scale shape: the join key is a 50-bit positional 8-gram hash —
+    near-unique outside true duplicated spans, so candidate fan-out is
+    O(actual shared spans), never quadratic (contrast a 4-bit LSH band).
+    The islands pass is one window inside the (d1, d2, diff) hash
+    partition; everything is integer arithmetic."""
+    v = "v"
+    a = [d.at(v, f"(pos + {k})") for k in range(8)]
+    body = a[0]
+    for x in a[1:]:
+        body = f"(({body} % 1099511627791) * 1009 + {x})"
+    return f"""
+WITH wv AS (SELECT doc_id, {G.wordvals(d)} AS v FROM documents),
+h AS (
+  SELECT doc_id, pos, {body} AS sh
+  FROM (
+    SELECT doc_id, v, {d.explode(d.seq("1", f"{d.size('v')} - 7"))} AS pos
+    FROM wv WHERE {d.size('v')} >= 8
+  ) t
+),
+m AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS pa, b.pos AS pb
+  FROM h a JOIN h b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT d1, d2, pa - pb AS diff,
+         pa - row_number() OVER (PARTITION BY d1, d2, pa - pb ORDER BY pa)
+           AS island
+  FROM m
+),
+spans AS (
+  SELECT d1, d2, count(*) AS run_len
+  FROM runs GROUP BY d1, d2, diff, island
+)
+SELECT d1, d2,
+       cast(max(run_len) + 7 as bigint) AS longest_span_words,
+       cast(sum(run_len) as bigint) AS n_shared_grams
+FROM spans GROUP BY d1, d2
+ORDER BY d1, d2
+"""
+
+
+def _q111(d: G.Dialect) -> str:
+    """Repetition quality signals (the Gopher rep-filter family): per-doc
+    duplicate-word fraction and most-frequent-bigram share, plus a
+    drop flag for degenerate repetitive documents.  Token and bigram
+    counts are keyed aggregates over ONE positional explode of the
+    word-value array — no self-joins, no arrays carried past the first
+    projection; flags are codegen CASE arithmetic.  All ratios floor to
+    integer micro units, so the DuckDB twin hashes identically."""
+    return f"""
+WITH wv AS (SELECT doc_id, {G.wordvals(d)} AS v FROM documents),
+tok AS (
+  SELECT doc_id, {d.size('v')} AS n_tok, pos,
+         {d.at('v', 'pos')} AS wval,
+         CASE WHEN pos < {d.size('v')}
+              THEN {d.at('v', 'pos')} * 100003 + {d.at('v', '(pos + 1)')}
+         END AS bg
+  FROM (
+    SELECT doc_id, v, {d.explode(d.seq("1", d.size('v')))} AS pos
+    FROM wv WHERE {d.size('v')} >= 2
+  ) t
+),
+per AS (
+  SELECT doc_id, max(n_tok) AS n_tok,
+         count(DISTINCT wval) AS n_distinct
+  FROM tok GROUP BY doc_id
+),
+bc AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM tok WHERE bg IS NOT NULL GROUP BY doc_id, bg
+),
+bm AS (SELECT doc_id, max(c) AS top_bg FROM bc GROUP BY doc_id)
+SELECT p.doc_id, cast(p.n_tok as bigint) AS n_tok,
+       cast(floor(1000000.0 * (p.n_tok - p.n_distinct) / p.n_tok)
+            as bigint) AS dup_word_micro,
+       cast(floor(1000000.0 * bm.top_bg / (p.n_tok - 1))
+            as bigint) AS top_bigram_micro,
+       cast(CASE WHEN floor(1000000.0 * (p.n_tok - p.n_distinct) / p.n_tok)
+                      >= 600000
+                  OR floor(1000000.0 * bm.top_bg / (p.n_tok - 1)) >= 180000
+             THEN 1 ELSE 0 END as int) AS repetitive
+FROM per p JOIN bm ON bm.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+def _q112(d: G.Dialect) -> str:
+    """Token-window chunking with overlap (window 40, stride 32) — the
+    pre-training/RAG segmentation operator: each document explodes into
+    ceil-covering chunks, each chunk carries its token range and a
+    rolling content hash (so downstream chunk-level dedup needs no text).
+    Per-row bounded explode (no shuffle until the presentation sort);
+    chunk hashes are sequential integer folds, bit-identical across
+    engines."""
+    W, S = 40, 32
+    lo = f"(ck * {S} + 1)"
+    hi = f"least({lo} + {W} - 1, n_tok)"
+    vals = d.xform(d.seq(lo, hi), d.at("v", "x"))
+    return f"""
+WITH wv AS (SELECT doc_id, {G.wordvals(d)} AS v FROM documents),
+c AS (
+  SELECT doc_id, v, {d.size('v')} AS n_tok,
+         {d.explode(d.seq('0', f"greatest(cast(ceil(({d.size('v')} - {W}) / {S}.0) as int), 0)"))} AS ck
+  FROM wv
+),
+ch AS (
+  SELECT doc_id, ck, {lo} AS tok_lo, {hi} AS tok_hi,
+         {d.fold(vals, 'cast(7 as bigint)', '(acc * 1009 + x) % 1099511627791')} AS chunk_hash
+  FROM c
+)
+SELECT doc_id, cast(ck as bigint) AS chunk_idx,
+       cast(tok_lo as bigint) AS tok_lo, cast(tok_hi as bigint) AS tok_hi,
+       cast(tok_hi - tok_lo + 1 as bigint) AS n_tok_chunk,
+       cast(chunk_hash as bigint) AS chunk_hash
+FROM ch ORDER BY doc_id, chunk_idx
+"""
+
+
+def _q115(d: G.Dialect) -> str:
+    """Corpus vocabulary statistics (the tokenizer-training scan): word
+    frequency, Zipf rank, document frequency, and cumulative coverage
+    share — one token explode, one (word) aggregate, one global window
+    over the (tiny) vocabulary.  At 100 TB the explode+aggregate is a
+    map-side-combined word count (the canonical Spark job); the window
+    runs over the aggregated vocab, not the token stream."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {d.explode(G.tokens(d))} AS word FROM documents
+),
+wc AS (
+  SELECT word, cast(count(*) as bigint) AS freq,
+         cast(count(DISTINCT doc_id) as bigint) AS doc_freq
+  FROM tok GROUP BY word
+),
+tot AS (SELECT sum(freq) AS total FROM wc)
+SELECT word, freq, doc_freq,
+       cast(row_number() OVER (ORDER BY freq DESC, word) as bigint) AS zipf_rank,
+       cast(floor(1000000.0 * sum(freq) OVER (
+              ORDER BY freq DESC, word
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t.total)
+            as bigint) AS cum_share_micro
+FROM wc CROSS JOIN tot t
+ORDER BY zipf_rank
+"""
+
+
+def _q116(d: G.Dialect) -> str:
+    """Embedding label-consistency outlier detection (the CLIP-filtering
+    shape: drop pairs whose embedding disagrees with its cohort): each
+    vector's cosine against its label centroid, flagging the strays.
+    Centroids are integer-component sums (micro-unit floored per element
+    BEFORE summing, so the aggregate is order-independent — a float avg
+    would hash-diverge); cosine numerator/denominator stay in int64 and
+    the ratio floors once.  Scale shape: dims explode to (label, dim)
+    rows, centroid = one keyed aggregate (10 labels x 64 dims = tiny,
+    broadcast back), per-vector re-aggregate over 64 rows."""
+    at_e = d.at("embedding", "j")
+    return f"""
+WITH dims AS (
+  SELECT vec_id, label, j,
+         cast(floor(cast({at_e} as double) * 1000000) as bigint) AS vi
+  FROM (
+    SELECT vec_id, label, embedding,
+           {d.explode(d.seq('1', '64'))} AS j
+    FROM embeddings
+  ) t
+),
+cent AS (
+  SELECT label, j, sum(vi) AS cj FROM dims GROUP BY label, j
+),
+parts AS (
+  SELECT dm.vec_id, dm.label,
+         sum(dm.vi * c.cj) AS dotp,
+         sum(dm.vi * dm.vi) AS nv,
+         sum(c.cj * c.cj) AS nc
+  FROM dims dm JOIN cent c ON c.label = dm.label AND c.j = dm.j
+  GROUP BY dm.vec_id, dm.label
+)
+SELECT vec_id, label,
+       cast(floor(1000000.0 * dotp / (sqrt(nv) * sqrt(nc))) as bigint)
+         AS cos_centroid_micro,
+       cast(CASE WHEN 1000000.0 * dotp / (sqrt(nv) * sqrt(nc)) < 250000
+             THEN 1 ELSE 0 END as int) AS outlier
+FROM parts ORDER BY vec_id
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -1054,4 +1254,9 @@ TEXT_QUERIES = {
     "q84_lm_familiarity": (_q84_spark, _q84_duck()),
     "q96_decontamination": (_q96_spark, _q96_duck()),
     "q99_bm25_scoring": _dual(_q99),
+    "q110_exact_span_dedup": _dual(_q110),
+    "q111_repetition_signals": _dual(_q111),
+    "q112_token_chunking": _dual(_q112),
+    "q115_zipf_vocab": _dual(_q115),
+    "q116_embedding_outliers": _dual(_q116),
 }

@@ -720,3 +720,242 @@ def test_q108_raster_warp_pixel_exact(spark, sf_dir):
             assert row.sum_luma == sum(vals)
             assert row.min_luma == min(vals)
             assert row.max_luma == max(vals)
+
+
+def _wordval(w: str) -> int:
+    return 961 * len(w) + 31 * ord(w[0]) + ord(w[-1])
+
+
+def test_q110_spans_match_python_bruteforce(spark, sf_dir):
+    """Recompute every shared->=8-word span by brute force over the raw
+    word lists (O(pairs * n * m) python loops — independent of both the
+    SQL islands formulation and the positional-hash join)."""
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    got = TEXT_QUERIES["q110_exact_span_dedup"][0](spark, sf_dir).toPandas()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").toPandas()
+    words = {int(r.doc_id): r.text.split(" ") for r in docs.itertuples()}
+
+    expected = {}
+    ids = sorted(words)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            a, b = words[d1], words[d2]
+            # longest common substring (word-level) via DP row sweep
+            best, shared = 0, 0
+            prev = [0] * (len(b) + 1)
+            for x in a:
+                cur = [0] * (len(b) + 1)
+                for j, y in enumerate(b, 1):
+                    if x == y:
+                        cur[j] = prev[j - 1] + 1
+                        if cur[j] > best:
+                            best = cur[j]
+                prev = cur
+            if best >= 8:
+                # count shared 8-gram (pa, pb) matches for n_shared_grams
+                g1 = {}
+                for p in range(len(a) - 7):
+                    g1.setdefault(tuple(a[p:p + 8]), []).append(p)
+                n = 0
+                for p in range(len(b) - 7):
+                    n += len(g1.get(tuple(b[p:p + 8]), ()))
+                expected[(d1, d2)] = (best, n)
+
+    got_map = {(int(r.d1), int(r.d2)): (int(r.longest_span_words),
+                                        int(r.n_shared_grams))
+               for r in got.itertuples()}
+    assert got_map == expected
+    assert all(v[0] >= 8 for v in got_map.values())
+
+
+def test_q111_repetition_matches_pandas(spark, sf_dir):
+    from collections import Counter
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    got = TEXT_QUERIES["q111_repetition_signals"][0](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").toPandas()
+    import math
+
+    for r in docs.itertuples():
+        toks = [_wordval(w) for w in r.text.split(" ")]
+        if len(toks) < 2:
+            continue
+        row = got[got["doc_id"] == r.doc_id].iloc[0]
+        n = len(toks)
+        assert row.n_tok == n
+        assert row.dup_word_micro == math.floor(
+            1000000.0 * (n - len(set(toks))) / n)
+        bgs = Counter((toks[i] * 100003 + toks[i + 1]) for i in range(n - 1))
+        assert row.top_bigram_micro == math.floor(
+            1000000.0 * max(bgs.values()) / (n - 1))
+
+
+def test_q112_chunk_hashes_match_python_fold(spark, sf_dir):
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    got = TEXT_QUERIES["q112_token_chunking"][0](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").toPandas()
+    W, S = 40, 32
+    total = 0
+    for r in docs.itertuples():
+        toks = [_wordval(w) for w in r.text.split(" ")]
+        n = len(toks)
+        nch = max(-(-(n - W) // S), 0) + 1
+        rows = got[got["doc_id"] == r.doc_id].sort_values("chunk_idx")
+        assert len(rows) == nch
+        for ck in range(nch):
+            lo = ck * S
+            hi = min(lo + W, n)
+            h = 7
+            for v in toks[lo:hi]:
+                h = (h * 1009 + v) % 1099511627791
+            row = rows.iloc[ck]
+            assert (row.tok_lo, row.tok_hi) == (lo + 1, hi)
+            assert row.chunk_hash == h
+            total += 1
+    assert total == len(got)
+
+
+def test_q113_resample_matches_pandas_interp(spark, sf_dir):
+    import math
+
+    from geowave_spark.queries import QUERIES, _RESAMPLE_US
+    from geowave_spark.table import geo
+
+    got = QUERIES["q113_trajectory_resample"][0](spark, sf_dir).toPandas()
+    ev = spark.sql(
+        f"""SELECT user_id, unix_micros(cast(ts as timestamp)) AS us, event_id,
+            {geo.lon_sql('event_id')} AS lon, {geo.lat_sql('event_id')} AS lat
+            FROM parquet.`{sf_dir}/events.parquet`"""
+    ).toPandas()
+    H = _RESAMPLE_US
+    expected = []
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["us", "event_id"]).reset_index(drop=True)
+        for i in range(len(grp) - 1):
+            us, nus = int(grp.us[i]), int(grp.us[i + 1])
+            if nus <= us:
+                continue
+            lon, lat = float(grp.lon[i]), float(grp.lat[i])
+            nlon, nlat = float(grp.lon[i + 1]), float(grp.lat[i + 1])
+            h0 = -(-us // H)
+            h1 = (nus - 1) // H
+            for h in range(h0, h1 + 1):
+                frac = (h * H - us) * 1.0 / (nus - us)
+                expected.append((int(uid), h,
+                                 math.floor(1000000.0 * (lon + (nlon - lon) * frac)),
+                                 math.floor(1000000.0 * (lat + (nlat - lat) * frac))))
+    expected.sort()
+    got_rows = sorted(map(tuple, got[["user_id", "grid_idx",
+                                      "lon_micro", "lat_micro"]].values.tolist()))
+    assert got_rows == expected
+
+
+def test_q114_composite_matches_numpy(spark, sf_dir):
+    """Whole-composite recompute: warp EVERY selected scene with numpy,
+    take the per-lattice-pixel max + scene count in a dict, roll up to
+    tiles — independent of the engine's aggregate path."""
+    import numpy as np
+
+    from geowave_spark.queries_raster import RASTER_QUERIES, _COMP_G, _COMP_T
+    from geowave_spark.raster import codec
+    from geowave_spark.table.images import gen_images_pdf, gray
+
+    got = RASTER_QUERIES["q114_temporal_composite"][0](spark, sf_dir).toPandas()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").toPandas()
+    docs = docs[docs["doc_id"] % 2 == 1]
+    imgs = gen_images_pdf(docs)
+    G = _COMP_G
+    comp: dict[tuple[int, int], int] = {}
+    cnt: dict[tuple[int, int], int] = {}
+    for r in imgs.itertuples():
+        g = gray(codec.decode(r.bytes, r.fmt)).astype(np.int64)
+        h, w = g.shape
+        x0 = int(np.ceil((r.lon0 + 180.0) * G - 0.5))
+        x1 = int(np.ceil((r.lon1 + 180.0) * G - 0.5)) - 1
+        y0 = int(np.ceil((r.lat0 + 90.0) * G - 0.5))
+        y1 = int(np.ceil((r.lat1 + 90.0) * G - 0.5)) - 1
+        for gy in range(y0, y1 + 1):
+            for gx in range(x0, x1 + 1):
+                ix = int(np.floor(((gx + 0.5) / G - 180.0 - r.lon0)
+                                  * w / (r.lon1 - r.lon0)))
+                iy = int(np.floor(((gy + 0.5) / G - 90.0 - r.lat0)
+                                  * h / (r.lat1 - r.lat0)))
+                ix = min(max(ix, 0), w - 1)
+                iy = min(max(iy, 0), h - 1)
+                v = int(g[iy, ix])
+                comp[(gx, gy)] = max(comp.get((gx, gy), -1), v)
+                cnt[(gx, gy)] = cnt.get((gx, gy), 0) + 1
+    tiles: dict[tuple[int, int], list] = {}
+    T = _COMP_T
+    for (gx, gy), v in comp.items():
+        tiles.setdefault((gy // T, gx // T), []).append(
+            (v, cnt[(gx, gy)]))
+    assert len(got) == len(tiles)
+    assert (got["n_multi"] > 0).any()  # the lattice actually overlaps
+    for row in got.itertuples():
+        vals = tiles[(row.tty, row.ttx)]
+        assert row.n_px == len(vals)
+        assert row.n_multi == sum(1 for _, c in vals if c >= 2)
+        assert row.sum_comp_luma == sum(v for v, _ in vals)
+        assert row.max_comp_luma == max(v for v, _ in vals)
+
+
+def test_q115_zipf_matches_counter(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    got = TEXT_QUERIES["q115_zipf_vocab"][0](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").toPandas()
+    freq: Counter = Counter()
+    dfq: Counter = Counter()
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        freq.update(ws)
+        dfq.update(set(ws))
+    order = sorted(freq, key=lambda w: (-freq[w], w))
+    total = sum(freq.values())
+    cum = 0
+    for rank, w in enumerate(order, 1):
+        cum += freq[w]
+        row = got[got["word"] == w].iloc[0]
+        assert (row.freq, row.doc_freq, row.zipf_rank) == (freq[w], dfq[w], rank)
+        assert row.cum_share_micro == math.floor(1000000.0 * cum / total)
+    assert len(got) == len(order)
+
+
+def test_q116_outliers_match_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    got = TEXT_QUERIES["q116_embedding_outliers"][0](spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    vi = {int(r.vec_id): np.floor(
+        np.array(r.embedding, dtype=np.float64) * 1000000).astype(np.int64)
+        for r in emb.itertuples()}
+    cents: dict[int, np.ndarray] = {}
+    for r in emb.itertuples():
+        cents.setdefault(int(r.label), np.zeros(64, dtype=np.int64))
+        cents[int(r.label)] += vi[int(r.vec_id)]
+    assert len(got) == len(emb)
+    for r in emb.itertuples():
+        v, c = vi[int(r.vec_id)], cents[int(r.label)]
+        cos = 1000000.0 * int((v * c).sum()) / (
+            math.sqrt(int((v * v).sum())) * math.sqrt(int((c * c).sum())))
+        row = got[got["vec_id"] == r.vec_id].iloc[0]
+        assert row.cos_centroid_micro == math.floor(cos)
+        assert row.outlier == (1 if cos < 250000 else 0)
