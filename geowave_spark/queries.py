@@ -752,6 +752,81 @@ def _q113_duck_sql() -> str:
 q113_trajectory_resample.__doc__ = _q113_body.__doc__
 
 
+_TREND_SIZE_US = 6 * 3600 * 1000000   # 6-hour windows
+_TREND_SLIDE_US = 2 * 3600 * 1000000  # sliding by 2 hours
+_TREND_RES = 2                        # 4x4 grid -> meaningful per-cell counts
+
+
+def q117_trending_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending hot cells over sliding time windows: per 6-hour window
+    (sliding every 2 hours), the top-3 grid cells by event count plus the
+    count delta against the same cell one slide earlier — the continuous
+    monitoring twin of the binned aggregation q09 (reference analog:
+    `SpatialSimpleFeatureBinningStrategy.java` bins + the temporal bins of
+    `TemporalBinningStrategy.java`; the reference has no windowing at all,
+    SURVEY §2.9).
+
+    Spark-first shape: the SLIDING window explode is Spark's native
+    `window(ts, size, slide)` generator — the exact operator Structured
+    Streaming runs incrementally with watermark state, so this batch query
+    is streaming-portable as-is.  One keyed aggregate on (window, cell),
+    the trend delta is a self-join one slide back (broadcastable: the
+    aggregate is windows x cells, collapsed from the event stream), and
+    the top-k is a row_number inside the window-start hash partition.
+    The DuckDB oracle derives window membership independently via integer
+    k-range arithmetic (epoch-aligned, the same instants Spark emits)."""
+    register_views(spark, sf_dir)
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _TREND_RES)
+    agg = spark.sql(f"""
+        SELECT unix_micros(w.start) AS ws, cell, count(*) AS n
+        FROM (
+          SELECT window(cast(ts as timestamp), '6 hours', '2 hours') AS w,
+                 {cell} AS cell
+          FROM events
+        ) t GROUP BY 1, 2
+    """)
+    agg.createOrReplaceTempView("_trend_agg")
+    return spark.sql(f"""
+        SELECT ws, cell, n, delta, rnk FROM (
+          SELECT a.ws, a.cell, cast(a.n as bigint) AS n,
+                 cast(a.n - coalesce(p.n, 0) as bigint) AS delta,
+                 cast(row_number() OVER (
+                   PARTITION BY a.ws ORDER BY a.n DESC, a.cell) as bigint)
+                   AS rnk
+          FROM _trend_agg a
+          LEFT JOIN _trend_agg p
+            ON p.cell = a.cell AND p.ws = a.ws - {_TREND_SLIDE_US}
+        ) r WHERE rnk <= 3 ORDER BY ws, rnk
+    """)
+
+
+def _q117_duck_sql() -> str:
+    sz, sl = _TREND_SIZE_US, _TREND_SLIDE_US
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _TREND_RES)
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, {cell} AS cell FROM events
+),
+inst AS (
+  SELECT cell, k * {sl} AS ws
+  FROM e, LATERAL (
+    SELECT unnest(generate_series((us - {sz}) // {sl} + 1, us // {sl})) AS k
+  ) ks
+),
+agg AS (SELECT ws, cell, count(*) AS n FROM inst GROUP BY ws, cell)
+SELECT ws, cell, n, delta, rnk FROM (
+  SELECT a.ws, a.cell, cast(a.n as bigint) AS n,
+         cast(a.n - coalesce(p.n, 0) as bigint) AS delta,
+         cast(row_number() OVER (
+           PARTITION BY a.ws ORDER BY a.n DESC, a.cell) as bigint) AS rnk
+  FROM agg a
+  LEFT JOIN agg p ON p.cell = a.cell AND p.ws = a.ws - {sl}
+) r WHERE rnk <= 3 ORDER BY ws, rnk
+"""
+
+
 def _q89_body(d) -> str:
     """Inverse-distance-weighted (IDW) spatial interpolation onto the
     res-6 grid — the standard scattered-points→surface operator (sensor
@@ -1279,6 +1354,7 @@ QUERIES = {
     "q60_knn_geodesic": (q60_knn_geodesic, _q60_sql()),
     "q88_trajectory_stats": (q88_trajectory_stats, _q88_body("epoch_us(ts)")),
     "q113_trajectory_resample": (q113_trajectory_resample, _q113_duck_sql()),
+    "q117_trending_cells": (q117_trending_cells, _q117_duck_sql()),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

@@ -1233,6 +1233,60 @@ FROM parts ORDER BY vec_id
 """
 
 
+def _q118(d: G.Dialect) -> str:
+    """Graph centrality over the kNN similarity graph (PageRank, 4
+    unrolled iterations): importance-weighted sample selection — central
+    documents anchor dup clusters / coreset picks, peripheral ones are
+    candidates for trimming.  Complements q64 (connected components) as
+    the second iterative graph operator, expressed as pure unrolled
+    dataflow: each iteration is one hash join (edges x ranks on src) +
+    one keyed aggregate — no driver loop, no collect.
+
+    Determinism: fixed-point integer ranks (damping 0.85, uniform
+    out-degree 5 => per-edge contribution floor(17*r/100) floored BEFORE
+    the sum, so the aggregate is order-independent int64 and the DuckDB
+    twin hashes identically).  Scale note: the all-pairs top-5 edge build
+    here is the oracle-grade candidate generator; at corpus scale the
+    edges come from q20's LSH buckets or q41's IVF cells instead, and the
+    iteration cost is |E| per round regardless of how edges were built."""
+    dt = G.dot(d, "q.v", "c.v", 64)
+    contrib = d.intdiv("17 * r.r", "100")
+    its = []
+    for i in range(1, 5):
+        its.append(f"""
+r{i} AS (
+  SELECT n.vec_id, 150000 + coalesce(s.contrib, 0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS vec_id, sum({contrib}) AS contrib
+    FROM edges e JOIN r{i - 1} r ON r.vec_id = e.src
+    GROUP BY e.dst
+  ) s ON s.vec_id = n.vec_id
+)""")
+    return f"""
+WITH {_vec_cte(d)},
+sims AS (
+  SELECT q.vec_id AS src, c.vec_id AS dst,
+         cast(floor(1000000.0 * ({dt}) / (q.nv * c.nv)) as bigint) AS sim
+  FROM vecs q JOIN vecs c ON q.vec_id <> c.vec_id
+),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC)
+             AS rk
+    FROM sims
+  ) t WHERE rk <= 5
+),
+nodes AS (SELECT vec_id FROM embeddings),
+r0 AS (SELECT vec_id, cast(1000000 as bigint) AS r FROM nodes),
+{",".join(its)}
+SELECT vec_id, cast(r as bigint) AS rank_fp,
+       cast(row_number() OVER (ORDER BY r DESC, vec_id) as bigint)
+         AS centrality_order
+FROM r4 ORDER BY vec_id
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -1259,4 +1313,5 @@ TEXT_QUERIES = {
     "q112_token_chunking": _dual(_q112),
     "q115_zipf_vocab": _dual(_q115),
     "q116_embedding_outliers": _dual(_q116),
+    "q118_graph_centrality": _dual(_q118),
 }

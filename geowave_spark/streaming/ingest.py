@@ -103,6 +103,29 @@ def session_counts(stream_df: DataFrame, ts_col: str = "ts",
     )
 
 
+def trending_cell_counts(stream_df: DataFrame, ts_col: str = "ts",
+                         size: str = "6 hours", slide: str = "2 hours",
+                         res: int = 2,
+                         watermark: str = "30 days") -> DataFrame:
+    """Watermarked SLIDING-window per-cell counts — the streaming twin of
+    the batch q117 trending-cells aggregate: the identical
+    `window(ts, size, slide)` generator runs incrementally against the
+    state store, emitting the same (window_start, cell, n) rows.  The
+    top-k + trend-delta presentation stays a cheap batch query over this
+    continuously-maintained aggregate (windows x cells, collapsed from
+    the event stream)."""
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), res)
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, size, slide).alias("w"),
+                 F.expr(cell).alias("cell"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("ws"), "cell", "n")
+    )
+
+
 def geofence_alerts(stream_df: DataFrame, zones: DataFrame,
                     res: int = 7) -> DataFrame:
     """Streaming geofence: emit an alert row for every streamed point that

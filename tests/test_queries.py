@@ -959,3 +959,94 @@ def test_q116_outliers_match_numpy(spark, sf_dir):
         row = got[got["vec_id"] == r.vec_id].iloc[0]
         assert row.cos_centroid_micro == math.floor(cos)
         assert row.outlier == (1 if cos < 250000 else 0)
+
+
+def test_q117_trending_matches_python(spark, sf_dir):
+    """Recompute sliding-window membership, counts, deltas and top-3 with
+    plain python dicts (window instants from integer k-ranges)."""
+    import math
+
+    from geowave_spark.queries import (QUERIES, _TREND_RES, _TREND_SIZE_US,
+                                       _TREND_SLIDE_US)
+    from geowave_spark.table import geo
+
+    got = QUERIES["q117_trending_cells"][0](spark, sf_dir).toPandas()
+    ev = spark.sql(
+        f"""SELECT unix_micros(cast(ts as timestamp)) AS us, event_id
+            FROM parquet.`{sf_dir}/events.parquet`"""
+    ).toPandas()
+
+    n = 1 << _TREND_RES
+    LON_MOD, LON_MULT = geo.LON_MOD, geo.LON_MULT
+    LAT_MOD, LAT_MULT = geo.LAT_MOD, geo.LAT_MULT
+    counts: dict[tuple[int, int], int] = {}
+    for r in ev.itertuples():
+        k = int(r.event_id)
+        lon = ((k % LON_MOD) * LON_MULT % LON_MOD) / 1e6 - 180.0
+        lat = ((k % LAT_MOD) * LAT_MULT % LAT_MOD) / 1e6 - 90.0
+        x = min(max(math.ceil((lon + 180.0) / 360.0 * n) - 1, 0), n - 1)
+        y = min(max(math.ceil((lat + 90.0) / 180.0 * n) - 1, 0), n - 1)
+        cell = y * n + x
+        us = int(r.us)
+        k0 = (us - _TREND_SIZE_US) // _TREND_SLIDE_US + 1
+        k1 = us // _TREND_SLIDE_US
+        for kk in range(k0, k1 + 1):
+            counts[(kk * _TREND_SLIDE_US, cell)] = counts.get(
+                (kk * _TREND_SLIDE_US, cell), 0) + 1
+
+    expected = []
+    for ws in sorted({w for w, _ in counts}):
+        cells = sorted(((c, nn) for (w, c), nn in counts.items() if w == ws),
+                       key=lambda t: (-t[1], t[0]))
+        for rnk, (c, nn) in enumerate(cells[:3], 1):
+            prev = counts.get((ws - _TREND_SLIDE_US, c), 0)
+            expected.append((ws, c, nn, nn - prev, rnk))
+    got_rows = sorted(map(tuple, got[["ws", "cell", "n", "delta",
+                                      "rnk"]].values.tolist()))
+    assert got_rows == sorted(expected)
+
+
+def test_q118_centrality_matches_python_pagerank(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    got = TEXT_QUERIES["q118_graph_centrality"][0](spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    ids = sorted(int(r.vec_id) for r in emb.itertuples())
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for i in range(64):
+            acc += a[i] * b[i]
+        return acc
+
+    edges: dict[int, list[int]] = {}
+    for u in ids:
+        nu = math.sqrt(fold_dot(vecs[u], vecs[u]))
+        sims = []
+        for v in ids:
+            if v == u:
+                continue
+            nv = math.sqrt(fold_dot(vecs[v], vecs[v]))
+            sims.append((math.floor(
+                1000000.0 * fold_dot(vecs[u], vecs[v]) / (nu * nv)), v))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        edges[u] = [v for _, v in sims[:5]]
+
+    r = {u: 1000000 for u in ids}
+    for _ in range(4):
+        nxt = {u: 150000 for u in ids}
+        for u in ids:
+            c = (17 * r[u]) // 100
+            for v in edges[u]:
+                nxt[v] += c
+        r = nxt
+
+    assert len(got) == len(ids)
+    for row in got.itertuples():
+        assert r[int(row.vec_id)] == int(row.rank_fp)

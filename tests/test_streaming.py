@@ -291,3 +291,36 @@ def test_geofence_alerts_match_batch_filter(spark, sf_dir, dirs):
     out = spark.read.parquet(dest).groupBy("event_id", "zone_id").count()
     assert out.filter("count <> 2").count() == 0
     assert out.count() == len(want)
+
+
+def test_streaming_trending_counts_match_batch_q117(spark, sf_dir, dirs):
+    """The watermarked sliding-window per-cell aggregate over an
+    availableNow stream equals the batch q117 pre-top-k aggregate — the
+    same (window_start, cell, n) rows through the state store."""
+    src, _dest, cp = dirs
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part1.parquet")
+    schema = _events_schema(spark, sf_dir)
+
+    stream = ingest.indexed_file_stream(spark, str(src), schema)
+    ingest.run_to_memory(
+        ingest.trending_cell_counts(stream), "trending", cp)
+    got = sorted(
+        (r["ws"], r["cell"], r["n"])
+        for r in spark.table("trending").collect()
+    )
+
+    from geowave_spark.queries import _TREND_RES
+    from geowave_spark.table import geo
+
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _TREND_RES)
+    batch = spark.sql(f"""
+        SELECT unix_micros(w.start) AS ws, cell, count(*) AS n
+        FROM (
+          SELECT window(cast(ts as timestamp), '6 hours', '2 hours') AS w,
+                 {cell} AS cell
+          FROM parquet.`{sf_dir}/events.parquet`
+        ) t GROUP BY 1, 2
+    """)
+    want = sorted((r["ws"], r["cell"], r["n"]) for r in batch.collect())
+    assert got == want and len(got) > 0
