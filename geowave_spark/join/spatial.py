@@ -952,3 +952,149 @@ def within_distance_join_geodesic(
         .filter(F.col("dist_km") <= F.lit(radius_km))
         .select(pid_col, qid_col, "dist_km")
     )
+
+
+def spatiotemporal_window_join(
+    spark: SparkSession,
+    pts: DataFrame,
+    windows: DataFrame,
+    *,
+    pid_col: str = "pid",
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "tsec",
+    wid_col: str = "wid",
+    res: int = 7,
+    tbin: int = 86_400,
+    broadcast_windows: bool | str = "auto",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Spatiotemporal window join: every (point, window) pair with the point
+    inside the window's bbox AND ``t0 <= ts <= t1`` — the reference's
+    spatial-TEMPORAL composite index query
+    (`core/geotime/.../index/SpatialTemporalDimensionalityTypeProvider.java`,
+    time interleaved with lat/lon in one SFC key;
+    `CompositeBinningStrategy.java` time-bin x cell bins; the During/BBox
+    conjunction of `SpatialTemporalQuery`).
+
+    Spark-first shape: the composite key is materialized as TWO join
+    columns ``(cell, tbin)`` — a window explodes to its bbox cell cover x
+    covered time bins (both bounded: cells by the cover budget, bins by
+    duration/tbin), a point computes its single (cell, tbin) closed-form in
+    JVM codegen, and ONE hash equi-join on the composite key produces
+    candidates; the exact bbox+range test refines.  Pairs are unique by
+    construction (a window covers each (cell, tbin) exactly once), so there
+    is no dedup shuffle.  The time dimension splits every hot spatial cell
+    across bins, which is exactly the skew story of the reference's
+    composite binning.
+
+    ``windows`` columns: (wid, lon0, lat0, lon1, lat1, t0, t1) with t0/t1
+    in the same epoch unit as ``ts``.  ``broadcast_windows='auto'`` counts
+    the exploded estimate against autoBroadcastJoinThreshold; the shuffle
+    path hash-partitions both sides on the composite key (no salting
+    needed: tbin already spreads hot cells).
+    """
+    if broadcast_windows == "auto":
+        thresh = int(spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760").rstrip("b"))
+        # ~120 B/cover-row, ~16 cells x ~4 bins typical fan-out
+        n = windows.limit(max(1, thresh // (120 * 64)) + 1).count()
+        broadcast_windows = n <= max(1, thresh // (120 * 64))
+    w_cover = windows.select(
+        wid_col, "lon0", "lat0", "lon1", "lat1", "t0", "t1",
+        F.explode(
+            cov.bbox_cells_udf(res, curve="rowmajor")(
+                F.col("lon0"), F.col("lat0"), F.col("lon1"), F.col("lat1"))
+        ).alias("cell"),
+    ).withColumn(
+        "tbin", F.explode(F.expr(f"sequence(t0 div {tbin}, t1 div {tbin})")))
+    pts_k = cov.add_point_cells_jvm(pts, lon, lat, res).withColumn(
+        "tbin", F.expr(f"{ts} div {tbin}"))
+    if broadcast_windows:
+        cand = pts_k.join(F.broadcast(w_cover), ["cell", "tbin"])
+    else:
+        cand = pts_k.join(w_cover.hint("shuffle_hash"), ["cell", "tbin"])
+    return cand.filter(
+        (F.col(lon) >= F.col("lon0")) & (F.col(lon) <= F.col("lon1"))
+        & (F.col(lat) >= F.col("lat0")) & (F.col(lat) <= F.col("lat1"))
+        & (F.col(ts) >= F.col("t0")) & (F.col(ts) <= F.col("t1"))
+    ).select(pid_col, wid_col, *(keep_cols or []))
+
+
+def seg_dist2_sql(px: str, py: str, ax: str, ay: str, bx: str, by: str) -> str:
+    """Squared planar distance from point to segment — one expression text
+    shared by the Spark refine and the DuckDB oracle (identical IEEE op
+    order, so candidates hash identically in both engines).  Zero-length
+    segments collapse to point distance (t=0)."""
+    len2 = f"(({bx} - {ax}) * ({bx} - {ax}) + ({by} - {ay}) * ({by} - {ay}))"
+    dot = f"((({px}) - {ax}) * ({bx} - {ax}) + (({py}) - {ay}) * ({by} - {ay}))"
+    t = (f"(CASE WHEN {len2} = 0 THEN 0e0 "
+         f"ELSE least(greatest({dot} / {len2}, 0e0), 1e0) END)")
+    cx = f"({ax} + {t} * ({bx} - {ax}))"
+    cy = f"({ay} + {t} * ({by} - {ay}))"
+    return (f"((({px}) - {cx}) * (({px}) - {cx}) + "
+            f"(({py}) - {cy}) * (({py}) - {cy}))")
+
+
+def snap_to_segments(
+    spark: SparkSession,
+    pts: DataFrame,
+    segs: DataFrame,
+    radius: float,
+    *,
+    pid_col: str = "pid",
+    lon: str = "lon",
+    lat: str = "lat",
+    sid_col: str = "sid",
+    res: int = 7,
+    broadcast_segments: bool = True,
+) -> DataFrame:
+    """Map matching: snap every point to its NEAREST segment within
+    ``radius`` (planar degrees) — nearest-neighbor against a polyline
+    network (roads, trajectories).  The reference's NN machinery accepts
+    arbitrary geometry distance functions
+    (`analytics/mapreduce/.../nn/NNMapReduce.java`,
+    `DistanceProfileGenerateFn`); this is its nearest-SEGMENT form as one
+    candidate equi-join + a hash-aggregate argmin.
+
+    Plan shape: segment bboxes expand by ``radius`` and cover to cells
+    (any point within radius of a segment lands inside that cover, so
+    candidate recall is exact); points compute their single cell
+    closed-form in JVM; candidates refine with the exact point-to-segment
+    distance (`seg_dist2_sql`, pure codegen); the per-point argmin is an
+    ENCODED ``min(d2_micro * 2^36 + sid)`` hash aggregate — no window
+    sort, ties break to the smaller sid deterministically in both
+    engines.  Returns (pid, sid, d2_micro); points with no segment in
+    range drop (inner semantics).
+
+    ``segs`` columns: (sid, ax, ay, bx, by).  The segment side broadcasts
+    by default (road networks are the small side at training scale); set
+    ``broadcast_segments=False`` for a shuffle_hash cell join when it
+    is not.
+    """
+    r = float(radius)
+    s = segs.select(
+        sid_col, "ax", "ay", "bx", "by",
+        F.explode(
+            cov.bbox_cells_udf(res, curve="rowmajor")(
+                F.expr(f"least(ax, bx) - {r!r}"), F.expr(f"least(ay, by) - {r!r}"),
+                F.expr(f"greatest(ax, bx) + {r!r}"), F.expr(f"greatest(ay, by) + {r!r}"))
+        ).alias("cell"),
+    )
+    pts_c = cov.add_point_cells_jvm(pts, lon, lat, res)
+    if broadcast_segments:
+        cand = pts_c.join(F.broadcast(s), "cell")
+    else:
+        cand = pts_c.join(s.hint("shuffle_hash"), "cell")
+    d2 = seg_dist2_sql(lon, lat, "ax", "ay", "bx", "by")
+    enc = (f"cast(floor(({d2}) * 1000000e0) as bigint) * 68719476736 "
+           f"+ {sid_col}")
+    return (
+        cand.filter(F.expr(f"{d2} <= {r * r!r}"))
+        .groupBy(pid_col).agg(F.min(F.expr(enc)).alias("_enc"))
+        .select(
+            pid_col,
+            F.expr("_enc % 68719476736").alias(sid_col),
+            F.expr("_enc div 68719476736").alias("d2_micro"),
+        )
+    )

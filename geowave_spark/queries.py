@@ -1331,6 +1331,84 @@ GROUP BY cu.c_nationkey ORDER BY nationkey
 """
 
 
+def q119_spatiotemporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal composite-index window join — the reference's
+    SpatialTemporalQuery (bbox AND time range) answered through ONE hash
+    equi-join on the composite (cell, tbin) key
+    (`core/geotime/.../index/SpatialTemporalDimensionalityTypeProvider.java`,
+    `CompositeBinningStrategy.java`).  Count + value sum per window.
+
+    Oracle: brute-force bbox x BETWEEN join (no cells, no bins).
+    """
+    register_views(spark, sf_dir)
+    pts = spark.sql(
+        f"SELECT p.eid, p.lon, p.lat, p.tsec, e.value "
+        f"FROM ({geo.events_points_ts_sql(dialect='spark')}) p "
+        f"JOIN events e ON e.event_id = p.eid"
+    )
+    wins = spark.sql(geo.supplier_windows_sql())
+    pairs = spatial.spatiotemporal_window_join(
+        spark, pts, wins, pid_col="eid", ts="tsec", wid_col="wid",
+        res=7, keep_cols=["value"])
+    return (
+        pairs.groupBy("wid")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("sum_cents"),
+        )
+        .orderBy("wid")
+    )
+
+
+Q119_SQL = f"""
+WITH p AS ({geo.events_points_ts_sql(dialect="duckdb")}),
+e AS (SELECT p.eid, p.lon, p.lat, p.tsec, ev.value
+      FROM p JOIN events ev ON ev.event_id = p.eid),
+w AS ({geo.supplier_windows_sql()})
+SELECT w.wid, cast(count(*) as bigint) AS n_events,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+FROM e JOIN w
+  ON e.lon BETWEEN w.lon0 AND w.lon1 AND e.lat BETWEEN w.lat0 AND w.lat1
+ AND e.tsec BETWEEN w.t0 AND w.t1
+GROUP BY w.wid ORDER BY w.wid
+"""
+
+
+def q120_map_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching: snap every non-track event point to its nearest track
+    segment within 3 deg (`spatial.snap_to_segments` — the NN family of
+    `analytics/mapreduce/.../nn/NNMapReduce.java` with a point-to-segment
+    distance).  Oracle: brute-force cross join + the identical encoded
+    argmin."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(
+        f"SELECT event_id AS eid, {geo.lon_sql('event_id')} AS lon, "
+        f"{geo.lat_sql('event_id')} AS lat FROM events WHERE user_id % 20 <> 0"
+    )
+    segs = spark.sql(geo.track_segments_sql())
+    return spatial.snap_to_segments(
+        spark, pts, segs, 3.0, pid_col="eid", res=6
+    ).orderBy("eid")
+
+
+def _q120_sql() -> str:
+    d2 = spatial.seg_dist2_sql("p.lon", "p.lat", "s.ax", "s.ay", "s.bx", "s.by")
+    return f"""
+WITH p AS (SELECT event_id AS eid, {geo.lon_sql('event_id')} AS lon,
+                  {geo.lat_sql('event_id')} AS lat
+           FROM events WHERE user_id % 20 <> 0),
+s AS ({geo.track_segments_sql()}),
+c AS (SELECT p.eid,
+             min(cast(floor(({d2}) * 1000000e0) as bigint) * 68719476736 + s.sid)
+               AS enc
+      FROM p JOIN s ON {d2} <= 9.0
+      GROUP BY p.eid)
+SELECT eid, cast(enc % 68719476736 as bigint) AS sid,
+       cast(enc // 68719476736 as bigint) AS d2_micro
+FROM c ORDER BY eid
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1355,6 +1433,8 @@ QUERIES = {
     "q88_trajectory_stats": (q88_trajectory_stats, _q88_body("epoch_us(ts)")),
     "q113_trajectory_resample": (q113_trajectory_resample, _q113_duck_sql()),
     "q117_trending_cells": (q117_trending_cells, _q117_duck_sql()),
+    "q119_spatiotemporal_join": (q119_spatiotemporal_join, Q119_SQL),
+    "q120_map_matching": (q120_map_matching, _q120_sql()),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

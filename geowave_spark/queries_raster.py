@@ -457,6 +457,65 @@ def q103_focal_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("image_id", "ty", "tx")
 
 
+def q121_focal_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade (terrain illumination, fixed NW rational sun vector) over
+    the halo-exchange tile harness — trig-free Horn normals so the DuckDB
+    twin is bit-identical (see `focal.focal_hillshade_stats`)."""
+    from .raster import focal
+
+    return focal.focal_hillshade_stats(
+        _focal_tiles(spark, sf_dir), halo_included=True
+    ).orderBy("image_id", "ty", "tx")
+
+
+def _q121_sql() -> str:
+    from .table import images as img_tab
+
+    luma = img_tab.luma_sql("xs.g", "ys.g", decoded=True)
+    weights = ", ".join(
+        f"({dx}, {dy}, {wx}, {wy})"
+        for dx, dy, wx, wy in [
+            (-1, -1, -1, -1), (-1, 0, -2, 0), (-1, 1, -1, 1),
+            (0, -1, 0, -2), (0, 1, 0, 2),
+            (1, -1, 1, -1), (1, 0, 2, 0), (1, 1, 1, 1),
+        ])
+    return f"""
+WITH base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
+  FROM documents WHERE doc_id % 5 = 3
+),
+px AS (
+  SELECT doc_id, image_id, w, h, xs.g AS x, ys.g AS y, {luma} AS v
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
+),
+o(dx, dy, wx, wy) AS (VALUES {weights}),
+g AS (
+  SELECT p.image_id, p.x, p.y,
+         cast(sum(q.v * o.wx) as bigint) AS gx,
+         cast(sum(q.v * o.wy) as bigint) AS gy
+  FROM px p
+  CROSS JOIN o
+  JOIN px q ON q.doc_id = p.doc_id
+           AND q.x = p.x + o.dx AND q.y = p.y + o.dy
+  WHERE p.x >= 1 AND p.x <= p.w - 2 AND p.y >= 1 AND p.y <= p.h - 2
+  GROUP BY 1, 2, 3
+),
+f AS (
+  SELECT image_id, x, y,
+         cast(floor(1000e0 * (gx + gy + 16)
+              / sqrt(cast(gx * gx + gy * gy + 64 as double))) as bigint) AS shade
+  FROM g
+)
+SELECT image_id, cast(y // 16 as int) AS ty, cast(x // 16 as int) AS tx,
+       cast(count(*) as bigint) AS n_px, cast(sum(shade) as bigint) AS sum_f,
+       cast(min(shade) as bigint) AS min_f, cast(max(shade) as bigint) AS max_f
+FROM f GROUP BY 1, 2, 3 ORDER BY image_id, ty, tx
+"""
+
+
 def q104_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares contour segment counts per tile (the local step of
     raster -> vector isoline extraction) on the halo-exchange harness —
@@ -894,6 +953,7 @@ RASTER_QUERIES = {
     "q98_focal_mean": (q98_focal_mean, _q98_sql()),
     "q103_focal_sobel": (q103_focal_sobel, _q103_sql()),
     "q104_contour_segments": (q104_contour_segments, _q104_sql()),
+    "q121_focal_hillshade": (q121_focal_hillshade, _q121_sql()),
     "q108_raster_warp": (q108_raster_warp, _q108_sql()),
     "q114_temporal_composite": (q114_temporal_composite, _q114_sql()),
 }

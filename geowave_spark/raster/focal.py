@@ -241,6 +241,43 @@ def focal_contour_stats(tiles_df, threshold: int = 128, halo_included: bool = Fa
     return _focal_apply(tiles_df, contour_kernel, halo_included)
 
 
+def focal_hillshade_stats(tiles_df, halo_included: bool = False):
+    """Hillshade (terrain illumination) on the halo-exchange harness —
+    the third classic focal op after mean and slope.  Horn-style surface
+    normal n = (-gx, -gy, 8) from the 3x3 weighted gradients, lit by a
+    FIXED rational sun vector L = (-1, -1, 2) (northwest, elev
+    atan(2/sqrt(2)) ~ 54.7 deg): shade = floor(1000 * (n . L) / |n|)
+    = floor(1000 * (gx + gy + 16) / sqrt(gx^2 + gy^2 + 64)).
+
+    Deliberately trig-free: + * / sqrt floor are all IEEE-correctly-rounded
+    and bit-identical across numpy, Spark codegen and DuckDB, so the
+    closed-form oracle twin hashes exactly (sin/cos/atan2 of the textbook
+    azimuth/zenith formulation are libm calls that differ in the last ulp
+    across engines).  Negative shade = self-shadowed.  Border pixels
+    (incomplete 3x3) are excluded as in the Sobel op."""
+
+    def hs_kernel(pad, msk, th, tw):
+        gx = np.zeros((th, tw), dtype=np.int64)
+        gy = np.zeros((th, tw), dtype=np.int64)
+        n = np.zeros((th, tw), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                win = pad[dy + 1:dy + 1 + th, dx + 1:dx + 1 + tw]
+                n += msk[dy + 1:dy + 1 + th, dx + 1:dx + 1 + tw]
+                wx = _SOBEL_X.get((dy, dx), 0)
+                wy = _SOBEL_Y.get((dy, dx), 0)
+                if wx:
+                    gx += wx * win
+                if wy:
+                    gy += wy * win
+        num = (gx + gy + 16).astype(np.float64)
+        den = np.sqrt((gx * gx + gy * gy + 64).astype(np.float64))
+        f = np.floor(1000.0 * num / den).astype(np.int64)
+        return f, n == 9
+
+    return _focal_apply(tiles_df, hs_kernel, halo_included)
+
+
 def focal_sobel_stats(tiles_df, halo_included: bool = False):
     """3x3 Sobel gradient magnitude |gx| + |gy| (the slope / edge-strength
     op of terrain and image analysis) — integer-exact, computed only for

@@ -75,6 +75,49 @@ def supplier_rects_sql(sf_dir: str | None = None, table: str = "supplier") -> st
     )
 
 
+def supplier_windows_sql(sf_dir: str | None = None, table: str = "supplier") -> str:
+    """Spatiotemporal query windows: the supplier rects plus a deterministic
+    time range per window — t0 staggered over the events table's January
+    2024 span, duration 1..7 days (epoch seconds; 1704067200 = 2024-01-01)."""
+    t0 = "cast(1704067200 + (rid % 20) * 86400 + (rid % 5) * 3600 as bigint)"
+    return (
+        f"SELECT rid AS wid, lon0, lat0, lon1, lat1, {t0} AS t0, "
+        f"cast({t0} + (1 + rid % 7) * 86400 as bigint) AS t1 "
+        f"FROM ({supplier_rects_sql(sf_dir, table)}) r"
+    )
+
+
+def events_points_ts_sql(sf_dir: str | None = None, table: str = "events",
+                         dialect: str = "spark") -> str:
+    """Event points with epoch-second timestamps: (eid, lon, lat, tsec).
+    The epoch extraction is the only dialect split (both floor)."""
+    src = f"parquet.`{sf_dir}/events.parquet`" if sf_dir else table
+    # Spark reads the parquet ts as TIMESTAMP_NTZ; the cast is wall-clock
+    # identity under the UTC session timezone pinned by bench/tests
+    ep = ("unix_micros(cast(ts as timestamp)) div 1000000" if dialect == "spark"
+          else "epoch_us(ts) // 1000000")
+    return (
+        f"SELECT event_id AS eid, {lon_sql('event_id')} AS lon, "
+        f"{lat_sql('event_id')} AS lat, cast({ep} as bigint) AS tsec FROM {src}"
+    )
+
+
+def track_segments_sql(sf_dir: str | None = None, table: str = "events") -> str:
+    """Polyline segments from the track users (user_id % 20 = 0):
+    consecutive points per user ordered by event_id form (sid, ax, ay,
+    bx, by) segments — the road-network / reference-trajectory side of the
+    map-matching join.  Same text in both dialects."""
+    src = f"parquet.`{sf_dir}/events.parquet`" if sf_dir else table
+    ax, ay = lon_sql("event_id"), lat_sql("event_id")
+    w = "OVER (PARTITION BY user_id ORDER BY event_id)"
+    return (
+        f"SELECT sid, ax, ay, bx, by FROM ("
+        f"SELECT event_id AS sid, {ax} AS ax, {ay} AS ay, "
+        f"lead({ax}) {w} AS bx, lead({ay}) {w} AS by "
+        f"FROM {src} WHERE user_id % 20 = 0) t WHERE bx IS NOT NULL"
+    )
+
+
 def customer_points_sql(sf_dir: str | None = None, table: str = "customer") -> str:
     """Small point table from customer keys (kNN/distance-join query side)."""
     src = f"parquet.`{sf_dir}/customer.parquet`" if sf_dir else table

@@ -1050,3 +1050,53 @@ def test_q118_centrality_matches_python_pagerank(spark, sf_dir):
     assert len(got) == len(ids)
     for row in got.itertuples():
         assert r[int(row.vec_id)] == int(row.rank_fp)
+
+
+def test_q121_hillshade_matches_whole_image_numpy(spark, sf_dir):
+    """Whole-image hillshade (no tiling/halo) recompute — Horn gradients +
+    the rational NW sun vector; interior pixels only."""
+    import numpy as np
+
+    from geowave_spark.queries_raster import RASTER_QUERIES
+    from geowave_spark.raster import codec
+    from geowave_spark.table import images
+
+    got = {(r["image_id"], r["ty"], r["tx"]):
+           (r["n_px"], r["sum_f"], r["min_f"], r["max_f"])
+           for r in RASTER_QUERIES["q121_focal_hillshade"][0](spark, sf_dir)
+           .collect()}
+
+    import duckdb
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id % 5 = 3 ORDER BY doc_id").df()
+    img_pdf = images.gen_images_pdf(docs)
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.int64)
+    ky = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], dtype=np.int64)
+    want = {}
+    for _, row in img_pdf.iterrows():
+        g = images.gray(codec.decode(row["bytes"], row["fmt"]))
+        h, w = g.shape
+        gx = np.zeros((h, w), dtype=np.int64)
+        gy = np.zeros((h, w), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                win = g[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                gx[1:h - 1, 1:w - 1] += kx[dy + 1, dx + 1] * win
+                gy[1:h - 1, 1:w - 1] += ky[dy + 1, dx + 1] * win
+        num = (gx + gy + 16).astype(np.float64)
+        den = np.sqrt((gx * gx + gy * gy + 64).astype(np.float64))
+        shade = np.floor(1000.0 * num / den).astype(np.int64)
+        valid = np.zeros((h, w), dtype=bool)
+        valid[1:h - 1, 1:w - 1] = True
+        for ty in range((h + 15) // 16):
+            for tx in range((w + 15) // 16):
+                sl = (slice(ty * 16, (ty + 1) * 16),
+                      slice(tx * 16, (tx + 1) * 16))
+                v = shade[sl][valid[sl]]
+                if v.size:
+                    want[(row["image_id"], ty, tx)] = (
+                        v.size, int(v.sum()), int(v.min()), int(v.max()))
+    assert got == want and len(got) > 0
+    # self-shadowed (negative) pixels exist, i.e. the op isn't trivially abs()
+    assert any(t[2] < 0 for t in want.values())

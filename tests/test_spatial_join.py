@@ -406,3 +406,62 @@ def test_polygon_polygon_bigbig_equals_broadcast(spark):
     plan = bb._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
     assert "LocalTableScan" not in plan
+
+
+def test_spatiotemporal_join_paths_match_brute_force(spark):
+    """Composite (cell, tbin) key join: broadcast and shuffle paths both
+    reproduce the brute-force bbox x BETWEEN pairs.  sf0.01 tables: the
+    sf0.001 fixture's 1000 events have zero window hits."""
+    sf01 = "/root/testdata/sf0.01"
+    pts = spark.sql(geo.events_points_ts_sql(sf01, dialect="spark")).cache()
+    wins = spark.sql(geo.supplier_windows_sql(sf01)).cache()
+
+    exp = (
+        pts.crossJoin(wins)
+        .filter(
+            "lon BETWEEN lon0 AND lon1 AND lat BETWEEN lat0 AND lat1 "
+            "AND tsec BETWEEN t0 AND t1")
+        .select("eid", "wid").toPandas()
+    )
+    exp_pairs = sorted(map(tuple, exp.to_numpy().tolist()))
+    assert exp_pairs, "fixture degenerate: no spatiotemporal matches"
+    for bcast in (True, False):
+        got = spatial.spatiotemporal_window_join(
+            spark, pts, wins, pid_col="eid", ts="tsec", wid_col="wid",
+            res=7, broadcast_windows=bcast,
+        ).toPandas()
+        got_pairs = sorted(map(tuple, got.to_numpy().tolist()))
+        assert got_pairs == exp_pairs
+
+
+def test_snap_to_segments_matches_brute_force(spark, sf_dir):
+    """Map matching (nearest segment within radius): both join paths equal
+    the in-Spark brute-force crossJoin argmin."""
+    from geowave_spark.queries import register_views
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(
+        f"SELECT event_id AS eid, {geo.lon_sql('event_id')} AS lon, "
+        f"{geo.lat_sql('event_id')} AS lat FROM events WHERE user_id % 20 <> 0"
+    ).cache()
+    segs = spark.sql(geo.track_segments_sql()).cache()
+    d2 = spatial.seg_dist2_sql("lon", "lat", "ax", "ay", "bx", "by")
+    exp = (
+        pts.crossJoin(segs)
+        .filter(F.expr(f"{d2} <= 9.0"))
+        .groupBy("eid")
+        .agg(F.min(F.expr(
+            f"cast(floor(({d2}) * 1000000e0) as bigint) * 68719476736 + sid"
+        )).alias("enc"))
+        .selectExpr("eid", "enc % 68719476736 AS sid",
+                    "enc div 68719476736 AS d2_micro")
+        .toPandas()
+    )
+    exp_rows = sorted(map(tuple, exp.to_numpy().tolist()))
+    assert exp_rows, "fixture degenerate: no snap matches"
+    for bcast in (True, False):
+        got = spatial.snap_to_segments(
+            spark, pts, segs, 3.0, pid_col="eid", res=6,
+            broadcast_segments=bcast,
+        ).toPandas()
+        assert sorted(map(tuple, got.to_numpy().tolist())) == exp_rows
