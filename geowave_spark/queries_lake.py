@@ -415,6 +415,117 @@ ORDER BY snapshot
 """
 
 
+_Q124_TERMS = ("vector", "stream", "merge")
+
+
+def _postings_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the inverted-index postings snapshot table
+    (term, doc_id, tf) CLUSTERED BY term — the text secondary index as a
+    lake table (reference: the n-gram text index plugin,
+    `core/index/.../text/TextIndexStrategy.java` in /root/reference, whose
+    key prefix is the term; here the cluster key + footer stats give the
+    same only-touch-matching-ranges scan)."""
+    sfn = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_SCRATCH, f"snap_postings_{sfn}")
+    if S.current_snapshot(path) == 0:
+        shutil.rmtree(path, ignore_errors=True)
+        post = spark.sql(
+            f"SELECT term, doc_id, cast(count(*) as bigint) AS tf FROM ("
+            f"SELECT doc_id, explode(split(text, ' ')) AS term "
+            f"FROM parquet.`{sf_dir}/documents.parquet`) t "
+            f"GROUP BY term, doc_id")
+        S.create(post, path, cluster_by=["term"], num_files=16)
+    return path
+
+
+def q124_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term search through the postings snapshot table: the
+    term IN-list prunes manifest files by the cluster-key stats (only
+    term-range files holding the query terms are opened — pinned by a
+    pytest), then one keyed aggregate finds docs containing ALL terms.
+    At corpus scale the postings table is the big side and the query
+    touches O(matching files), never the corpus."""
+    path = _postings_table(spark, sf_dir)
+    terms = ", ".join(f"'{t}'" for t in _Q124_TERMS)
+    return (
+        S.scan(spark, path, prune=[("term", "in", list(_Q124_TERMS))],
+               where=f"term IN ({terms})")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_terms"),
+             F.sum("tf").alias("total_tf"))
+        .filter(F.col("n_terms") == len(_Q124_TERMS))
+        .select("doc_id", "total_tf")
+        .orderBy("doc_id")
+    )
+
+
+Q124_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({", ".join(f"'{t}'" for t in _Q124_TERMS)})
+       GROUP BY 1, 2)
+SELECT doc_id, cast(sum(tf) as bigint) AS total_tf
+FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = {len(_Q124_TERMS)}
+ORDER BY doc_id
+"""
+
+
+def q123_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: stage an append as an UNPUBLISHED snapshot
+    (CURRENT does not move — production readers keep the audited view),
+    audit it by scanning the staged id, publish atomically, then pin a
+    reproducibility tag.  Iceberg's WAP pattern (`wap.id` staged commits +
+    cherry-pick publish) on the linear snapshot chain; the reference has
+    no transactional staging — its writers are visible per-row as written.
+    Output: (phase, snapshot, n_rows, sum_qty) per workflow phase, all
+    derivable in closed form from the source table."""
+    li = spark.sql(geo.lineitem_points_sql(sf_dir=sf_dir)).selectExpr(
+        "pid", "cast(qty as bigint) AS qty")
+    path = os.path.join(_SCRATCH, f"snap_wap_{uuid.uuid4().hex}")
+    rows = []
+
+    def phase(name: str, snap) -> None:
+        r = S.scan(spark, path, snapshot=snap).agg(
+            F.count("*").alias("n"), F.sum("qty").alias("s")).first()
+        rows.append((name, S.current_snapshot(path), r["n"], r["s"]))
+
+    try:
+        S.create(li.filter("pid % 5 <> 0"), path, num_files=4)
+        S.append(li.filter("pid % 5 = 0"), path, stage_only=True)
+        phase("staged_current", None)       # readers still see v1 only
+        phase("staged_audit", 2)            # the audit scans the staged id
+        S.publish(path)
+        phase("published", None)            # one atomic pointer swap later
+        S.create_tag(path, "prod")
+        phase("tagged", "prod")             # named ref == published snapshot
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "phase string, current int, n_rows bigint, sum_qty bigint"
+    ).orderBy("phase")
+
+
+Q123_SQL = f"""
+WITH base AS (SELECT pid, cast(qty as bigint) AS qty
+              FROM ({geo.lineitem_points_sql()}) t),
+a AS (SELECT count(*) AS n, sum(qty) AS s FROM base WHERE pid % 5 <> 0),
+t AS (SELECT count(*) AS n, sum(qty) AS s FROM base)
+SELECT 'staged_current' AS phase, cast(1 as int) AS current,
+       cast(a.n as bigint) AS n_rows, cast(a.s as bigint) AS sum_qty FROM a
+UNION ALL
+SELECT 'staged_audit', cast(1 as int), cast(t.n as bigint),
+       cast(t.s as bigint) FROM t
+UNION ALL
+SELECT 'published', cast(2 as int), cast(t.n as bigint),
+       cast(t.s as bigint) FROM t
+UNION ALL
+SELECT 'tagged', cast(2 as int), cast(t.n as bigint),
+       cast(t.s as bigint) FROM t
+ORDER BY phase
+"""
+
+
 LAKE_QUERIES = {
     "q68_snapshot_prune_scan": (q68_snapshot_prune_scan, Q68_SQL),
     "q69_snapshot_time_travel": (q69_snapshot_time_travel, Q69_SQL),
@@ -423,4 +534,6 @@ LAKE_QUERIES = {
     "q86_optimize_recluster_scan": (q86_optimize_recluster_scan, Q86_SQL),
     "q91_incremental_scan": (q91_incremental_scan, Q91_SQL),
     "q92_merge_upsert": (q92_merge_upsert, Q92_SQL),
+    "q123_wap_publish": (q123_wap_publish, Q123_SQL),
+    "q124_inverted_index_search": (q124_inverted_index_search, Q124_SQL),
 }

@@ -1287,6 +1287,44 @@ FROM r4 ORDER BY vec_id
 """
 
 
+def _q122(d: G.Dialect) -> str:
+    """PII scrubbing — the redaction pass every training-data pipeline runs
+    before a corpus ships (emails, phone numbers): per-document match
+    counts + an md5 fingerprint of the REDACTED text.  Everything is one
+    codegen projection over the scan — regexp_extract_all / regexp_replace
+    are JVM expressions, no shuffle at all until the final ORDER BY (which
+    only the test harness needs), so the op streams at scan speed at any
+    corpus size.
+
+    The synthetic corpus contains no PII, so deterministic PII is INJECTED
+    in the same query text for both engines (doc_id-derived emails for
+    doc_id%3=0, phone numbers for %3=1) — the injection is fixture, the
+    scrub is the operator.  Patterns stay in the Java-regex/RE2 common
+    subset with no backslashes (Spark literals eat them, DuckDB keeps
+    them); DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    replace-all default."""
+    cast_t = "string" if d.is_spark else "varchar"
+    g = "" if d.is_spark else ", 'g'"
+    email = "[a-z0-9]+@[a-z0-9.]+"
+    phone = "[+]1-555-01[0-9][0-9]"
+    pii = (
+        f"CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || "
+        f"cast(doc_id as {cast_t}) || '@mail.example.com now' "
+        f"WHEN doc_id % 3 = 1 THEN text || ' call +1-555-01' || "
+        f"lpad(cast(doc_id % 100 as {cast_t}), 2, '0') || ' or +1-555-0199 today' "
+        f"ELSE text END"
+    )
+    scrub = (f"regexp_replace(regexp_replace(t, '{email}', '<EMAIL>'{g}), "
+             f"'{phone}', '<PHONE>'{g})")
+    return f"""
+SELECT doc_id, cast({d.regexp_count("t", email)} as bigint) AS n_emails,
+       cast({d.regexp_count("t", phone)} as bigint) AS n_phones,
+       md5({scrub}) AS scrub_md5
+FROM (SELECT doc_id, {pii} AS t FROM documents) src
+ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -1314,4 +1352,5 @@ TEXT_QUERIES = {
     "q115_zipf_vocab": _dual(_q115),
     "q116_embedding_outliers": _dual(_q116),
     "q118_graph_centrality": _dual(_q118),
+    "q122_pii_scrub": _dual(_q122),
 }

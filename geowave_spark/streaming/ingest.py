@@ -170,6 +170,42 @@ def geofence_alerts(stream_df: DataFrame, zones: DataFrame,
     )
 
 
+def proximity_pairs(left: DataFrame, right: DataFrame,
+                    ts_col: str = "ts", res: int = 6,
+                    max_lag_s: int = 600,
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Stream-STREAM spatiotemporal rendezvous join: pairs of events from
+    two streams that land in the same res-`res` cell within ``max_lag_s``
+    seconds of each other — continuous co-occurrence detection (which
+    entities were near each other, as the data arrives).
+
+    This is the one join shape Structured Streaming keeps BOTH sides in
+    the state store for; the watermark + the symmetric time-range bound
+    are exactly what lets it evict state (an unbounded stream-stream join
+    is impossible — every event would have to wait forever).  The join key
+    is the spatial cell, so state is partitioned by cell and the time
+    condition prunes within it — the streaming twin of the engine's
+    composite (cell, tbin) join (`spatial.spatiotemporal_window_join`).
+
+    Both inputs need (``ts_col``, lon, lat) plus their payload; outputs
+    one row per qualifying (left, right) pair with both timestamps.
+    """
+    k = f"cast({geo.rowmajor_cell_sql('lon', 'lat', res)} as bigint)"
+    # watermarks demand TIMESTAMP event time; parquet NTZ sources cast
+    # wall-clock-identically under the UTC session timezone
+    a = (left.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+         .withColumn("jcell", F.expr(k))
+         .withWatermark(ts_col, watermark).alias("a"))
+    b = (right.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+         .withColumn("jcell", F.expr(k))
+         .withWatermark(ts_col, watermark).alias("b"))
+    cond = F.expr(
+        f"a.jcell = b.jcell AND "
+        f"b.{ts_col} >= a.{ts_col} - interval {max_lag_s} second AND "
+        f"b.{ts_col} <= a.{ts_col} + interval {max_lag_s} second")
+    return a.join(b, cond)
+
+
 def run_ingest_to_table(stream_df: DataFrame, table_path: str,
                         checkpoint_dir: str, rollup_path: str | None = None,
                         rollup_kw: dict | None = None,

@@ -87,7 +87,10 @@ def current_snapshot(path: str) -> int:
         return int(fh.read().strip())
 
 
-def load_manifest(path: str, snapshot: int | None = None) -> dict:
+def load_manifest(path: str, snapshot: int | str | None = None) -> dict:
+    """Manifest of a snapshot id, a tag name (str), or CURRENT (None)."""
+    if isinstance(snapshot, str):
+        snapshot = resolve_tag(path, snapshot)
     snap = current_snapshot(path) if snapshot is None else snapshot
     if snap <= 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
@@ -116,16 +119,27 @@ def history(path: str) -> list[dict]:
     return out
 
 
-def _commit(path: str, manifest: dict, *, fail_before_pointer: bool = False) -> None:
+def _commit(path: str, manifest: dict, *, fail_before_pointer: bool = False,
+            stage_only: bool = False) -> None:
     """Two-step commit: exclusive manifest create, then atomic pointer swap.
 
     The pointer swap is the *only* commit point — a crash between the two
     steps leaves readers on the old snapshot and the orphan manifest blocks
     the id for later writers (cleared by :func:`repair`).
     `fail_before_pointer` is the crash-injection test hook.
+
+    ``stage_only=True`` is the write half of write-audit-publish (Iceberg's
+    WAP staged commit): the manifest lands marked ``staged`` but CURRENT
+    does not move — readers keep the audited production view, the staged
+    snapshot is scannable by explicit id, and :func:`publish` (the audit
+    passed) or :func:`abort_staged` (it failed) resolves it.  While staged,
+    the occupied snapshot id gates other writers (CommitConflict) — the
+    single-writer audit gate of a linear snapshot chain.
     """
     meta = _meta_dir(path)
     os.makedirs(meta, exist_ok=True)
+    if stage_only:
+        manifest = dict(manifest, staged=True)
     mpath = _manifest_path(path, manifest["snapshot"])
     tmp = mpath + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
@@ -135,10 +149,13 @@ def _commit(path: str, manifest: dict, *, fail_before_pointer: bool = False) -> 
     except FileExistsError:
         raise CommitConflict(
             f"snapshot {manifest['snapshot']} already exists at {path} "
-            "(concurrent commit, or a crashed commit — run repair())"
+            "(concurrent commit, a staged WAP snapshot awaiting publish, "
+            "or a crashed commit — run repair())"
         ) from None
     finally:
         os.unlink(tmp)
+    if stage_only:
+        return
     if fail_before_pointer:
         raise RuntimeError("injected crash between manifest write and pointer swap")
     ptr_tmp = os.path.join(meta, f"CURRENT.tmp-{uuid.uuid4().hex}")
@@ -148,17 +165,95 @@ def _commit(path: str, manifest: dict, *, fail_before_pointer: bool = False) -> 
 
 
 def repair(path: str) -> list[int]:
-    """Remove orphan manifests (id > CURRENT) left by crashed commits."""
+    """Remove orphan manifests (id > CURRENT) left by crashed commits.
+    Staged WAP manifests are NOT orphans — they are awaiting publish and
+    are skipped (drop one explicitly with :func:`abort_staged`)."""
     cur = current_snapshot(path)
     removed = []
     meta = _meta_dir(path)
     for f in os.listdir(meta) if os.path.isdir(meta) else []:
         if f.startswith("v") and f.endswith(".json"):
             s = int(f[1:-5])
-            if s > cur:
+            if s > cur and not load_manifest(path, s).get("staged"):
                 os.unlink(os.path.join(meta, f))
                 removed.append(s)
     return sorted(removed)
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish + named refs (tags)
+
+
+def publish(path: str, snapshot: int | None = None) -> dict:
+    """Publish staged snapshots: move CURRENT forward to ``snapshot``
+    (default: the newest staged id) after validating that every manifest
+    between CURRENT and it exists and is parent-linked — the audit-passed
+    half of write-audit-publish.  Atomic: readers flip from the old view
+    to the published one in a single pointer swap."""
+    cur = current_snapshot(path)
+    if snapshot is None:
+        snapshot = cur
+        while os.path.exists(_manifest_path(path, snapshot + 1)):
+            snapshot += 1
+    if snapshot <= cur:
+        raise ValueError(f"nothing to publish: snapshot {snapshot} <= CURRENT {cur}")
+    for s in range(cur + 1, snapshot + 1):
+        m = load_manifest(path, s)   # raises if a link is missing
+        if m["parent"] != s - 1:
+            raise CommitConflict(
+                f"snapshot {s} at {path} has parent {m['parent']}, expected {s - 1}")
+    meta = _meta_dir(path)
+    ptr_tmp = os.path.join(meta, f"CURRENT.tmp-{uuid.uuid4().hex}")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(str(snapshot))
+    os.replace(ptr_tmp, os.path.join(meta, "CURRENT"))
+    return {"published": snapshot, "previous": cur}
+
+
+def abort_staged(path: str, snapshot: int) -> None:
+    """Drop a staged (unpublished) snapshot whose audit failed.  Its data
+    files become unreferenced and are reclaimed by the next
+    :func:`expire_snapshots` sweep."""
+    cur = current_snapshot(path)
+    if snapshot <= cur:
+        raise ValueError(f"snapshot {snapshot} is published (CURRENT={cur})")
+    if not load_manifest(path, snapshot).get("staged"):
+        raise CommitConflict(f"snapshot {snapshot} at {path} is not staged")
+    os.unlink(_manifest_path(path, snapshot))
+
+
+def _refs_path(path: str) -> str:
+    return os.path.join(_meta_dir(path), "refs.json")
+
+
+def tags(path: str) -> dict[str, int]:
+    """Named refs: tag name -> snapshot id (Iceberg table refs)."""
+    if not os.path.exists(_refs_path(path)):
+        return {}
+    with open(_refs_path(path)) as fh:
+        return json.load(fh)
+
+
+def create_tag(path: str, name: str, snapshot: int | None = None) -> dict:
+    """Pin a name to a snapshot (default CURRENT) — the reproducibility
+    handle a training pipeline records ("corpus the run trained on").
+    Tagged snapshots survive :func:`expire_snapshots`."""
+    snap = current_snapshot(path) if snapshot is None else snapshot
+    load_manifest(path, snap)   # must exist
+    t = tags(path)
+    t[name] = snap
+    tmp = _refs_path(path) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(t, fh)
+    os.replace(tmp, _refs_path(path))
+    return {"tag": name, "snapshot": snap}
+
+
+def resolve_tag(path: str, name: str) -> int:
+    t = tags(path)
+    if name not in t:
+        raise FileNotFoundError(f"no tag {name!r} at {path} (have {sorted(t)})")
+    return t[name]
 
 
 # ---------------------------------------------------------------------------
@@ -426,7 +521,7 @@ def _file_matches(stats: dict, prune: list[tuple]) -> bool:
 
 
 def plan_files(
-    path: str, snapshot: int | None = None, prune: list[tuple] | None = None
+    path: str, snapshot: int | str | None = None, prune: list[tuple] | None = None
 ) -> tuple[list[dict], int]:
     """Manifest entries surviving stats pruning + total file count.
 
@@ -444,7 +539,7 @@ def plan_files(
 def scan(
     spark: SparkSession,
     path: str,
-    snapshot: int | None = None,
+    snapshot: int | str | None = None,
     prune: list[tuple] | None = None,
     where: str | None = None,
     columns: list[str] | None = None,
@@ -694,9 +789,16 @@ def optimize(
 
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Drop old snapshots' manifests and any data file no kept snapshot
-    references (Iceberg `expire_snapshots` + orphan-file cleanup)."""
+    references (Iceberg `expire_snapshots` + orphan-file cleanup).
+    Tagged snapshots and staged (unpublished) WAP snapshots are always
+    kept — a tag is a pin, and a pending audit still owns its files."""
     cur = current_snapshot(path)
     keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+    keep |= set(tags(path).values())
+    s = cur + 1
+    while os.path.exists(_manifest_path(path, s)):
+        keep.add(s)   # staged, awaiting publish
+        s += 1
     live: set[str] = set()
     for s in keep:
         try:

@@ -375,3 +375,26 @@ def test_q101_overlay_no_dedup_shuffle(spark, sf_dir):
     assert "LocalTableScan" not in plan
     for op in ("SortMergeJoin", "CartesianProduct", "HashAggregate"):
         assert op not in plan, op
+
+
+def test_q119_spatiotemporal_join_plan(spark, sf_dir):
+    """Composite (cell, tbin) join: one broadcast hash equi-join, no
+    sort-merge/cartesian, and the point side's key derivation is pure JVM
+    (the only Python node allowed is the window-side bbox cover UDF)."""
+    plan = _plan(spark, sf_dir, "q119_spatiotemporal_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q120_map_matching_plan(spark, sf_dir):
+    """Nearest-segment snap: broadcast candidate join + hash-aggregate
+    argmin — no window sort, no cartesian product."""
+    plan = _plan(spark, sf_dir, "q120_map_matching")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # argmin is a hash aggregate over the encoded min, not a rank window
+    # (the only Window is the lead() building segments on the SMALL side)
+    assert "row_number" not in plan and "rank" not in plan
+    assert "HashAggregate" in plan

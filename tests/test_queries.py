@@ -1100,3 +1100,37 @@ def test_q121_hillshade_matches_whole_image_numpy(spark, sf_dir):
     assert got == want and len(got) > 0
     # self-shadowed (negative) pixels exist, i.e. the op isn't trivially abs()
     assert any(t[2] < 0 for t in want.values())
+
+
+def test_q122_pii_scrub_matches_python_re(spark, sf_dir):
+    """Python `re` recompute of the PII injection + scrub (counts and the
+    md5 of the redacted text) — independent of both SQL dialects."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    got = {r["doc_id"]: (r["n_emails"], r["n_phones"], r["scrub_md5"])
+           for r in TEXT_QUERIES["q122_pii_scrub"][0](spark, sf_dir).collect()}
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").df()
+    email = re.compile(r"[a-z0-9]+@[a-z0-9.]+")
+    phone = re.compile(r"[+]1-555-01[0-9][0-9]")
+    n_em = n_ph = 0
+    for _, row in docs.iterrows():
+        did, t = int(row.doc_id), row.text
+        if did % 3 == 0:
+            t = f"{t} contact user{did}@mail.example.com now"
+        elif did % 3 == 1:
+            t = f"{t} call +1-555-01{did % 100:02d} or +1-555-0199 today"
+        scrubbed = phone.sub("<PHONE>", email.sub("<EMAIL>", t))
+        want = (len(email.findall(t)), len(phone.findall(t)),
+                hashlib.md5(scrubbed.encode()).hexdigest())
+        assert got[did] == want
+        n_em += want[0]
+        n_ph += want[1]
+    assert n_em > 0 and n_ph > 0
+    assert len(got) == len(docs)

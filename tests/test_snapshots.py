@@ -307,3 +307,84 @@ def test_incremental_scan_append_only_contract(spark, tdir):
         S.incremental_scan(spark, tdir, 2)
     # ranges that stop BEFORE the delete still work
     assert S.incremental_scan(spark, tdir, 1, 3).count() == 800
+
+
+def test_wap_stage_publish_abort_and_tags(spark, tdir):
+    """Write-audit-publish: a staged append is invisible to CURRENT
+    readers, scannable by id, survives repair(), publishes atomically;
+    a failed audit aborts; tags pin snapshots through expiry."""
+    S.create(_mk(spark, 1000), tdir, num_files=4)
+
+    batch = spark.range(1000, 1400).selectExpr(
+        "id", "id % 97 AS cell", "cast(id % 13 as double) AS value",
+        "concat('row-', id) AS name")
+    info = S.append(batch, tdir, stage_only=True)
+    assert info["snapshot"] == 2
+    # unpublished: readers stay on v1, the staged id scans explicitly
+    assert S.current_snapshot(tdir) == 1
+    assert S.scan(spark, tdir).count() == 1000
+    assert S.scan(spark, tdir, snapshot=2).count() == 1400
+    # staged id gates other writers (the audit gate)
+    with pytest.raises(S.CommitConflict):
+        S.append(batch, tdir)
+    # repair() must NOT treat the staged manifest as a crash orphan
+    assert S.repair(tdir) == []
+    assert S.scan(spark, tdir, snapshot=2).count() == 1400
+
+    pub = S.publish(tdir)
+    assert pub == {"published": 2, "previous": 1}
+    assert S.current_snapshot(tdir) == 2
+    assert S.scan(spark, tdir).count() == 1400
+
+    # tag the published snapshot; a later staged append that FAILS audit
+    S.create_tag(tdir, "prod")
+    S.append(batch.limit(10), tdir, stage_only=True)
+    assert S.current_snapshot(tdir) == 2
+    S.abort_staged(tdir, 3)
+    with pytest.raises(FileNotFoundError):
+        S.load_manifest(tdir, 3)
+    # the freed id is reusable by the next writer
+    S.append(batch.limit(5), tdir)
+    assert S.current_snapshot(tdir) == 3
+
+    # tag resolution + expiry keeps tagged snapshots readable
+    assert S.resolve_tag(tdir, "prod") == 2
+    n_tagged = S.scan(spark, tdir, snapshot="prod").count()
+    assert n_tagged == 1400
+    S.append(batch.limit(7), tdir)      # v4
+    S.expire_snapshots(tdir, keep_last=1)
+    assert S.scan(spark, tdir, snapshot="prod").count() == 1400
+    with pytest.raises(FileNotFoundError):
+        S.load_manifest(tdir, 1)        # untagged old snapshot expired
+
+
+def test_expire_keeps_staged_snapshot_files(spark, tdir):
+    """A pending (staged, unpublished) snapshot's data files must survive
+    an expire_snapshots sweep — the audit still owns them."""
+    S.create(_mk(spark, 500), tdir, num_files=2)
+    S.append(_mk(spark, 200), tdir)     # v2
+    batch = spark.range(900, 950).selectExpr(
+        "id", "id % 97 AS cell", "cast(id % 13 as double) AS value",
+        "concat('row-', id) AS name")
+    S.append(batch, tdir, stage_only=True)   # v3 staged
+    S.expire_snapshots(tdir, keep_last=1)
+    assert S.scan(spark, tdir, snapshot=3).count() == 750
+    S.publish(tdir)
+    assert S.scan(spark, tdir).count() == 750
+
+
+def test_q124_inverted_index_pruning_is_effective(spark, sf_dir):
+    """The term-clustered postings table must skip most files for a
+    3-term IN lookup — the text secondary index as a lake table."""
+    from geowave_spark import queries_lake as QL
+
+    path = QL._postings_table(spark, sf_dir)
+    terms = list(QL._Q124_TERMS)
+    kept, total = S.plan_files(path, prune=[("term", "in", terms)])
+    assert total == 16
+    assert len(kept) < total / 2
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    pruned = S.scan(spark, path, prune=[("term", "in", terms)],
+                    where=f"term IN ({in_list})").count()
+    full = S.scan(spark, path, where=f"term IN ({in_list})").count()
+    assert pruned == full > 0

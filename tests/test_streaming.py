@@ -324,3 +324,46 @@ def test_streaming_trending_counts_match_batch_q117(spark, sf_dir, dirs):
     """)
     want = sorted((r["ws"], r["cell"], r["n"]) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_proximity_join_matches_batch(spark, sf_dir, dirs):
+    """Stream-stream rendezvous join (same cell, |dt| <= 10 min) over two
+    watermarked file streams == the identical batch join; the state store
+    holds both sides keyed by cell.  sf0.001's 1000 events need coarse
+    cells (res 3) + a 1-day lag for a non-degenerate pair set."""
+    from pyspark.sql import functions as F
+
+    src, dest, cp = dirs
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part1.parquet")
+    schema = _events_schema(spark, sf_dir)
+
+    def sides(df_fn):
+        a = df_fn().where("user_id % 2 = 0").select("event_id", "ts", "lon", "lat")
+        b = (df_fn().where("user_id % 2 = 1")
+             .select(F.col("event_id").alias("eid2"),
+                     F.col("ts").alias("ts2"), "lon", "lat"))
+        return a, b
+
+    a, b = sides(lambda: ingest.indexed_file_stream(spark, str(src), schema, res=8))
+    pairs = ingest.proximity_pairs(
+        a, b.withColumnRenamed("ts2", "ts"), ts_col="ts", res=3,
+        max_lag_s=86_400, watermark="2 days",
+    ).selectExpr("a.event_id AS e1", "b.eid2 AS e2")
+    ingest.run_ingest(pairs, dest, cp)
+    got = {(r["e1"], r["e2"]) for r in spark.read.parquet(dest).collect()}
+
+    from geowave_spark.table import geo
+
+    ev = spark.sql(
+        f"SELECT event_id, cast(ts as timestamp) AS ts, user_id, "
+        f"{geo.lon_sql('event_id')} AS lon, {geo.lat_sql('event_id')} AS lat "
+        f"FROM parquet.`{sf_dir}/events.parquet`")
+    cell = f"cast({geo.rowmajor_cell_sql('lon', 'lat', 3)} as bigint)"
+    a2 = ev.where("user_id % 2 = 0").selectExpr(
+        "event_id AS e1", "ts AS t1", f"{cell} AS c1")
+    b2 = ev.where("user_id % 2 = 1").selectExpr(
+        "event_id AS e2", "ts AS t2", f"{cell} AS c2")
+    want = {(r["e1"], r["e2"]) for r in a2.join(
+        b2, F.expr("c1 = c2 AND t2 BETWEEN t1 - interval 86400 second "
+                   "AND t1 + interval 86400 second")).collect()}
+    assert got == want and len(want) > 0
