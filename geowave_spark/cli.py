@@ -178,6 +178,17 @@ def cmd_table(args) -> int:
                                                keep_last=args.keep_last)))
     elif args.table_cmd == "repair":
         print(json.dumps({"removed": snap.repair(args.path)}))
+    elif args.table_cmd == "publish":
+        print(json.dumps(snap.publish(args.path, args.snapshot)))
+    elif args.table_cmd == "abort-staged":
+        snap.abort_staged(args.path, args.snapshot)
+        print(json.dumps({"aborted": args.snapshot}))
+    elif args.table_cmd == "tag":
+        if args.name is None:
+            print(json.dumps(snap.tags(args.path)))
+        else:
+            print(json.dumps(snap.create_tag(args.path, args.name,
+                                             args.snapshot)))
     return 0
 
 
@@ -294,6 +305,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="parquet path of the upsert source")
     tm.add_argument("--key", required=True,
                     help="comma-separated merge key columns")
+    tp = tsub.add_parser("publish", help="publish staged WAP snapshots")
+    tp.add_argument("path")
+    tp.add_argument("--snapshot", type=int, default=None)
+    ta = tsub.add_parser("abort-staged", help="drop a staged WAP snapshot")
+    ta.add_argument("path")
+    ta.add_argument("--snapshot", type=int, required=True)
+    tt = tsub.add_parser("tag", help="list tags, or pin NAME to a snapshot")
+    tt.add_argument("path")
+    tt.add_argument("--name", default=None)
+    tt.add_argument("--snapshot", type=int, default=None)
     ti = tsub.add_parser("incremental")
     ti.add_argument("path")
     ti.add_argument("--from-snapshot", type=int, required=True)

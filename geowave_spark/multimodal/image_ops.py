@@ -102,3 +102,53 @@ def thumbnail_sums_df(img: DataFrame) -> DataFrame:
     return img.select("image_id", "bytes", "fmt").mapInPandas(
         thumbs, schema=THUMB_SCHEMA
     )
+
+
+EQHIST_SCHEMA = ("image_id string, n_px bigint, sum_eq bigint, "
+                 "min_eq bigint, max_eq bigint")
+
+
+def equalize_hist(g: np.ndarray) -> np.ndarray:
+    """Classic integer histogram equalization of a uint8 luma plane:
+    ``eq(v) = (cdf(v) - cdf_min) * 255 // (n - cdf_min)`` with ``cdf_min``
+    the CDF at the lowest occupied bin (the OpenCV/textbook formula, all
+    integer → bit-exact against a SQL window-cumsum twin).  A constant
+    image (n == cdf_min) maps to 0."""
+    hist = np.bincount(g.ravel(), minlength=256).astype(np.int64)
+    cdf = hist.cumsum()
+    cdf_min = int(cdf[np.flatnonzero(hist)[0]])
+    n = int(g.size)
+    if n == cdf_min:
+        return np.zeros_like(g, dtype=np.int64)
+    lut = (cdf - cdf_min) * 255 // (n - cdf_min)
+    return lut[g]
+
+
+def equalized_stats_df(img: DataFrame) -> DataFrame:
+    """Per-image statistics of the histogram-EQUALIZED luma — the contrast
+    normalization stage of an image ingest pipeline, summarized as
+    verifiable integers (sum/min/max) instead of re-encoded payload.
+    One narrow mapInPandas pass; pixels never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, sums, mins, maxs = [], [], [], [], []
+            for _, r in pdf.iterrows():
+                g = gray(codec.decode(r["bytes"], r["fmt"]))
+                eq = equalize_hist(g)
+                ids.append(r["image_id"])
+                ns.append(eq.size)
+                sums.append(int(eq.sum()))
+                mins.append(int(eq.min()))
+                maxs.append(int(eq.max()))
+            yield pd.DataFrame({
+                "image_id": ids,
+                "n_px": np.asarray(ns, dtype=np.int64),
+                "sum_eq": np.asarray(sums, dtype=np.int64),
+                "min_eq": np.asarray(mins, dtype=np.int64),
+                "max_eq": np.asarray(maxs, dtype=np.int64),
+            })
+
+    return img.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=EQHIST_SCHEMA
+    )

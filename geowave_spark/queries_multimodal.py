@@ -269,6 +269,45 @@ FROM blk GROUP BY image_id, w, h ORDER BY image_id
 """
 
 
+def q125_histogram_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization (contrast normalization before training):
+    per-image sum/min/max of the EQUALIZED luma — the textbook integer
+    LUT `(cdf - cdf_min) * 255 // (n - cdf_min)`, so the window-cumsum
+    DuckDB twin is bit-exact.  One narrow mapInPandas; pixels never
+    shuffle (`image_ops.equalized_stats_df`)."""
+    from .multimodal import image_ops
+
+    return image_ops.equalized_stats_df(
+        img_tab.images_df(spark, sf_dir)
+    ).orderBy("image_id")
+
+
+Q125_SQL = f"""
+WITH {_photometric_base_sql()},
+hist AS (
+  SELECT image_id, w, h, luma, cast(count(*) as bigint) AS c
+  FROM px GROUP BY image_id, w, h, luma
+),
+cdf AS (
+  SELECT image_id, w, h, luma, c,
+         sum(c) OVER (PARTITION BY image_id ORDER BY luma) AS cdf
+  FROM hist
+),
+mn AS (SELECT image_id, min(cdf) AS cdf_min FROM cdf GROUP BY image_id),
+eq AS (
+  SELECT c.image_id, c.c,
+         CASE WHEN c.w * c.h = m.cdf_min THEN 0
+              ELSE (c.cdf - m.cdf_min) * 255 // (c.w * c.h - m.cdf_min)
+         END AS ev
+  FROM cdf c JOIN mn m USING (image_id)
+)
+SELECT image_id, cast(sum(c) as bigint) AS n_px,
+       cast(sum(ev * c) as bigint) AS sum_eq,
+       cast(min(ev) as bigint) AS min_eq, cast(max(ev) as bigint) AS max_eq
+FROM eq GROUP BY image_id ORDER BY image_id
+"""
+
+
 def q85_dup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted canonical selection: among content-identical images
     (same payload md5), keep the row with the BEST caption (longest; ties
@@ -328,4 +367,5 @@ MULTIMODAL_QUERIES = {
     "q79_image_quality_stats": (q79_image_quality_stats, Q79_SQL),
     "q80_thumbnail_checksum": (q80_thumbnail_checksum, Q80_SQL),
     "q85_dup_canonical_by_quality": (q85_dup_canonical_by_quality, Q85_SQL),
+    "q125_histogram_equalization": (q125_histogram_equalization, Q125_SQL),
 }

@@ -135,3 +135,44 @@ def test_table_optimize_merge_incremental(tmp_path):
                              "--from-snapshot", "0", "--to-snapshot", "1",
                              "--out", inc))
     assert out["rows"] == 5000
+
+
+def test_table_wap_publish_and_tag(tmp_path):
+    """CLI write-audit-publish: stage via the library, then publish and
+    tag through `python -m geowave_spark table ...`."""
+    from geowave_spark.table import snapshots as S
+
+    dest = str(tmp_path / "tbl")
+    src = tmp_path / "pts.geojsonl"
+    feats = [
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [i * 1.0, i * 0.5]},
+         "properties": {"name": f"p{i}", "rank": i}}
+        for i in range(4)
+    ]
+    src.write_text("\n".join(json.dumps(f) for f in feats))
+    run_cli("ingest", "geojsonl", str(src), dest, "--snapshot")
+
+    # stage an append out-of-band: duplicate one of v1's data files and
+    # commit the widened manifest with stage_only (no Spark session needed)
+    import pyarrow.parquet as pq
+
+    m1 = S.load_manifest(dest, 1)
+    rows = pq.read_table(os.path.join(dest, m1["files"][0]["path"]))
+    fname = "data/staged-extra.parquet"
+    pq.write_table(rows, os.path.join(dest, fname))
+    man = dict(m1, snapshot=2, parent=1, operation="append",
+               files=m1["files"] + [dict(m1["files"][0], path=fname)],
+               summary={"added_rows": int(rows.num_rows)})
+    S._commit(dest, man, stage_only=True)
+
+    assert S.current_snapshot(dest) == 1
+    out = run_cli("table", "publish", dest)
+    assert json.loads(out.strip().splitlines()[-1]) == {
+        "published": 2, "previous": 1}
+
+    out = run_cli("table", "tag", dest, "--name", "prod")
+    assert json.loads(out.strip().splitlines()[-1]) == {
+        "tag": "prod", "snapshot": 2}
+    out = run_cli("table", "tag", dest)
+    assert json.loads(out.strip().splitlines()[-1]) == {"prod": 2}

@@ -56,3 +56,33 @@ def test_box_thumb_sum_exact_semantics():
     # blocks: [0,1,4,5]=10//4=2, [2,3,6,7]=18//4=4, [8,9,12,13]=42//4=10,
     # [10,11,14,15]=50//4=12
     assert s == 2 + 4 + 10 + 12
+
+
+def test_equalize_hist_matches_per_pixel_python():
+    """LUT equalization == per-pixel python recompute; full-range output
+    on non-constant inputs; constant plane maps to zero."""
+    import numpy as np
+
+    from geowave_spark.multimodal.image_ops import equalize_hist
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(30, 200, size=(41, 57), dtype=np.uint8)
+    got = equalize_hist(g)
+
+    hist = [0] * 256
+    for v in g.ravel().tolist():
+        hist[v] += 1
+    cdf, run = [], 0
+    for c in hist:
+        run += c
+        cdf.append(run)
+    cdf_min = next(cdf[v] for v in range(256) if hist[v])
+    n = g.size
+    for y in range(g.shape[0]):
+        for x in range(g.shape[1]):
+            v = int(g[y, x])
+            assert got[y, x] == (cdf[v] - cdf_min) * 255 // (n - cdf_min)
+    assert got.max() == 255 and got.min() == 0
+
+    flat = np.full((8, 8), 99, dtype=np.uint8)
+    assert equalize_hist(flat).max() == 0
