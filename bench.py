@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     # groupBy-assemble applyInPandas) — regressions in the per-tile Python
     # overhead or the exchange shuffle surface here
     "q98_focal_mean",
+    # spatiotemporal composite-key join (cell x time-bin) — the time-indexed
+    # sibling of the flagship spatial join; cover-fanout or composite-key
+    # shuffle regressions surface here
+    "q119_spatiotemporal_join",
 ]
 
 

@@ -1409,6 +1409,69 @@ FROM c ORDER BY eid
 """
 
 
+def q126_rasterize_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster burn (rasterization): each hexagon footprint burns
+    into the res-6 analysis lattice — per cell, how many polygons cover
+    its CENTER (the inverse of q104's raster→vector contour extraction;
+    the reference renders rasters from vectors only through its KDE path).
+
+    Engine: bounded bbox explode per polygon (pure JVM sequence explode,
+    no cover UDF — a convex polygon's cell fan-out is O(area)), exact
+    center-in-convex-polygon half-plane refine in codegen, one keyed
+    count.  Oracle: full-lattice cross join with the identical inside
+    test — no bbox, no cover, independently derived membership.
+    """
+    register_views(spark, sf_dir)
+    res, n = 6, 64
+    xs = ", ".join(f"vx{k}" for k in range(6))
+    ys = ", ".join(f"vy{k}" for k in range(6))
+
+    def gidx(b: str, lon: bool) -> str:
+        span, lo = (360, 180) if lon else (180, 90)
+        return (f"least(greatest(cast(ceil(({b} + {lo}e0) / {span}e0 * {n}) "
+                f"as bigint) - 1, 0), {n - 1})")
+
+    cx, cy = geo.cell_center_sql(res)
+    hx = spark.sql(geo.hex_a_sql())
+    cov = (
+        hx.withColumn("gx", F.expr(
+            f"explode(sequence({gidx(f'least({xs})', True)}, "
+            f"{gidx(f'greatest({xs})', True)}))"))
+        .withColumn("gy", F.expr(
+            f"explode(sequence({gidx(f'least({ys})', False)}, "
+            f"{gidx(f'greatest({ys})', False)}))"))
+        .withColumn("cx", F.expr(cx))
+        .withColumn("cy", F.expr(cy))
+    )
+    # numeric marker (doc id parsed from the image id): min over a BIGINT
+    # keeps the aggregate a HashAggregate — min(string) would demote the
+    # whole burn to SortAggregate (immutable agg buffer)
+    return (
+        cov.filter(F.expr(geo.convex_inside_cols_sql(6, "cx", "cy")))
+        .groupBy(F.expr(f"cast(gy * {n} + gx as bigint)").alias("cell"))
+        .agg(F.count("*").alias("n_polys"),
+             F.expr("min(cast(substr(aid, 4, 10) as bigint))").alias("min_doc"))
+        .orderBy("cell")
+    )
+
+
+def _q126_sql() -> str:
+    cx, cy = geo.cell_center_sql(6)
+    inside = geo.convex_inside_cols_sql(6, "c.cx", "c.cy", vx="h.vx", vy="h.vy")
+    return f"""
+WITH h AS ({geo.hex_a_sql()}),
+g AS (SELECT gxs.g AS gx, gys.g AS gy
+      FROM (SELECT unnest(generate_series(0, 63)) AS g) gxs,
+           (SELECT unnest(generate_series(0, 63)) AS g) gys),
+c AS (SELECT gx, gy, {cx} AS cx, {cy} AS cy FROM g),
+m AS (SELECT c.gx, c.gy, h.aid FROM c JOIN h ON {inside})
+SELECT cast(gy * 64 + gx as bigint) AS cell,
+       cast(count(*) as bigint) AS n_polys,
+       cast(min(cast(substr(aid, 4, 10) as bigint)) as bigint) AS min_doc
+FROM m GROUP BY 1 ORDER BY cell
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1435,6 +1498,7 @@ QUERIES = {
     "q117_trending_cells": (q117_trending_cells, _q117_duck_sql()),
     "q119_spatiotemporal_join": (q119_spatiotemporal_join, Q119_SQL),
     "q120_map_matching": (q120_map_matching, _q120_sql()),
+    "q126_rasterize_polygons": (q126_rasterize_polygons, _q126_sql()),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

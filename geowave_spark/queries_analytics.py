@@ -139,6 +139,122 @@ def q33_kmeans_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_Q127_KS = (2, 4, 8)
+
+
+def _lloyd_distortion_ctes(k: int, iters: int, tag: str) -> tuple[list[str], str]:
+    """Per-k unrolled Lloyd chain (same integer arithmetic as `_lloyd_sql`)
+    whose LAST assignment keeps the encoded min, so the distortion is
+    `sum((m div k) div 1000000)` — micro-deg^2 per point scaled to deg^2
+    x 1e6 BEFORE the sum so 10^12-row sums stay far inside int64 (a raw
+    micro^2 sum overflows at ~35k points)."""
+    ctes = [
+        f"c{tag}0 AS (SELECT row_number() OVER (ORDER BY pid) - 1 AS j, "
+        f"x AS cx, y AS cy "
+        f"FROM (SELECT pid, x, y FROM p ORDER BY pid LIMIT {k}) init)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{tag}{i} AS (SELECT pid, x, y, m FROM ("
+            f"SELECT p.pid, p.x, p.y, min(((p.x - c.cx) * (p.x - c.cx) "
+            f"+ (p.y - c.cy) * (p.y - c.cy)) * {k} + c.j) AS m "
+            f"FROM p CROSS JOIN c{tag}{i - 1} c GROUP BY p.pid, p.x, p.y) t)"
+        )
+        if i < iters:
+            ctes.append(
+                f"c{tag}{i} AS (SELECT cast(m % {k} as bigint) AS j, "
+                f"cast(floor(sum(x) * 1.0 / count(*)) as bigint) AS cx, "
+                f"cast(floor(sum(y) * 1.0 / count(*)) as bigint) AS cy "
+                f"FROM a{tag}{i} GROUP BY 1)"
+            )
+    dist = (f"(SELECT sum((m // {k}) // 1000000) "
+            f"FROM a{tag}{iters})")   # oracle text is DuckDB-only (//)
+    return ctes, dist
+
+
+def _q127_sql(iters: int = 3) -> str:
+    ctes = [
+        f"p AS (SELECT pid, cast(floor(lon * 1000000) as bigint) AS x, "
+        f"cast(floor(lat * 1000000) as bigint) AS y "
+        f"FROM ({geo.lineitem_points_sql()}) src)",
+    ]
+    dists = []
+    for k in _Q127_KS:
+        kc, dist = _lloyd_distortion_ctes(k, iters, f"k{k}_")
+        ctes.extend(kc)
+        dists.append(f"SELECT {k} AS k, cast({dist} as bigint) AS distortion")
+    ctes.append("d AS (" + " UNION ALL ".join(dists) + ")")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT k, distortion,
+       cast(CASE WHEN prev IS NULL THEN 0
+            ELSE floor((prev - distortion) * 1000000.0 / prev) END as bigint)
+         AS drop_ppm
+FROM (SELECT k, distortion, lag(distortion) OVER (ORDER BY k) AS prev FROM d) t
+ORDER BY k
+"""
+    )
+
+
+def q127_kmeans_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans model selection by distortion drop — the reference's
+    KMeans-Jump runner (`analytics/mapreduce/.../kmeans/runner/
+    KMeansJumpJobRunner.java`: run the clustering across a k range, score
+    each k by a distortion statistic, keep the best).  Runs the q33
+    integer Lloyd for k in {2, 4, 8} (persisted points, centroids
+    collected + inlined per iteration — the MLlib broadcast shape), emits
+    (k, distortion, drop_ppm); the largest drop marks the chosen k.
+    Distortion is floored to deg^2 x 1e6 per point BEFORE summing so the
+    statistic is overflow-safe and bit-identical at any row count."""
+    register_views(spark, sf_dir)
+    iters = 3
+    p = spark.sql(
+        "SELECT pid, cast(floor(lon * 1000000) as bigint) AS x, "
+        "cast(floor(lat * 1000000) as bigint) AS y "
+        f"FROM ({geo.lineitem_points_sql()}) src"
+    ).persist()
+    p.createOrReplaceTempView("q127_p")
+    rows = []
+    for k in _Q127_KS:
+        cents = [(r["j"], r["cx"], r["cy"]) for r in spark.sql(
+            f"SELECT row_number() OVER (ORDER BY pid) - 1 AS j, x AS cx, "
+            f"y AS cy FROM (SELECT pid, x, y FROM q127_p ORDER BY pid "
+            f"LIMIT {k}) init"
+        ).collect()]
+        for i in range(1, iters + 1):
+            vals = ", ".join(f"({j}, {cx}, {cy})" for j, cx, cy in cents)
+            assign = f"""
+                SELECT p.pid, p.x, p.y,
+                       min(((p.x - c.cx) * (p.x - c.cx)
+                          + (p.y - c.cy) * (p.y - c.cy)) * {k} + c.j) AS m
+                FROM q127_p p CROSS JOIN (VALUES {vals}) AS c(j, cx, cy)
+                GROUP BY p.pid, p.x, p.y
+            """
+            if i < iters:
+                cents = [(r["j"], r["cx"], r["cy"]) for r in spark.sql(
+                    f"SELECT cast(m % {k} as bigint) AS j, "
+                    f"cast(floor(sum(x) * 1.0 / count(*)) as bigint) AS cx, "
+                    f"cast(floor(sum(y) * 1.0 / count(*)) as bigint) AS cy "
+                    f"FROM ({assign}) a GROUP BY 1"
+                ).collect()]
+        d = spark.sql(
+            f"SELECT sum((m div {k}) div 1000000) AS d FROM ({assign}) fin"
+        ).first()["d"]
+        rows.append((k, int(d)))
+    import math
+
+    out = []
+    prev = None
+    for k, d in rows:
+        # the oracle's exact float formula (python float == IEEE double,
+        # same op order) — an int // here could differ by 1 ppm on edges
+        drop = 0 if prev is None else math.floor((prev - d) * 1000000.0 / prev)
+        out.append((k, d, drop))
+        prev = d
+    return spark.createDataFrame(
+        out, "k int, distortion bigint, drop_ppm bigint").orderBy("k")
+
+
 def q34_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN cluster summary: per-cluster size + core count (noise = -1)."""
     register_views(spark, sf_dir)
@@ -209,4 +325,5 @@ Q34_SQL = _dbscan_oracle_sql(_DBSCAN_PTS_SQL, "pid", EPS, MIN_PTS, _DB_RES)
 ANALYTICS_QUERIES = {
     "q33_kmeans_hulls": (q33_kmeans_hulls, Q33_SQL),
     "q34_dbscan": (q34_dbscan, Q34_SQL),
+    "q127_kmeans_jump": (q127_kmeans_jump, _q127_sql()),
 }

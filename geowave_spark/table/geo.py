@@ -150,6 +150,29 @@ def convex_inside_sql(ring, lon: str, lat: str) -> str:
     return "(" + " AND ".join(terms) + ")"
 
 
+def convex_inside_cols_sql(nv: int, lon: str, lat: str,
+                           vx: str = "vx", vy: str = "vy") -> str:
+    """Strict point-in-convex-polygon over VERTEX COLUMNS (``vx0..vx{nv-1}``,
+    ``vy0..``, CCW) — the column twin of :func:`convex_inside_sql`; one
+    text both engines evaluate in the same IEEE op order."""
+    terms = []
+    for i in range(nv):
+        j = (i + 1) % nv
+        terms.append(
+            f"(({vx}{j} - {vx}{i}) * (({lat}) - {vy}{i}) - "
+            f"({vy}{j} - {vy}{i}) * (({lon}) - {vx}{i}) > 0)"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+def cell_center_sql(res: int) -> tuple[str, str]:
+    """(cx, cy) expressions for grid indexes ``gx``/``gy`` at ``res`` —
+    shared text, exact-double arithmetic."""
+    n = 1 << res
+    return (f"((cast(gx as double) + 0.5e0) / {n} * 360e0 - 180e0)",
+            f"((cast(gy as double) + 0.5e0) / {n} * 180e0 - 90e0)")
+
+
 def rowmajor_cell_sql(lon: str, lat: str, res: int) -> str:
     """Row-major grid id — closed form identical to
     grid.latlng_to_cell(curve='rowmajor') and valid in both SQL dialects.

@@ -95,3 +95,52 @@ def test_dbscan_matches_bruteforce(spark):
     want_label, want_core = _brute_dbscan(xy, ids, 1.0, 4)
     assert {k: v[0] for k, v in got.items()} == want_label
     assert {k for k, v in got.items() if v[1]} == want_core
+
+
+def test_q127_kmeans_jump_matches_python_lloyd(spark, sf_dir):
+    """Pure-python integer Lloyd recompute of the per-k distortions and
+    drops — independent of both SQL chains; distortion must be
+    non-increasing in k."""
+    import math
+
+    from geowave_spark.queries_analytics import _Q127_KS, ANALYTICS_QUERIES
+    from geowave_spark.table import geo
+
+    got = [(r["k"], r["distortion"], r["drop_ppm"])
+           for r in ANALYTICS_QUERIES["q127_kmeans_jump"][0](spark, sf_dir)
+           .collect()]
+
+    pts = spark.sql(
+        "SELECT pid, cast(floor(lon * 1000000) as bigint) AS x, "
+        "cast(floor(lat * 1000000) as bigint) AS y "
+        f"FROM ({geo.lineitem_points_sql()}) src").toPandas()
+    pts = pts.sort_values("pid").reset_index(drop=True)
+    xs = pts["x"].astype("int64").tolist()
+    ys = pts["y"].astype("int64").tolist()
+
+    want, prev = [], None
+    for k in _Q127_KS:
+        cents = [(xs[i], ys[i]) for i in range(k)]
+        for it in range(3):
+            assign = []
+            for x, y in zip(xs, ys):
+                m = min(((x - cx) ** 2 + (y - cy) ** 2) * k + j
+                        for j, (cx, cy) in enumerate(cents))
+                assign.append(m)
+            if it < 2:
+                sums = {}
+                for (x, y), m in zip(zip(xs, ys), assign):
+                    j = m % k
+                    sx, sy, n = sums.get(j, (0, 0, 0))
+                    sums[j] = (sx + x, sy + y, n + 1)
+                cents_d = {j: (math.floor(sx * 1.0 / n), math.floor(sy * 1.0 / n))
+                           for j, (sx, sy, n) in sums.items()}
+                cents = [cents_d.get(j, cents[j]) for j in range(k)]
+        d = sum((m // k) // 1_000_000 for m in assign)
+        drop = 0 if prev is None else math.floor((prev - d) * 1000000.0 / prev)
+        want.append((k, d, drop))
+        prev = d
+    assert got == want
+    ds = [d for _, d, _ in want]
+    assert ds == sorted(ds, reverse=True)  # distortion non-increasing in k
+    assert max(dr for _, _, dr in want) > 0

@@ -1134,3 +1134,42 @@ def test_q122_pii_scrub_matches_python_re(spark, sf_dir):
         n_ph += want[1]
     assert n_em > 0 and n_ph > 0
     assert len(got) == len(docs)
+
+
+def test_q126_rasterize_matches_numpy_lattice(spark, sf_dir):
+    """Full-lattice numpy recompute of the polygon burn (half-plane test
+    per cell center), independent of both SQL formulations."""
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES, register_views
+    from geowave_spark.table import geo
+
+    got = {r["cell"]: (r["n_polys"], r["min_doc"])
+           for r in QUERIES["q126_rasterize_polygons"][0](spark, sf_dir)
+           .collect()}
+
+    register_views(spark, sf_dir)
+    hx = spark.sql(geo.hex_a_sql()).toPandas()
+    n = 64
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    cx = (gx.ravel() + 0.5) / n * 360.0 - 180.0
+    cy = (gy.ravel() + 0.5) / n * 180.0 - 90.0
+    cells = gy.ravel() * n + gx.ravel()
+    want: dict[int, tuple[int, int]] = {}
+    for _, r in hx.iterrows():
+        inside = np.ones(cx.shape, dtype=bool)
+        for i in range(6):
+            j = (i + 1) % 6
+            vxi, vyi = r[f"vx{i}"], r[f"vy{i}"]
+            vxj, vyj = r[f"vx{j}"], r[f"vy{j}"]
+            inside &= ((vxj - vxi) * (cy - vyi)
+                       - (vyj - vyi) * (cx - vxi)) > 0
+        doc = int(r["aid"][3:])
+        for c in cells[inside].tolist():
+            prev = want.get(c)
+            if prev is None:
+                want[c] = (1, doc)
+            else:
+                want[c] = (prev[0] + 1, min(prev[1], doc))
+    assert got == want and len(got) > 0
+    assert max(v[0] for v in want.values()) > 1  # overlapping burns exist

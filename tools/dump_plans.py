@@ -170,6 +170,25 @@ NOTES = {
         "the chunked codegen intersects predicate — no LocalTableScan, "
         "no broadcast of either cover."
     ),
+    "q119_spatiotemporal_join": (
+        "Spatiotemporal composite-key join: ONE BroadcastHashJoin on "
+        "(cell, tbin) — the point side's key pair is closed-form JVM, the "
+        "window side explodes bbox cover x covered day bins; exact "
+        "bbox+range refine is a codegen filter on the join output, pairs "
+        "unique by construction (no dedup shuffle)."
+    ),
+    "q120_map_matching": (
+        "Nearest-segment snap: broadcast expanded-bbox segment cover, "
+        "codegen point-to-segment distance refine, per-point argmin as a "
+        "HashAggregate over the encoded min — no rank window over the "
+        "candidates, no CartesianProduct."
+    ),
+    "q126_rasterize_polygons": (
+        "Vector->raster burn: bounded bbox sequence-explode (pure JVM, no "
+        "cover UDF), half-plane center-in-polygon refine in codegen, one "
+        "keyed count — the whole plan is a single WholeStageCodegen span "
+        "plus the final aggregate exchange."
+    ),
 }
 
 
