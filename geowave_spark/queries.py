@@ -1472,6 +1472,100 @@ FROM m GROUP BY 1 ORDER BY cell
 """
 
 
+_Q128_RES = 6
+_Q128_ROUNDS = 8
+
+
+def _q128_cells_sql(intdiv: str) -> str:
+    """Occupied-cell cost raster + source cell (events binned at res 6;
+    cost = 1 + count; source = the cell of the smallest event_id)."""
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q128_RES)
+    del intdiv  # the cell expression is dialect-free (no integer division)
+    return (
+        f"cells AS (SELECT {cell} AS cell, cast(1 + count(*) as bigint) AS cost "
+        f"FROM events GROUP BY 1), "
+        f"src AS (SELECT {cell} AS cell FROM events "
+        f"ORDER BY event_id LIMIT 1)"
+    )
+
+
+def _q128_round_sql(i: int, intdiv: str) -> str:
+    """One relaxation round: d_i(c) = min(d_{i-1}(c), min over 8-neighbors
+    b of d_{i-1}(b) + cost(c)), over occupied cells only."""
+    n = 1 << _Q128_RES
+    return f"""d{i} AS (
+  SELECT cell, min(dist) AS dist FROM (
+    SELECT cell, dist FROM d{i - 1}
+    UNION ALL
+    SELECT c.cell, p.dist + c.cost AS dist
+    FROM d{i - 1} p
+    JOIN o ON 1 = 1
+    JOIN cells c
+      ON c.cell = (p.cell {intdiv} {n} + o.dy) * {n} + (p.cell % {n} + o.dx)
+    WHERE p.cell % {n} + o.dx BETWEEN 0 AND {n - 1}
+      AND p.cell {intdiv} {n} + o.dy BETWEEN 0 AND {n - 1}
+  ) u GROUP BY cell
+)"""
+
+
+_Q128_OFFSETS = ("o(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), "
+                 "(0,1), (1,-1), (1,0), (1,1))")
+
+
+def q128_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-distance transform (least-cost path cost over a cost raster,
+    bounded at 8 hops) — the GRASS/ArcGIS cost-surface staple the
+    reference lacks; third iterative graph operator after q64's
+    connected components and q118's PageRank.
+
+    The cost raster is the res-6 event-density grid (cost = 1 + count,
+    integer-exact); dist(source) = 0 and entering a cell pays its cost.
+    Each relaxation round is ONE 8-offset equi-join + keyed min — the
+    shape scales as O(occupied cells), never O(lattice^2); eight unrolled
+    rounds bound the horizon (documented k-hop contract, same bounded-
+    iteration style as q118).  The engine materializes each round
+    (persist) so lineage stays flat; the oracle runs the identical
+    unrolled chain as one CTE text."""
+    register_views(spark, sf_dir)
+    rounds = _Q128_ROUNDS
+    pre = f"WITH {_q128_cells_sql('div')} "
+    cur = spark.sql(
+        f"{pre}, d0 AS (SELECT cell, cast(0 as bigint) AS dist FROM src) "
+        "SELECT * FROM d0")
+    cells = spark.sql(f"{pre} SELECT cell, cost FROM cells").persist()
+    cells.createOrReplaceTempView("q128_cells")
+    n = 1 << _Q128_RES
+    offs = ", ".join(f"({dx}, {dy})"
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                     if (dx, dy) != (0, 0))
+    for _ in range(rounds):
+        cur.createOrReplaceTempView("q128_d")
+        cur = spark.sql(f"""
+            SELECT cell, min(dist) AS dist FROM (
+              SELECT cell, dist FROM q128_d
+              UNION ALL
+              SELECT c.cell, p.dist + c.cost AS dist
+              FROM q128_d p
+              JOIN (VALUES {offs}) AS o(dx, dy) ON 1 = 1
+              JOIN q128_cells c
+                ON c.cell = (p.cell div {n} + o.dy) * {n} + (p.cell % {n} + o.dx)
+              WHERE p.cell % {n} + o.dx BETWEEN 0 AND {n - 1}
+                AND p.cell div {n} + o.dy BETWEEN 0 AND {n - 1}
+            ) u GROUP BY cell
+        """).persist()
+        cur.count()   # materialize this round, keep lineage flat
+    return cur.orderBy("cell")
+
+
+def _q128_sql() -> str:
+    parts = [_q128_cells_sql("//"), _Q128_OFFSETS,
+             "d0 AS (SELECT cell, cast(0 as bigint) AS dist FROM src)"]
+    parts += [_q128_round_sql(i, "//") for i in range(1, _Q128_ROUNDS + 1)]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT cell, dist FROM d{_Q128_ROUNDS} ORDER BY cell")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1499,6 +1593,7 @@ QUERIES = {
     "q119_spatiotemporal_join": (q119_spatiotemporal_join, Q119_SQL),
     "q120_map_matching": (q120_map_matching, _q120_sql()),
     "q126_rasterize_polygons": (q126_rasterize_polygons, _q126_sql()),
+    "q128_cost_distance": (q128_cost_distance, _q128_sql()),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

@@ -1173,3 +1173,41 @@ def test_q126_rasterize_matches_numpy_lattice(spark, sf_dir):
                 want[c] = (prev[0] + 1, min(prev[1], doc))
     assert got == want and len(got) > 0
     assert max(v[0] for v in want.values()) > 1  # overlapping burns exist
+
+
+def test_q128_cost_distance_matches_python_dijkstra_8hop(spark, sf_dir):
+    """Pure-python 8-round relaxation recompute of the bounded
+    cost-distance transform — independent of both SQL formulations."""
+    from geowave_spark.queries import QUERIES, _Q128_RES, _Q128_ROUNDS
+    from geowave_spark.table import geo
+
+    got = {r["cell"]: r["dist"]
+           for r in QUERIES["q128_cost_distance"][0](spark, sf_dir).collect()}
+
+    ev = spark.sql(
+        f"SELECT event_id, {geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q128_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    n = 1 << _Q128_RES
+    cost: dict[int, int] = {}
+    for c in ev["cell"].tolist():
+        cost[c] = cost.get(c, 1) + 1
+    src = int(ev.sort_values("event_id").iloc[0]["cell"])
+    dist = {src: 0}
+    for _ in range(_Q128_ROUNDS):
+        new = dict(dist)
+        for c, d in dist.items():
+            gx, gy = c % n, c // n
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if (dx, dy) == (0, 0):
+                        continue
+                    nx, ny = gx + dx, gy + dy
+                    if not (0 <= nx < n and 0 <= ny < n):
+                        continue
+                    b = ny * n + nx
+                    if b in cost:
+                        cand = d + cost[b]
+                        if b not in new or cand < new[b]:
+                            new[b] = cand
+        dist = new
+    assert got == dist and len(got) > 1
