@@ -1098,3 +1098,70 @@ def snap_to_segments(
             F.expr("_enc div 68719476736").alias("d2_micro"),
         )
     )
+
+
+def spatiotemporal_knn(
+    spark: SparkSession,
+    pts: DataFrame,
+    queries: DataFrame,
+    k: int,
+    radius: float,
+    lag_s: int,
+    *,
+    pid_col: str = "pid",
+    qid_col: str = "qid",
+    pts_ts: str = "tsec",
+    q_ts: str = "qsec",
+    res: int = 5,
+    tbin: int = 86_400,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Bounded spatiotemporal kNN: for every query (point, time), the k
+    nearest points within ``radius`` (planar degrees) AND within
+    ``lag_s`` seconds — "what happened near here, around then".  The
+    bounded form (radius + time window caps the candidate set) is the
+    practical spatiotemporal variant of the reference's kNN
+    (`NNMapReduce.java` runs under an explicit partitioning distance the
+    same way); the composite (cell, tbin) candidate key is the q119 /
+    `CompositeBinningStrategy.java` index shape.
+
+    Plan: query side explodes to its cell DISK (ring count derived from
+    radius / cell height — any point within radius is covered) x covered
+    time bins; the point side computes its single (cell, tbin)
+    closed-form in JVM; ONE hash equi-join, codegen dist+time refine,
+    then one row_number window per query ordered by (d2_micro, pid) —
+    integer keys, so rank ties are deterministic in both engines.
+    Candidates are unique by construction (disk cells deduped in-batch,
+    distinct bins), so no dedup shuffle precedes the window.
+    """
+    kr = int(np.ceil(radius / (180.0 / (1 << res))))
+    bins = lag_s // tbin + 1
+    q = queries.select(
+        qid_col, F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+        F.col(q_ts).alias("_qs"),
+        F.explode(cov.point_disk_cells_udf(res, kr, curve="rowmajor")(
+            F.col("lon"), F.col("lat"))).alias("cell"),
+    ).withColumn(
+        "tbin",
+        F.explode(F.expr(
+            f"sequence((_qs - {lag_s}) div {tbin}, (_qs + {lag_s}) div {tbin})")),
+    )
+    del bins
+    pts_k = cov.add_point_cells_jvm(pts, "lon", "lat", res).withColumn(
+        "tbin", F.expr(f"{pts_ts} div {tbin}"))
+    if broadcast_queries:
+        cand = pts_k.join(F.broadcast(q), ["cell", "tbin"])
+    else:
+        cand = pts_k.join(q.hint("shuffle_hash"), ["cell", "tbin"])
+    d2 = ("((qlon - lon) * (qlon - lon) + (qlat - lat) * (qlat - lat))")
+    refined = cand.filter(F.expr(
+        f"{d2} <= {radius * radius!r} AND abs({pts_ts} - _qs) <= {lag_s}"
+    )).withColumn("d2p", F.expr(f"cast(floor({d2} * 1e10) as bigint)"))
+    w = F.expr(
+        f"row_number() OVER (PARTITION BY {qid_col} "
+        f"ORDER BY d2p, {pid_col})")
+    return (
+        refined.withColumn("rank", w)
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", pid_col, "d2p")
+    )

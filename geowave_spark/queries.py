@@ -1472,6 +1472,53 @@ FROM m GROUP BY 1 ORDER BY cell
 """
 
 
+def _q129_queries_sql(sf_dir: str | None = None) -> str:
+    """Query side: every 5th customer point with a deterministic ask-time
+    staggered over the events span."""
+    return (
+        f"SELECT cid, lon, lat, cast(1704067200 + (cid % 28) * 86400 "
+        f"+ (cid % 24) * 3600 as bigint) AS qsec "
+        f"FROM ({geo.customer_points_sql(sf_dir)}) c WHERE cid % 5 = 0"
+    )
+
+
+def q129_spatiotemporal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded spatiotemporal kNN: 3 nearest events within 6 deg AND
+    2 days of each query (point, time) — see
+    `spatial.spatiotemporal_knn`.  Oracle: brute-force cross join +
+    identical integer-keyed rank."""
+    register_views(spark, sf_dir)
+    q = spark.sql(_q129_queries_sql())
+    pts = spark.sql(
+        f"SELECT eid AS pid, lon, lat, tsec "
+        f"FROM ({geo.events_points_ts_sql(dialect='spark')}) e")
+    return spatial.spatiotemporal_knn(
+        spark, pts, q, k=3, radius=6.0, lag_s=172_800,
+        qid_col="cid", res=5,
+    ).orderBy("cid", "rank")
+
+
+Q129_SQL = f"""
+WITH q AS ({_q129_queries_sql()}),
+e AS ({geo.events_points_ts_sql(dialect="duckdb")}),
+c AS (
+  SELECT q.cid, e.eid,
+         cast(floor(((q.lon - e.lon) * (q.lon - e.lon)
+                   + (q.lat - e.lat) * (q.lat - e.lat)) * 1e10) as bigint)
+           AS d2p
+  FROM q JOIN e
+    ON (q.lon - e.lon) * (q.lon - e.lon)
+     + (q.lat - e.lat) * (q.lat - e.lat) <= 36.0
+   AND abs(e.tsec - q.qsec) <= 172800
+),
+r AS (SELECT cid, eid, d2p,
+             row_number() OVER (PARTITION BY cid ORDER BY d2p, eid) AS rank
+      FROM c)
+SELECT cid, cast(rank as int) AS rank, eid AS pid, d2p
+FROM r WHERE rank <= 3 ORDER BY cid, rank
+"""
+
+
 _Q128_RES = 6
 _Q128_ROUNDS = 8
 
@@ -1594,6 +1641,7 @@ QUERIES = {
     "q120_map_matching": (q120_map_matching, _q120_sql()),
     "q126_rasterize_polygons": (q126_rasterize_polygons, _q126_sql()),
     "q128_cost_distance": (q128_cost_distance, _q128_sql()),
+    "q129_spatiotemporal_knn": (q129_spatiotemporal_knn, Q129_SQL),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

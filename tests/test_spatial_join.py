@@ -465,3 +465,37 @@ def test_snap_to_segments_matches_brute_force(spark, sf_dir):
             broadcast_segments=bcast,
         ).toPandas()
         assert sorted(map(tuple, got.to_numpy().tolist())) == exp_rows
+
+
+def test_spatiotemporal_knn_matches_brute_force(spark):
+    """Bounded spatiotemporal kNN == in-Spark brute-force crossJoin rank,
+    both join paths.  sf0.01 (the sf0.001 fixture is too sparse)."""
+    sf01 = "/root/testdata/sf0.01"
+    pts = spark.sql(
+        f"SELECT eid AS pid, lon, lat, tsec FROM "
+        f"({geo.events_points_ts_sql(sf01, dialect='spark')}) e").cache()
+    q = spark.sql(
+        f"SELECT cid, lon AS qlon, lat AS qlat, "
+        f"cast(1704067200 + (cid % 28) * 86400 + (cid % 24) * 3600 as bigint)"
+        f" AS qsec FROM ({geo.customer_points_sql(sf01)}) c WHERE cid % 5 = 0"
+    ).cache()
+    d2 = "((qlon - lon) * (qlon - lon) + (qlat - lat) * (qlat - lat))"
+    exp = (
+        pts.crossJoin(q)
+        .filter(F.expr(f"{d2} <= 36.0 AND abs(tsec - qsec) <= 172800"))
+        .withColumn("d2p", F.expr(f"cast(floor({d2} * 1e10) as bigint)"))
+        .withColumn("rank", F.expr(
+            "row_number() OVER (PARTITION BY cid ORDER BY d2p, pid)"))
+        .filter("rank <= 3").select("cid", "rank", "pid", "d2p")
+        .toPandas()
+    )
+    exp_rows = sorted(map(tuple, exp.to_numpy().tolist()))
+    assert exp_rows, "fixture degenerate"
+    for bcast in (True, False):
+        got = spatial.spatiotemporal_knn(
+            spark, pts,
+            q.selectExpr("cid", "qlon AS lon", "qlat AS lat", "qsec"),
+            k=3, radius=6.0, lag_s=172_800, qid_col="cid", res=5,
+            broadcast_queries=bcast,
+        ).toPandas()
+        assert sorted(map(tuple, got.to_numpy().tolist())) == exp_rows
