@@ -1472,6 +1472,42 @@ FROM m GROUP BY 1 ORDER BY cell
 """
 
 
+Q130_SQL = f"""
+WITH sp AS (
+  SELECT s_suppkey, s_nationkey, lon, lat FROM (
+    SELECT s_suppkey, s_nationkey,
+           {geo.lon_sql('s_suppkey * 7919 + 13')} AS lon,
+           {geo.lat_sql('s_suppkey * 104729 + 7')} AS lat
+    FROM supplier) t
+  WHERE lon BETWEEN -120 AND 60 AND lat BETWEEN -50 AND 50
+)
+SELECT n.n_name AS nation,
+       cast(count(*) as bigint) AS n_items,
+       cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                as bigint)) as bigint) AS revenue_cents
+FROM lineitem l
+JOIN orders o    ON o.o_orderkey = l.l_orderkey
+JOIN customer cu ON cu.c_custkey = o.o_custkey
+JOIN sp          ON sp.s_suppkey = l.l_suppkey
+JOIN nation n    ON n.n_nationkey = sp.s_nationkey
+WHERE cu.c_nationkey = sp.s_nationkey
+  AND o.o_orderdate >= date '1994-01-01'
+GROUP BY n.n_name ORDER BY nation
+"""
+
+
+def q130_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped composite with a spatial twist: revenue served by
+    suppliers LOCATED INSIDE a bbox to customers of the supplier's own
+    nation — a 5-table join where the spatial predicate prunes the
+    supplier dimension before it drives three broadcast joins.  One SQL
+    text (Catalyst reorders the joins and broadcasts every dimension —
+    pinned in tests/test_plans.py); exercises the optimizer breadth the
+    reference delegates to GeoServer/SQL engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(Q130_SQL)
+
+
 def _q129_queries_sql(sf_dir: str | None = None) -> str:
     """Query side: every 5th customer point with a deterministic ask-time
     staggered over the events span."""
@@ -1642,6 +1678,7 @@ QUERIES = {
     "q126_rasterize_polygons": (q126_rasterize_polygons, _q126_sql()),
     "q128_cost_distance": (q128_cost_distance, _q128_sql()),
     "q129_spatiotemporal_knn": (q129_spatiotemporal_knn, Q129_SQL),
+    "q130_local_supplier_revenue": (q130_local_supplier_revenue, Q130_SQL),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

@@ -398,3 +398,12 @@ def test_q120_map_matching_plan(spark, sf_dir):
     # (the only Window is the lead() building segments on the SMALL side)
     assert "row_number" not in plan and "rank" not in plan
     assert "HashAggregate" in plan
+
+
+def test_q130_composite_join_all_broadcast(spark, sf_dir):
+    """The 5-table composite must plan every dimension join as broadcast
+    (lineitem is the only big side) with no sort-merge or cartesian."""
+    plan = _plan(spark, sf_dir, "q130_local_supplier_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
