@@ -462,9 +462,12 @@ def q65_polygon_bigbig_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_df = spark.sql(_hex_b_sql())
     pairs = spatial.polygon_polygon_join_bigbig(
         spark, a_df, b_df, ka=6, kb=6, res=6)
+    # numeric marker: min over the parsed BIGINT doc id keeps the rollup a
+    # HashAggregate (min over the 'img…' string demoted it to SortAggregate)
     return (
         pairs.groupBy("aid")
-        .agg(F.count("*").alias("n_b"), F.min("bid").alias("min_bid"))
+        .agg(F.count("*").alias("n_b"),
+             F.expr("min(cast(substr(bid, 4, 10) as bigint))").alias("min_bdoc"))
         .orderBy("aid")
     )
 
@@ -481,7 +484,8 @@ def _q65_sql() -> str:
 WITH a AS ({_hex_a_sql()}),
 b0 AS ({_hex_b_sql()}),
 b AS (SELECT bid, {edges} FROM b0)
-SELECT a.aid, cast(count(*) as bigint) AS n_b, min(b.bid) AS min_bid
+SELECT a.aid, cast(count(*) as bigint) AS n_b,
+       cast(min(cast(substr(b.bid, 4, 10) as bigint)) as bigint) AS min_bdoc
 FROM a JOIN b ON {pred}
 GROUP BY a.aid ORDER BY a.aid
 """

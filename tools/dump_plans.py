@@ -187,7 +187,20 @@ NOTES = {
         "Vector->raster burn: bounded bbox sequence-explode (pure JVM, no "
         "cover UDF), half-plane center-in-polygon refine in codegen, one "
         "keyed count — the whole plan is a single WholeStageCodegen span "
-        "plus the final aggregate exchange."
+        "plus the final aggregate exchange.  The marker aggregate is "
+        "min over a BIGINT (doc id parsed from the image id): min(string) "
+        "would demote the burn to SortAggregate."
+    ),
+    "q129_spatiotemporal_knn": (
+        "Bounded spatiotemporal kNN: broadcast disk-cover x time-bin "
+        "candidates on the composite key, codegen dist+time refine, one "
+        "row_number window per query over integer keys — no "
+        "CartesianProduct, no dedup shuffle before the window."
+    ),
+    "q130_local_supplier_revenue": (
+        "TPC-H Q5-shaped composite with the bbox-pruned supplier "
+        "dimension: Catalyst broadcasts all four dimension joins "
+        "(lineitem is the only big side), no SortMergeJoin."
     ),
 }
 
