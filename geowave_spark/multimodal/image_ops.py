@@ -152,3 +152,50 @@ def equalized_stats_df(img: DataFrame) -> DataFrame:
     return img.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema=EQHIST_SCHEMA
     )
+
+
+QUAD_SCHEMA = "image_id string, quad int, qhash long"
+
+
+def quadrant_hashes(g: np.ndarray) -> list[int]:
+    """Four 64-bit average-hashes, one per image quadrant (quad = qy*2+qx)
+    — the crop/shift-robust unit of image dedup: a duplicate that
+    preserves any one quadrant still collides on that quadrant's hash.
+    Same integer sampling/threshold scheme as `table.images.phash64`, so
+    a SQL twin recomputes it closed-form."""
+    h, w = g.shape
+    h2, w2 = h // 2, w // 2
+    yi = (2 * np.arange(8) + 1) * h2 // 16
+    xi = (2 * np.arange(8) + 1) * w2 // 16
+    out = []
+    for qy in (0, 1):
+        for qx in (0, 1):
+            sub = g[qy * h2:qy * h2 + h2, qx * w2:qx * w2 + w2]
+            s = sub[np.ix_(yi, xi)].astype(np.int64)
+            bits = (s > (s.sum() // 64)).astype(np.uint8).ravel()
+            out.append(int(np.packbits(bits).view(">u8")[0].astype(np.int64)))
+    return out
+
+
+def quadrant_hashes_df(img: DataFrame) -> DataFrame:
+    """(image_id, quad, qhash) rows from the decoded payload — one narrow
+    mapInPandas pass, 4 rows out per image, pixels never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, quads, hashes = [], [], []
+            for _, r in pdf.iterrows():
+                g = gray(codec.decode(r["bytes"], r["fmt"]))
+                for q, hv in enumerate(quadrant_hashes(g)):
+                    ids.append(r["image_id"])
+                    quads.append(q)
+                    hashes.append(hv)
+            yield pd.DataFrame({
+                "image_id": ids,
+                "quad": np.asarray(quads, dtype=np.int32),
+                "qhash": np.asarray(hashes, dtype=np.int64),
+            })
+
+    return img.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=QUAD_SCHEMA
+    )

@@ -308,6 +308,71 @@ FROM eq GROUP BY image_id ORDER BY image_id
 """
 
 
+def q131_quadrant_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crop-robust image near-dup candidates: pairs sharing ANY quadrant's
+    64-bit average-hash (`image_ops.quadrant_hashes_df`) over the
+    duplicate-content table, with the per-pair matched-quadrant count.
+    The quadrant is the spatial band of the LSH family (q46 bands bit
+    ranges; this bands image REGIONS), so a duplicate that survives a
+    crop/shift preserving one quadrant still collides — candidate
+    generation is an equi-join on (quad, qhash), never all-pairs.
+    Oracle: closed-form quadrant bits over the seed-derived luma (never
+    decodes bytes), pairs by 64-of-64 bit equality."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from .multimodal import image_ops
+
+    qh = image_ops.quadrant_hashes_df(
+        img_tab.dup_images_df(spark, sf_dir)).alias("a")
+    b = qh.alias("b")
+    return (
+        qh.join(b, F.expr("a.quad = b.quad AND a.qhash = b.qhash "
+                          "AND a.image_id < b.image_id"))
+        .groupBy(F.col("a.image_id").alias("id1"),
+                 F.col("b.image_id").alias("id2"))
+        .agg(F.countDistinct("a.quad").alias("n_quads"))
+        .orderBy("id1", "id2")
+    )
+
+
+def _q131_sql() -> str:
+    seed = "(doc_id % 101)"
+    luma = img_tab.luma_sql("x", "y", doc_id=seed, decoded=True)
+    w = img_tab.w_sql(seed)
+    h = "cast(32 + (" + seed + " * 17) % 6 * 8 as int)"
+    return f"""
+WITH dims AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         ({w}) // 2 AS w2, ({h}) // 2 AS h2
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, image_id, q.g AS quad, i.g AS idx,
+         (q.g % 2) * w2 + ((2 * (i.g % 8) + 1) * w2) // 16 AS x,
+         (q.g // 2) * h2 + ((2 * (i.g // 8) + 1) * h2) // 16 AS y
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, 3)) AS g) q,
+       LATERAL (SELECT unnest(generate_series(0, 63)) AS g) i
+),
+lum AS (SELECT doc_id, image_id, quad, idx, {luma} AS s FROM samp),
+bits AS (
+  SELECT image_id, quad, idx,
+         (CASE WHEN s > (sum(s) OVER (PARTITION BY doc_id, quad)) // 64
+               THEN 1 ELSE 0 END) AS bit
+  FROM lum
+),
+qpairs AS (
+  SELECT a.image_id AS id1, b.image_id AS id2, a.quad
+  FROM bits a JOIN bits b
+    ON a.quad = b.quad AND a.idx = b.idx AND a.image_id < b.image_id
+  GROUP BY 1, 2, 3
+  HAVING sum(CASE WHEN a.bit = b.bit THEN 1 ELSE 0 END) = 64
+)
+SELECT id1, id2, cast(count(*) as bigint) AS n_quads
+FROM qpairs GROUP BY 1, 2 ORDER BY id1, id2
+"""
+
+
 def q85_dup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted canonical selection: among content-identical images
     (same payload md5), keep the row with the BEST caption (longest; ties
@@ -368,4 +433,5 @@ MULTIMODAL_QUERIES = {
     "q80_thumbnail_checksum": (q80_thumbnail_checksum, Q80_SQL),
     "q85_dup_canonical_by_quality": (q85_dup_canonical_by_quality, Q85_SQL),
     "q125_histogram_equalization": (q125_histogram_equalization, Q125_SQL),
+    "q131_quadrant_hash_dedup": (q131_quadrant_hash_dedup, _q131_sql()),
 }

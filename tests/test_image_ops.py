@@ -86,3 +86,35 @@ def test_equalize_hist_matches_per_pixel_python():
 
     flat = np.full((8, 8), 99, dtype=np.uint8)
     assert equalize_hist(flat).max() == 0
+
+
+def test_quadrant_hashes_crop_collision_and_python_parity():
+    """A derived image preserving one quadrant collides on exactly that
+    quadrant's hash (the crop-robust property the full-image phash lacks);
+    values match a per-pixel python recompute."""
+    import numpy as np
+
+    from geowave_spark.multimodal.image_ops import quadrant_hashes
+    from geowave_spark.table.images import phash64
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    b = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    b[:32, :32] = a[:32, :32]         # quadrant-aligned partial duplicate
+
+    qa, qb = quadrant_hashes(a), quadrant_hashes(b)
+    assert qa[0] == qb[0]             # preserved quadrant collides
+    assert any(qa[i] != qb[i] for i in (1, 2, 3))
+    assert phash64(np.stack([a] * 3, -1)) != phash64(np.stack([b] * 3, -1))
+
+    # python recompute of quadrant 3 (bottom-right)
+    sub = a[32:, 32:]
+    samples = [int(sub[(2 * (i // 8) + 1) * 32 // 16,
+                       (2 * (i % 8) + 1) * 32 // 16]) for i in range(64)]
+    mean = sum(samples) // 64
+    val = 0
+    for s in samples:
+        val = (val << 1) | (1 if s > mean else 0)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    assert qa[3] == val
