@@ -516,6 +516,63 @@ FROM f GROUP BY 1, 2, 3 ORDER BY image_id, ty, tx
 """
 
 
+def q132_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction over the halo-exchange tile harness (luma as
+    elevation): per-tile stats of the drain-direction codes — the
+    hydrology primitive (flow direction → accumulation → watershed) the
+    reference's raster layer stops short of.  See
+    `focal.focal_flow_direction_stats`."""
+    from .raster import focal
+
+    return focal.focal_flow_direction_stats(
+        _focal_tiles(spark, sf_dir), halo_included=True
+    ).orderBy("image_id", "ty", "tx")
+
+
+def _q132_sql() -> str:
+    from .table import images as img_tab
+
+    luma = img_tab.luma_sql("xs.g", "ys.g", decoded=True)
+    codes = ", ".join(f"({dx}, {dy}, {code})"
+                      for (dy, dx), code in [
+                          ((0, 1), 1), ((1, 1), 2), ((1, 0), 3), ((1, -1), 4),
+                          ((0, -1), 5), ((-1, -1), 6), ((-1, 0), 7), ((-1, 1), 8),
+                      ])
+    return f"""
+WITH base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
+  FROM documents WHERE doc_id % 5 = 3
+),
+px AS (
+  SELECT doc_id, image_id, w, h, xs.g AS x, ys.g AS y, {luma} AS v
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
+),
+o(dx, dy, code) AS (VALUES {codes}),
+e AS (
+  SELECT p.image_id, p.x, p.y,
+         min((q.v - p.v + 256) * 16 + o.code) AS enc
+  FROM px p
+  CROSS JOIN o
+  JOIN px q ON q.doc_id = p.doc_id
+           AND q.x = p.x + o.dx AND q.y = p.y + o.dy
+  WHERE p.x >= 1 AND p.x <= p.w - 2 AND p.y >= 1 AND p.y <= p.h - 2
+  GROUP BY 1, 2, 3
+),
+f AS (
+  SELECT image_id, x, y,
+         CASE WHEN enc // 16 - 256 < 0 THEN enc % 16 ELSE 0 END AS code
+  FROM e
+)
+SELECT image_id, cast(y // 16 as int) AS ty, cast(x // 16 as int) AS tx,
+       cast(count(*) as bigint) AS n_px, cast(sum(code) as bigint) AS sum_f,
+       cast(min(code) as bigint) AS min_f, cast(max(code) as bigint) AS max_f
+FROM f GROUP BY 1, 2, 3 ORDER BY image_id, ty, tx
+"""
+
+
 def q104_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares contour segment counts per tile (the local step of
     raster -> vector isoline extraction) on the halo-exchange harness —
@@ -954,6 +1011,7 @@ RASTER_QUERIES = {
     "q103_focal_sobel": (q103_focal_sobel, _q103_sql()),
     "q104_contour_segments": (q104_contour_segments, _q104_sql()),
     "q121_focal_hillshade": (q121_focal_hillshade, _q121_sql()),
+    "q132_flow_direction": (q132_flow_direction, _q132_sql()),
     "q108_raster_warp": (q108_raster_warp, _q108_sql()),
     "q114_temporal_composite": (q114_temporal_composite, _q114_sql()),
 }

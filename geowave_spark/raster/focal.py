@@ -278,6 +278,40 @@ def focal_hillshade_stats(tiles_df, halo_included: bool = False):
     return _focal_apply(tiles_df, hs_kernel, halo_included)
 
 
+# D8 neighbor codes, (dy, dx) -> code 1..8 (E, SE, S, SW, W, NW, N, NE)
+_D8 = {(0, 1): 1, (1, 1): 2, (1, 0): 3, (1, -1): 4,
+       (0, -1): 5, (-1, -1): 6, (-1, 0): 7, (-1, 1): 8}
+
+
+def focal_flow_direction_stats(tiles_df, halo_included: bool = False):
+    """D8 flow direction (hydrology's first derivative: which of the 8
+    neighbors each cell drains to) on the halo-exchange harness — treating
+    luma as elevation.  Direction = the LOWEST neighbor (steepest descent
+    on the unit-spaced grid's axis set), ties to the smallest code, code 0
+    for pits/flats (no strictly lower neighbor); border pixels excluded.
+
+    The argmin is the ENCODED ``min((nb - v + 256) * 16 + code)`` — the
+    +256 offset keeps the encoding nonnegative so ``% 16`` recovers the
+    code identically in numpy, Spark and DuckDB (negative ``%`` differs by
+    engine)."""
+
+    def d8_kernel(pad, msk, th, tw):
+        v = pad[1:th + 1, 1:tw + 1]
+        n = np.zeros((th, tw), dtype=np.int64)
+        enc = np.full((th, tw), np.iinfo(np.int64).max)
+        for (dy, dx), code in _D8.items():
+            nb = pad[dy + 1:dy + 1 + th, dx + 1:dx + 1 + tw]
+            e = (nb - v + 256) * 16 + code
+            enc = np.minimum(enc, e)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                n += msk[dy + 1:dy + 1 + th, dx + 1:dx + 1 + tw]
+        code = np.where(enc // 16 - 256 < 0, enc % 16, 0)
+        return code, n == 9
+
+    return _focal_apply(tiles_df, d8_kernel, halo_included)
+
+
 def focal_sobel_stats(tiles_df, halo_included: bool = False):
     """3x3 Sobel gradient magnitude |gx| + |gy| (the slope / edge-strength
     op of terrain and image analysis) — integer-exact, computed only for

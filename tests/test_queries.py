@@ -1211,3 +1211,49 @@ def test_q128_cost_distance_matches_python_dijkstra_8hop(spark, sf_dir):
                             new[b] = cand
         dist = new
     assert got == dist and len(got) > 1
+
+
+def test_q132_flow_direction_matches_whole_image_numpy(spark, sf_dir):
+    """Whole-image D8 recompute (no tiling/halo); interior pixels only;
+    pits/flats get code 0."""
+    import numpy as np
+
+    from geowave_spark.queries_raster import RASTER_QUERIES
+    from geowave_spark.raster import codec
+    from geowave_spark.raster.focal import _D8
+    from geowave_spark.table import images
+
+    got = {(r["image_id"], r["ty"], r["tx"]):
+           (r["n_px"], r["sum_f"], r["min_f"], r["max_f"])
+           for r in RASTER_QUERIES["q132_flow_direction"][0](spark, sf_dir)
+           .collect()}
+
+    import duckdb
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id % 5 = 3 ORDER BY doc_id").df()
+    img_pdf = images.gen_images_pdf(docs)
+    want = {}
+    for _, row in img_pdf.iterrows():
+        g = images.gray(codec.decode(row["bytes"], row["fmt"])).astype(np.int64)
+        h, w = g.shape
+        enc = np.full((h, w), np.iinfo(np.int64).max)
+        for (dy, dx), code in _D8.items():
+            nb = np.full((h, w), 1 << 40)
+            nb[max(0, -dy):h - max(0, dy), max(0, -dx):w - max(0, dx)] = \
+                g[max(0, dy):h - max(0, -dy), max(0, dx):w - max(0, -dx)]
+            enc = np.minimum(enc, (nb - g + 256) * 16 + code)
+        codes = np.where(enc // 16 - 256 < 0, enc % 16, 0)
+        valid = np.zeros((h, w), dtype=bool)
+        valid[1:h - 1, 1:w - 1] = True
+        for ty in range((h + 15) // 16):
+            for tx in range((w + 15) // 16):
+                sl = (slice(ty * 16, (ty + 1) * 16),
+                      slice(tx * 16, (tx + 1) * 16))
+                v = codes[sl][valid[sl]]
+                if v.size:
+                    want[(row["image_id"], ty, tx)] = (
+                        v.size, int(v.sum()), int(v.min()), int(v.max()))
+    assert got == want and len(got) > 0
+    assert any(t[3] == 8 for t in want.values())  # every code value occurs
+    assert any(t[2] == 0 for t in want.values())  # incl. pits/flats
