@@ -1653,6 +1653,86 @@ def _q128_sql() -> str:
             + f"\nSELECT cell, dist FROM d{_Q128_ROUNDS} ORDER BY cell")
 
 
+def _q133_edges_sql(intdiv: str) -> str:
+    """Drainage edges over the occupied res-6 density grid: each cell's
+    out-edge points to its strictly-lower occupied D8 neighbor (steepest
+    descent by count, ties to the smallest code; pits keep no edge).
+    Same encoded-argmin trick as q132, +4096 offset bounds any count."""
+    n = 1 << _Q128_RES
+    return f"""o(dx, dy, code) AS (VALUES (1,0,1), (1,1,2), (0,1,3), (-1,1,4),
+                          (-1,0,5), (-1,-1,6), (0,-1,7), (1,-1,8)),
+enc AS (
+  SELECT c.cell,
+         min((b.cost - c.cost + 4096) * 16 + o.code) AS e
+  FROM cells c
+  JOIN o ON 1 = 1
+  JOIN cells b
+    ON b.cell = (c.cell {intdiv} {n} + o.dy) * {n} + (c.cell % {n} + o.dx)
+  WHERE c.cell % {n} + o.dx BETWEEN 0 AND {n - 1}
+    AND c.cell {intdiv} {n} + o.dy BETWEEN 0 AND {n - 1}
+  GROUP BY c.cell
+),
+edges AS (
+  SELECT e.cell AS src,
+         ((e.cell {intdiv} {n}) + o.dy) * {n} + (e.cell % {n} + o.dx) AS dst
+  FROM (SELECT cell, e FROM enc WHERE e {intdiv} 16 - 4096 < 0) e
+  JOIN o ON o.code = e.e % 16
+)"""
+
+
+def _q133_round_sql(i: int) -> str:
+    return f"""a{i} AS (
+  SELECT c.cell, cast(1 + coalesce(t.s, 0) as bigint) AS acc
+  FROM cells c
+  LEFT JOIN (SELECT e.dst AS cell, sum(a.acc) AS s
+             FROM a{i - 1} a JOIN edges e ON e.src = a.cell
+             GROUP BY e.dst) t ON t.cell = c.cell
+)"""
+
+
+def q133_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow accumulation over the density surface's drainage graph
+    (hydrology step 2, after q132's per-pixel flow direction): every
+    occupied res-6 cell drains to its strictly-lower D8 neighbor, and
+    acc(c) after 8 rounds counts the cells whose drainage path reaches c
+    within 8 steps (incl. itself) — the bounded-horizon accumulation,
+    same contract style as q128.
+
+    Scale shape: the edge set is ONE 8-offset equi-join (each cell has at
+    most one out-edge, so |edges| <= |cells|), and each round is one hash
+    join + keyed sum + left join — all O(occupied cells), materialized
+    per round so lineage stays flat."""
+    register_views(spark, sf_dir)
+    n = 1 << _Q128_RES
+    pre = f"WITH {_q128_cells_sql('div')}, {_q133_edges_sql('div')}"
+    spark.sql(f"{pre} SELECT src, dst FROM edges").persist() \
+        .createOrReplaceTempView("q133_edges")
+    cells = spark.sql(f"{pre} SELECT cell, cost FROM cells").persist()
+    cells.createOrReplaceTempView("q133_cells")
+    cur = spark.sql(
+        "SELECT cell, cast(1 as bigint) AS acc FROM q133_cells")
+    del n
+    for _ in range(_Q128_ROUNDS):
+        cur.createOrReplaceTempView("q133_a")
+        cur = spark.sql("""
+            SELECT c.cell, cast(1 + coalesce(t.s, 0) as bigint) AS acc
+            FROM q133_cells c
+            LEFT JOIN (SELECT e.dst AS cell, sum(a.acc) AS s
+                       FROM q133_a a JOIN q133_edges e ON e.src = a.cell
+                       GROUP BY e.dst) t ON t.cell = c.cell
+        """).persist()
+        cur.count()
+    return cur.orderBy("cell")
+
+
+def _q133_sql() -> str:
+    parts = [_q128_cells_sql("//"), _q133_edges_sql("//"),
+             "a0 AS (SELECT cell, cast(1 as bigint) AS acc FROM cells)"]
+    parts += [_q133_round_sql(i) for i in range(1, _Q128_ROUNDS + 1)]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT cell, acc FROM a{_Q128_ROUNDS} ORDER BY cell")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1683,6 +1763,7 @@ QUERIES = {
     "q128_cost_distance": (q128_cost_distance, _q128_sql()),
     "q129_spatiotemporal_knn": (q129_spatiotemporal_knn, Q129_SQL),
     "q130_local_supplier_revenue": (q130_local_supplier_revenue, Q130_SQL),
+    "q133_flow_accumulation": (q133_flow_accumulation, _q133_sql()),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

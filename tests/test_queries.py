@@ -1257,3 +1257,52 @@ def test_q132_flow_direction_matches_whole_image_numpy(spark, sf_dir):
     assert got == want and len(got) > 0
     assert any(t[3] == 8 for t in want.values())  # every code value occurs
     assert any(t[2] == 0 for t in want.values())  # incl. pits/flats
+
+
+def test_q133_flow_accumulation_matches_python(spark):
+    """Pure-python recompute: drainage edges by steepest strictly-lower D8
+    neighbor over the occupied density grid, 8 accumulation rounds.
+    sf0.01: the sf0.001 density surface is flat (all counts ~2, no
+    strictly-lower neighbors, zero edges)."""
+    from geowave_spark.queries import QUERIES, _Q128_RES, _Q128_ROUNDS
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["cell"]: r["acc"]
+           for r in QUERIES["q133_flow_accumulation"][0](spark, sf_dir)
+           .collect()}
+
+    ev = spark.sql(
+        f"SELECT {geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q128_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    n = 1 << _Q128_RES
+    cost: dict[int, int] = {}
+    for c in ev["cell"].tolist():
+        cost[c] = cost.get(c, 1) + 1
+    codes = [(1, 0, 1), (1, 1, 2), (0, 1, 3), (-1, 1, 4),
+             (-1, 0, 5), (-1, -1, 6), (0, -1, 7), (1, -1, 8)]
+    edges = {}
+    for c, v in cost.items():
+        gx, gy = c % n, c // n
+        best = None
+        for dx, dy, code in codes:
+            nx, ny = gx + dx, gy + dy
+            if not (0 <= nx < n and 0 <= ny < n):
+                continue
+            b = ny * n + nx
+            if b in cost:
+                e = (cost[b] - v + 4096) * 16 + code
+                if best is None or e < best:
+                    best = e
+        if best is not None and best // 16 - 4096 < 0:
+            code = best % 16
+            dx, dy = next((dx, dy) for dx, dy, cd in codes if cd == code)
+            edges[c] = (gy + dy) * n + (gx + dx)
+    acc = {c: 1 for c in cost}
+    for _ in range(_Q128_ROUNDS):
+        inflow: dict[int, int] = {}
+        for src, dst in edges.items():
+            inflow[dst] = inflow.get(dst, 0) + acc[src]
+        acc = {c: 1 + inflow.get(c, 0) for c in cost}
+    assert got == acc and len(got) > 100
+    assert max(acc.values()) > 2  # real accumulation happens somewhere
