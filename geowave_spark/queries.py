@@ -1733,6 +1733,54 @@ def _q133_sql() -> str:
             + f"\nSELECT cell, acc FROM a{_Q128_ROUNDS} ORDER BY cell")
 
 
+_Q134_DOUBLINGS = 4
+
+
+def q134_watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed basin labeling by POINTER DOUBLING over the drainage
+    forest (hydrology step 3): every cell follows its q133 out-edge chain
+    to its pit, and 4 doubling rounds — p_i(c) = p_{i-1}(p_{i-1}(c)) —
+    jump 2^4 = 16 steps, enough to fully converge here since each drainage
+    step strictly decreases the cell count (path length <= max density).
+    Output: per-basin (pit cell) drained-cell counts.
+
+    Pointer doubling is the third distributed-graph primitive in the
+    engine after large-star/small-star contraction (q64) and bounded
+    relaxation (q128/q133): O(log diameter) rounds, each ONE self-join on
+    the pointer — the classic parallel list-ranking shape, shuffle count
+    independent of path length."""
+    register_views(spark, sf_dir)
+    pre = f"WITH {_q128_cells_sql('div')}, {_q133_edges_sql('div')}"
+    spark.sql(
+        f"{pre} SELECT c.cell, coalesce(e.dst, c.cell) AS ptr "
+        f"FROM cells c LEFT JOIN edges e ON e.src = c.cell"
+    ).persist().createOrReplaceTempView("q134_p")
+    for _ in range(_Q134_DOUBLINGS):
+        nxt = spark.sql(
+            "SELECT a.cell, b.ptr FROM q134_p a "
+            "JOIN q134_p b ON a.ptr = b.cell").persist()
+        nxt.count()
+        nxt.createOrReplaceTempView("q134_p")
+    return spark.sql(
+        "SELECT ptr AS basin, cast(count(*) as bigint) AS n_cells "
+        "FROM q134_p GROUP BY 1 ORDER BY basin")
+
+
+def _q134_sql() -> str:
+    parts = [
+        _q128_cells_sql("//"), _q133_edges_sql("//"),
+        "p0 AS (SELECT c.cell, coalesce(e.dst, c.cell) AS ptr "
+        "FROM cells c LEFT JOIN edges e ON e.src = c.cell)",
+    ]
+    for i in range(1, _Q134_DOUBLINGS + 1):
+        parts.append(
+            f"p{i} AS (SELECT a.cell, b.ptr FROM p{i - 1} a "
+            f"JOIN p{i - 1} b ON a.ptr = b.cell)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT ptr AS basin, cast(count(*) as bigint) AS n_cells "
+              f"FROM p{_Q134_DOUBLINGS} GROUP BY 1 ORDER BY basin")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1764,6 +1812,7 @@ QUERIES = {
     "q129_spatiotemporal_knn": (q129_spatiotemporal_knn, Q129_SQL),
     "q130_local_supplier_revenue": (q130_local_supplier_revenue, Q130_SQL),
     "q133_flow_accumulation": (q133_flow_accumulation, _q133_sql()),
+    "q134_watershed_basins": (q134_watershed_basins, _q134_sql()),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

@@ -1306,3 +1306,51 @@ def test_q133_flow_accumulation_matches_python(spark):
         acc = {c: 1 + inflow.get(c, 0) for c in cost}
     assert got == acc and len(got) > 100
     assert max(acc.values()) > 2  # real accumulation happens somewhere
+
+
+def test_q134_watershed_basins_matches_python_follow(spark):
+    """Python recompute: FULLY follow each cell's drainage chain to its
+    pit (no doubling), then compare basin sizes — also proves the 4
+    doubling rounds converge on this surface (max chain length <= max
+    density).  sf0.01 (sf0.001's surface is flat — every cell its own
+    basin — which the engine handles but proves nothing)."""
+    from geowave_spark.queries import QUERIES, _Q128_RES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["basin"]: r["n_cells"]
+           for r in QUERIES["q134_watershed_basins"][0](spark, sf_dir)
+           .collect()}
+
+    ev = spark.sql(
+        f"SELECT {geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q128_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    n = 1 << _Q128_RES
+    cost: dict[int, int] = {}
+    for c in ev["cell"].tolist():
+        cost[c] = cost.get(c, 1) + 1
+    codes = [(1, 0, 1), (1, 1, 2), (0, 1, 3), (-1, 1, 4),
+             (-1, 0, 5), (-1, -1, 6), (0, -1, 7), (1, -1, 8)]
+    nxt = {}
+    for c, v in cost.items():
+        gx, gy = c % n, c // n
+        best = None
+        for dx, dy, code in codes:
+            nx_, ny = gx + dx, gy + dy
+            if 0 <= nx_ < n and 0 <= ny < n and (ny * n + nx_) in cost:
+                e = (cost[ny * n + nx_] - v + 4096) * 16 + code
+                if best is None or e < best:
+                    best = e
+        if best is not None and best // 16 - 4096 < 0:
+            code = best % 16
+            dx, dy = next((dx, dy) for dx, dy, cd in codes if cd == code)
+            nxt[c] = (gy + dy) * n + (gx + dx)
+    want: dict[int, int] = {}
+    for c in cost:
+        p = c
+        while p in nxt:
+            p = nxt[p]
+        want[p] = want.get(p, 0) + 1
+    assert got == want
+    assert len(want) < len(cost)          # basins actually merge cells
+    assert max(want.values()) > 3
