@@ -1781,6 +1781,151 @@ def _q134_sql() -> str:
               f"FROM p{_Q134_DOUBLINGS} GROUP BY 1 ORDER BY basin")
 
 
+_Q136_GAP_US = 28_800_000_000  # 8 h — near the median inter-event spacing
+
+
+def q136_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the per-user event stream (the
+    trajectory/visit segmentation every telemetry pipeline needs; the
+    reference bins time only into fixed periods —
+    `core/geotime/.../binning/TemporalBinningStrategy.java` — and has no
+    data-driven session concept).
+
+    Spark-first: the engine runs the NATIVE `session_window(ts, gap)`
+    aggregate — one hash shuffle on user_id, sessions merged inside the
+    partition, and the identical aggregate is streaming-portable against
+    the state store (`streaming/ingest.session_rollup` runs it with a
+    watermark; stream==batch parity pinned in tests).  The oracle derives
+    the same sessions independently via the gap-flag running sum — a
+    formulation Spark could also run, but the point is the built-in.
+
+    Session duration = last−first event (session_window.end includes the
+    trailing gap, subtracted here); all outputs integer micros."""
+    register_views(spark, sf_dir)
+    ev = spark.sql("SELECT user_id, cast(ts as timestamp) AS ts FROM events")
+    gap_s = _Q136_GAP_US // 1_000_000
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(session_window.start)").alias("sess_start_us"),
+            F.expr(f"unix_micros(session_window.end) - "
+                   f"unix_micros(session_window.start) - {_Q136_GAP_US}")
+            .alias("dur_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "sess_start_us")
+    )
+
+
+_Q136_SQL = f"""
+WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+f AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= {_Q136_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+)
+SELECT user_id,
+       cast(min(us) as bigint) AS sess_start_us,
+       cast(max(us) - min(us) as bigint) AS dur_us,
+       cast(count(*) as bigint) AS n_events
+FROM s GROUP BY user_id, sess
+ORDER BY user_id, sess_start_us
+"""
+
+
+_Q135_ROUNDS = 8
+
+
+def _q135_round_sql(i: int) -> str:
+    """One Strahler round: m = max child order, cmax = children at that
+    max; ord_i(c) = m + 1 when two children tie at the max, else m
+    (leaves keep order 1).  Two keyed aggregates — count-at-max needs the
+    max first; both are O(|edges|) hash shuffles.  Every round CTE is
+    MATERIALIZED: s{{i}} is referenced three times by round i+1, so
+    DuckDB's default inlining would grow the plan 3^rounds (the engine
+    loop cuts lineage with localCheckpoint for the same reason)."""
+    return f"""m{i} AS MATERIALIZED (
+  SELECT e.dst AS cell, max(s.ord) AS m
+  FROM edges_m e JOIN s{i - 1} s ON s.cell = e.src GROUP BY e.dst
+),
+t{i} AS MATERIALIZED (
+  SELECT e.dst AS cell, m.m, count(*) AS cmax
+  FROM edges_m e JOIN s{i - 1} s ON s.cell = e.src
+  JOIN m{i} m ON m.cell = e.dst AND s.ord = m.m
+  GROUP BY e.dst, m.m
+),
+s{i} AS MATERIALIZED (
+  SELECT s.cell,
+         greatest(s.ord, coalesce(CASE WHEN t.cmax >= 2 THEN t.m + 1 ELSE t.m END,
+                                  cast(1 as bigint))) AS ord
+  FROM s{i - 1} s LEFT JOIN t{i} t ON t.cell = s.cell
+)"""
+
+
+def q135_strahler_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strahler stream order over the drainage forest (hydrology step 4,
+    after q132 direction / q133 accumulation / q134 basins): order 1 at
+    the leaves; a cell where >= 2 max-order tributaries meet gets max+1,
+    else it carries the max downstream.  Bounded at 8 rounds (the q128
+    k-hop contract) — enough for any tree of depth <= 8.
+
+    Scale shape: each round is two keyed hash aggregates over the edge
+    set (max child order, then count of children AT that max — SQL can't
+    count-at-max in one pass) plus one left join back to the cells; all
+    O(occupied cells).  Each round references the previous state THREE
+    times, so persist() alone would still grow the ANALYZED plan 3^r —
+    rounds are cut off with localCheckpoint (LogicalRDD) instead.  The
+    reference's raster layer has no hydrology ops (nearest analog is the
+    per-tile merge in RasterTileMergeStrategy); this completes the
+    direction->accumulation->basin->order chain entirely in keyed joins."""
+    register_views(spark, sf_dir)
+    pre = f"WITH {_q128_cells_sql('div')}, {_q133_edges_sql('div')}"
+    spark.sql(f"{pre} SELECT src, dst FROM edges").persist() \
+        .createOrReplaceTempView("q135_edges")
+    spark.sql(f"{pre} SELECT cell FROM cells").persist() \
+        .createOrReplaceTempView("q135_cells")
+    cur = spark.sql(
+        "SELECT cell, cast(1 as bigint) AS ord FROM q135_cells")
+    for _ in range(_Q135_ROUNDS):
+        cur.createOrReplaceTempView("q135_s")
+        cur = spark.sql("""
+            SELECT s.cell,
+                   greatest(s.ord,
+                            coalesce(CASE WHEN t.cmax >= 2 THEN t.m + 1 ELSE t.m END,
+                                     cast(1 as bigint))) AS ord
+            FROM q135_s s
+            LEFT JOIN (
+              SELECT e.dst AS cell, m.m, count(*) AS cmax
+              FROM q135_edges e JOIN q135_s s2 ON s2.cell = e.src
+              JOIN (SELECT e2.dst AS cell, max(s3.ord) AS m
+                    FROM q135_edges e2 JOIN q135_s s3 ON s3.cell = e2.src
+                    GROUP BY e2.dst) m
+                ON m.cell = e.dst AND s2.ord = m.m
+              GROUP BY e.dst, m.m
+            ) t ON t.cell = s.cell
+        """).localCheckpoint()
+    return cur.orderBy("cell")
+
+
+def _q135_sql() -> str:
+    parts = [_q128_cells_sql("//"), _q133_edges_sql("//"),
+             "edges_m AS MATERIALIZED (SELECT src, dst FROM edges)",
+             "s0 AS MATERIALIZED (SELECT cell, cast(1 as bigint) AS ord FROM cells)"]
+    parts += [_q135_round_sql(i) for i in range(1, _Q135_ROUNDS + 1)]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT cell, ord FROM s{_Q135_ROUNDS} ORDER BY cell")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1813,6 +1958,8 @@ QUERIES = {
     "q130_local_supplier_revenue": (q130_local_supplier_revenue, Q130_SQL),
     "q133_flow_accumulation": (q133_flow_accumulation, _q133_sql()),
     "q134_watershed_basins": (q134_watershed_basins, _q134_sql()),
+    "q135_strahler_order": (q135_strahler_order, _q135_sql()),
+    "q136_sessionization": (q136_sessionization, _Q136_SQL),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

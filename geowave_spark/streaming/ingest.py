@@ -126,6 +126,32 @@ def trending_cell_counts(stream_df: DataFrame, ts_col: str = "ts",
     )
 
 
+def session_rollup(stream_df: DataFrame, ts_col: str = "ts",
+                   gap: str = "28800 seconds",
+                   watermark: str = "30 days") -> DataFrame:
+    """Watermarked SESSION-window per-user rollup — the streaming twin of
+    the batch q136 sessionization: the identical `session_window(ts, gap)`
+    aggregate runs incrementally, the state store merging open sessions
+    per user until the watermark closes them.  Emits the same
+    (user_id, sess_start_us, dur_us, n_events) rows as the batch query
+    (parity pinned in tests/test_streaming.py)."""
+    gap_us = int(gap.split()[0]) * 1_000_000
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy("user_id", F.session_window(F.col(ts_col), gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("sess_start_us"),
+            (F.unix_micros(F.col("session_window.end"))
+             - F.unix_micros(F.col("session_window.start"))
+             - F.lit(gap_us)).alias("dur_us"),
+            "n_events",
+        )
+    )
+
+
 def geofence_alerts(stream_df: DataFrame, zones: DataFrame,
                     res: int = 7) -> DataFrame:
     """Streaming geofence: emit an alert row for every streamed point that

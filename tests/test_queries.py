@@ -1354,3 +1354,87 @@ def test_q134_watershed_basins_matches_python_follow(spark):
     assert got == want
     assert len(want) < len(cost)          # basins actually merge cells
     assert max(want.values()) > 3
+
+
+def test_q135_strahler_order_matches_python(spark):
+    """Python recompute: same drainage edges, then 8 Strahler rounds
+    (max child order; +1 when >= 2 children tie at the max).  sf0.01
+    (flat sf0.001 surface has zero edges)."""
+    from geowave_spark.queries import QUERIES, _Q128_RES, _Q135_ROUNDS
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["cell"]: r["ord"]
+           for r in QUERIES["q135_strahler_order"][0](spark, sf_dir)
+           .collect()}
+
+    ev = spark.sql(
+        f"SELECT {geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q128_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    n = 1 << _Q128_RES
+    cost: dict[int, int] = {}
+    for c in ev["cell"].tolist():
+        cost[c] = cost.get(c, 1) + 1
+    codes = [(1, 0, 1), (1, 1, 2), (0, 1, 3), (-1, 1, 4),
+             (-1, 0, 5), (-1, -1, 6), (0, -1, 7), (1, -1, 8)]
+    edges = {}
+    for c, v in cost.items():
+        gx, gy = c % n, c // n
+        best = None
+        for dx, dy, code in codes:
+            nx_, ny = gx + dx, gy + dy
+            if 0 <= nx_ < n and 0 <= ny < n and (ny * n + nx_) in cost:
+                e = (cost[ny * n + nx_] - v + 4096) * 16 + code
+                if best is None or e < best:
+                    best = e
+        if best is not None and best // 16 - 4096 < 0:
+            code = best % 16
+            dx, dy = next((dx, dy) for dx, dy, cd in codes if cd == code)
+            edges[c] = (gy + dy) * n + (gx + dx)
+    ordr = {c: 1 for c in cost}
+    for _ in range(_Q135_ROUNDS):
+        children: dict[int, list[int]] = {}
+        for src, dst in edges.items():
+            children.setdefault(dst, []).append(ordr[src])
+        nxt_ord = {}
+        for c in cost:
+            ch = children.get(c)
+            if not ch:
+                nxt_ord[c] = ordr[c]
+            else:
+                m = max(ch)
+                nxt_ord[c] = max(ordr[c], m + 1 if ch.count(m) >= 2 else m)
+        ordr = nxt_ord
+    assert got == ordr and len(got) > 100
+    assert max(ordr.values()) >= 2        # a real confluence exists
+
+
+def test_q136_sessionization_matches_python_fold(spark):
+    """Python fold recompute of the gap-based sessions: per user, sorted
+    event micros, split where the gap >= 8h — the native session_window
+    aggregate must produce exactly these (start, dur, count) triples."""
+    from geowave_spark.queries import QUERIES, _Q136_GAP_US
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = sorted(
+        (r["user_id"], r["sess_start_us"], r["dur_us"], r["n_events"])
+        for r in QUERIES["q136_sessionization"][0](spark, sf_dir).collect()
+    )
+
+    pdf = spark.sql(
+        f"SELECT user_id, unix_micros(cast(ts as timestamp)) AS us "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    want = []
+    for uid, grp in pdf.groupby("user_id"):
+        times = sorted(grp["us"].tolist())
+        start, prev, cnt = times[0], times[0], 1
+        for t in times[1:]:
+            if t - prev >= _Q136_GAP_US:
+                want.append((uid, start, prev - start, cnt))
+                start, cnt = t, 0
+            prev = t
+            cnt += 1
+        want.append((uid, start, prev - start, cnt))
+    want.sort()
+    assert got == want and len(got) > 150
+    assert max(n for *_, n in got) > 1    # sessions actually merge events

@@ -326,6 +326,35 @@ def test_streaming_trending_counts_match_batch_q117(spark, sf_dir, dirs):
     assert got == want and len(got) > 0
 
 
+def test_streaming_session_rollup_matches_batch_q136(spark, sf_dir, dirs):
+    """The watermarked session_window per-user rollup over an availableNow
+    stream equals the batch q136 sessionization — the same
+    (user_id, sess_start_us, dur_us, n_events) rows through the state
+    store's session-merge path."""
+    src, _dest, cp = dirs
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part1.parquet")
+    schema = _events_schema(spark, sf_dir)
+
+    stream = ingest.indexed_file_stream(spark, str(src), schema)
+    ingest.run_to_memory(
+        ingest.session_rollup(stream), "sessions", cp)
+    got = sorted(
+        (r["user_id"], r["sess_start_us"], r["dur_us"], r["n_events"])
+        for r in spark.table("sessions").collect()
+    )
+
+    from geowave_spark.queries import QUERIES
+
+    batch = QUERIES["q136_sessionization"][0](spark, sf_dir)
+    want = sorted(
+        (r["user_id"], r["sess_start_us"], r["dur_us"], r["n_events"])
+        for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
+    # sessions actually merge: somewhere more than one event per session
+    assert max(n for *_, n in got) > 1
+
+
 def test_stream_stream_proximity_join_matches_batch(spark, sf_dir, dirs):
     """Stream-stream rendezvous join (same cell, |dt| <= 10 min) over two
     watermarked file streams == the identical batch join; the state store
