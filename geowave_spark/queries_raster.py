@@ -407,10 +407,13 @@ FROM px GROUP BY image_id ORDER BY image_id
 """
 
 
-def _focal_tiles(spark: SparkSession, sf_dir: str):
+def _focal_tiles(spark: SparkSession, sf_dir: str, halo: int = 1):
     """Shared q98/q103 input: the doc_id % 5 image subset split into a
     16x16 luma tile relation (subset only bounds the 9-way oracle join —
-    the operators are subset-independent)."""
+    the operators are subset-independent).  ``halo=2`` for the
+    5x5-support kernels (q137 Harris, q138 NMS); image dims are
+    multiples of 8, so every edge tile is >= 8 px and a 2-px halo never
+    reaches past the adjacent tile."""
     from .raster import focal
     from .table.images import IMG_SCHEMA, gen_images_pdf
 
@@ -426,7 +429,7 @@ def _focal_tiles(spark: SparkSession, sf_dir: str):
 
     img = docs.mapInPandas(gen, schema=IMG_SCHEMA).select(
         "image_id", "bytes", "fmt")
-    return focal.tile_rows(img, tile=16, with_halo=True)
+    return focal.tile_rows(img, tile=16, with_halo=True, halo=halo)
 
 
 def q98_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,6 +530,137 @@ def q132_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal.focal_flow_direction_stats(
         _focal_tiles(spark, sf_dir), halo_included=True
     ).orderBy("image_id", "ty", "tx")
+
+
+def q137_harris_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harris corner response (integer-exact, rational k = 1/16) over the
+    halo-exchange tile harness — the interest-point detector image
+    pipelines run before geometric dedup/registration.  5x5 support
+    (gradients at the core's 1-px ring feed the 3x3 structure tensor), so
+    the exchange ships 2-px strips; see `focal.focal_harris_stats`."""
+    from .raster import focal
+
+    return focal.focal_harris_stats(
+        _focal_tiles(spark, sf_dir, halo=2), halo_included=True
+    ).orderBy("image_id", "ty", "tx")
+
+
+def q138_edge_thinning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canny-style non-maximum suppression (edge thinning) over the
+    halo-exchange tile harness: per-pixel |gx|+|gy| survives only where
+    it beats both neighbors along the RATIONALLY quantized gradient
+    direction (no atan2 — the DuckDB twin quantizes identically); see
+    `focal.focal_nms_stats`."""
+    from .raster import focal
+
+    return focal.focal_nms_stats(
+        _focal_tiles(spark, sf_dir, halo=2), halo_included=True
+    ).orderBy("image_id", "ty", "tx")
+
+
+def _px_cte_sql() -> str:
+    """Shared oracle prefix: decoded-luma pixel relation
+    px(doc_id, image_id, w, h, x, y, v) for the doc_id % 5 = 3 subset."""
+    from .table import images as img_tab
+
+    luma = img_tab.luma_sql("xs.g", "ys.g", decoded=True)
+    return f"""base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
+  FROM documents WHERE doc_id % 5 = 3
+),
+px AS (
+  SELECT doc_id, image_id, w, h, xs.g AS x, ys.g AS y, {luma} AS v
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
+)"""
+
+
+def _grad_cte_sql() -> str:
+    """Shared q137/q138 oracle prefix: decoded-luma pixels -> per-pixel
+    Sobel gradients g(doc_id, image_id, w, h, x, y, gx, gy) for every
+    pixel with a full in-image 3x3 (x in [1, w-2], y in [1, h-2])."""
+    weights = ", ".join(
+        f"({dx}, {dy}, {wx}, {wy})"
+        for dx, dy, wx, wy in [
+            (-1, -1, -1, -1), (-1, 0, -2, 0), (-1, 1, -1, 1),
+            (0, -1, 0, -2), (0, 1, 0, 2),
+            (1, -1, 1, -1), (1, 0, 2, 0), (1, 1, 1, 1),
+        ])
+    return f"""{_px_cte_sql()},
+o(dx, dy, wx, wy) AS (VALUES {weights}),
+g AS (
+  SELECT p.doc_id, p.image_id, p.w, p.h, p.x, p.y,
+         cast(sum(q.v * o.wx) as bigint) AS gx,
+         cast(sum(q.v * o.wy) as bigint) AS gy
+  FROM px p
+  CROSS JOIN o
+  JOIN px q ON q.doc_id = p.doc_id
+           AND q.x = p.x + o.dx AND q.y = p.y + o.dy
+  WHERE p.x >= 1 AND p.x <= p.w - 2 AND p.y >= 1 AND p.y <= p.h - 2
+  GROUP BY 1, 2, 3, 4, 5, 6
+)"""
+
+
+_TILE_ROLLUP_SQL = """
+SELECT image_id, cast(y // 16 as int) AS ty, cast(x // 16 as int) AS tx,
+       cast(count(*) as bigint) AS n_px, cast(sum(f) as bigint) AS sum_f,
+       cast(min(f) as bigint) AS min_f, cast(max(f) as bigint) AS max_f
+FROM f GROUP BY 1, 2, 3 ORDER BY image_id, ty, tx
+"""
+
+
+def _q137_sql() -> str:
+    n9 = ", ".join(f"({dx}, {dy})" for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return f"""
+WITH {_grad_cte_sql()},
+n9(dx, dy) AS (VALUES {n9}),
+s AS (
+  SELECT p.image_id, p.x, p.y,
+         cast(sum(q.gx * q.gx) as bigint) AS sxx,
+         cast(sum(q.gy * q.gy) as bigint) AS syy,
+         cast(sum(q.gx * q.gy) as bigint) AS sxy
+  FROM g p
+  CROSS JOIN n9
+  JOIN g q ON q.doc_id = p.doc_id
+          AND q.x = p.x + n9.dx AND q.y = p.y + n9.dy
+  WHERE p.x >= 2 AND p.x <= p.w - 3 AND p.y >= 2 AND p.y <= p.h - 3
+  GROUP BY 1, 2, 3
+),
+f AS (
+  SELECT image_id, x, y,
+         16 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy) AS f
+  FROM s
+)
+{_TILE_ROLLUP_SQL}"""
+
+
+def _q138_sql() -> str:
+    return f"""
+WITH {_grad_cte_sql()},
+f0 AS (
+  SELECT doc_id, image_id, w, h, x, y, abs(gx) + abs(gy) AS mag,
+         CASE WHEN 5 * abs(gy) <= 2 * abs(gx) THEN 1
+              WHEN 5 * abs(gx) <= 2 * abs(gy) THEN 0
+              ELSE 1 END AS ndx,
+         CASE WHEN 5 * abs(gy) <= 2 * abs(gx) THEN 0
+              WHEN 5 * abs(gx) <= 2 * abs(gy) THEN 1
+              WHEN (gx > 0) = (gy > 0) THEN 1 ELSE -1 END AS ndy
+  FROM g
+),
+f AS (
+  SELECT p.image_id, p.x, p.y,
+         CASE WHEN p.mag > n1.mag AND p.mag >= n2.mag
+              THEN p.mag ELSE 0 END AS f
+  FROM f0 p
+  JOIN f0 n1 ON n1.doc_id = p.doc_id
+            AND n1.x = p.x + p.ndx AND n1.y = p.y + p.ndy
+  JOIN f0 n2 ON n2.doc_id = p.doc_id
+            AND n2.x = p.x - p.ndx AND n2.y = p.y - p.ndy
+  WHERE p.x >= 2 AND p.x <= p.w - 3 AND p.y >= 2 AND p.y <= p.h - 3
+)
+{_TILE_ROLLUP_SQL}"""
 
 
 def _q132_sql() -> str:
@@ -1012,6 +1146,8 @@ RASTER_QUERIES = {
     "q104_contour_segments": (q104_contour_segments, _q104_sql()),
     "q121_focal_hillshade": (q121_focal_hillshade, _q121_sql()),
     "q132_flow_direction": (q132_flow_direction, _q132_sql()),
+    "q137_harris_corners": (q137_harris_corners, _q137_sql()),
+    "q138_edge_thinning": (q138_edge_thinning, _q138_sql()),
     "q108_raster_warp": (q108_raster_warp, _q108_sql()),
     "q114_temporal_composite": (q114_temporal_composite, _q114_sql()),
 }

@@ -44,7 +44,8 @@ KIND_CORE = 0
 KIND_HALO = 1
 
 
-def tile_rows(img_df, tile: int = 16, with_halo: bool = False):
+def tile_rows(img_df, tile: int = 16, with_halo: bool = False,
+              halo: int = 1):
     """Split whole-image rows into a luma tile relation (one decode each).
 
     Stands in for a stored tile table (`raster/tiles.py` holds the
@@ -56,7 +57,11 @@ def tile_rows(img_df, tile: int = 16, with_halo: bool = False):
     stored), this avoids executing the decode/split subtree twice for the
     ``union(tiles, halo_strips(tiles))`` DAG; strip rows are a by-product
     of the scan and the downstream shuffle volume is identical.
+    ``halo`` is the strip width in pixels (1 for 3x3 kernels; 2 for the
+    5x5-support kernels — Harris, NMS; must stay <= tile so only the 8
+    adjacent tiles are ever addressed).
     """
+    assert halo <= tile
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -73,7 +78,7 @@ def tile_rows(img_df, tile: int = 16, with_halo: bool = False):
                                      blk.tobytes()))
                         if with_halo:
                             for nty, ntx, sy, sx, s in _strips(
-                                    blk, ty, tx, y0, x0):
+                                    blk, ty, tx, y0, x0, halo):
                                 rows.append((iid, nty, ntx, sy, sx,
                                              s.shape[0], s.shape[1], KIND_HALO,
                                              np.ascontiguousarray(s).tobytes()))
@@ -85,23 +90,26 @@ def tile_rows(img_df, tile: int = 16, with_halo: bool = False):
     return img_df.mapInPandas(split, schema=TILE_SCHEMA)
 
 
-def _strips(blk: np.ndarray, ty: int, tx: int, y0: int, x0: int):
-    """The <= 8 halo strips a tile owes its neighbors (absolute origins)."""
+def _strips(blk: np.ndarray, ty: int, tx: int, y0: int, x0: int,
+            halo: int = 1):
+    """The <= 8 halo strips a tile owes its neighbors (absolute origins);
+    ``halo`` px wide (clamped to the tile's own extent)."""
     th, tw = blk.shape
-    top, bot = blk[0:1, :], blk[th - 1:th, :]
-    lef, rig = blk[:, 0:1], blk[:, tw - 1:tw]
+    t, l = min(halo, th), min(halo, tw)
+    top, bot = blk[0:t, :], blk[th - t:th, :]
+    lef, rig = blk[:, 0:l], blk[:, tw - l:tw]
     out = [
-        (ty - 1, tx, y0, x0, top), (ty + 1, tx, y0 + th - 1, x0, bot),
-        (ty, tx - 1, y0, x0, lef), (ty, tx + 1, y0, x0 + tw - 1, rig),
-        (ty - 1, tx - 1, y0, x0, blk[0:1, 0:1]),
-        (ty - 1, tx + 1, y0, x0 + tw - 1, blk[0:1, tw - 1:tw]),
-        (ty + 1, tx - 1, y0 + th - 1, x0, blk[th - 1:th, 0:1]),
-        (ty + 1, tx + 1, y0 + th - 1, x0 + tw - 1, blk[th - 1:th, tw - 1:tw]),
+        (ty - 1, tx, y0, x0, top), (ty + 1, tx, y0 + th - t, x0, bot),
+        (ty, tx - 1, y0, x0, lef), (ty, tx + 1, y0, x0 + tw - l, rig),
+        (ty - 1, tx - 1, y0, x0, blk[0:t, 0:l]),
+        (ty - 1, tx + 1, y0, x0 + tw - l, blk[0:t, tw - l:tw]),
+        (ty + 1, tx - 1, y0 + th - t, x0, blk[th - t:th, 0:l]),
+        (ty + 1, tx + 1, y0 + th - t, x0 + tw - l, blk[th - t:th, tw - l:tw]),
     ]
     return [s for s in out if s[0] >= 0 and s[1] >= 0]
 
 
-def halo_strips(tiles_df):
+def halo_strips(tiles_df, halo: int = 1):
     """Edge strips addressed to neighbor tiles (strips PAST the raster's
     extent land in groups with no core tile and are dropped there)."""
 
@@ -113,7 +121,7 @@ def halo_strips(tiles_df):
                     pdf["x0"], pdf["th"], pdf["tw"], pdf["data"]):
                 blk = np.frombuffer(data, dtype=np.uint8).reshape(th, tw)
                 for nty, ntx, sy, sx, s in _strips(
-                        blk, int(ty), int(tx), int(y0), int(x0)):
+                        blk, int(ty), int(tx), int(y0), int(x0), halo):
                     rows.append((iid, nty, ntx, sy, sx,
                                  s.shape[0], s.shape[1], KIND_HALO,
                                  np.ascontiguousarray(s).tobytes()))
@@ -130,7 +138,8 @@ _OUT_SCHEMA = ("image_id string, ty int, tx int, n_px long, "
                "sum_f long, min_f long, max_f long")
 
 
-def _focal_apply(tiles_df, kernel, halo_included: bool = False):
+def _focal_apply(tiles_df, kernel, halo_included: bool = False,
+                 halo: int = 1):
     """Shared halo-exchange harness: union core tiles with their neighbor
     strips, ONE hash shuffle on the tile key + in-partition sort, then a
     single streaming mapInPandas pass assembles each tile's padded
@@ -149,7 +158,8 @@ def _focal_apply(tiles_df, kernel, halo_included: bool = False):
     from .tiles import _complete_groups, _group_bounds
 
     key_cols = ["image_id", "ty", "tx"]
-    full = tiles_df if halo_included else tiles_df.unionByName(halo_strips(tiles_df))
+    full = (tiles_df if halo_included
+            else tiles_df.unionByName(halo_strips(tiles_df, halo)))
     width = tiles_df.sparkSession.sparkContext.defaultParallelism * 4
     keyed = full.repartition(width, *key_cols).sortWithinPartitions(*key_cols)
 
@@ -173,13 +183,13 @@ def _focal_apply(tiles_df, kernel, halo_included: bool = False):
                 ci = s + int(core[0])
                 th, tw = int(ths[ci]), int(tws[ci])
                 cy0, cx0 = int(y0s[ci]), int(x0s[ci])
-                pad = np.zeros((th + 2, tw + 2), dtype=np.int64)
-                msk = np.zeros((th + 2, tw + 2), dtype=np.int64)
+                pad = np.zeros((th + 2 * halo, tw + 2 * halo), dtype=np.int64)
+                msk = np.zeros((th + 2 * halo, tw + 2 * halo), dtype=np.int64)
                 for j in range(s, e):
                     blk = np.frombuffer(datas[j], dtype=np.uint8).reshape(
                         int(ths[j]), int(tws[j]))
-                    ry = int(y0s[j]) - cy0 + 1
-                    rx = int(x0s[j]) - cx0 + 1
+                    ry = int(y0s[j]) - cy0 + halo
+                    rx = int(x0s[j]) - cx0 + halo
                     pad[ry:ry + blk.shape[0], rx:rx + blk.shape[1]] = blk
                     msk[ry:ry + blk.shape[0], rx:rx + blk.shape[1]] = 1
                 f, valid = kernel(pad, msk, th, tw)
@@ -312,6 +322,91 @@ def focal_flow_direction_stats(tiles_df, halo_included: bool = False):
     return _focal_apply(tiles_df, d8_kernel, halo_included)
 
 
+def _grad_ext(pad, th, tw, weights):
+    """Sobel gradient over the core EXTENDED by a 1-px ring (pad must
+    carry a 2-px halo): result shape (th+2, tw+2), index (u, v) is the
+    gradient at core-relative pixel (u-1, v-1)."""
+    g = np.zeros((th + 2, tw + 2), dtype=np.int64)
+    for (dy, dx), w in weights.items():
+        g += w * pad[1 + dy:3 + dy + th, 1 + dx:3 + dx + tw]
+    return g
+
+
+def _msk25(msk, th, tw, halo=2):
+    n = np.zeros((th, tw), dtype=np.int64)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            n += msk[halo + dy:halo + dy + th, halo + dx:halo + dx + tw]
+    return n
+
+
+def focal_harris_stats(tiles_df, halo_included: bool = False):
+    """Harris corner response on the halo-exchange harness — the interest
+    -point detector of classic image matching (the feature-extraction
+    step a 10^12-image pipeline runs before geometric dedup/registration;
+    the reference has no pixel-level feature op).
+
+    5x5 support: Sobel gradients at the core pixels AND their 1-px ring
+    (so the 3x3 structure tensor is complete), hence a 2-px halo.
+    Integer-exact response with rational k = 1/16:
+    R = 16*(Sxx*Syy - Sxy^2) - (Sxx+Syy)^2  (max |R| ~ 1.8e15, in-range
+    for int64; per-tile sums over 256 px stay < 2^62).  Pixels whose full
+    5x5 neighborhood is not in-image are excluded."""
+
+    def harris_kernel(pad, msk, th, tw):
+        gxe = _grad_ext(pad, th, tw, _SOBEL_X)
+        gye = _grad_ext(pad, th, tw, _SOBEL_Y)
+        sxx = np.zeros((th, tw), dtype=np.int64)
+        syy = np.zeros((th, tw), dtype=np.int64)
+        sxy = np.zeros((th, tw), dtype=np.int64)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                wx = gxe[dy:dy + th, dx:dx + tw]
+                wy = gye[dy:dy + th, dx:dx + tw]
+                sxx += wx * wx
+                syy += wy * wy
+                sxy += wx * wy
+        tr = sxx + syy
+        r = 16 * (sxx * syy - sxy * sxy) - tr * tr
+        return r, _msk25(msk, th, tw) == 25
+
+    return _focal_apply(tiles_df, harris_kernel, halo_included, halo=2)
+
+
+def focal_nms_stats(tiles_df, halo_included: bool = False):
+    """Canny-style non-maximum suppression (edge thinning): keep a
+    pixel's gradient magnitude |gx|+|gy| only where it beats both
+    neighbors along the quantized gradient direction (strictly forward,
+    >= backward — a deterministic tie-break), else 0.
+
+    Direction sectors are RATIONAL (5*|gy| <= 2*|gx| -> horizontal,
+    5*|gx| <= 2*|gy| -> vertical, else the diagonal picked by the sign
+    product) so the DuckDB twin quantizes identically with no atan2.
+    Needs gradients at the core's 1-px ring -> 2-px halo, 5x5 validity."""
+
+    def nms_kernel(pad, msk, th, tw):
+        gxe = _grad_ext(pad, th, tw, _SOBEL_X)
+        gye = _grad_ext(pad, th, tw, _SOBEL_Y)
+        ax, ay = np.abs(gxe), np.abs(gye)
+        mag = ax + ay
+        horiz = 5 * ay <= 2 * ax
+        vert = 5 * ax <= 2 * ay
+        diag_main = (gxe > 0) == (gye > 0)   # only read when not h/v
+        ndx = np.where(horiz, 1, np.where(vert, 0, 1))
+        ndy = np.where(horiz, 0,
+                       np.where(vert, 1, np.where(diag_main, 1, -1)))
+        yy, xx = np.mgrid[0:th, 0:tw]
+        cy, cx = yy + 1, xx + 1              # core pixel in the ext grid
+        dyc, dxc = ndy[cy, cx], ndx[cy, cx]
+        m0 = mag[cy, cx]
+        m1 = mag[cy + dyc, cx + dxc]
+        m2 = mag[cy - dyc, cx - dxc]
+        f = np.where((m0 > m1) & (m0 >= m2), m0, 0)
+        return f, _msk25(msk, th, tw) == 25
+
+    return _focal_apply(tiles_df, nms_kernel, halo_included, halo=2)
+
+
 def focal_sobel_stats(tiles_df, halo_included: bool = False):
     """3x3 Sobel gradient magnitude |gx| + |gy| (the slope / edge-strength
     op of terrain and image analysis) — integer-exact, computed only for
@@ -335,3 +430,4 @@ def focal_sobel_stats(tiles_df, halo_included: bool = False):
         return np.abs(gx) + np.abs(gy), n == 9
 
     return _focal_apply(tiles_df, sobel_kernel, halo_included)
+

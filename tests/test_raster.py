@@ -384,3 +384,110 @@ def test_q104_contour_matches_whole_image_numpy(spark, sf_dir, img_pdf):
                         blk.size, int(blk.sum()), int(blk.min()),
                         int(blk.max()))
     assert got == want and len(got) > 0
+
+
+def _whole_image_sobel(g):
+    """Sobel gx, gy on the interior (full 3x3 in-image); NaN-free int64
+    arrays shaped like g, valid only on [1:h-1, 1:w-1]."""
+    g = g.astype(np.int64)
+    h, w = g.shape
+    gx = np.zeros((h, w), dtype=np.int64)
+    gy = np.zeros((h, w), dtype=np.int64)
+    for (dy, dx), wt in {(-1, -1): -1, (0, -1): -2, (1, -1): -1,
+                         (-1, 1): 1, (0, 1): 2, (1, 1): 1}.items():
+        gx[1:h - 1, 1:w - 1] += wt * g[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+    for (dy, dx), wt in {(-1, -1): -1, (-1, 0): -2, (-1, 1): -1,
+                         (1, -1): 1, (1, 0): 2, (1, 1): 1}.items():
+        gy[1:h - 1, 1:w - 1] += wt * g[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+    return gx, gy
+
+
+def _tile_rollup(want, image_id, f, vy0, vx0):
+    """Roll f (valid-region array with absolute origin (vy0, vx0)) into
+    16x16 tile stats keyed like the focal output."""
+    vh, vw = f.shape
+    for ty in range((vy0 + vh + 15) // 16):
+        for tx in range((vx0 + vw + 15) // 16):
+            y0, x0 = max(ty * 16, vy0), max(tx * 16, vx0)
+            y1 = min((ty + 1) * 16, vy0 + vh)
+            x1 = min((tx + 1) * 16, vx0 + vw)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            blk = f[y0 - vy0:y1 - vy0, x0 - vx0:x1 - vx0]
+            want[(image_id, ty, tx)] = (
+                blk.size, int(blk.sum()), int(blk.min()), int(blk.max()))
+
+
+def test_q137_harris_matches_whole_image_numpy(spark, sf_dir, img_pdf):
+    """Whole-image recompute (no tiling, no halo exchange): Sobel
+    gradients, 3x3 structure tensor, integer Harris R with k = 1/16 —
+    must agree tile for tile with the 2-px-halo exchange result."""
+    from geowave_spark.queries_raster import RASTER_QUERIES
+
+    got = {(r["image_id"], r["ty"], r["tx"]):
+           (r["n_px"], r["sum_f"], r["min_f"], r["max_f"])
+           for r in RASTER_QUERIES["q137_harris_corners"][0](spark, sf_dir)
+           .collect()}
+
+    want = {}
+    for _, row in img_pdf.iterrows():
+        if int(row["image_id"][3:]) % 5 != 3:
+            continue
+        g = images.gray(codec.decode(row["bytes"], row["fmt"]))
+        h, w = g.shape
+        gx, gy = _whole_image_sobel(g)
+        sxx = np.zeros((h, w), dtype=np.int64)
+        syy = np.zeros((h, w), dtype=np.int64)
+        sxy = np.zeros((h, w), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                wx = gx[2 + dy:h - 2 + dy, 2 + dx:w - 2 + dx]
+                wy = gy[2 + dy:h - 2 + dy, 2 + dx:w - 2 + dx]
+                sxx[2:h - 2, 2:w - 2] += wx * wx
+                syy[2:h - 2, 2:w - 2] += wy * wy
+                sxy[2:h - 2, 2:w - 2] += wx * wy
+        tr = sxx + syy
+        r = 16 * (sxx * syy - sxy * sxy) - tr * tr
+        _tile_rollup(want, row["image_id"], r[2:h - 2, 2:w - 2], 2, 2)
+    assert got == want and len(got) > 0
+    # corners exist: somewhere the response is strongly positive
+    assert max(v[3] for v in want.values()) > 0
+
+
+def test_q138_nms_matches_whole_image_numpy(spark, sf_dir, img_pdf):
+    """Whole-image recompute of the rationally quantized non-maximum
+    suppression; must agree tile for tile with the halo-exchange run."""
+    from geowave_spark.queries_raster import RASTER_QUERIES
+
+    got = {(r["image_id"], r["ty"], r["tx"]):
+           (r["n_px"], r["sum_f"], r["min_f"], r["max_f"])
+           for r in RASTER_QUERIES["q138_edge_thinning"][0](spark, sf_dir)
+           .collect()}
+
+    want = {}
+    for _, row in img_pdf.iterrows():
+        if int(row["image_id"][3:]) % 5 != 3:
+            continue
+        g = images.gray(codec.decode(row["bytes"], row["fmt"]))
+        h, w = g.shape
+        gx, gy = _whole_image_sobel(g)
+        ax, ay = np.abs(gx), np.abs(gy)
+        mag = ax + ay
+        horiz = 5 * ay <= 2 * ax
+        vert = 5 * ax <= 2 * ay
+        diag_main = (gx > 0) == (gy > 0)
+        ndx = np.where(horiz, 1, np.where(vert, 0, 1))
+        ndy = np.where(horiz, 0, np.where(vert, 1,
+                                          np.where(diag_main, 1, -1)))
+        f = np.zeros((h, w), dtype=np.int64)
+        for y in range(2, h - 2):
+            for x in range(2, w - 2):
+                dyc, dxc = int(ndy[y, x]), int(ndx[y, x])
+                m0 = mag[y, x]
+                if m0 > mag[y + dyc, x + dxc] and m0 >= mag[y - dyc, x - dxc]:
+                    f[y, x] = m0
+        _tile_rollup(want, row["image_id"], f[2:h - 2, 2:w - 2], 2, 2)
+    assert got == want and len(got) > 0
+    # thinning actually suppresses: some tile has zero-min but positive max
+    assert any(v[2] == 0 and v[3] > 0 for v in want.values())
+
