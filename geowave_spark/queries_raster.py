@@ -558,6 +558,29 @@ def q138_edge_thinning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id", "ty", "tx")
 
 
+def q139_morph_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological gradient (3x3 dilation − erosion) over the
+    halo-exchange tile harness — the boundary-strength op of mathematical
+    morphology (edge-aware min/max range over in-image neighbors); see
+    `focal.focal_morph_gradient_stats`."""
+    from .raster import focal
+
+    return focal.focal_morph_gradient_stats(
+        _focal_tiles(spark, sf_dir), halo_included=True
+    ).orderBy("image_id", "ty", "tx")
+
+
+def q140_lbp_texture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Binary Pattern texture codes over the halo-exchange tile
+    harness — bit i set where the i-th 3x3 neighbor (fixed E..NE order)
+    >= the center; per-tile code stats; see `focal.focal_lbp_stats`."""
+    from .raster import focal
+
+    return focal.focal_lbp_stats(
+        _focal_tiles(spark, sf_dir), halo_included=True
+    ).orderBy("image_id", "ty", "tx")
+
+
 def _px_cte_sql() -> str:
     """Shared oracle prefix: decoded-luma pixel relation
     px(doc_id, image_id, w, h, x, y, v) for the doc_id % 5 = 3 subset."""
@@ -575,6 +598,44 @@ px AS (
        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
        LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
 )"""
+
+
+def _q139_sql() -> str:
+    n9 = ", ".join(f"({dx}, {dy})" for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return f"""
+WITH {_px_cte_sql()},
+o(dx, dy) AS (VALUES {n9}),
+f AS (
+  SELECT p.image_id, p.x, p.y,
+         cast(max(q.v) - min(q.v) as bigint) AS f
+  FROM px p
+  CROSS JOIN o
+  JOIN px q ON q.doc_id = p.doc_id
+           AND q.x = p.x + o.dx AND q.y = p.y + o.dy
+  GROUP BY 1, 2, 3
+)
+{_TILE_ROLLUP_SQL}"""
+
+
+def _q140_sql() -> str:
+    from .raster.focal import _LBP_ORDER
+
+    nbrs = ", ".join(f"({dx}, {dy}, {1 << i})"
+                     for i, (dy, dx) in enumerate(_LBP_ORDER))
+    return f"""
+WITH {_px_cte_sql()},
+o(dx, dy, wt) AS (VALUES {nbrs}),
+f AS (
+  SELECT p.image_id, p.x, p.y,
+         cast(sum(CASE WHEN q.v >= p.v THEN o.wt ELSE 0 END) as bigint) AS f
+  FROM px p
+  CROSS JOIN o
+  JOIN px q ON q.doc_id = p.doc_id
+           AND q.x = p.x + o.dx AND q.y = p.y + o.dy
+  WHERE p.x >= 1 AND p.x <= p.w - 2 AND p.y >= 1 AND p.y <= p.h - 2
+  GROUP BY 1, 2, 3
+)
+{_TILE_ROLLUP_SQL}"""
 
 
 def _grad_cte_sql() -> str:
@@ -1148,6 +1209,8 @@ RASTER_QUERIES = {
     "q132_flow_direction": (q132_flow_direction, _q132_sql()),
     "q137_harris_corners": (q137_harris_corners, _q137_sql()),
     "q138_edge_thinning": (q138_edge_thinning, _q138_sql()),
+    "q139_morph_gradient": (q139_morph_gradient, _q139_sql()),
+    "q140_lbp_texture": (q140_lbp_texture, _q140_sql()),
     "q108_raster_warp": (q108_raster_warp, _q108_sql()),
     "q114_temporal_composite": (q114_temporal_composite, _q114_sql()),
 }

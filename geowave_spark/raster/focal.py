@@ -431,3 +431,52 @@ def focal_sobel_stats(tiles_df, halo_included: bool = False):
 
     return _focal_apply(tiles_df, sobel_kernel, halo_included)
 
+
+def focal_morph_gradient_stats(tiles_df, halo_included: bool = False):
+    """Morphological gradient — 3x3 dilation minus 3x3 erosion, the
+    boundary-strength op of mathematical morphology (edge-aware: min/max
+    range over the IN-IMAGE 3x3 neighbors including self, so border
+    pixels are defined over their partial neighborhood; every pixel has
+    >= itself, so validity is total).  Integer-exact by construction
+    (uint8 range, f in [0, 255])."""
+
+    def morph_kernel(pad, msk, th, tw):
+        mx = np.full((th, tw), -1, dtype=np.int64)
+        mn = np.full((th, tw), 256, dtype=np.int64)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                win = pad[dy:dy + th, dx:dx + tw]
+                m = msk[dy:dy + th, dx:dx + tw] == 1
+                mx = np.where(m, np.maximum(mx, win), mx)
+                mn = np.where(m, np.minimum(mn, win), mn)
+        return mx - mn, np.ones((th, tw), dtype=bool)
+
+    return _focal_apply(tiles_df, morph_kernel, halo_included)
+
+
+# fixed LBP neighbor order: E, SE, S, SW, W, NW, N, NE — bit i weights 2^i
+_LBP_ORDER = [(0, 1), (1, 1), (1, 0), (1, -1),
+              (0, -1), (-1, -1), (-1, 0), (-1, 1)]
+
+
+def focal_lbp_stats(tiles_df, halo_included: bool = False):
+    """Local Binary Pattern texture code — bit i set where the i-th 3x3
+    neighbor (fixed E..NE circular order) is >= the center; the classic
+    texture descriptor image pipelines aggregate into per-region
+    histograms before dedup/classification.  Defined only where the full
+    3x3 is in-image (codes over partial neighborhoods are not
+    comparable); f in [0, 255]."""
+
+    def lbp_kernel(pad, msk, th, tw):
+        c = pad[1:1 + th, 1:1 + tw]
+        code = np.zeros((th, tw), dtype=np.int64)
+        n = np.zeros((th, tw), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                n += msk[dy + 1:dy + 1 + th, dx + 1:dx + 1 + tw]
+        for i, (dy, dx) in enumerate(_LBP_ORDER):
+            nb = pad[dy + 1:dy + 1 + th, dx + 1:dx + 1 + tw]
+            code += (1 << i) * (nb >= c)
+        return code, n == 9
+
+    return _focal_apply(tiles_df, lbp_kernel, halo_included)

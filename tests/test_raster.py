@@ -491,3 +491,61 @@ def test_q138_nms_matches_whole_image_numpy(spark, sf_dir, img_pdf):
     # thinning actually suppresses: some tile has zero-min but positive max
     assert any(v[2] == 0 and v[3] > 0 for v in want.values())
 
+
+def test_q139_morph_gradient_matches_whole_image_numpy(spark, sf_dir, img_pdf):
+    """Whole-image recompute: edge-aware 3x3 max-min range."""
+    from geowave_spark.queries_raster import RASTER_QUERIES
+
+    got = {(r["image_id"], r["ty"], r["tx"]):
+           (r["n_px"], r["sum_f"], r["min_f"], r["max_f"])
+           for r in RASTER_QUERIES["q139_morph_gradient"][0](spark, sf_dir)
+           .collect()}
+
+    want = {}
+    for _, row in img_pdf.iterrows():
+        if int(row["image_id"][3:]) % 5 != 3:
+            continue
+        g = images.gray(codec.decode(row["bytes"], row["fmt"]))
+        h, w = g.shape
+        pad = np.zeros((h + 2, w + 2), dtype=np.int64)
+        msk = np.zeros((h + 2, w + 2), dtype=bool)
+        pad[1:h + 1, 1:w + 1] = g
+        msk[1:h + 1, 1:w + 1] = True
+        mx = np.full((h, w), -1, dtype=np.int64)
+        mn = np.full((h, w), 256, dtype=np.int64)
+        for dy in range(3):
+            for dx in range(3):
+                win = pad[dy:dy + h, dx:dx + w]
+                m = msk[dy:dy + h, dx:dx + w]
+                mx = np.where(m, np.maximum(mx, win), mx)
+                mn = np.where(m, np.minimum(mn, win), mn)
+        _tile_rollup(want, row["image_id"], mx - mn, 0, 0)
+    assert got == want and len(got) > 0
+    assert max(v[3] for v in want.values()) > 0   # an actual edge exists
+
+
+def test_q140_lbp_matches_whole_image_numpy(spark, sf_dir, img_pdf):
+    """Whole-image recompute: 8-bit LBP codes in the fixed E..NE order."""
+    from geowave_spark.queries_raster import RASTER_QUERIES
+    from geowave_spark.raster.focal import _LBP_ORDER
+
+    got = {(r["image_id"], r["ty"], r["tx"]):
+           (r["n_px"], r["sum_f"], r["min_f"], r["max_f"])
+           for r in RASTER_QUERIES["q140_lbp_texture"][0](spark, sf_dir)
+           .collect()}
+
+    want = {}
+    for _, row in img_pdf.iterrows():
+        if int(row["image_id"][3:]) % 5 != 3:
+            continue
+        g = images.gray(codec.decode(row["bytes"], row["fmt"])).astype(np.int64)
+        h, w = g.shape
+        c = g[1:h - 1, 1:w - 1]
+        code = np.zeros((h - 2, w - 2), dtype=np.int64)
+        for i, (dy, dx) in enumerate(_LBP_ORDER):
+            nb = g[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+            code += (1 << i) * (nb >= c)
+        _tile_rollup(want, row["image_id"], code, 1, 1)
+    assert got == want and len(got) > 0
+    # codes span the byte: both flat (255: all >= center) and edge codes
+    assert max(v[3] for v in want.values()) == 255
