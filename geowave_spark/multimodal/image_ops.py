@@ -199,3 +199,55 @@ def quadrant_hashes_df(img: DataFrame) -> DataFrame:
     return img.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema=QUAD_SCHEMA
     )
+
+
+ISODATA_SCHEMA = "image_id string, thr int, n_fg long, sum_fg long"
+ISODATA_ROUNDS = 4
+
+
+def isodata_threshold(g: np.ndarray, rounds: int = ISODATA_ROUNDS,
+                      t0: int = 128) -> int:
+    """Isodata (Ridler–Calvard) binarization threshold, integer-exact:
+    t <- (floor(mean(v < t)) + floor(mean(v >= t))) // 2, a FIXED number
+    of rounds (bounded compute, the q128 contract) from t0 = 128; an
+    empty side contributes the current t.  All floor divisions, so a SQL
+    twin (conditional sums over the 256-bin histogram, unrolled rounds)
+    is bit-exact."""
+    v = g.astype(np.int64).ravel()
+    t = t0
+    for _ in range(rounds):
+        below, above = v[v < t], v[v >= t]
+        mb = int(below.sum()) // below.size if below.size else t
+        ma = int(above.sum()) // above.size if above.size else t
+        t = (mb + ma) // 2
+    return t
+
+
+def isodata_stats_df(img: DataFrame) -> DataFrame:
+    """Per-image isodata threshold + foreground (v >= thr) count/sum — the
+    figure/ground separation pass of document-image pipelines.  Per-image
+    scalar iteration runs INSIDE one narrow mapInPandas (embarrassingly
+    parallel — zero shuffles; the oracle unrolls the same rounds over the
+    histogram in SQL)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, thrs, nfs, sfs = [], [], [], []
+            for _, r in pdf.iterrows():
+                g = gray(codec.decode(r["bytes"], r["fmt"])).astype(np.int64)
+                t = isodata_threshold(g)
+                fg = g[g >= t]
+                ids.append(r["image_id"])
+                thrs.append(t)
+                nfs.append(fg.size)
+                sfs.append(int(fg.sum()))
+            yield pd.DataFrame({
+                "image_id": ids,
+                "thr": np.asarray(thrs, dtype=np.int32),
+                "n_fg": np.asarray(nfs, dtype=np.int64),
+                "sum_fg": np.asarray(sfs, dtype=np.int64),
+            })
+
+    return img.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=ISODATA_SCHEMA
+    )

@@ -308,6 +308,52 @@ FROM eq GROUP BY image_id ORDER BY image_id
 """
 
 
+def q141_isodata_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image isodata (Ridler–Calvard) binarization threshold plus
+    foreground stats — the classic figure/ground separation pass (the
+    reference's raster layer has no auto-threshold op; nearest analog is
+    the per-tile no-data classification in `RasterTileMergeStrategy`).
+    Per-image scalar iteration inside ONE mapInPandas — zero shuffles;
+    the oracle unrolls the identical integer rounds over the 256-bin
+    histogram (`image_ops.isodata_stats_df`)."""
+    from .multimodal import image_ops
+
+    return image_ops.isodata_stats_df(
+        img_tab.images_df(spark, sf_dir)
+    ).orderBy("image_id")
+
+
+def _q141_sql() -> str:
+    from .multimodal.image_ops import ISODATA_ROUNDS
+
+    parts = [_photometric_base_sql(), """
+hist AS (
+  SELECT image_id, luma AS v, cast(count(*) as bigint) AS c
+  FROM px GROUP BY 1, 2
+),
+t0 AS (SELECT image_id, cast(128 as bigint) AS t FROM hist GROUP BY 1)"""]
+    for i in range(1, ISODATA_ROUNDS + 1):
+        parts.append(f"""
+t{i} AS (
+  SELECT h.image_id,
+         (coalesce(sum(CASE WHEN h.v < t.t THEN h.v * h.c END)
+                   // sum(CASE WHEN h.v < t.t THEN h.c END), t.t)
+          + coalesce(sum(CASE WHEN h.v >= t.t THEN h.v * h.c END)
+                     // sum(CASE WHEN h.v >= t.t THEN h.c END), t.t)) // 2 AS t
+  FROM hist h JOIN t{i - 1} t USING (image_id)
+  GROUP BY h.image_id, t.t
+)""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+SELECT h.image_id, cast(t.t as int) AS thr,
+       cast(coalesce(sum(CASE WHEN h.v >= t.t THEN h.c END), 0) as bigint) AS n_fg,
+       cast(coalesce(sum(CASE WHEN h.v >= t.t THEN h.v * h.c END), 0) as bigint) AS sum_fg
+FROM hist h JOIN t{ISODATA_ROUNDS} t USING (image_id)
+GROUP BY h.image_id, t.t
+ORDER BY h.image_id
+""")
+
+
 def q131_quadrant_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crop-robust image near-dup candidates: pairs sharing ANY quadrant's
     64-bit average-hash (`image_ops.quadrant_hashes_df`) over the
@@ -433,5 +479,6 @@ MULTIMODAL_QUERIES = {
     "q80_thumbnail_checksum": (q80_thumbnail_checksum, Q80_SQL),
     "q85_dup_canonical_by_quality": (q85_dup_canonical_by_quality, Q85_SQL),
     "q125_histogram_equalization": (q125_histogram_equalization, Q125_SQL),
+    "q141_isodata_threshold": (q141_isodata_threshold, _q141_sql()),
     "q131_quadrant_hash_dedup": (q131_quadrant_hash_dedup, _q131_sql()),
 }

@@ -118,3 +118,39 @@ def test_quadrant_hashes_crop_collision_and_python_parity():
     if val >= 1 << 63:
         val -= 1 << 64
     assert qa[3] == val
+
+
+def test_isodata_threshold_histogram_recompute(spark, sf_dir):
+    """Independent derivation: run the isodata rounds over the 256-bin
+    HISTOGRAM (the oracle's formulation) instead of the pixel array, and
+    check the engine's per-image (thr, n_fg, sum_fg) triple; also the
+    threshold must genuinely separate the class means."""
+    from geowave_spark.multimodal.image_ops import (
+        ISODATA_ROUNDS, isodata_stats_df)
+
+    img = img_tab.images_df(spark, sf_dir)
+    got = {r["image_id"]: (r["thr"], r["n_fg"], r["sum_fg"])
+           for r in isodata_stats_df(img).collect()}
+    assert len(got) > 50
+
+    checked = 0
+    for r in img.limit(12).collect():
+        g = img_tab.gray(codec.decode(bytes(r["bytes"]), r["fmt"]))
+        hist = np.bincount(g.ravel(), minlength=256).astype(np.int64)
+        vals = np.arange(256, dtype=np.int64)
+        t = 128
+        for _ in range(ISODATA_ROUNDS):
+            nb, sb = int(hist[:t].sum()), int((vals[:t] * hist[:t]).sum())
+            na, sa = int(hist[t:].sum()), int((vals[t:] * hist[t:]).sum())
+            mb = sb // nb if nb else t
+            ma = sa // na if na else t
+            t = (mb + ma) // 2
+        n_fg = int(hist[t:].sum())
+        sum_fg = int((vals[t:] * hist[t:]).sum())
+        assert got[r["image_id"]] == (t, n_fg, sum_fg)
+        # separation property: below-mean < t <= above-mean when both exist
+        if hist[:t].sum() and hist[t:].sum():
+            assert (vals[:t] * hist[:t]).sum() // hist[:t].sum() < t
+            assert (vals[t:] * hist[t:]).sum() // hist[t:].sum() >= t
+        checked += 1
+    assert checked == 12
