@@ -1325,6 +1325,129 @@ ORDER BY doc_id
 """
 
 
+_Q142_ROUNDS = 3
+
+
+def _q142_tok0_sql(d: G.Dialect) -> str:
+    """(doc_id, pos, w) token stream, pos 0-based in document order."""
+    toks = G.tokens(d)
+    if d.is_spark:
+        return (f"SELECT doc_id, cast(pos as bigint) AS pos, w "
+                f"FROM (SELECT doc_id, posexplode({toks}) AS (pos, w) "
+                f"FROM documents)")
+    return (f"SELECT doc_id, cast(pg.g - 1 as bigint) AS pos, t[pg.g] AS w "
+            f"FROM (SELECT doc_id, {toks} AS t FROM documents) d0, "
+            f"LATERAL (SELECT unnest(generate_series(1, {d.size('t')})) "
+            f"AS g) pg")
+
+
+def q142_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding-style merge rounds over the corpus token stream
+    — the inner loop of tokenizer training (count adjacent pairs, merge
+    the globally most frequent pair everywhere, repeat).  Bounded at 3
+    rounds (the q128/q135 fixed-horizon contract); pairs with a = b are
+    excluded so every selected pair's occurrences are provably disjoint
+    (an overlap at pos, pos+1 would need w[pos+1] = a AND = b) and the
+    merge is order-independent — no sequential greedy scan needed.
+
+    Scale shape per round: ONE adjacency self-join on (doc_id, pos+1)
+    (co-partitioned — both sides hash on doc_id), one keyed count + a
+    driver-side top-1 row (the KMeans-centroid pattern: the aggregate is
+    tiny), then the merge/renumber pass is a broadcast of the 1-row pair
+    + a per-document window.  Rounds are cut with localCheckpoint — each
+    round's stream is referenced three times (join x2 + count), so an
+    uncut lineage grows 3^r.  The reference has no text pipeline; this
+    extends the tokenizer-training scan (q115) to the merge loop.
+    GeoWave analog: none (training-data op, north-rule extension)."""
+    register_views(spark, sf_dir)
+    cur = spark.sql(_q142_tok0_sql(G.SPARK)).localCheckpoint()
+    out = []
+    for i in range(1, _Q142_ROUNDS + 1):
+        cur.createOrReplaceTempView("q142_t")
+        top = spark.sql("""
+            SELECT t.w AS a, n.w AS b, cast(count(*) as bigint) AS freq
+            FROM q142_t t JOIN q142_t n
+              ON n.doc_id = t.doc_id AND n.pos = t.pos + 1
+            WHERE t.w <> n.w
+            GROUP BY t.w, n.w ORDER BY freq DESC, a, b LIMIT 1
+        """).collect()[0]
+        spark.createDataFrame(
+            [(top["a"], top["b"])], "a string, b string"
+        ).createOrReplaceTempView("q142_top")
+        cur = spark.sql("""
+            SELECT doc_id,
+                   cast(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                        - 1 as bigint) AS pos,
+                   CASE WHEN st = 1 THEN w || '_' || nw ELSE w END AS w
+            FROM (
+              SELECT doc_id, pos, w, nw, st,
+                     lag(st, 1, 0) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS pst
+              FROM (
+                SELECT t.doc_id, t.pos, t.w, n.w AS nw,
+                       CASE WHEN t.w = p.a AND n.w = p.b THEN 1 ELSE 0 END
+                         AS st
+                FROM q142_t t
+                LEFT JOIN q142_t n
+                  ON n.doc_id = t.doc_id AND n.pos = t.pos + 1
+                CROSS JOIN q142_top p
+              )
+            ) WHERE pst = 0
+        """).localCheckpoint()
+        out.append((i, top["a"], top["b"], int(top["freq"]),
+                    int(cur.count())))
+    return spark.createDataFrame(
+        out,
+        "merge_round int, a string, b string, freq bigint, "
+        "corpus_tokens bigint",
+    ).orderBy("merge_round")
+
+
+def _q142_duck() -> str:
+    d = G.DUCK
+    parts = [f"t0 AS MATERIALIZED ({_q142_tok0_sql(d)})"]
+    for i in range(1, _Q142_ROUNDS + 1):
+        parts.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT t.doc_id, t.pos, t.w, n.w AS nw
+  FROM t{i - 1} t LEFT JOIN t{i - 1} n
+    ON n.doc_id = t.doc_id AND n.pos = t.pos + 1
+),
+top{i} AS MATERIALIZED (
+  SELECT w AS a, nw AS b, cast(count(*) as bigint) AS freq
+  FROM p{i} WHERE nw IS NOT NULL AND w <> nw
+  GROUP BY w, nw ORDER BY freq DESC, a, b LIMIT 1
+),
+t{i} AS MATERIALIZED (
+  SELECT doc_id,
+         cast(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+              - 1 as bigint) AS pos,
+         CASE WHEN st = 1 THEN w || '_' || nw ELSE w END AS w
+  FROM (
+    SELECT s.*, lag(st, 1, 0) OVER (PARTITION BY doc_id ORDER BY pos) AS pst
+    FROM (
+      SELECT p.doc_id, p.pos, p.w, p.nw,
+             CASE WHEN p.w = t.a AND p.nw = t.b THEN 1 ELSE 0 END AS st
+      FROM p{i} p CROSS JOIN top{i} t
+    ) s
+  ) WHERE pst = 0
+)""")
+    merges = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_round, a, b, freq FROM top{i}"
+        for i in range(1, _Q142_ROUNDS + 1))
+    counts = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_round, cast(count(*) as bigint) "
+        f"AS corpus_tokens FROM t{i}"
+        for i in range(1, _Q142_ROUNDS + 1))
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT m.merge_round, m.a, m.b, m.freq, c.corpus_tokens
+FROM ({merges}) m JOIN ({counts}) c USING (merge_round)
+ORDER BY merge_round
+""")
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -1353,4 +1476,5 @@ TEXT_QUERIES = {
     "q116_embedding_outliers": _dual(_q116),
     "q118_graph_centrality": _dual(_q118),
     "q122_pii_scrub": _dual(_q122),
+    "q142_bpe_merge_rounds": (q142_bpe_merge_rounds, _q142_duck()),
 }

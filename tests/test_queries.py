@@ -1438,3 +1438,47 @@ def test_q136_sessionization_matches_python_fold(spark):
     want.sort()
     assert got == want and len(got) > 150
     assert max(n for *_, n in got) > 1    # sessions actually merge events
+
+
+def test_q142_bpe_merges_match_python_greedy(spark, sf_dir):
+    """Independent python recompute of the BPE merge rounds: a SEQUENTIAL
+    left-to-right greedy merge scan per document — the SQL formulation
+    relies on a != b making occurrences disjoint, so the order-independent
+    relational merge must equal the order-dependent greedy one."""
+    from collections import Counter
+
+    from geowave_spark.queries_text import TEXT_QUERIES, _Q142_ROUNDS
+
+    got = [(r["merge_round"], r["a"], r["b"], r["freq"], r["corpus_tokens"])
+           for r in TEXT_QUERIES["q142_bpe_merge_rounds"][0](spark, sf_dir)
+           .collect()]
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "text").toPandas()
+    corpus = [t.split(" ") for t in docs["text"].tolist()]
+    want = []
+    for i in range(1, _Q142_ROUNDS + 1):
+        pairs = Counter()
+        for toks in corpus:
+            for x, y in zip(toks, toks[1:]):
+                if x != y:
+                    pairs[(x, y)] += 1
+        (a, b), freq = min(pairs.items(),
+                           key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merged = []
+        for toks in corpus:
+            out, j = [], 0
+            while j < len(toks):
+                if j + 1 < len(toks) and toks[j] == a and toks[j + 1] == b:
+                    out.append(a + "_" + b)
+                    j += 2
+                else:
+                    out.append(toks[j])
+                    j += 1
+            merged.append(out)
+        corpus = merged
+        want.append((i, a, b, freq, sum(len(t) for t in corpus)))
+    assert got == want and len(got) == _Q142_ROUNDS
+    # the corpus actually shrinks every round
+    assert all(w[4] < (want[k - 1][4] if k else got[0][4] + w[3])
+               for k, w in enumerate(want))
