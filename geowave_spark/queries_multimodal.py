@@ -354,6 +354,40 @@ ORDER BY h.image_id
 """)
 
 
+def q143_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image raw intensity moments (order <= 2) + integer-micro
+    centroid — the shape/orientation summary registration pipelines
+    compute before alignment (the reference's raster layer keeps only
+    per-tile histogram/overview statistics, `RasterHistogramStatistic`).
+    Zero shuffles (`image_ops.moments_stats_df`); the oracle recomputes
+    every moment as a conditional pixel sum."""
+    from .multimodal import image_ops
+
+    return image_ops.moments_stats_df(
+        img_tab.images_df(spark, sf_dir)
+    ).orderBy("image_id")
+
+
+def _q143_sql() -> str:
+    return f"""
+WITH {_photometric_base_sql()},
+m AS (
+  SELECT image_id,
+         cast(sum(luma) as bigint) AS m00,
+         cast(sum(x * luma) as bigint) AS m10,
+         cast(sum(y * luma) as bigint) AS m01,
+         cast(sum(x * x * luma) as bigint) AS m20,
+         cast(sum(y * y * luma) as bigint) AS m02,
+         cast(sum(x * y * luma) as bigint) AS m11
+  FROM px GROUP BY image_id
+)
+SELECT image_id, m00, m10, m01, m20, m02, m11,
+       CASE WHEN m00 = 0 THEN 0 ELSE m10 * 1000000 // m00 END AS cx_micro,
+       CASE WHEN m00 = 0 THEN 0 ELSE m01 * 1000000 // m00 END AS cy_micro
+FROM m ORDER BY image_id
+"""
+
+
 def q131_quadrant_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crop-robust image near-dup candidates: pairs sharing ANY quadrant's
     64-bit average-hash (`image_ops.quadrant_hashes_df`) over the
@@ -480,5 +514,6 @@ MULTIMODAL_QUERIES = {
     "q85_dup_canonical_by_quality": (q85_dup_canonical_by_quality, Q85_SQL),
     "q125_histogram_equalization": (q125_histogram_equalization, Q125_SQL),
     "q141_isodata_threshold": (q141_isodata_threshold, _q141_sql()),
+    "q143_image_moments": (q143_image_moments, _q143_sql()),
     "q131_quadrant_hash_dedup": (q131_quadrant_hash_dedup, _q131_sql()),
 }

@@ -154,3 +154,34 @@ def test_isodata_threshold_histogram_recompute(spark, sf_dir):
             assert (vals[t:] * hist[t:]).sum() // hist[t:].sum() >= t
         checked += 1
     assert checked == 12
+
+
+def test_image_moments_per_pixel_python_recompute(spark, sf_dir):
+    """Pure-python per-pixel recompute (no numpy broadcasting) of the
+    order-2 raw moments and the micro centroid for a handful of images."""
+    from geowave_spark.multimodal.image_ops import moments_stats_df
+
+    img = img_tab.images_df(spark, sf_dir)
+    got = {r["image_id"]: r for r in moments_stats_df(img).collect()}
+    assert len(got) > 50
+
+    for r in img.limit(6).collect():
+        g = img_tab.gray(codec.decode(bytes(r["bytes"]), r["fmt"]))
+        m = {k: 0 for k in ("m00", "m10", "m01", "m20", "m02", "m11")}
+        for y in range(g.shape[0]):
+            for x in range(g.shape[1]):
+                v = int(g[y, x])
+                m["m00"] += v
+                m["m10"] += x * v
+                m["m01"] += y * v
+                m["m20"] += x * x * v
+                m["m02"] += y * y * v
+                m["m11"] += x * y * v
+        e = got[r["image_id"]]
+        for k, v in m.items():
+            assert e[k] == v
+        assert e["cx_micro"] == m["m10"] * 1_000_000 // m["m00"]
+        assert e["cy_micro"] == m["m01"] * 1_000_000 // m["m00"]
+        # centroid lies inside the image
+        assert 0 <= e["cx_micro"] < g.shape[1] * 1_000_000
+        assert 0 <= e["cy_micro"] < g.shape[0] * 1_000_000
