@@ -1843,6 +1843,57 @@ ORDER BY user_id, sess_start_us
 """
 
 
+_Q144_RES = 3            # 64 cells: coarse enough that revisits happen
+_Q144_GAP_US = 86_400_000_000  # 24 h
+
+
+def _q144_sql(epoch_us: str) -> str:
+    """Stay-point / dwell-episode detection over the per-user event
+    stream: split each user's timeline where the grid CELL changes OR the
+    time gap >= 24 h (q136 segments on time only; this is the spatial
+    visit op — Li et al. 2008 stay points, grid-quantized so the engines
+    agree exactly), keep episodes of >= 2 events.  One window pass + one
+    keyed aggregate; ``epoch_us`` is the only dialect split."""
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q144_RES)
+    return f"""
+WITH t AS (
+  SELECT user_id, {epoch_us} AS us, {cell} AS cell FROM events
+),
+f AS (
+  SELECT user_id, us, cell,
+         CASE WHEN lag(cell) OVER w IS NULL
+                   OR lag(cell) OVER w <> cell
+                   OR us - lag(us) OVER w >= {_Q144_GAP_US}
+              THEN 1 ELSE 0 END AS new_e
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us, cell,
+         sum(new_e) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS ep
+  FROM f
+)
+SELECT user_id, cast(min(cell) as bigint) AS cell,
+       cast(min(us) as bigint) AS start_us,
+       cast(max(us) - min(us) as bigint) AS dur_us,
+       cast(count(*) as bigint) AS n_events
+FROM s GROUP BY user_id, ep
+HAVING count(*) >= 2
+ORDER BY user_id, start_us
+"""
+
+
+def q144_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q144_sql`.  Pure window + keyed aggregate — one hash shuffle
+    on user_id; at 100 TB the window partitions by user (no global sort)
+    and the aggregate is map-side combinable.  Reference analog: none —
+    `TemporalBinningStrategy.java` bins fixed periods; stay points are
+    data-driven spatial visits."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q144_sql("unix_micros(cast(ts as timestamp))"))
+
+
 _Q135_ROUNDS = 8
 
 
@@ -1960,6 +2011,7 @@ QUERIES = {
     "q134_watershed_basins": (q134_watershed_basins, _q134_sql()),
     "q135_strahler_order": (q135_strahler_order, _q135_sql()),
     "q136_sessionization": (q136_sessionization, _Q136_SQL),
+    "q144_stay_points": (q144_stay_points, _q144_sql("epoch_us(ts)")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

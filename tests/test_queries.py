@@ -1482,3 +1482,40 @@ def test_q142_bpe_merges_match_python_greedy(spark, sf_dir):
     # the corpus actually shrinks every round
     assert all(w[4] < (want[k - 1][4] if k else got[0][4] + w[3])
                for k, w in enumerate(want))
+
+
+def test_q144_stay_points_match_python_fold(spark):
+    """Python fold recompute: per user, sorted events with their res-3
+    cells; split where the cell changes or the gap >= 24h; keep episodes
+    of >= 2 events."""
+    from geowave_spark.queries import (QUERIES, _Q144_GAP_US, _Q144_RES)
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = sorted(
+        (r["user_id"], r["cell"], r["start_us"], r["dur_us"], r["n_events"])
+        for r in QUERIES["q144_stay_points"][0](spark, sf_dir).collect()
+    )
+
+    pdf = spark.sql(
+        f"SELECT user_id, unix_micros(cast(ts as timestamp)) AS us, "
+        f"{geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q144_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    want = []
+    for uid, grp in pdf.groupby("user_id"):
+        evs = sorted(zip(grp["us"].tolist(), grp["cell"].tolist()))
+        episode = [evs[0]]
+        for prev, cur in zip(evs, evs[1:]):
+            if cur[1] != prev[1] or cur[0] - prev[0] >= _Q144_GAP_US:
+                if len(episode) >= 2:
+                    want.append((uid, episode[0][1], episode[0][0],
+                                 episode[-1][0] - episode[0][0],
+                                 len(episode)))
+                episode = []
+            episode.append(cur)
+        if len(episode) >= 2:
+            want.append((uid, episode[0][1], episode[0][0],
+                         episode[-1][0] - episode[0][0], len(episode)))
+    want.sort()
+    assert got == want and len(got) > 50
+    assert max(n for *_, n in got) >= 3   # a real multi-event dwell exists
