@@ -1894,6 +1894,44 @@ def q144_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q144_sql("unix_micros(cast(ts as timestamp))"))
 
 
+def _q145_sql(epoch_us: str, intdiv: str) -> str:
+    """Origin-destination cell transition matrix (the mobility-model /
+    next-location primitive): consecutive same-user events within 24 h
+    become a (from_cell -> to_cell) transition; output counts and the
+    row-normalized probability in integer micro (n * 1e6 // row_total).
+    One window lag per user + one keyed aggregate + one per-origin
+    window over the (tiny) matrix — at 100 TB the token stream never
+    globally sorts, and the matrix is at most n_cells^2 rows."""
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q144_RES)
+    return f"""
+WITH t AS (
+  SELECT user_id, {epoch_us} AS us, {cell} AS cell FROM events
+),
+e AS (
+  SELECT lag(cell) OVER w AS from_cell, cell AS to_cell,
+         us - lag(us) OVER w AS dt
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+m AS (
+  SELECT from_cell, to_cell, cast(count(*) as bigint) AS n_trans
+  FROM e WHERE from_cell IS NOT NULL AND dt < {_Q144_GAP_US}
+  GROUP BY 1, 2
+)
+SELECT cast(from_cell as bigint) AS from_cell,
+       cast(to_cell as bigint) AS to_cell, n_trans,
+       cast(n_trans * 1000000 {intdiv} sum(n_trans) OVER (PARTITION BY from_cell)
+            as bigint) AS p_micro
+FROM m ORDER BY from_cell, to_cell
+"""
+
+
+def q145_od_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q145_sql` (Spark spells integer division `div`)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q145_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
 _Q135_ROUNDS = 8
 
 
@@ -2012,6 +2050,8 @@ QUERIES = {
     "q135_strahler_order": (q135_strahler_order, _q135_sql()),
     "q136_sessionization": (q136_sessionization, _Q136_SQL),
     "q144_stay_points": (q144_stay_points, _q144_sql("epoch_us(ts)")),
+    "q145_od_transitions": (q145_od_transitions,
+                            _q145_sql("epoch_us(ts)", "//")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

@@ -1519,3 +1519,38 @@ def test_q144_stay_points_match_python_fold(spark):
     want.sort()
     assert got == want and len(got) > 50
     assert max(n for *_, n in got) >= 3   # a real multi-event dwell exists
+
+
+def test_q145_od_transitions_match_python_fold(spark):
+    """Python recompute of the OD matrix: per-user sorted events, count
+    (from_cell, to_cell) for consecutive pairs under the 24h gap, then
+    row-normalize in integer micro."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES, _Q144_GAP_US, _Q144_RES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = sorted(
+        (r["from_cell"], r["to_cell"], r["n_trans"], r["p_micro"])
+        for r in QUERIES["q145_od_transitions"][0](spark, sf_dir).collect()
+    )
+
+    pdf = spark.sql(
+        f"SELECT user_id, unix_micros(cast(ts as timestamp)) AS us, "
+        f"{geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q144_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    trans = Counter()
+    for _, grp in pdf.groupby("user_id"):
+        evs = sorted(zip(grp["us"].tolist(), grp["cell"].tolist()))
+        for (pu, pc), (cu, cc) in zip(evs, evs[1:]):
+            if cu - pu < _Q144_GAP_US:
+                trans[(pc, cc)] += 1
+    row_tot = Counter()
+    for (fc, _), n in trans.items():
+        row_tot[fc] += n
+    want = sorted((fc, tc, n, n * 1_000_000 // row_tot[fc])
+                  for (fc, tc), n in trans.items())
+    assert got == want and len(got) > 500
+    # probabilities per origin sum to <= 1e6 (floor) and > 0
+    assert all(0 < p <= 1_000_000 for *_, p in got)
