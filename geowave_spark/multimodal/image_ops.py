@@ -290,3 +290,46 @@ def moments_stats_df(img: DataFrame) -> DataFrame:
     return img.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema=MOMENTS_SCHEMA
     )
+
+
+PATCH = 16
+PATCH_STRIDE = 8
+PATCH_SCHEMA = ("image_id string, py int, px int, n_px long, sum_v long, "
+                "min_v long, max_v long")
+
+
+def patch_stats_df(img: DataFrame) -> DataFrame:
+    """Overlapping training-patch extraction stats: every PATCH x PATCH
+    window at PATCH_STRIDE offsets fully inside the image (the ML patch
+    sampling grid — stride < size, so patches OVERLAP, unlike the
+    disjoint tile relation in `raster/tiles.py`).  Emits per-patch
+    integer stats instead of pixel payloads so the relation is verifiable
+    and cheap to hash; one narrow mapInPandas, zero shuffles, numpy
+    sliding windows inside."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                g = gray(codec.decode(r["bytes"], r["fmt"])).astype(np.int64)
+                h, w = g.shape
+                if h < PATCH or w < PATCH:
+                    continue
+                win = sliding_window_view(g, (PATCH, PATCH))[
+                    ::PATCH_STRIDE, ::PATCH_STRIDE]
+                s = win.sum(axis=(2, 3))
+                mn = win.min(axis=(2, 3))
+                mx = win.max(axis=(2, 3))
+                for py in range(s.shape[0]):
+                    for px in range(s.shape[1]):
+                        rows.append((r["image_id"], py, px,
+                                     PATCH * PATCH, int(s[py, px]),
+                                     int(mn[py, px]), int(mx[py, px])))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "py", "px", "n_px", "sum_v", "min_v", "max_v"])
+
+    return img.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=PATCH_SCHEMA
+    )

@@ -581,6 +581,57 @@ def q140_lbp_texture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id", "ty", "tx")
 
 
+def q146_patch_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping training-patch grid (16x16 windows at stride 8 — the
+    ML patch-sampling op; patches OVERLAP, unlike the disjoint tile
+    relation) with per-patch integer stats.  Zero shuffles — numpy
+    sliding windows inside one mapInPandas
+    (`multimodal/image_ops.patch_stats_df`); the oracle derives the same
+    patches with a pixel×patch-origin range join.  doc_id % 5 = 3 subset
+    (bounds the oracle join only)."""
+    from .multimodal.image_ops import patch_stats_df
+    from .table.images import IMG_SCHEMA, gen_images_pdf
+
+    _register_documents(spark, sf_dir)
+    docs = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 3"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield gen_images_pdf(pdf)
+
+    img = docs.mapInPandas(gen, schema=IMG_SCHEMA).select(
+        "image_id", "bytes", "fmt")
+    return patch_stats_df(img).orderBy("image_id", "py", "px")
+
+
+def _q146_sql() -> str:
+    from .multimodal.image_ops import PATCH, PATCH_STRIDE
+
+    return f"""
+WITH {_px_cte_sql()},
+po AS (
+  SELECT image_id, gy.g AS py, gx.g AS px
+  FROM (SELECT DISTINCT image_id, w, h FROM px) d,
+       LATERAL (SELECT unnest(generate_series(0, (h - {PATCH}) // {PATCH_STRIDE})) AS g) gy,
+       LATERAL (SELECT unnest(generate_series(0, (w - {PATCH}) // {PATCH_STRIDE})) AS g) gx
+)
+SELECT p.image_id, cast(o.py as int) AS py, cast(o.px as int) AS px,
+       cast(count(*) as bigint) AS n_px,
+       cast(sum(p.v) as bigint) AS sum_v,
+       cast(min(p.v) as bigint) AS min_v,
+       cast(max(p.v) as bigint) AS max_v
+FROM po o JOIN px p
+  ON p.image_id = o.image_id
+ AND p.x >= o.px * {PATCH_STRIDE} AND p.x < o.px * {PATCH_STRIDE} + {PATCH}
+ AND p.y >= o.py * {PATCH_STRIDE} AND p.y < o.py * {PATCH_STRIDE} + {PATCH}
+GROUP BY 1, 2, 3
+ORDER BY p.image_id, py, px
+"""
+
+
 def _px_cte_sql() -> str:
     """Shared oracle prefix: decoded-luma pixel relation
     px(doc_id, image_id, w, h, x, y, v) for the doc_id % 5 = 3 subset."""
@@ -1211,6 +1262,7 @@ RASTER_QUERIES = {
     "q138_edge_thinning": (q138_edge_thinning, _q138_sql()),
     "q139_morph_gradient": (q139_morph_gradient, _q139_sql()),
     "q140_lbp_texture": (q140_lbp_texture, _q140_sql()),
+    "q146_patch_extraction": (q146_patch_extraction, _q146_sql()),
     "q108_raster_warp": (q108_raster_warp, _q108_sql()),
     "q114_temporal_composite": (q114_temporal_composite, _q114_sql()),
 }

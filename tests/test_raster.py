@@ -549,3 +549,33 @@ def test_q140_lbp_matches_whole_image_numpy(spark, sf_dir, img_pdf):
     assert got == want and len(got) > 0
     # codes span the byte: both flat (255: all >= center) and edge codes
     assert max(v[3] for v in want.values()) == 255
+
+
+def test_q146_patches_match_explicit_python_loops(spark, sf_dir, img_pdf):
+    """Recompute the overlapping 16x16/stride-8 patch stats with explicit
+    python loops (independent of the engine's sliding_window_view)."""
+    from geowave_spark.multimodal.image_ops import PATCH, PATCH_STRIDE
+    from geowave_spark.queries_raster import RASTER_QUERIES
+
+    got = {(r["image_id"], r["py"], r["px"]):
+           (r["n_px"], r["sum_v"], r["min_v"], r["max_v"])
+           for r in RASTER_QUERIES["q146_patch_extraction"][0](spark, sf_dir)
+           .collect()}
+
+    want = {}
+    overlap_checked = False
+    for _, row in img_pdf.iterrows():
+        if int(row["image_id"][3:]) % 5 != 3:
+            continue
+        g = images.gray(codec.decode(row["bytes"], row["fmt"])).astype(np.int64)
+        h, w = g.shape
+        for py in range((h - PATCH) // PATCH_STRIDE + 1):
+            for px in range((w - PATCH) // PATCH_STRIDE + 1):
+                blk = g[py * PATCH_STRIDE:py * PATCH_STRIDE + PATCH,
+                        px * PATCH_STRIDE:px * PATCH_STRIDE + PATCH]
+                want[(row["image_id"], py, px)] = (
+                    blk.size, int(blk.sum()), int(blk.min()), int(blk.max()))
+        # adjacent patches genuinely overlap (stride < size)
+        if not overlap_checked and (w - PATCH) // PATCH_STRIDE >= 1:
+            overlap_checked = True
+    assert got == want and len(got) > 0 and overlap_checked
