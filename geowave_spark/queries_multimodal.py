@@ -202,7 +202,7 @@ base AS (
          {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
   FROM documents
 ),
-px AS (
+px AS MATERIALIZED (
   SELECT doc_id, image_id, w, h, xs.g AS x, ys.g AS y, {luma} AS luma
   FROM base,
        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,

@@ -311,7 +311,7 @@ pairs AS (
     ON img.lon1 > z.zlon0 AND img.lon0 < z.zlon1
    AND img.lat1 > z.zlat0 AND img.lat0 < z.zlat1
 ),
-px AS (
+px AS MATERIALIZED (
   SELECT rid, image_id, doc_id, {luma} AS luma
   FROM pairs,
        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
@@ -393,7 +393,7 @@ WITH base AS (
          {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
   FROM documents
 ),
-px AS (
+px AS MATERIALIZED (
   SELECT doc_id, image_id, {idx} AS idx
   FROM base,
        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
@@ -488,14 +488,14 @@ WITH base AS (
          {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
   FROM documents WHERE doc_id % 5 = 3
 ),
-px AS (
+px AS MATERIALIZED (
   SELECT doc_id, image_id, w, h, xs.g AS x, ys.g AS y, {luma} AS v
   FROM base,
        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
        LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
 ),
 o(dx, dy, wx, wy) AS (VALUES {weights}),
-g AS (
+g AS MATERIALIZED (
   SELECT p.image_id, p.x, p.y,
          cast(sum(q.v * o.wx) as bigint) AS gx,
          cast(sum(q.v * o.wy) as bigint) AS gy
@@ -643,7 +643,7 @@ def _px_cte_sql() -> str:
          {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
   FROM documents WHERE doc_id % 5 = 3
 ),
-px AS (
+px AS MATERIALIZED (
   SELECT doc_id, image_id, w, h, xs.g AS x, ys.g AS y, {luma} AS v
   FROM base,
        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
@@ -702,7 +702,7 @@ def _grad_cte_sql() -> str:
         ])
     return f"""{_px_cte_sql()},
 o(dx, dy, wx, wy) AS (VALUES {weights}),
-g AS (
+g AS MATERIALIZED (
   SELECT p.doc_id, p.image_id, p.w, p.h, p.x, p.y,
          cast(sum(q.v * o.wx) as bigint) AS gx,
          cast(sum(q.v * o.wy) as bigint) AS gy
@@ -751,7 +751,7 @@ f AS (
 def _q138_sql() -> str:
     return f"""
 WITH {_grad_cte_sql()},
-f0 AS (
+f0 AS MATERIALIZED (
   SELECT doc_id, image_id, w, h, x, y, abs(gx) + abs(gy) AS mag,
          CASE WHEN 5 * abs(gy) <= 2 * abs(gx) THEN 1
               WHEN 5 * abs(gx) <= 2 * abs(gy) THEN 0
@@ -790,7 +790,7 @@ WITH base AS (
          {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
   FROM documents WHERE doc_id % 5 = 3
 ),
-px AS (
+px AS MATERIALIZED (
   SELECT doc_id, image_id, w, h, xs.g AS x, ys.g AS y, {luma} AS v
   FROM base,
        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
@@ -877,7 +877,7 @@ WITH base AS (
          {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
   FROM documents WHERE doc_id % 5 = 3
 ),
-px AS (
+px AS MATERIALIZED (
   SELECT doc_id, image_id, w, h, xs.g AS x, ys.g AS y, {luma} AS v
   FROM base,
        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
@@ -912,7 +912,7 @@ WITH base AS (
          {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
   FROM documents WHERE doc_id % 5 = 3
 ),
-px AS (
+px AS MATERIALIZED (
   SELECT doc_id, image_id, xs.g AS x, ys.g AS y, {luma} AS v
   FROM base,
        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
@@ -1055,7 +1055,7 @@ win AS (
          cast(ceil((lat1 + 90e0) * {g} - 0.5e0) as bigint) - 1 AS y1
   FROM base
 ),
-px AS (
+px AS MATERIALIZED (
   SELECT doc_id, image_id, ys.g // {t} AS tty, xs.g // {t} AS ttx,
          least(greatest(cast(floor(((xs.g + 0.5e0) / {g} - 180e0 - lon0)
                * w / (lon1 - lon0)) as bigint), 0), w - 1) AS ix,
@@ -1216,7 +1216,7 @@ win AS (
          cast(ceil((lat1 + 90e0) * {g} - 0.5e0) as bigint) - 1 AS y1
   FROM base
 ),
-px AS (
+px AS MATERIALIZED (
   SELECT doc_id, xs.g AS gx, ys.g AS gy,
          least(greatest(cast(floor(((xs.g + 0.5e0) / {g} - 180e0 - lon0)
                * w / (lon1 - lon0)) as bigint), 0), w - 1) AS ix,
