@@ -1932,6 +1932,94 @@ def q145_od_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q145_sql("unix_micros(cast(ts as timestamp))", "div"))
 
 
+def _q149_sql(epoch_us: str, intdiv: str) -> str:
+    """Heading-reversal trajectory segmentation: consecutive displacement
+    vectors v1, v2 of a user's track turn 'sharply' when dot(v1, v2) < 0
+    (angle > 90°) — an INTEGER-exact test (micro-degree coords, |dot| <
+    2^60), no atan2/trig, so both engines agree bit-for-bit.  Output per
+    user: points, reversal count, reversal share in micro — the track-
+    smoothness quality gate run before map matching (q120) trusts a
+    trajectory.  One window pass (two lags) + one aggregate."""
+    lon = f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint)"
+    lat = f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint)"
+    return f"""
+WITH t AS (
+  SELECT user_id, {epoch_us} AS us, {lon} AS x, {lat} AS y FROM events
+),
+v AS (
+  SELECT user_id,
+         x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy,
+         lag(x) OVER w - lag(x, 2) OVER w AS pdx,
+         lag(y) OVER w - lag(y, 2) OVER w AS pdy
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+r AS (
+  SELECT user_id,
+         CASE WHEN pdx IS NOT NULL
+                   AND pdx * dx + pdy * dy < 0 THEN 1 ELSE 0 END AS rev,
+         CASE WHEN pdx IS NOT NULL THEN 1 ELSE 0 END AS turn
+  FROM v
+)
+SELECT user_id, cast(count(*) as bigint) AS n_points,
+       cast(sum(rev) as bigint) AS n_reversals,
+       cast(sum(rev) * 1000000 {intdiv} sum(turn) as bigint) AS rev_share_micro
+FROM r GROUP BY user_id HAVING sum(turn) > 0
+ORDER BY user_id
+"""
+
+
+def q149_heading_reversals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q149_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q149_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+# the 8 k-DOP support directions (E, NE, N, NW, W, SW, S, SE)
+_Q147_DIRS = [(1, 0), (1, 1), (0, 1), (-1, 1),
+              (-1, 0), (-1, -1), (0, -1), (1, -1)]
+# |dot| <= 2 * 270e6 micro-degrees; (OFF - dot) * BIG + id stays < 2^63
+_Q147_OFF = 600_000_000
+_Q147_BIG = 1_000_000_000
+
+
+def _q147_sql(intdiv: str) -> str:
+    """Per-user k-DOP hull: the extreme event in each of 8 support
+    directions — the distributed convex-hull approximation (a k-DOP
+    generalizes the reference's BBox aggregation,
+    `core/geotime/.../aggregate/BoundingBoxAggregation.java` = the k=4
+    axis-aligned case).  One scan: 8 conditional integer-encoded argmax
+    aggregates per user (min of (OFF - dot) * BIG + event_id — exact
+    integer dot of micro-degree coords with unit directions, ties to the
+    smallest event_id), map-side combinable, no window, no sort.  At
+    100 TB this is the hull pattern that works: per-group state is 8
+    scalars regardless of group size."""
+    lon = f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint)"
+    lat = f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint)"
+    aggs = ", ".join(
+        f"min(({_Q147_OFF} - ({dx} * lon_u + {dy} * lat_u)) * {_Q147_BIG} "
+        f"+ event_id) AS e{i}"
+        for i, (dx, dy) in enumerate(_Q147_DIRS))
+    decode = "\nUNION ALL\n".join(
+        f"SELECT user_id, {i} AS dir_idx, "
+        f"cast(e{i} % {_Q147_BIG} as bigint) AS event_id, "
+        f"cast({_Q147_OFF} - e{i} {intdiv} {_Q147_BIG} as bigint) AS dot_micro "
+        f"FROM m"
+        for i in range(len(_Q147_DIRS)))
+    return f"""
+WITH t AS (
+  SELECT user_id, event_id, {lon} AS lon_u, {lat} AS lat_u FROM events
+),
+m AS (SELECT user_id, {aggs} FROM t GROUP BY user_id)
+SELECT * FROM ({decode}) u ORDER BY user_id, dir_idx
+"""
+
+
+def q147_kdop_hull_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q147_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q147_sql("div"))
+
+
 _Q135_ROUNDS = 8
 
 
@@ -2052,6 +2140,9 @@ QUERIES = {
     "q144_stay_points": (q144_stay_points, _q144_sql("epoch_us(ts)")),
     "q145_od_transitions": (q145_od_transitions,
                             _q145_sql("epoch_us(ts)", "//")),
+    "q147_kdop_hull_extremes": (q147_kdop_hull_extremes, _q147_sql("//")),
+    "q149_heading_reversals": (q149_heading_reversals,
+                               _q149_sql("epoch_us(ts)", "//")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

@@ -1554,3 +1554,67 @@ def test_q145_od_transitions_match_python_fold(spark):
     assert got == want and len(got) > 500
     # probabilities per origin sum to <= 1e6 (floor) and > 0
     assert all(0 < p <= 1_000_000 for *_, p in got)
+
+
+def test_q147_kdop_extremes_match_python_and_dominate(spark):
+    """Python recompute of the 8-direction support points + the hull
+    property: no event beats its direction's extreme dot product."""
+    from geowave_spark.queries import QUERIES, _Q147_DIRS
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["user_id"], r["dir_idx"]): (r["event_id"], r["dot_micro"])
+           for r in QUERIES["q147_kdop_hull_extremes"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, event_id, "
+        f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint) AS lon_u, "
+        f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint) AS lat_u "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        rows = list(zip(grp["event_id"], grp["lon_u"], grp["lat_u"]))
+        for i, (dx, dy) in enumerate(_Q147_DIRS):
+            best = max(rows, key=lambda r: (dx * r[1] + dy * r[2], -r[0]))
+            want[(uid, i)] = (best[0], dx * best[1] + dy * best[2])
+    assert got == want and len(got) == 8 * pdf["user_id"].nunique()
+    # dominance: every event's dot <= the recorded extreme
+    for uid, grp in pdf.groupby("user_id"):
+        for i, (dx, dy) in enumerate(_Q147_DIRS):
+            dots = dx * grp["lon_u"].to_numpy() + dy * grp["lat_u"].to_numpy()
+            assert got[(uid, i)][1] == dots.max()
+
+
+def test_q149_heading_reversals_match_python(spark):
+    """Python recompute of the dot-sign reversal counts per user."""
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["user_id"]: (r["n_points"], r["n_reversals"],
+                          r["rev_share_micro"])
+           for r in QUERIES["q149_heading_reversals"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, unix_micros(cast(ts as timestamp)) AS us, "
+        f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint) AS x, "
+        f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint) AS y "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        pts = [(x, y) for _, x, y in
+               sorted(zip(grp["us"], grp["x"], grp["y"]))]
+        rev = turns = 0
+        for i in range(2, len(pts)):
+            pdx, pdy = pts[i - 1][0] - pts[i - 2][0], pts[i - 1][1] - pts[i - 2][1]
+            dx, dy = pts[i][0] - pts[i - 1][0], pts[i][1] - pts[i - 1][1]
+            turns += 1
+            if pdx * dx + pdy * dy < 0:
+                rev += 1
+        if turns:
+            want[uid] = (len(pts), rev, rev * 1_000_000 // turns)
+    assert got == want and len(got) > 100
+    # the synthetic tracks are hash-scattered: reversals are common
+    assert sum(r for _, r, _ in got.values()) > 100
