@@ -327,3 +327,19 @@ def run_streaming_dedup(stream_df: DataFrame, root_dir: str,
     )
     q.awaitTermination(timeout_s)
     return {"docs": docs_path, "index": index_path, "pairs": pairs_path}
+
+
+def dedup_stream(stream_df: DataFrame, keys: list[str] | None = None,
+                 ts_col: str = "ts", watermark: str = "30 days") -> DataFrame:
+    """Streaming exact dedup — the continuous twin of the batch q15/q78
+    dedup pass: `dropDuplicatesWithinWatermark` keeps one row per key
+    with state bounded by the watermark horizon (a late replay outside
+    the horizon is the accepted at-least-once residue; inside it the sink
+    sees each key EXACTLY once).  Used in front of the lakehouse sink so
+    re-delivered micro-batches (source retries, backfills) don't double
+    rows.  State scales O(distinct keys in horizon), partitioned by key
+    hash — no global coordination."""
+    keys = keys or ["event_id"]
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream_df.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark(keys)

@@ -396,3 +396,32 @@ def test_stream_stream_proximity_join_matches_batch(spark, sf_dir, dirs):
         b2, F.expr("c1 = c2 AND t2 BETWEEN t1 - interval 86400 second "
                    "AND t1 + interval 86400 second")).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_replayed_batch_lands_exactly_once(spark, sf_dir, dirs):
+    """The same events file delivered TWICE (replay/backfill) through
+    dedup_stream produces each event_id exactly once — equal to the
+    batch DISTINCT over one copy."""
+    src, _dest, cp = dirs
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part2.parquet")
+    schema = _events_schema(spark, sf_dir)
+
+    stream = ingest.indexed_file_stream(spark, str(src), schema)
+    ingest.run_to_memory(
+        ingest.dedup_stream(stream).select("event_id", "user_id", "cell"),
+        "deduped", cp, mode="append")
+    got = sorted(
+        (r["event_id"], r["user_id"], r["cell"])
+        for r in spark.table("deduped").collect()
+    )
+
+    from geowave_spark.table import geo
+    want = sorted(
+        (r["event_id"], r["user_id"], r["cell"])
+        for r in spark.sql(
+            f"SELECT event_id, user_id, "
+            f"{geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), 8)} AS cell "
+            f"FROM parquet.`{sf_dir}/events.parquet`").collect()
+    )
+    assert got == want and len(got) > 0
