@@ -333,3 +333,38 @@ def patch_stats_df(img: DataFrame) -> DataFrame:
     return img.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema=PATCH_SCHEMA
     )
+
+
+PROFILE_SCHEMA = "image_id string, n_rows long, n_lines long, max_run long"
+
+
+def line_profile_stats_df(img: DataFrame) -> DataFrame:
+    """Text-line detection by horizontal projection profile — the classic
+    document-image segmentation primitive: a row is 'ink' when its luma
+    sum falls below the image's mean row sum (floor), and each maximal
+    run of consecutive ink rows is one detected line.  Integer-exact
+    (threshold = total // h); one narrow mapInPandas, zero shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                g = gray(codec.decode(r["bytes"], r["fmt"])).astype(np.int64)
+                h = g.shape[0]
+                rs = g.sum(axis=1)
+                thr = int(rs.sum()) // h
+                ink = rs < thr
+                prev = np.concatenate(([False], ink[:-1]))
+                starts = int((ink & ~prev).sum())
+                max_run = 0
+                cur = 0
+                for v in ink:
+                    cur = cur + 1 if v else 0
+                    max_run = max(max_run, cur)
+                rows.append((r["image_id"], h, starts, max_run))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "n_rows", "n_lines", "max_run"])
+
+    return img.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=PROFILE_SCHEMA
+    )

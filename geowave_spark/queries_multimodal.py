@@ -388,6 +388,58 @@ FROM m ORDER BY image_id
 """
 
 
+def q150_line_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-line detection by horizontal projection profile (document-
+    image segmentation; no reference analog — its raster layer has no
+    content ops).  Zero shuffles (`image_ops.line_profile_stats_df`);
+    the oracle rebuilds row sums + the run decomposition with window
+    functions."""
+    from .multimodal import image_ops
+
+    return image_ops.line_profile_stats_df(
+        img_tab.images_df(spark, sf_dir)
+    ).orderBy("image_id")
+
+
+def _q150_sql() -> str:
+    return f"""
+WITH {_photometric_base_sql()},
+rows_ AS (
+  SELECT image_id, h, y, cast(sum(luma) as bigint) AS rs
+  FROM px GROUP BY image_id, h, y
+),
+flag AS (
+  SELECT image_id, h, y,
+         CASE WHEN rs < sum(rs) OVER (PARTITION BY image_id) // h
+              THEN 1 ELSE 0 END AS ink
+  FROM rows_
+),
+runs AS (
+  SELECT image_id, h, y, ink,
+         CASE WHEN ink = 1 AND coalesce(lag(ink) OVER w, 0) = 0
+              THEN 1 ELSE 0 END AS start
+  FROM flag WINDOW w AS (PARTITION BY image_id ORDER BY y)
+),
+rid AS (
+  SELECT image_id, h, ink,
+         sum(start) OVER (PARTITION BY image_id ORDER BY y
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+),
+rlen AS (
+  SELECT image_id, h, run_id, cast(count(*) as bigint) AS len
+  FROM rid WHERE ink = 1 GROUP BY image_id, h, run_id
+)
+SELECT f.image_id, cast(min(f.h) as bigint) AS n_rows,
+       cast(coalesce(count(r.run_id), 0) as bigint) AS n_lines,
+       cast(coalesce(max(r.len), 0) as bigint) AS max_run
+FROM (SELECT DISTINCT image_id, h FROM flag) f
+LEFT JOIN rlen r USING (image_id)
+GROUP BY f.image_id
+ORDER BY f.image_id
+"""
+
+
 def q131_quadrant_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crop-robust image near-dup candidates: pairs sharing ANY quadrant's
     64-bit average-hash (`image_ops.quadrant_hashes_df`) over the
@@ -515,5 +567,6 @@ MULTIMODAL_QUERIES = {
     "q125_histogram_equalization": (q125_histogram_equalization, Q125_SQL),
     "q141_isodata_threshold": (q141_isodata_threshold, _q141_sql()),
     "q143_image_moments": (q143_image_moments, _q143_sql()),
+    "q150_line_profiles": (q150_line_profiles, _q150_sql()),
     "q131_quadrant_hash_dedup": (q131_quadrant_hash_dedup, _q131_sql()),
 }

@@ -185,3 +185,31 @@ def test_image_moments_per_pixel_python_recompute(spark, sf_dir):
         # centroid lies inside the image
         assert 0 <= e["cx_micro"] < g.shape[1] * 1_000_000
         assert 0 <= e["cy_micro"] < g.shape[0] * 1_000_000
+
+
+def test_line_profiles_python_recompute(spark, sf_dir):
+    """Pure-python run-decomposition recompute of the projection-profile
+    line stats for a handful of images."""
+    from geowave_spark.multimodal.image_ops import line_profile_stats_df
+
+    img = img_tab.images_df(spark, sf_dir)
+    got = {r["image_id"]: (r["n_rows"], r["n_lines"], r["max_run"])
+           for r in line_profile_stats_df(img).collect()}
+    assert len(got) > 50
+    lines_seen = 0
+    for r in img.limit(10).collect():
+        g = img_tab.gray(codec.decode(bytes(r["bytes"]), r["fmt"]))
+        rs = [sum(int(v) for v in row) for row in g]
+        thr = sum(rs) // len(rs)
+        ink = [x < thr for x in rs]
+        n_lines = max_run = cur = 0
+        prev = False
+        for v in ink:
+            if v and not prev:
+                n_lines += 1
+            cur = cur + 1 if v else 0
+            max_run = max(max_run, cur)
+            prev = v
+        assert got[r["image_id"]] == (len(rs), n_lines, max_run)
+        lines_seen += n_lines
+    assert lines_seen > 0
