@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     # sibling of the flagship spatial join; cover-fanout or composite-key
     # shuffle regressions surface here
     "q119_spatiotemporal_join",
+    # 2-px halo exchange + gradient/structure-tensor kernel (q137 Harris):
+    # regressions in the widened-strip emission or the heavier per-tile
+    # numpy kernels surface here
+    "q137_harris_corners",
 ]
 
 
