@@ -440,6 +440,57 @@ ORDER BY f.image_id
 """
 
 
+def q151_rotation_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotation-robust image dedup — the next rung of the dedup ladder
+    (exact q78 → phash near-dup q46 → crop-robust q131 → ROTATION-robust):
+    canonical hash = min over the 4 rot90 orientations of the 64-bit
+    average hash of the re-decoded, re-rotated pixels, so a duplicate
+    stored rotated still collides.  Input is the rotated-duplicate table
+    (`table/images.rot_dup_images_df`: payload = seed image rotated by
+    doc_id % 4 x 90°); clusters group on the canonical hash.  The oracle
+    groups by the content seed WITHOUT touching bytes — engine and
+    oracle only agree if the canonical hash is genuinely rotation-
+    invariant AND collision-free across the 101 contents.  Zero shuffles
+    before the tiny keyed aggregate."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from .raster import codec
+    from .table.images import phash64
+
+    img = img_tab.rot_dup_images_df(spark, sf_dir)
+
+    def canon(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, hs = [], []
+            for _, r in pdf.iterrows():
+                px = codec.decode(bytes(r["bytes"]), r["fmt"])
+                h = min(phash64(np.ascontiguousarray(np.rot90(px, k=k)))
+                        for k in range(4))
+                ids.append(r["image_id"])
+                hs.append(h)
+            yield pd.DataFrame({"image_id": ids,
+                                "canon": pd.array(hs, dtype="int64")})
+
+    return (
+        img.mapInPandas(canon, schema="image_id string, canon long")
+        .groupBy("canon")
+        .agg(F.min("image_id").alias("canonical_id"),
+             F.count("*").alias("n_copies"))
+        .select("canonical_id", "n_copies")
+        .orderBy("canonical_id")
+    )
+
+
+Q151_SQL = f"""
+SELECT min({img_tab.image_id_sql()}) AS canonical_id,
+       cast(count(*) as bigint) AS n_copies
+FROM documents GROUP BY doc_id % 101 ORDER BY canonical_id
+"""
+
+
 def q131_quadrant_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crop-robust image near-dup candidates: pairs sharing ANY quadrant's
     64-bit average-hash (`image_ops.quadrant_hashes_df`) over the
@@ -568,5 +619,7 @@ MULTIMODAL_QUERIES = {
     "q141_isodata_threshold": (q141_isodata_threshold, _q141_sql()),
     "q143_image_moments": (q143_image_moments, _q143_sql()),
     "q150_line_profiles": (q150_line_profiles, _q150_sql()),
+    "q151_rotation_canonical_dedup": (q151_rotation_canonical_dedup,
+                                      Q151_SQL),
     "q131_quadrant_hash_dedup": (q131_quadrant_hash_dedup, _q131_sql()),
 }

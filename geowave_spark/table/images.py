@@ -300,3 +300,50 @@ def dup_images_df(spark, sf_dir: str, content_mod: int = 101):
                 yield gen_dup_images_pdf(pdf, content_mod)
 
     return docs.mapInPandas(gen, schema=DUP_IMG_SCHEMA)
+
+
+def gen_rot_dup_images_pdf(docs: pd.DataFrame,
+                           content_mod: int = 101) -> pd.DataFrame:
+    """Like `gen_dup_images_pdf` but each row's payload is the seed image
+    ROTATED by (doc_id % 4) x 90° — rotated duplicates by construction.
+    All three codecs commute with rotation (png/raw are lossless; q6
+    quantizes per pixel), so decode(encode(rot90^k(img))) ==
+    rot90^k(decode(encode(img))) exactly and a rotation-canonical hash
+    can unify the group."""
+    doc_id = docs["doc_id"].to_numpy(dtype=np.int64)
+    seed = doc_id % content_mod
+    ws = 32 + (seed * 13) % 7 * 8
+    hs = 32 + (seed * 17) % 6 * 8
+    fmt_idx = seed % 3
+    rot = doc_id % 4
+    blobs, fmts, out_w, out_h = [], [], [], []
+    for i in range(len(doc_id)):
+        img = gen_pixels(int(seed[i]), int(ws[i]), int(hs[i]))
+        img = np.rot90(img, k=int(rot[i]))
+        f = FMTS[int(fmt_idx[i])]
+        blobs.append(codec.encode(np.ascontiguousarray(img), f))
+        fmts.append(f)
+        out_h.append(img.shape[0])
+        out_w.append(img.shape[1])
+    return pd.DataFrame(
+        {
+            "image_id": ["img" + str(d).zfill(10) for d in doc_id.tolist()],
+            "bytes": blobs,
+            "w": np.asarray(out_w, dtype=np.int32),
+            "h": np.asarray(out_h, dtype=np.int32),
+            "fmt": fmts,
+        }
+    )
+
+
+def rot_dup_images_df(spark, sf_dir: str, content_mod: int = 101):
+    """Distributed synthesis of the rotated-duplicate image table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_rot_dup_images_pdf(pdf, content_mod)
+
+    return docs.mapInPandas(gen, schema=DUP_IMG_SCHEMA)

@@ -213,3 +213,27 @@ def test_line_profiles_python_recompute(spark, sf_dir):
         assert got[r["image_id"]] == (len(rs), n_lines, max_run)
         lines_seen += n_lines
     assert lines_seen > 0
+
+
+def test_rotation_canonical_hash_invariance_and_clusters(spark, sf_dir):
+    """(a) min-over-rot90 phash is invariant under any rotation of the
+    pixel array; (b) the q151 clusters unify rotated duplicates: every
+    content seed lands in ONE cluster with all its rotations."""
+    import numpy as np
+
+    from geowave_spark.queries_multimodal import q151_rotation_canonical_dedup
+    from geowave_spark.table.images import gen_pixels, phash64
+
+    for seed in (3, 17, 42):
+        img = gen_pixels(seed, 48, 64)
+        canon = [min(phash64(np.ascontiguousarray(np.rot90(r, k)))
+                     for k in range(4))
+                 for r in (img, np.rot90(img, 1), np.rot90(img, 2),
+                           np.rot90(img, 3))]
+        assert len(set(canon)) == 1
+
+    rows = q151_rotation_canonical_dedup(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == 101                      # one cluster per content
+    assert sum(r["n_copies"] for r in rows) == n_docs
+    assert max(r["n_copies"] for r in rows) > 1  # rotations actually merge
