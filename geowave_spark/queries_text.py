@@ -1448,6 +1448,49 @@ ORDER BY merge_round
 """)
 
 
+def _q152(d: G.Dialect) -> str:
+    """Embedding covariance matrix (the whitening / PCA-prep scan of an
+    embedding corpus; upper triangle, 64x64 dims -> 2080 rows).
+    Integer-exact: per-dim micro-floored values, integer floor means,
+    centered products summed in int64 (|c| <= 2e6, n = 500 =>
+    |cov_sum| <= 2e15).  Scale shape: ONE explode to (vec, dim) rows,
+    a tiny per-dim mean aggregate broadcast back, then the dim x dim
+    self-join on vec_id — n*d^2 product rows reduced by map-side partial
+    aggregation into d^2/2 outputs; no global sort.  Reference analog:
+    none (vector-corpus op; the reference's statistics layer stops at
+    per-field numeric stats, `core/store/.../statistics/field/*`)."""
+    if d.is_spark:
+        dims = (
+            "SELECT vec_id, pos + 1 AS dd, "
+            "cast(floor(col * 1000000) as bigint) AS val "
+            "FROM v0 LATERAL VIEW posexplode(v) pe AS pos, col"
+        )
+    else:
+        dims = (
+            "SELECT vec_id, dg.g AS dd, "
+            "cast(floor(v[dg.g] * 1000000) as bigint) AS val "
+            "FROM v0, LATERAL (SELECT unnest(generate_series(1, 64)) AS g) dg"
+        )
+    return f"""
+WITH v0 AS (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v
+            FROM embeddings),
+dims AS ({dims}),
+mean AS (
+  SELECT dd, {d.intdiv('sum(val)', 'count(*)')} AS m FROM dims GROUP BY dd
+),
+cent AS (
+  SELECT dims.vec_id, dims.dd, dims.val - mean.m AS c
+  FROM dims JOIN mean ON mean.dd = dims.dd
+)
+SELECT a.dd AS dim_i, b.dd AS dim_j,
+       cast(sum(a.c * b.c) as bigint) AS cov_sum,
+       cast(count(*) as bigint) AS n_vecs
+FROM cent a JOIN cent b ON a.vec_id = b.vec_id AND a.dd <= b.dd
+GROUP BY a.dd, b.dd
+ORDER BY dim_i, dim_j
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -1477,4 +1520,5 @@ TEXT_QUERIES = {
     "q118_graph_centrality": _dual(_q118),
     "q122_pii_scrub": _dual(_q122),
     "q142_bpe_merge_rounds": (q142_bpe_merge_rounds, _q142_duck()),
+    "q152_embedding_covariance": _dual(_q152),
 }

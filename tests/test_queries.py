@@ -1618,3 +1618,31 @@ def test_q149_heading_reversals_match_python(spark):
     assert got == want and len(got) > 100
     # the synthetic tracks are hash-scattered: reversals are common
     assert sum(r for _, r, _ in got.values()) > 100
+
+
+def test_q152_covariance_matches_numpy(spark):
+    """numpy recompute of the integer-floored covariance matrix."""
+    import numpy as np
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["dim_i"], r["dim_j"]): (r["cov_sum"], r["n_vecs"])
+           for r in TEXT_QUERIES["q152_embedding_covariance"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    m = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                 * 1_000_000).astype(np.int64)
+    n, d = m.shape
+    # both engines' integer division truncates toward zero on negatives
+    # (Spark `div`, DuckDB `//`) — numpy's // floors, so emulate trunc
+    s = m.sum(axis=0)
+    means = np.sign(s) * (np.abs(s) // n)
+    c = m - means[None, :]
+    cov = c.T @ c
+    want = {(i + 1, j + 1): (int(cov[i, j]), n)
+            for i in range(d) for j in range(i, d)}
+    assert got == want and len(got) == d * (d + 1) // 2
+    # diagonal is a variance: strictly positive
+    assert all(got[(i, i)][0] > 0 for i in range(1, d + 1))
