@@ -407,3 +407,39 @@ def test_q130_composite_join_all_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q137_harris_same_exchange_shape_as_q98(spark, sf_dir):
+    """The 2-px halo widening must not change the exchange shape: still
+    exactly ONE hash Exchange (tile-key gather), streaming MapInPandas,
+    no join — wider strips ride the same union."""
+    plan = _plan(spark, sf_dir, "q137_harris_corners")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_q145_od_matrix_no_global_sort_before_agg(spark, sf_dir):
+    """OD matrix: the window partitions by user (hash exchange), never a
+    range partitioning over the event stream; no join anywhere."""
+    plan = _plan(spark, sf_dir, "q145_od_transitions")
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    # rangepartitioning appears only for the final tiny ORDER BY, after
+    # the matrix aggregate — never on the raw event stream
+    pre_agg = plan.split("HashAggregate")[-1]
+    assert "Exchange rangepartitioning" not in pre_agg
+
+
+def test_q152_covariance_partial_aggregation(spark, sf_dir):
+    """Covariance: the dim x dim product rows must be reduced by partial
+    (map-side) aggregation before the (dim_i, dim_j) exchange."""
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    fn, _ = TEXT_QUERIES["q152_embedding_covariance"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # partial_sum before the exchange on the pair key
+    assert "partial_sum" in plan
