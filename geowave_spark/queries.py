@@ -1974,6 +1974,92 @@ def q149_heading_reversals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q149_sql("unix_micros(cast(ts as timestamp))", "div"))
 
 
+_Q153_RES = 6       # finest level: events binned at res 6 (q128's grid)
+_Q153_ROUNDS = 4    # compact res 6 -> 5 -> 4 -> 3 -> 2
+
+
+def _q153_parent(cell: str, r: int, intdiv: str) -> str:
+    """Row-major parent: cell at grid 2^r -> parent at 2^(r-1)."""
+    n = 1 << r
+    d = intdiv
+    return (f"((({cell}) {d} {n}) {d} 2) * {n // 2} "
+            f"+ (({cell}) % {n}) {d} 2")
+
+
+def _q153_round_sql(i: int, intdiv: str) -> str:
+    r = _Q153_RES - i + 1
+    parent = _q153_parent("cell", r, intdiv)
+    return f"""full{i} AS MATERIALIZED (
+  SELECT {parent} AS pcell
+  FROM s{i - 1} WHERE res = {r}
+  GROUP BY 1 HAVING count(*) = 4
+),
+s{i} AS MATERIALIZED (
+  SELECT res, cell FROM s{i - 1} WHERE res <> {r}
+  UNION ALL
+  SELECT s.res, s.cell
+  FROM s{i - 1} s LEFT JOIN full{i} f ON f.pcell = {_q153_parent('s.cell', r, intdiv)}
+  WHERE s.res = {r} AND f.pcell IS NULL
+  UNION ALL
+  SELECT {r - 1} AS res, pcell AS cell FROM full{i}
+)"""
+
+
+def q153_cover_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cover compaction: the occupied res-6 cell set of the
+    event table collapsed bottom-up — wherever all 4 children of a quad
+    are present they are replaced by the parent, repeated for 4 levels.
+    This is the maintenance op of a tiered SFC index (the reference keeps
+    per-tier insertion sets and reprojects between tiers,
+    `core/index/.../sfc/tiered/TieredSFCIndexStrategy.java`; Iceberg
+    analog: manifest compaction) — a compacted cover answers the same
+    range queries with far fewer keys.
+
+    Scale shape per round: ONE keyed count on the parent cell (map-side
+    combinable) + one broadcast-able anti-join of the current level
+    against the full-quad set; rounds touch only the current-resolution
+    rows.  Rounds are cut with localCheckpoint (each state is referenced
+    twice per round)."""
+    register_views(spark, sf_dir)
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q153_RES)
+    cur = spark.sql(
+        f"SELECT {_Q153_RES} AS res, {cell} AS cell "
+        f"FROM events GROUP BY 2").localCheckpoint()
+    for i in range(1, _Q153_ROUNDS + 1):
+        r = _Q153_RES - i + 1
+        cur.createOrReplaceTempView("q153_s")
+        parent = _q153_parent("cell", r, "div")
+        parent_s = _q153_parent("s.cell", r, "div")
+        cur = spark.sql(f"""
+            WITH fullq AS (
+              SELECT {parent} AS pcell FROM q153_s WHERE res = {r}
+              GROUP BY 1 HAVING count(*) = 4
+            )
+            SELECT res, cell FROM q153_s WHERE res <> {r}
+            UNION ALL
+            SELECT s.res, s.cell
+            FROM q153_s s LEFT JOIN fullq f ON f.pcell = {parent_s}
+            WHERE s.res = {r} AND f.pcell IS NULL
+            UNION ALL
+            SELECT {r - 1} AS res, pcell AS cell FROM fullq
+        """).localCheckpoint()
+    return cur.select(F.col("res").cast("int").alias("res"),
+                      F.col("cell").cast("long").alias("cell")) \
+        .orderBy("res", "cell")
+
+
+def _q153_sql() -> str:
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q153_RES)
+    parts = [f"s0 AS MATERIALIZED (SELECT {_Q153_RES} AS res, {cell} AS cell "
+             f"FROM events GROUP BY 2)"]
+    parts += [_q153_round_sql(i, "//") for i in range(1, _Q153_ROUNDS + 1)]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT cast(res as int) AS res, cast(cell as bigint) AS cell "
+              f"FROM s{_Q153_ROUNDS} ORDER BY res, cell")
+
+
 # the 8 k-DOP support directions (E, NE, N, NW, W, SW, S, SE)
 _Q147_DIRS = [(1, 0), (1, 1), (0, 1), (-1, 1),
               (-1, 0), (-1, -1), (0, -1), (1, -1)]
@@ -2143,6 +2229,7 @@ QUERIES = {
     "q147_kdop_hull_extremes": (q147_kdop_hull_extremes, _q147_sql("//")),
     "q149_heading_reversals": (q149_heading_reversals,
                                _q149_sql("epoch_us(ts)", "//")),
+    "q153_cover_compaction": (q153_cover_compaction, _q153_sql()),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

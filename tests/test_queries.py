@@ -1646,3 +1646,48 @@ def test_q152_covariance_matches_numpy(spark):
     assert got == want and len(got) == d * (d + 1) // 2
     # diagonal is a variance: strictly positive
     assert all(got[(i, i)][0] > 0 for i in range(1, d + 1))
+
+
+def test_q153_compaction_matches_python_and_preserves_area(spark):
+    """Python set recompute of the bottom-up quad compaction + the two
+    invariants: exact area preservation and disjointness (no output cell
+    is an ancestor of another output cell)."""
+    from geowave_spark.queries import QUERIES, _Q153_RES, _Q153_ROUNDS
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = sorted((r["res"], r["cell"])
+                 for r in QUERIES["q153_cover_compaction"][0](spark, sf_dir)
+                 .collect())
+
+    ev = spark.sql(
+        f"SELECT DISTINCT {geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q153_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    cover = {(_Q153_RES, int(c)) for c in ev["cell"]}
+    n_base = len(cover)
+    for i in range(_Q153_ROUNDS):
+        r = _Q153_RES - i
+        n = 1 << r
+        level = {c for (res, c) in cover if res == r}
+        parents = {}
+        for c in level:
+            p = (c // n // 2) * (n // 2) + (c % n) // 2
+            parents.setdefault(p, []).append(c)
+        full = {p for p, ch in parents.items() if len(ch) == 4}
+        cover = {(res, c) for (res, c) in cover
+                 if res != r or (c // n // 2) * (n // 2) + (c % n) // 2
+                 not in full}
+        cover |= {(r - 1, p) for p in full}
+    want = sorted(cover)
+    assert got == want and len(got) < n_base   # compaction actually shrinks
+    # area preservation
+    assert sum(4 ** (_Q153_RES - r) for r, _ in got) == n_base
+    # disjointness: no cell's ancestor is also in the set
+    cells = set(got)
+    for r, c in got:
+        cc, rr = c, r
+        while rr > min(x for x, _ in got):
+            n = 1 << rr
+            cc = (cc // n // 2) * (n // 2) + (cc % n) // 2
+            rr -= 1
+            assert (rr, cc) not in cells
