@@ -1974,6 +1974,67 @@ def q149_heading_reversals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q149_sql("unix_micros(cast(ts as timestamp))", "div"))
 
 
+def _q154_sql(intdiv: str, seq) -> str:
+    """8-ray line-of-sight (viewshed along the principal directions) over
+    the event-density raster: from the observer cell (the densest cell,
+    ties to smallest id), walk each of the 8 rays to the grid edge; a
+    cell is VISIBLE when its density strictly exceeds every closer cell
+    on its ray (the flat-terrain occlusion rule — integer-exact, no
+    angle arithmetic).  The observer is the grid-center cell, so all 8
+    rays run their full length — each visible set is the ray's
+    strictly-increasing running-max subsequence.  One window running-max per ray; rays fan out
+    from a 1-row broadcast observer, so the only real shuffle is the
+    density aggregate.  Reference analog: none (its raster layer stops
+    at merge/resize); GRASS r.viewshed is the classic form."""
+    n = 1 << _Q153_RES
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q153_RES)
+    dirs = ", ".join(f"({dx}, {dy})" for dx, dy in _Q147_DIRS)
+    return f"""
+WITH cells AS (
+  SELECT {cell} AS cell, cast(count(*) as bigint) AS e
+  FROM events GROUP BY 1
+),
+obs AS (SELECT {n // 2} AS ox, {n // 2} AS oy),
+d(dx, dy) AS (VALUES {dirs}),
+ray AS (
+  SELECT d.dx, d.dy, s.g AS step,
+         o.ox + s.g * d.dx AS cx, o.oy + s.g * d.dy AS cy
+  FROM obs o CROSS JOIN d
+  CROSS JOIN ({seq}) s
+),
+rv AS (
+  SELECT dx, dy, step, cy * {n} + cx AS cell,
+         cx, cy
+  FROM ray WHERE cx >= 0 AND cx < {n} AND cy >= 0 AND cy < {n}
+),
+re AS (
+  SELECT rv.dx, rv.dy, rv.step, rv.cell, coalesce(c.e, 0) AS e
+  FROM rv LEFT JOIN cells c ON c.cell = rv.cell
+),
+vis AS (
+  SELECT dx, dy, step, cell, e,
+         coalesce(max(e) OVER (PARTITION BY dx, dy ORDER BY step
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), -1) AS horizon
+  FROM re
+)
+SELECT cast(dx as int) AS dx, cast(dy as int) AS dy,
+       cast(step as bigint) AS step, cast(cell as bigint) AS cell,
+       e AS density
+FROM vis WHERE e > horizon
+ORDER BY dx, dy, step
+"""
+
+
+def q154_viewshed_rays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q154_sql`."""
+    register_views(spark, sf_dir)
+    n = 1 << _Q153_RES
+    return spark.sql(_q154_sql(
+        "div", f"SELECT explode(sequence(1, {n - 1})) AS g"))
+
+
 _Q153_RES = 6       # finest level: events binned at res 6 (q128's grid)
 _Q153_ROUNDS = 4    # compact res 6 -> 5 -> 4 -> 3 -> 2
 
@@ -2230,6 +2291,9 @@ QUERIES = {
     "q149_heading_reversals": (q149_heading_reversals,
                                _q149_sql("epoch_us(ts)", "//")),
     "q153_cover_compaction": (q153_cover_compaction, _q153_sql()),
+    "q154_viewshed_rays": (
+        q154_viewshed_rays,
+        _q154_sql("//", "SELECT unnest(generate_series(1, 63)) AS g")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

@@ -1491,6 +1491,65 @@ ORDER BY dim_i, dim_j
 """
 
 
+def _q155(d: G.Dialect) -> str:
+    """Inter-class separation matrix: squared euclidean distance between
+    per-label embedding centroids (the class-separability diagnostic run
+    before trusting labels for CLIP-style filtering; companion of q116's
+    per-vector outlier scan).  Integer-exact end-to-end: micro-floored
+    elements, trunc-division centroids, integer squared distances
+    (<= 64 * (2e6)^2 ~ 2.6e14).  Scale shape: one explode, one tiny
+    (label, dim) aggregate, then the pairwise join runs over 10x64
+    centroid rows — constant-size regardless of corpus size."""
+    if d.is_spark:
+        dims = (
+            "SELECT label, pos + 1 AS dd, "
+            "cast(floor(col * 1000000) as bigint) AS val "
+            "FROM v0 LATERAL VIEW posexplode(v) pe AS pos, col"
+        )
+    else:
+        dims = (
+            "SELECT label, dg.g AS dd, "
+            "cast(floor(v[dg.g] * 1000000) as bigint) AS val "
+            "FROM v0, LATERAL (SELECT unnest(generate_series(1, 64)) AS g) dg"
+        )
+    return f"""
+WITH v0 AS (SELECT label, {G.to_double_arr(d, 'embedding')} AS v
+            FROM embeddings),
+dims AS ({dims}),
+cent AS (
+  SELECT label, dd, {d.intdiv('sum(val)', 'count(*)')} AS c
+  FROM dims GROUP BY label, dd
+)
+SELECT a.label AS label_i, b.label AS label_j,
+       cast(sum((a.c - b.c) * (a.c - b.c)) as bigint) AS dist2
+FROM cent a JOIN cent b ON a.dd = b.dd AND a.label < b.label
+GROUP BY a.label, b.label
+ORDER BY label_i, label_j
+"""
+
+
+def _q156(d: G.Dialect) -> str:
+    """Blocked fuzzy dedup by true edit distance: candidates share a
+    16-char prefix block (the mutation model preserves prefixes — same
+    contract as q16's shared candidate generation), refined by
+    levenshtein <= 12 over the first 128 chars.  Both engines implement
+    the identical unit-cost Levenshtein DP, so the refine is a
+    formula-twin.  Scale shape: the block join is an equi-join on a
+    16-byte key; the O(len^2) DP runs only on candidates, never
+    all-pairs."""
+    del d  # identical text in both dialects
+    return """
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       cast(levenshtein(substr(a.text, 1, 128), substr(b.text, 1, 128))
+            as bigint) AS edit_dist
+FROM documents a JOIN documents b
+  ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 128), substr(b.text, 1, 128)) <= 12
+ORDER BY id1, id2
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -1521,4 +1580,6 @@ TEXT_QUERIES = {
     "q122_pii_scrub": _dual(_q122),
     "q142_bpe_merge_rounds": (q142_bpe_merge_rounds, _q142_duck()),
     "q152_embedding_covariance": _dual(_q152),
+    "q155_class_separation": _dual(_q155),
+    "q156_fuzzy_dedup": _dual(_q156),
 }

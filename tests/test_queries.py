@@ -1691,3 +1691,108 @@ def test_q153_compaction_matches_python_and_preserves_area(spark):
             cc = (cc // n // 2) * (n // 2) + (cc % n) // 2
             rr -= 1
             assert (rr, cc) not in cells
+
+
+def test_q154_viewshed_matches_python_walk(spark):
+    """Python ray-walk recompute of the 8-ray line-of-sight from the grid
+    center over the res-6 density raster."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES, _Q147_DIRS, _Q153_RES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = sorted((r["dx"], r["dy"], r["step"], r["cell"], r["density"])
+                 for r in QUERIES["q154_viewshed_rays"][0](spark, sf_dir)
+                 .collect())
+
+    ev = spark.sql(
+        f"SELECT {geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q153_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    e = Counter(int(c) for c in ev["cell"])
+    n = 1 << _Q153_RES
+    ox = oy = n // 2
+    want = []
+    for dx, dy in _Q147_DIRS:
+        horizon = -1
+        for s in range(1, n):
+            cx, cy = ox + s * dx, oy + s * dy
+            if not (0 <= cx < n and 0 <= cy < n):
+                break
+            dens = e.get(cy * n + cx, 0)
+            if dens > horizon:
+                want.append((dx, dy, s, cy * n + cx, dens))
+            horizon = max(horizon, dens)
+    want.sort()
+    assert got == want and len(got) >= 8
+    # every ray has at least its first visible cell
+    assert len({(dx, dy) for dx, dy, *_ in got}) == 8
+
+
+def test_q155_class_separation_matches_numpy(spark):
+    """numpy recompute of the inter-centroid squared distances with
+    trunc-division means."""
+    import numpy as np
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["label_i"], r["label_j"]): r["dist2"]
+           for r in TEXT_QUERIES["q155_class_separation"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    m = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                 * 1_000_000).astype(np.int64)
+    labels = pdf["label"].to_numpy()
+    cents = {}
+    for lb in np.unique(labels):
+        s = m[labels == lb].sum(axis=0)
+        n = int((labels == lb).sum())
+        cents[int(lb)] = np.sign(s) * (np.abs(s) // n)
+    want = {}
+    ks = sorted(cents)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            dd = cents[a] - cents[b]
+            want[(a, b)] = int((dd * dd).sum())
+    assert got == want and len(got) == 45
+    assert all(v > 0 for v in got.values())   # classes genuinely separate
+
+
+def test_q156_fuzzy_dedup_matches_python_levenshtein(spark):
+    """Pure-python DP recompute of the blocked edit-distance pairs."""
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = sorted((r["id1"], r["id2"], r["edit_dist"])
+                 for r in TEXT_QUERIES["q156_fuzzy_dedup"][0](spark, sf_dir)
+                 .collect())
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    pdf = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").toPandas()
+    docs = list(zip(pdf["doc_id"], pdf["text"]))
+    by_block = {}
+    for did, txt in docs:
+        by_block.setdefault(txt[:16], []).append((did, txt))
+    want = []
+    for grp in by_block.values():
+        grp.sort()
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                d = lev(grp[i][1][:128], grp[j][1][:128])
+                if d <= 12:
+                    want.append((grp[i][0], grp[j][0], d))
+    want.sort()
+    assert got == want and len(got) > 10
+    assert any(d > 0 for *_, d in got)   # real edits, not exact dups only
