@@ -2035,6 +2035,127 @@ def q154_viewshed_rays(spark: SparkSession, sf_dir: str) -> DataFrame:
         "div", f"SELECT explode(sequence(1, {n - 1})) AS g"))
 
 
+def _q157_sql() -> str:
+    """Directional empirical semivariogram over the res-6 density raster
+    (the kriging-prep geostatistic; completes the interpolation pair with
+    q89's IDW): gamma(dir, h) = sum((z1 - z2)^2) / (2 * pairs) for lags
+    h = 1..8 along E and N, computed over OCCUPIED cell pairs.  Integer
+    outputs: sum of squared diffs and the pair count (the ratio is the
+    reader's division — keeping both sides exact avoids any float
+    aggregate).  One self-equi-join per direction batch on the shifted
+    cell id — a keyed hash join, no window, no sort."""
+    n = 1 << _Q153_RES
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q153_RES)
+    return f"""
+WITH cells AS (
+  SELECT {cell} AS cell, cast(count(*) as bigint) AS z
+  FROM events GROUP BY 1
+),
+lags(dir, dx, dy, h) AS (
+  VALUES {", ".join(f"('E', {h}, 0, {h}), ('N', 0, {h}, {h})"
+                    for h in range(1, 9))}
+),
+-- shifted partner must stay on the same row (E) / same column (N)
+pairs AS (
+  SELECT l.dir, l.h, a.z AS z1, b.z AS z2
+  FROM cells a
+  CROSS JOIN lags l
+  JOIN cells b
+    ON b.cell = a.cell + l.dy * {n} + l.dx
+  WHERE (l.dir = 'N' OR a.cell % {n} + l.dx < {n})
+),
+g AS (
+  SELECT dir, h, cast(sum((z1 - z2) * (z1 - z2)) as bigint) AS sq_sum,
+         cast(count(*) as bigint) AS n_pairs
+  FROM pairs GROUP BY dir, h
+)
+SELECT dir, cast(h as int) AS h, sq_sum, n_pairs
+FROM g ORDER BY dir, h
+"""
+
+
+def q157_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q157_sql` (dialect-free SQL)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q157_sql())
+
+
+def _q158_sql(epoch_us: str, intdiv: str) -> str:
+    """Pairwise event-type co-occurrence with lift (the association-rule
+    primitive over telemetry baskets): a basket is one (user, day); for
+    every type pair, support counts and lift_micro = 1e6 * N * n_ab /
+    (n_a * n_b) in trunc-division integers.  Scale shape: one distinct
+    (basket, type) projection, a self-equi-join ON BASKET (baskets are
+    small — the join fan-out is types-per-basket squared, never rows
+    squared), and the type-marginal join is over the tiny type
+    vocabulary."""
+    day = f"({epoch_us}) {intdiv} 86400000000"
+    return f"""
+WITH b AS (
+  SELECT DISTINCT user_id, {day} AS day, event_type FROM events
+),
+nb AS (SELECT cast(count(DISTINCT (user_id, day)) as bigint) AS n FROM b),
+marg AS (
+  SELECT event_type, cast(count(*) as bigint) AS n_t FROM b GROUP BY 1
+),
+p AS (
+  SELECT a.event_type AS type_a, c.event_type AS type_b,
+         cast(count(*) as bigint) AS n_ab
+  FROM b a JOIN b c
+    ON c.user_id = a.user_id AND c.day = a.day
+   AND a.event_type < c.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       cast(p.n_ab * nb.n * 1000000 {intdiv} (ma.n_t * mb.n_t) as bigint)
+         AS lift_micro
+FROM p JOIN marg ma ON ma.event_type = p.type_a
+       JOIN marg mb ON mb.event_type = p.type_b
+       CROSS JOIN nb
+ORDER BY type_a, type_b
+"""
+
+
+def q158_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q158_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q158_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+def _q159_sql(intdiv: str) -> str:
+    """Exact per-group lower median (no approximation — the distributed
+    exact-quantile op `percentile_approx` users actually want for
+    correctness checks): integer cents, deterministic tie order
+    (cents, event_id), element at rank (n+1)//2 via one window.  At
+    100 TB the window partitions by group; no global sort."""
+    return f"""
+WITH v AS (
+  SELECT event_type, event_id,
+         cast(floor(value * 100) as bigint) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type, cast(n as bigint) AS n_events,
+       cents AS median_cents
+FROM r WHERE rn = (n + 1) {intdiv} 2
+ORDER BY event_type
+"""
+
+
+def q159_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q159_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q159_sql("div"))
+
+
 _Q153_RES = 6       # finest level: events binned at res 6 (q128's grid)
 _Q153_ROUNDS = 4    # compact res 6 -> 5 -> 4 -> 3 -> 2
 
@@ -2294,6 +2415,10 @@ QUERIES = {
     "q154_viewshed_rays": (
         q154_viewshed_rays,
         _q154_sql("//", "SELECT unnest(generate_series(1, 63)) AS g")),
+    "q157_semivariogram": (q157_semivariogram, _q157_sql()),
+    "q158_cooccurrence_lift": (q158_cooccurrence_lift,
+                               _q158_sql("epoch_us(ts)", "//")),
+    "q159_exact_median": (q159_exact_median, _q159_sql("//")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

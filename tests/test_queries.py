@@ -1796,3 +1796,92 @@ def test_q156_fuzzy_dedup_matches_python_levenshtein(spark):
     want.sort()
     assert got == want and len(got) > 10
     assert any(d > 0 for *_, d in got)   # real edits, not exact dups only
+
+
+def test_q157_semivariogram_matches_python(spark):
+    """Python recompute of the E/N semivariogram sums over occupied
+    cell pairs."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES, _Q153_RES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["dir"], r["h"]): (r["sq_sum"], r["n_pairs"])
+           for r in QUERIES["q157_semivariogram"][0](spark, sf_dir)
+           .collect()}
+
+    ev = spark.sql(
+        f"SELECT {geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q153_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    z = Counter(int(c) for c in ev["cell"])
+    n = 1 << _Q153_RES
+    want = {}
+    for h in range(1, 9):
+        for d, dx, dy in (("E", h, 0), ("N", 0, h)):
+            sq = cnt = 0
+            for c, v in z.items():
+                x, y = c % n, c // n
+                if x + dx < n and y + dy < n:
+                    o = (y + dy) * n + (x + dx)
+                    if o in z:
+                        sq += (v - z[o]) ** 2
+                        cnt += 1
+            want[(d, h)] = (sq, cnt)
+    assert got == want and len(got) == 16
+    assert all(c > 100 for _, c in got.values())
+
+
+def test_q158_cooccurrence_lift_matches_python(spark):
+    """Python basket recompute of pair supports and trunc-division lift."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["type_a"], r["type_b"]): (r["n_ab"], r["lift_micro"])
+           for r in QUERIES["q158_cooccurrence_lift"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, unix_micros(cast(ts as timestamp)) div 86400000000 AS day, "
+        f"event_type FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    baskets = {}
+    for uid, day, t in pdf.itertuples(index=False):
+        baskets.setdefault((uid, day), set()).add(t)
+    nb = len(baskets)
+    marg = Counter()
+    pair = Counter()
+    for items in baskets.values():
+        for t in items:
+            marg[t] += 1
+        its = sorted(items)
+        for i in range(len(its)):
+            for j in range(i + 1, len(its)):
+                pair[(its[i], its[j])] += 1
+    want = {k: (v, v * nb * 1_000_000 // (marg[k[0]] * marg[k[1]]))
+            for k, v in pair.items()}
+    assert got == want and len(got) == 10   # C(5,2) type pairs
+    assert any(l > 1_000_000 for _, l in got.values()) or \
+        any(l < 1_000_000 for _, l in got.values())
+
+
+def test_q159_exact_median_matches_python(spark):
+    """Python recompute: lower median of integer cents, deterministic
+    (cents, event_id) tie order."""
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["event_type"]: (r["n_events"], r["median_cents"])
+           for r in QUERIES["q159_exact_median"][0](spark, sf_dir)
+           .collect()}
+
+    import math
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", "value").toPandas()
+    want = {}
+    for t, grp in pdf.groupby("event_type"):
+        vals = sorted((int(math.floor(v * 100)), int(e))
+                      for e, v in zip(grp["event_id"], grp["value"]))
+        want[t] = (len(vals), vals[(len(vals) + 1) // 2 - 1][0])
+    assert got == want and len(got) == 5
