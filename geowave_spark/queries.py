@@ -2156,6 +2156,72 @@ def q159_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q159_sql("div"))
 
 
+def _q160_sql(epoch_us: str, intdiv: str) -> str:
+    """Half-life-decayed visit counts per cell (recency weighting for
+    freshness-aware training-data selection / cache scoring): weight =
+    1e6 >> (age_days // half_life) — a pure INTEGER exponential decay
+    (binary half-life of 4 days), so the aggregate is exact and
+    map-side combinable, unlike a float pow() decay.  The corpus 'now'
+    is the global max timestamp (one scalar subquery, broadcast)."""
+    day = f"86400000000"
+    age = f"((mx.us - t.us) {intdiv} {day}) {intdiv} 4"
+    return f"""
+WITH t AS (
+  SELECT {geo.rowmajor_cell_sql(geo.lon_sql("event_id"), geo.lat_sql("event_id"), _Q153_RES)} AS cell,
+         {epoch_us} AS us
+  FROM events
+),
+mx AS (SELECT max(us) AS us FROM t),
+w AS (
+  SELECT t.cell,
+         1000000 {intdiv} cast(pow(2, {age}) as bigint) AS wt
+  FROM t CROSS JOIN mx
+)
+SELECT cell, cast(count(*) as bigint) AS n_events,
+       cast(sum(wt) as bigint) AS decayed_micro
+FROM w GROUP BY cell
+ORDER BY cell
+"""
+
+
+def q160_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q160_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q160_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+def _q161_sql(intdiv: str) -> str:
+    """Per-cell Poisson anomaly z-scores: lambda = events / occupied
+    cells (trunc-division milli-rate), z_milli = floor(1000 * (x -
+    lambda) / sqrt(lambda)) — the hot-cell anomaly gate (q100's Gi* uses
+    neighborhoods; this is the global-rate screen).  sqrt/floor are the
+    only float ops (both engines' libm sqrt agrees on these magnitudes —
+    same contract as q45's rms_milli)."""
+    return f"""
+WITH c AS (
+  SELECT {geo.rowmajor_cell_sql(geo.lon_sql("event_id"), geo.lat_sql("event_id"), _Q153_RES)} AS cell,
+         cast(count(*) as bigint) AS x
+  FROM events GROUP BY 1
+),
+lam AS (
+  SELECT cast(sum(x) * 1000 {intdiv} count(*) as bigint) AS l_milli FROM c
+)
+SELECT c.cell, c.x,
+       cast(floor((c.x * 1000 - l.l_milli) /
+                  sqrt(cast(l.l_milli as double))) as bigint)
+         AS z_scaled
+FROM c CROSS JOIN lam l
+ORDER BY cell
+"""
+
+
+def q161_poisson_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q161_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q161_sql("div"))
+
+
 _Q153_RES = 6       # finest level: events binned at res 6 (q128's grid)
 _Q153_ROUNDS = 4    # compact res 6 -> 5 -> 4 -> 3 -> 2
 
@@ -2419,6 +2485,9 @@ QUERIES = {
     "q158_cooccurrence_lift": (q158_cooccurrence_lift,
                                _q158_sql("epoch_us(ts)", "//")),
     "q159_exact_median": (q159_exact_median, _q159_sql("//")),
+    "q160_decayed_counts": (q160_decayed_counts,
+                            _q160_sql("epoch_us(ts)", "//")),
+    "q161_poisson_anomaly": (q161_poisson_anomaly, _q161_sql("//")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

@@ -1885,3 +1885,55 @@ def test_q159_exact_median_matches_python(spark):
                       for e, v in zip(grp["event_id"], grp["value"]))
         want[t] = (len(vals), vals[(len(vals) + 1) // 2 - 1][0])
     assert got == want and len(got) == 5
+
+
+def test_q160_decayed_counts_match_python(spark):
+    """Python recompute of the binary half-life decay weights."""
+    from collections import defaultdict
+
+    from geowave_spark.queries import QUERIES, _Q153_RES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["cell"]: (r["n_events"], r["decayed_micro"])
+           for r in QUERIES["q160_decayed_counts"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT {geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q153_RES)} AS cell, "
+        f"unix_micros(cast(ts as timestamp)) AS us "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    mx = int(pdf["us"].max())
+    agg = defaultdict(lambda: [0, 0])
+    for c, us in zip(pdf["cell"], pdf["us"]):
+        k = ((mx - int(us)) // 86_400_000_000) // 4
+        agg[int(c)][0] += 1
+        agg[int(c)][1] += 1_000_000 // (1 << k)
+    want = {c: tuple(v) for c, v in agg.items()}
+    assert got == want and len(got) > 1000
+    # decay is real: some cells' decayed weight is far below full
+    assert any(d < n * 100_000 for n, d in got.values())
+
+
+def test_q161_poisson_anomaly_matches_python(spark):
+    """Python recompute of the global-rate z-scores (same sqrt/floor)."""
+    import math
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES, _Q153_RES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["cell"]: (r["x"], r["z_scaled"])
+           for r in QUERIES["q161_poisson_anomaly"][0](spark, sf_dir)
+           .collect()}
+
+    ev = spark.sql(
+        f"SELECT {geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q153_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    x = Counter(int(c) for c in ev["cell"])
+    l_milli = sum(x.values()) * 1000 // len(x)
+    want = {c: (v, math.floor((v * 1000 - l_milli) / math.sqrt(l_milli)))
+            for c, v in x.items()}
+    assert got == want and len(got) > 1000
+    assert max(z for _, z in got.values()) > 10   # real hot cells exist
