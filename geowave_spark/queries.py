@@ -2222,6 +2222,86 @@ def q161_poisson_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q161_sql("div"))
 
 
+_Q162_ROUNDS = 4
+
+
+def _q162_edges_sql(epoch_us: str) -> str:
+    """Shared q162 prefix: the q145 OD transition counts plus per-origin
+    totals — e(from_cell, to_cell, n_trans, row_tot)."""
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q144_RES)
+    return f"""t AS (
+  SELECT user_id, {epoch_us} AS us, {cell} AS cell FROM events
+),
+tr AS (
+  SELECT lag(cell) OVER w AS f, cell AS g, us - lag(us) OVER w AS dt
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+m AS (
+  SELECT f, g, cast(count(*) as bigint) AS n_trans
+  FROM tr WHERE f IS NOT NULL AND dt < {_Q144_GAP_US}
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT f AS from_cell, g AS to_cell, n_trans,
+         sum(n_trans) OVER (PARTITION BY f) AS row_tot
+  FROM m
+),
+nodes AS (SELECT DISTINCT from_cell AS cell FROM e)"""
+
+
+def _q162_round_sql(i: int, intdiv: str) -> str:
+    """One power-iteration round: pi_i(c) = sum over origins f of
+    pi_{i-1}(f) * n(f->c) / row_tot(f), trunc-division inside the sum
+    (deterministic mass loss — NOT renormalized, both engines drift
+    identically).  Destinations outside `nodes` (sink cells with no
+    out-edges) drop their mass, the standard absorbing-leak variant."""
+    return f"""p{i} AS MATERIALIZED (
+  SELECT e.to_cell AS cell,
+         cast(sum((p.pi * e.n_trans) {intdiv} e.row_tot) as bigint) AS pi
+  FROM p{i - 1} p JOIN e ON e.from_cell = p.cell
+  GROUP BY e.to_cell
+)"""
+
+
+def q162_stationary_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary visit distribution over the OD transition graph (q145's
+    matrix driven to its fixed point): 4 bounded power-iteration rounds
+    from a uniform micro distribution — the 'where does traffic
+    concentrate' primitive (PageRank's teleport-free core; the engine's
+    6th distributed-iterative op after q33/q64/q118/q128/q133).
+
+    Scale shape per round: ONE keyed hash join of the (tiny) state
+    vector against the edge relation + one keyed sum — all
+    O(|edges|), rounds cut with localCheckpoint."""
+    register_views(spark, sf_dir)
+    pre = f"WITH {_q162_edges_sql('unix_micros(cast(ts as timestamp))')}"
+    spark.sql(f"{pre} SELECT from_cell, to_cell, n_trans, row_tot FROM e") \
+        .persist().createOrReplaceTempView("q162_e")
+    cur = spark.sql(
+        f"{pre} SELECT cell, cast(1000000 as bigint) AS pi FROM nodes"
+    ).localCheckpoint()
+    for _ in range(_Q162_ROUNDS):
+        cur.createOrReplaceTempView("q162_p")
+        cur = spark.sql("""
+            SELECT e.to_cell AS cell,
+                   cast(sum((p.pi * e.n_trans) div e.row_tot) as bigint) AS pi
+            FROM q162_p p JOIN q162_e e ON e.from_cell = p.cell
+            GROUP BY e.to_cell
+        """).localCheckpoint()
+    return cur.filter("pi > 0").orderBy("cell")
+
+
+def _q162_sql() -> str:
+    parts = [_q162_edges_sql("epoch_us(ts)"),
+             "p0 AS MATERIALIZED (SELECT cell, cast(1000000 as bigint) "
+             "AS pi FROM nodes)"]
+    parts += [_q162_round_sql(i, "//") for i in range(1, _Q162_ROUNDS + 1)]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT cell, pi FROM p{_Q162_ROUNDS} WHERE pi > 0 "
+              f"ORDER BY cell")
+
+
 _Q153_RES = 6       # finest level: events binned at res 6 (q128's grid)
 _Q153_ROUNDS = 4    # compact res 6 -> 5 -> 4 -> 3 -> 2
 
@@ -2488,6 +2568,7 @@ QUERIES = {
     "q160_decayed_counts": (q160_decayed_counts,
                             _q160_sql("epoch_us(ts)", "//")),
     "q161_poisson_anomaly": (q161_poisson_anomaly, _q161_sql("//")),
+    "q162_stationary_visits": (q162_stationary_visits, _q162_sql()),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

@@ -1937,3 +1937,49 @@ def test_q161_poisson_anomaly_matches_python(spark):
             for c, v in x.items()}
     assert got == want and len(got) > 1000
     assert max(z for _, z in got.values()) > 10   # real hot cells exist
+
+
+def test_q162_stationary_visits_match_python_iteration(spark):
+    """Python recompute of the 4 trunc-division power-iteration rounds
+    over the OD graph, plus the mass-conservation bound (trunc loses
+    mass, never creates it)."""
+    from collections import Counter, defaultdict
+
+    from geowave_spark.queries import (QUERIES, _Q144_GAP_US, _Q144_RES,
+                                       _Q162_ROUNDS)
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["cell"]: r["pi"]
+           for r in QUERIES["q162_stationary_visits"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, unix_micros(cast(ts as timestamp)) AS us, "
+        f"{geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q144_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    trans = Counter()
+    for _, grp in pdf.groupby("user_id"):
+        evs = sorted(zip(grp["us"].tolist(), grp["cell"].tolist()))
+        for (pu, pc), (cu, cc) in zip(evs, evs[1:]):
+            if cu - pu < _Q144_GAP_US:
+                trans[(pc, cc)] += 1
+    row_tot = Counter()
+    for (f, _), n in trans.items():
+        row_tot[f] += n
+    pi = {f: 1_000_000 for f in row_tot}
+    total0 = sum(pi.values())
+    for _ in range(_Q162_ROUNDS):
+        nxt = defaultdict(int)
+        for (f, g), n in trans.items():
+            if f in pi:
+                nxt[g] += pi[f] * n // row_tot[f]
+        pi = dict(nxt)
+    want = {c: v for c, v in pi.items() if v > 0}
+    assert got == want and len(got) > 30
+    assert sum(got.values()) <= total0          # trunc only loses mass
+    # the hash-scattered OD graph is near doubly-stochastic, so the fixed
+    # point is near-uniform; require a non-degenerate spread (> 5%) and
+    # at least one above-uniform cell
+    assert max(got.values()) > 1_000_000
+    assert max(got.values()) * 100 > 105 * min(got.values())
