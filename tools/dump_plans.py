@@ -157,6 +157,18 @@ NOTES = {
         "volume is O(perimeter), pixels other than the halo never move, "
         "no whole image assembles anywhere."
     ),
+    "q137_harris_corners": (
+        "Harris on a 2-px halo: the SAME single tile-key Exchange as q98 "
+        "(wider strips ride the identical union + streaming MapInPandas); "
+        "the extra cost vs q98 is the gradient/structure-tensor numpy "
+        "kernel, i.e. payload — plumbing is unchanged."
+    ),
+    "q153_cover_compaction": (
+        "Cover compaction round: keyed parent HashAggregate (partial "
+        "count map-side) + broadcast-able anti-join of the current level "
+        "against the full-quad set; LogicalRDD between rounds "
+        "(localCheckpoint) keeps the analyzed plan flat."
+    ),
     "q101_rect_overlay": (
         "Rect overlay area join: both covers distributed (Arrow UDF + "
         "explode), cell equi-join, codegen refine, and NO dedup shuffle — "
