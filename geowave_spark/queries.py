@@ -2302,6 +2302,68 @@ def _q162_sql() -> str:
               f"ORDER BY cell")
 
 
+def _q163_sql(epoch_us: str, intdiv: str) -> str:
+    """Triangle counting + local clustering coefficient over the
+    undirected OD mobility graph (q145's transitions, direction
+    dropped): the community-structure primitive (triangles are what
+    separates real mobility graphs from random ones).  Canonical
+    oriented edges (u < v) make each triangle counted exactly once via
+    the standard two-join wedge-closure plan: edges(u,v) JOIN edges(v,w)
+    gives wedges u<v<w, closed by edges(u,w).  Per-node coefficient =
+    1e6 * 2 * tri / (deg * (deg - 1)), trunc division.  Scale shape:
+    two keyed equi-joins over the edge relation (the standard
+    distributed triangle plan; degree-ordering bounds wedge fan-out)."""
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q144_RES)
+    return f"""
+WITH t AS (
+  SELECT user_id, {epoch_us} AS us, {cell} AS cell FROM events
+),
+tr AS (
+  SELECT lag(cell) OVER w AS f, cell AS g, us - lag(us) OVER w AS dt
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+eu AS (
+  SELECT DISTINCT least(f, g) AS u, greatest(f, g) AS v
+  FROM tr WHERE f IS NOT NULL AND dt < {_Q144_GAP_US} AND f <> g
+),
+deg AS (
+  SELECT node, cast(count(*) as bigint) AS d
+  FROM (SELECT u AS node FROM eu UNION ALL SELECT v AS node FROM eu)
+  GROUP BY node
+),
+wedge AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM eu a JOIN eu b ON b.u = a.v
+),
+tri AS (
+  SELECT w.x, w.y, w.z
+  FROM wedge w JOIN eu c ON c.u = w.x AND c.v = w.z
+),
+per_node AS (
+  SELECT node, cast(count(*) as bigint) AS n_tri
+  FROM (SELECT x AS node FROM tri UNION ALL
+        SELECT y AS node FROM tri UNION ALL
+        SELECT z AS node FROM tri)
+  GROUP BY node
+)
+SELECT d.node AS cell, d.d AS degree,
+       cast(coalesce(p.n_tri, 0) as bigint) AS n_triangles,
+       cast(CASE WHEN d.d >= 2
+                 THEN coalesce(p.n_tri, 0) * 2000000 {intdiv} (d.d * (d.d - 1))
+                 ELSE 0 END as bigint) AS clustering_micro
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+ORDER BY cell
+"""
+
+
+def q163_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q163_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q163_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
 _Q153_RES = 6       # finest level: events binned at res 6 (q128's grid)
 _Q153_ROUNDS = 4    # compact res 6 -> 5 -> 4 -> 3 -> 2
 
@@ -2569,6 +2631,8 @@ QUERIES = {
                             _q160_sql("epoch_us(ts)", "//")),
     "q161_poisson_anomaly": (q161_poisson_anomaly, _q161_sql("//")),
     "q162_stationary_visits": (q162_stationary_visits, _q162_sql()),
+    "q163_triangle_clustering": (q163_triangle_clustering,
+                                 _q163_sql("epoch_us(ts)", "//")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

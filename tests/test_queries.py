@@ -1983,3 +1983,46 @@ def test_q162_stationary_visits_match_python_iteration(spark):
     # at least one above-uniform cell
     assert max(got.values()) > 1_000_000
     assert max(got.values()) * 100 > 105 * min(got.values())
+
+
+def test_q163_triangles_match_python(spark):
+    """Python set recompute of triangles and clustering coefficients on
+    the undirected OD graph."""
+    from itertools import combinations
+
+    from geowave_spark.queries import QUERIES, _Q144_GAP_US, _Q144_RES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["cell"]: (r["degree"], r["n_triangles"], r["clustering_micro"])
+           for r in QUERIES["q163_triangle_clustering"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, unix_micros(cast(ts as timestamp)) AS us, "
+        f"{geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q144_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    edges = set()
+    for _, grp in pdf.groupby("user_id"):
+        evs = sorted(zip(grp["us"].tolist(), grp["cell"].tolist()))
+        for (pu, pc), (cu, cc) in zip(evs, evs[1:]):
+            if cu - pu < _Q144_GAP_US and pc != cc:
+                edges.add((min(pc, cc), max(pc, cc)))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = {}
+    for x, nbrs in adj.items():
+        c = 0
+        for a, b in combinations(sorted(nbrs), 2):
+            if (min(a, b), max(a, b)) in edges:
+                c += 1
+        tri[x] = c
+    want = {}
+    for x, nbrs in adj.items():
+        d = len(nbrs)
+        cc = tri[x] * 2_000_000 // (d * (d - 1)) if d >= 2 else 0
+        want[x] = (d, tri[x], cc)
+    assert got == want and len(got) > 30
+    assert sum(t for _, t, _ in got.values()) > 0   # triangles exist
