@@ -2364,6 +2364,101 @@ def q163_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q163_sql("unix_micros(cast(ts as timestamp))", "div"))
 
 
+def _q165_sql(intdiv: str) -> str:
+    """Exact 10%-trimmed mean per event_type (robust central tendency —
+    the outlier-resistant sibling of q159's exact median): drop the
+    lowest and highest n//10 values by deterministic (cents, event_id)
+    rank, trunc-division mean of the rest.  One window pass + one keyed
+    aggregate, no global sort."""
+    return f"""
+WITH v AS (
+  SELECT event_type, event_id,
+         cast(floor(value * 100) as bigint) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type, cast(count(*) as bigint) AS n_kept,
+       cast(sum(cents) {intdiv} count(*) as bigint) AS trimmed_mean_cents
+FROM r
+WHERE rn > n {intdiv} 10 AND rn <= n - n {intdiv} 10
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q165_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q165_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q165_sql("div"))
+
+
+_Q164_HOME_RES = 2   # blocking: users sharing a res-2 home cell
+
+
+def _q164_sql() -> str:
+    """Blocked symmetric Hausdorff distance between user point sets (the
+    track-similarity measure of movement analytics; the reference's NN
+    machinery compares points, never whole tracks).  Blocking: a user's
+    HOME cell is the res-2 cell of their first event (min event_id);
+    only same-home pairs are compared — the candidate contract of every
+    engine join (q16/q46/q156).  Directed h(A,B) = max over a of min
+    over b of the squared micro-degree distance; symmetric H = max of
+    both directions, all integer.
+
+    Scale shape: the cross join runs INSIDE home-cell blocks only
+    (fan-out = points-per-block^2, never corpus^2); two keyed
+    aggregates (min per (pair, a-point), then max per pair)."""
+    lon = f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint)"
+    lat = f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint)"
+    home = geo.rowmajor_cell_sql(geo.lon_sql("min_eid"),
+                                 geo.lat_sql("min_eid"), _Q164_HOME_RES)
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id, {lon} AS x, {lat} AS y FROM events
+),
+h AS (
+  SELECT user_id, {home} AS home
+  FROM (SELECT user_id, min(event_id) AS min_eid FROM events GROUP BY 1)
+),
+pts AS (
+  SELECT p.user_id, h.home, p.x, p.y FROM p JOIN h ON h.user_id = p.user_id
+),
+cand AS (
+  SELECT a.user_id AS u1, b.user_id AS u2, a.home,
+         a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM pts a JOIN pts b ON b.home = a.home AND a.user_id < b.user_id
+),
+mins AS (
+  SELECT u1, u2, ax, ay,
+         min((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) AS d2
+  FROM cand GROUP BY u1, u2, ax, ay
+),
+dir1 AS (SELECT u1, u2, max(d2) AS h12 FROM mins GROUP BY u1, u2),
+mins2 AS (
+  SELECT u1, u2, bx, by,
+         min((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) AS d2
+  FROM cand GROUP BY u1, u2, bx, by
+),
+dir2 AS (SELECT u1, u2, max(d2) AS h21 FROM mins2 GROUP BY u1, u2)
+SELECT d1.u1 AS u1, d1.u2 AS u2,
+       cast(greatest(d1.h12, d2.h21) as bigint) AS hausdorff_sq
+FROM dir1 d1 JOIN dir2 d2 ON d2.u1 = d1.u1 AND d2.u2 = d1.u2
+ORDER BY d1.u1, d1.u2
+"""
+
+
+def q164_track_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q164_sql` (dialect-free SQL)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q164_sql())
+
+
 _Q153_RES = 6       # finest level: events binned at res 6 (q128's grid)
 _Q153_ROUNDS = 4    # compact res 6 -> 5 -> 4 -> 3 -> 2
 
@@ -2633,6 +2728,8 @@ QUERIES = {
     "q162_stationary_visits": (q162_stationary_visits, _q162_sql()),
     "q163_triangle_clustering": (q163_triangle_clustering,
                                  _q163_sql("epoch_us(ts)", "//")),
+    "q164_track_hausdorff": (q164_track_hausdorff, _q164_sql()),
+    "q165_trimmed_mean": (q165_trimmed_mean, _q165_sql("//")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

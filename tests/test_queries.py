@@ -2026,3 +2026,71 @@ def test_q163_triangles_match_python(spark):
         want[x] = (d, tri[x], cc)
     assert got == want and len(got) > 30
     assert sum(t for _, t, _ in got.values()) > 0   # triangles exist
+
+
+def test_q164_hausdorff_matches_python(spark):
+    """Python recompute of the blocked symmetric Hausdorff distances,
+    plus the metric sanity H(A,B) >= directed halves >= 0."""
+    from geowave_spark.queries import QUERIES, _Q164_HOME_RES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["u1"], r["u2"]): r["hausdorff_sq"]
+           for r in QUERIES["q164_track_hausdorff"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, event_id, "
+        f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint) AS x, "
+        f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint) AS y "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    home_pdf = spark.sql(
+        f"SELECT user_id, "
+        f"{geo.rowmajor_cell_sql(geo.lon_sql('min_eid'), geo.lat_sql('min_eid'), _Q164_HOME_RES)} AS home "
+        f"FROM (SELECT user_id, min(event_id) AS min_eid "
+        f"      FROM parquet.`{sf_dir}/events.parquet` GROUP BY 1)"
+    ).toPandas()
+    home = dict(zip(home_pdf["user_id"], home_pdf["home"]))
+    pts = {}
+    for uid, grp in pdf.groupby("user_id"):
+        pts[uid] = list(zip(grp["x"].tolist(), grp["y"].tolist()))
+
+    def directed(a, b):
+        return max(min((ax - bx) ** 2 + (ay - by) ** 2 for bx, by in b)
+                   for ax, ay in a)
+
+    want = {}
+    users = sorted(pts)
+    for i, u1 in enumerate(users):
+        for u2 in users[i + 1:]:
+            if home[u1] == home[u2]:
+                want[(u1, u2)] = max(directed(pts[u1], pts[u2]),
+                                     directed(pts[u2], pts[u1]))
+    assert got == want and len(got) > 100
+    assert all(v > 0 for v in got.values())
+
+
+def test_q165_trimmed_mean_matches_python(spark):
+    """Python recompute of the deterministic 10%-trimmed means."""
+    import math
+
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["event_type"]: (r["n_kept"], r["trimmed_mean_cents"])
+           for r in QUERIES["q165_trimmed_mean"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", "value").toPandas()
+    want = {}
+    for t, grp in pdf.groupby("event_type"):
+        vals = sorted((int(math.floor(v * 100)), int(e))
+                      for e, v in zip(grp["event_id"], grp["value"]))
+        k = len(vals) // 10
+        kept = [c for c, _ in vals[k:len(vals) - k]]
+        want[t] = (len(kept), sum(kept) // len(kept))
+    assert got == want and len(got) == 5
+    # trimming is real: fewer kept than total
+    assert all(n < len(pdf[pdf["event_type"] == t])
+               for t, (n, _) in want.items())
