@@ -368,3 +368,33 @@ def line_profile_stats_df(img: DataFrame) -> DataFrame:
     return img.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema=PROFILE_SCHEMA
     )
+
+
+COMPRESS_SCHEMA = ("image_id string, n_px long, n_runs long, "
+                   "lsb_ones long, msb_ones long")
+
+
+def compress_signature_df(img: DataFrame) -> DataFrame:
+    """Compressibility signature per image — the storage-planning scan a
+    petabyte image lake runs before choosing codecs: horizontal RLE run
+    count (fewer runs => smoother => more compressible), plus LSB/MSB
+    bit-plane population (a saturated LSB plane ~ n/2 means sensor noise;
+    a structured one means synthetic/graphics content).  All integer;
+    one narrow mapInPandas, zero shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                g = gray(codec.decode(r["bytes"], r["fmt"])).astype(np.int64)
+                h, w = g.shape
+                n_runs = h + int((g[:, 1:] != g[:, :-1]).sum())
+                lsb = int((g & 1).sum())
+                msb = int((g >> 7 & 1).sum())
+                rows.append((r["image_id"], h * w, n_runs, lsb, msb))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "n_px", "n_runs", "lsb_ones", "msb_ones"])
+
+    return img.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=COMPRESS_SCHEMA
+    )

@@ -491,6 +491,36 @@ FROM documents GROUP BY doc_id % 101 ORDER BY canonical_id
 """
 
 
+def q166_compress_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility signature (horizontal RLE runs + LSB/MSB bit-plane
+    population) — the codec-planning scan of an image lake; see
+    `image_ops.compress_signature_df`.  Zero shuffles; the oracle
+    rebuilds runs with a per-row lag window and the bit planes with
+    integer masks."""
+    from .multimodal import image_ops
+
+    return image_ops.compress_signature_df(
+        img_tab.images_df(spark, sf_dir)
+    ).orderBy("image_id")
+
+
+def _q166_sql() -> str:
+    return f"""
+WITH {_photometric_base_sql()},
+f AS (
+  SELECT doc_id, image_id, luma,
+         lag(luma) OVER (PARTITION BY doc_id, y ORDER BY x) AS pl
+  FROM px
+)
+SELECT image_id, cast(count(*) as bigint) AS n_px,
+       cast(sum(CASE WHEN pl IS NULL OR luma <> pl THEN 1 ELSE 0 END)
+            as bigint) AS n_runs,
+       cast(sum(luma % 2) as bigint) AS lsb_ones,
+       cast(sum(luma // 128) as bigint) AS msb_ones
+FROM f GROUP BY image_id ORDER BY image_id
+"""
+
+
 def q131_quadrant_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crop-robust image near-dup candidates: pairs sharing ANY quadrant's
     64-bit average-hash (`image_ops.quadrant_hashes_df`) over the
@@ -621,5 +651,6 @@ MULTIMODAL_QUERIES = {
     "q150_line_profiles": (q150_line_profiles, _q150_sql()),
     "q151_rotation_canonical_dedup": (q151_rotation_canonical_dedup,
                                       Q151_SQL),
+    "q166_compress_signature": (q166_compress_signature, _q166_sql()),
     "q131_quadrant_hash_dedup": (q131_quadrant_hash_dedup, _q131_sql()),
 }

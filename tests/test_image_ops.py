@@ -237,3 +237,31 @@ def test_rotation_canonical_hash_invariance_and_clusters(spark, sf_dir):
     assert len(rows) == 101                      # one cluster per content
     assert sum(r["n_copies"] for r in rows) == n_docs
     assert max(r["n_copies"] for r in rows) > 1  # rotations actually merge
+
+
+def test_compress_signature_python_recompute(spark, sf_dir):
+    """Pure-python recompute of runs and bit-plane counts for a few
+    images."""
+    from geowave_spark.multimodal.image_ops import compress_signature_df
+
+    img = img_tab.images_df(spark, sf_dir)
+    got = {r["image_id"]: (r["n_px"], r["n_runs"], r["lsb_ones"],
+                           r["msb_ones"])
+           for r in compress_signature_df(img).collect()}
+    assert len(got) > 50
+
+    for r in img.limit(8).collect():
+        g = img_tab.gray(codec.decode(bytes(r["bytes"]), r["fmt"]))
+        runs = lsb = msb = 0
+        for row in g:
+            runs += 1
+            for a, b in zip(row, row[1:]):
+                if a != b:
+                    runs += 1
+            lsb += sum(int(v) & 1 for v in row)
+            msb += sum(int(v) >> 7 & 1 for v in row)
+        assert got[r["image_id"]] == (g.size, runs, lsb, msb)
+        assert runs <= g.size
+    # the signature separates content: run ratios vary across the corpus
+    ratios = {n_runs * 100 // n_px for n_px, n_runs, *_ in got.values()}
+    assert len(ratios) > 1
