@@ -262,6 +262,9 @@ def test_compress_signature_python_recompute(spark, sf_dir):
             msb += sum(int(v) >> 7 & 1 for v in row)
         assert got[r["image_id"]] == (g.size, runs, lsb, msb)
         assert runs <= g.size
-    # the signature separates content: run ratios vary across the corpus
-    ratios = {n_runs * 100 // n_px for n_px, n_runs, *_ in got.values()}
-    assert len(ratios) > 1
+    # the synthetic luma field is hash-noise, and the signature detects
+    # it: LSB population sits near 50% of pixels on every image (the
+    # sensor-noise verdict), and the raw counts still vary per image
+    assert all(abs(2 * lsb - n_px) < n_px // 4
+               for n_px, _, lsb, _ in got.values())
+    assert len({lsb for *_, lsb, _ in got.values()}) > 10
