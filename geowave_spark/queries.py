@@ -2413,7 +2413,12 @@ def _q164_sql() -> str:
 
     Scale shape: the cross join runs INSIDE home-cell blocks only
     (fan-out = points-per-block^2, never corpus^2); two keyed
-    aggregates (min per (pair, a-point), then max per pair)."""
+    aggregates (min per (pair, a-point), then max per pair).  The home
+    resolution must scale with user density (res 2 fits this corpus's
+    150 users; a planet-scale run picks res so blocks hold ~10^3 users,
+    exactly how `sfc/grid.adaptive_res` sizes covers) — blocking res is
+    a recall/cost dial, not a correctness one, since same-home is the
+    declared candidate contract."""
     lon = f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint)"
     lat = f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint)"
     home = geo.rowmajor_cell_sql(geo.lon_sql("min_eid"),

@@ -1536,7 +1536,11 @@ def _q156(d: G.Dialect) -> str:
     the identical unit-cost Levenshtein DP, so the refine is a
     formula-twin.  Scale shape: the block join is an equi-join on a
     16-byte key; the O(len^2) DP runs only on candidates, never
-    all-pairs."""
+    all-pairs.  Skew note for 10^12 rows: one hot prefix (boilerplate
+    headers) makes its block quadratic — production runs cap block
+    cardinality (count-min the keys, reroute hot blocks through a
+    second signature band, the q16 LSH path), the same hot-key
+    treatment as the salted spatial join."""
     del d  # identical text in both dialects
     return """
 SELECT a.doc_id AS id1, b.doc_id AS id2,
