@@ -2392,6 +2392,53 @@ ORDER BY event_type
 """
 
 
+def _q167_sql(intdiv: str) -> str:
+    """Exact MAD (median absolute deviation) per event_type — the robust
+    dispersion triple-completion after q159's median and q165's trimmed
+    mean: med = lower median of cents; MAD = lower median of |x - med|,
+    both with deterministic (value, event_id) tie order.  Two window
+    passes partitioned by group (the second over the residuals), no
+    global sort, no approximation."""
+    return f"""
+WITH v AS (
+  SELECT event_type, event_id,
+         cast(floor(value * 100) as bigint) AS cents
+  FROM events
+),
+r1 AS (
+  SELECT event_type, event_id, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type, cents AS med
+  FROM r1 WHERE rn = (n + 1) {intdiv} 2
+),
+d AS (
+  SELECT v.event_type, v.event_id, abs(v.cents - m.med) AS dev, m.med
+  FROM v JOIN med m ON m.event_type = v.event_type
+),
+r2 AS (
+  SELECT event_type, dev, med,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY dev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+)
+SELECT event_type, med AS median_cents, dev AS mad_cents
+FROM r2 WHERE rn = (n + 1) {intdiv} 2
+ORDER BY event_type
+"""
+
+
+def q167_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q167_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q167_sql("div"))
+
+
 def q165_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See `_q165_sql`."""
     register_views(spark, sf_dir)
@@ -2735,6 +2782,7 @@ QUERIES = {
                                  _q163_sql("epoch_us(ts)", "//")),
     "q164_track_hausdorff": (q164_track_hausdorff, _q164_sql()),
     "q165_trimmed_mean": (q165_trimmed_mean, _q165_sql("//")),
+    "q167_mad": (q167_mad, _q167_sql("//")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

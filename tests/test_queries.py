@@ -2094,3 +2094,27 @@ def test_q165_trimmed_mean_matches_python(spark):
     # trimming is real: fewer kept than total
     assert all(n < len(pdf[pdf["event_type"] == t])
                for t, (n, _) in want.items())
+
+
+def test_q167_mad_matches_python(spark):
+    """Python recompute of the exact per-group MAD (both medians with
+    deterministic tie order)."""
+    import math
+
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["event_type"]: (r["median_cents"], r["mad_cents"])
+           for r in QUERIES["q167_mad"][0](spark, sf_dir).collect()}
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", "value").toPandas()
+    want = {}
+    for t, grp in pdf.groupby("event_type"):
+        vals = sorted((int(math.floor(v * 100)), int(e))
+                      for e, v in zip(grp["event_id"], grp["value"]))
+        med = vals[(len(vals) + 1) // 2 - 1][0]
+        devs = sorted((abs(c - med), e) for c, e in vals)
+        want[t] = (med, devs[(len(devs) + 1) // 2 - 1][0])
+    assert got == want and len(got) == 5
+    assert all(mad > 0 for _, mad in got.values())
