@@ -2433,6 +2433,154 @@ ORDER BY event_type
 """
 
 
+def _q168_sql(epoch_us: str) -> str:
+    """Movement rose: 8-sector direction histogram of per-user
+    displacements, grouped by origin cell (the flow-visualization
+    aggregate of movement analytics).  Sectors use the RATIONAL
+    quantization of q138's NMS (5|dy| <= 2|dx| -> E/W band, etc.) — no
+    atan2, so both engines bin identically; sector ids 0..7 follow the
+    q147 direction order.  One window lag + one keyed count."""
+    lon = f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint)"
+    lat = f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint)"
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q144_RES)
+    return f"""
+WITH t AS (
+  SELECT user_id, {epoch_us} AS us, {lon} AS x, {lat} AS y,
+         {cell} AS cell
+  FROM events
+),
+v AS (
+  SELECT lag(cell) OVER w AS from_cell,
+         x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy,
+         us - lag(us) OVER w AS dt
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT from_cell,
+         CASE
+           WHEN 5 * abs(dy) <= 2 * abs(dx) THEN
+                CASE WHEN dx > 0 THEN 0 ELSE 4 END
+           WHEN 5 * abs(dx) <= 2 * abs(dy) THEN
+                CASE WHEN dy > 0 THEN 2 ELSE 6 END
+           WHEN dx > 0 AND dy > 0 THEN 1
+           WHEN dx < 0 AND dy > 0 THEN 3
+           WHEN dx < 0 AND dy < 0 THEN 5
+           ELSE 7
+         END AS sector
+  FROM v
+  WHERE from_cell IS NOT NULL AND dt < {_Q144_GAP_US}
+    AND (dx <> 0 OR dy <> 0)
+)
+SELECT cast(from_cell as bigint) AS from_cell, cast(sector as int) AS sector,
+       cast(count(*) as bigint) AS n_moves
+FROM s GROUP BY 1, 2 ORDER BY from_cell, sector
+"""
+
+
+def q168_movement_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q168_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q168_sql("unix_micros(cast(ts as timestamp))"))
+
+
+_Q169_TBIN_US = 86_400_000_000  # 24 h
+
+
+def _q169_sql(epoch_us: str, intdiv: str) -> str:
+    """Knox space-time interaction statistic (epidemiology / crime
+    analytics: are events that are close in space ALSO close in time
+    more often than chance?): over all event pairs, count close-in-space
+    (same res-3 cell), close-in-time (|dt| < 24 h), and close-in-both;
+    the excess ratio both/(expected) is left to the reader as exact
+    integers (n_pairs, n_space, n_time, n_both).  Scale shape: the
+    space count is a per-cell C(n,2) aggregate (never materializes
+    pairs); the time count likewise per 24-h bin PLUS an adjacent-bin
+    equi-join for cross-bin pairs; n_both materializes only same-cell
+    pairs (bounded by cell occupancy, the q164 blocking argument)."""
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q144_RES)
+    b = _Q169_TBIN_US
+    return f"""
+WITH t AS (
+  SELECT event_id, {epoch_us} AS us, {cell} AS cell,
+         ({epoch_us}) {intdiv} {b} AS tbin
+  FROM events
+),
+n AS (SELECT cast(count(*) as bigint) AS n FROM t),
+sp AS (
+  SELECT cast(sum(c * (c - 1) {intdiv} 2) as bigint) AS n_space
+  FROM (SELECT count(*) AS c FROM t GROUP BY cell)
+),
+tm_same AS (
+  SELECT a.event_id AS i1, b.event_id AS i2
+  FROM t a JOIN t b ON b.tbin = a.tbin AND a.event_id < b.event_id
+  WHERE abs(a.us - b.us) < {b}
+),
+tm_adj AS (
+  SELECT a.event_id AS i1, b.event_id AS i2
+  FROM t a JOIN t b ON b.tbin = a.tbin + 1
+  WHERE abs(a.us - b.us) < {b}
+),
+tm AS (
+  SELECT cast((SELECT count(*) FROM tm_same)
+              + (SELECT count(*) FROM tm_adj) as bigint) AS n_time
+),
+bo AS (
+  SELECT cast(count(*) as bigint) AS n_both
+  FROM t a JOIN t b ON b.cell = a.cell AND a.event_id < b.event_id
+  WHERE abs(a.us - b.us) < {b}
+)
+SELECT cast(n.n * (n.n - 1) {intdiv} 2 as bigint) AS n_pairs,
+       sp.n_space, tm.n_time, bo.n_both
+FROM n CROSS JOIN sp CROSS JOIN tm CROSS JOIN bo
+"""
+
+
+def q169_knox_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q169_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q169_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+def _q170_sql(intdiv: str) -> str:
+    """Co-location participation index (Shekhar & Huang): for each
+    ordered event-type pair (a, b), the fraction of type-a events whose
+    res-6 cell ALSO hosts a type-b event — the spatial association-rule
+    primitive (q158 is its temporal-basket sibling).  Scale shape: one
+    distinct (cell, type) projection, one self-equi-join ON CELL
+    (fan-out = types-per-cell^2, bounded by the type vocabulary), one
+    distinct-count per pair against the per-type event totals."""
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q153_RES)
+    return f"""
+WITH t AS (
+  SELECT event_id, event_type, {cell} AS cell FROM events
+),
+tot AS (
+  SELECT event_type, cast(count(*) as bigint) AS n_t FROM t GROUP BY 1
+),
+ct AS (SELECT DISTINCT cell, event_type FROM t),
+part AS (
+  SELECT a.event_type AS type_a, c.event_type AS type_b,
+         cast(count(*) as bigint) AS n_part
+  FROM t a JOIN ct c ON c.cell = a.cell AND c.event_type <> a.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_part,
+       cast(p.n_part * 1000000 {intdiv} t.n_t as bigint) AS pi_micro
+FROM part p JOIN tot t ON t.event_type = p.type_a
+ORDER BY type_a, type_b
+"""
+
+
+def q170_colocation_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q170_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q170_sql("div"))
+
+
 def q167_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See `_q167_sql`."""
     register_views(spark, sf_dir)
@@ -2783,6 +2931,10 @@ QUERIES = {
     "q164_track_hausdorff": (q164_track_hausdorff, _q164_sql()),
     "q165_trimmed_mean": (q165_trimmed_mean, _q165_sql("//")),
     "q167_mad": (q167_mad, _q167_sql("//")),
+    "q168_movement_rose": (q168_movement_rose, _q168_sql("epoch_us(ts)")),
+    "q169_knox_statistic": (q169_knox_statistic,
+                            _q169_sql("epoch_us(ts)", "//")),
+    "q170_colocation_index": (q170_colocation_index, _q170_sql("//")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

@@ -2118,3 +2118,123 @@ def test_q167_mad_matches_python(spark):
         want[t] = (med, devs[(len(devs) + 1) // 2 - 1][0])
     assert got == want and len(got) == 5
     assert all(mad > 0 for _, mad in got.values())
+
+
+def test_q168_movement_rose_matches_python(spark):
+    """Python recompute of the rational 8-sector direction histogram."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES, _Q144_GAP_US, _Q144_RES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["from_cell"], r["sector"]): r["n_moves"]
+           for r in QUERIES["q168_movement_rose"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, unix_micros(cast(ts as timestamp)) AS us, "
+        f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint) AS x, "
+        f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint) AS y, "
+        f"{geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q144_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+
+    def sector(dx, dy):
+        if 5 * abs(dy) <= 2 * abs(dx):
+            return 0 if dx > 0 else 4
+        if 5 * abs(dx) <= 2 * abs(dy):
+            return 2 if dy > 0 else 6
+        if dx > 0 and dy > 0:
+            return 1
+        if dx < 0 and dy > 0:
+            return 3
+        if dx < 0 and dy < 0:
+            return 5
+        return 7
+
+    want = Counter()
+    for _, grp in pdf.groupby("user_id"):
+        evs = sorted(zip(grp["us"], grp["x"], grp["y"], grp["cell"]))
+        for (pu, px_, py_, pc), (cu, cx, cy, _) in zip(evs, evs[1:]):
+            dx, dy = int(cx - px_), int(cy - py_)
+            if cu - pu < _Q144_GAP_US and (dx or dy):
+                want[(int(pc), sector(dx, dy))] += 1
+    assert got == dict(want) and len(got) > 100
+    assert len({s for _, s in got}) == 8    # all sectors occur
+
+
+def test_q169_knox_matches_python(spark):
+    """Brute-force python pair counting of the Knox statistic."""
+    from geowave_spark.queries import QUERIES, _Q144_RES, _Q169_TBIN_US
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    row = QUERIES["q169_knox_statistic"][0](spark, sf_dir).collect()[0]
+
+    pdf = spark.sql(
+        f"SELECT unix_micros(cast(ts as timestamp)) AS us, "
+        f"{geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q144_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    us = pdf["us"].to_numpy()
+    cell = pdf["cell"].to_numpy()
+    n = len(us)
+    import numpy as np
+    n_pairs = n * (n - 1) // 2
+    # space: per-cell C(k,2)
+    from collections import Counter
+    cc = Counter(cell.tolist())
+    n_space = sum(k * (k - 1) // 2 for k in cc.values())
+    # time: sort and two-pointer count of |dt| < 1h
+    s = np.sort(us)
+    n_time = 0
+    j = 0
+    for i in range(n):
+        while s[i] - s[j] >= _Q169_TBIN_US:
+            j += 1
+        n_time += i - j
+    # both: per cell, pairwise
+    n_both = 0
+    by_cell = {}
+    for u, c in zip(us.tolist(), cell.tolist()):
+        by_cell.setdefault(c, []).append(u)
+    for vals in by_cell.values():
+        vals.sort()
+        jj = 0
+        for i in range(len(vals)):
+            while vals[i] - vals[jj] >= _Q169_TBIN_US:
+                jj += 1
+            n_both += i - jj
+    assert (row["n_pairs"], row["n_space"], row["n_time"], row["n_both"]) \
+        == (n_pairs, n_space, n_time, n_both)
+    assert n_both > 0 and n_space > n_both and n_time > n_both
+
+
+def test_q170_colocation_matches_python(spark):
+    """Python recompute of the participation indices."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES, _Q153_RES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["type_a"], r["type_b"]): (r["n_part"], r["pi_micro"])
+           for r in QUERIES["q170_colocation_index"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT event_id, event_type, "
+        f"{geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q153_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    types_in_cell = {}
+    tot = Counter()
+    for t, c in zip(pdf["event_type"], pdf["cell"]):
+        types_in_cell.setdefault(int(c), set()).add(t)
+        tot[t] += 1
+    part = Counter()
+    for t, c in zip(pdf["event_type"], pdf["cell"]):
+        for other in types_in_cell[int(c)]:
+            if other != t:
+                part[(t, other)] += 1
+    want = {k: (v, v * 1_000_000 // tot[k[0]]) for k, v in part.items()}
+    assert got == want and len(got) == 20
+    assert all(0 < p <= 1_000_000 for _, p in got.values())
