@@ -2581,6 +2581,128 @@ def q170_colocation_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q170_sql("div"))
 
 
+def _q171_sql(intdiv: str) -> str:
+    """Per-user mobility profile (the González-et-al human-mobility
+    summary): radius of gyration (squared, integer micro²) around the
+    trunc-division centroid, location diversity (distinct res-6 cells),
+    and the top-cell visit share in micro (integer-encoded argmax picks
+    the most-visited cell, ties to the smallest cell id).  Two keyed
+    aggregates over the same user partition — no window, no sort."""
+    lon = f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint)"
+    lat = f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint)"
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q153_RES)
+    return f"""
+WITH t AS (
+  SELECT user_id, event_id, {lon} AS x, {lat} AS y, {cell} AS cell
+  FROM events
+),
+c AS (
+  SELECT user_id, cast(count(*) as bigint) AS n,
+         sum(x) {intdiv} count(*) AS cx, sum(y) {intdiv} count(*) AS cy,
+         cast(count(DISTINCT cell) as bigint) AS n_cells
+  FROM t GROUP BY user_id
+),
+vc AS (
+  SELECT user_id, cast(count(*) as bigint) AS visits
+  FROM t GROUP BY user_id, cell
+),
+top AS (
+  SELECT user_id, cast(max(visits) as bigint) AS top_visits
+  FROM vc GROUP BY user_id
+),
+rog AS (
+  SELECT t.user_id,
+         sum((t.x - c.cx) * (t.x - c.cx)
+             + (t.y - c.cy) * (t.y - c.cy)) {intdiv} c.n AS rog2
+  FROM t JOIN c ON c.user_id = t.user_id
+  GROUP BY t.user_id, c.n
+)
+SELECT c.user_id, c.n AS n_points, cast(r.rog2 as bigint) AS rog2_micro2,
+       c.n_cells,
+       cast(tp.top_visits * 1000000 {intdiv} c.n as bigint)
+         AS top_share_micro
+FROM c JOIN rog r ON r.user_id = c.user_id
+       JOIN top tp ON tp.user_id = c.user_id
+ORDER BY c.user_id
+"""
+
+
+def q171_mobility_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q171_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q171_sql("div"))
+
+
+def _q172_sql(epoch_us: str, intdiv: str) -> str:
+    """Inter-event time moments per user (burstiness diagnostics): gap
+    count, trunc-division mean gap, and the EXACT second central moment
+    M2 = sum((dt - mean)^2) as integers — the reader derives burstiness
+    (sigma - mu)/(sigma + mu) without the engine ever computing a float.
+    Gaps are in SECONDS (micros squared would overflow int64: a 26-day
+    gap is 2.2e12 us and its square 5e24; in seconds the worst M2 term
+    is ~5e12).  One window lag + two keyed aggregates."""
+    return f"""
+WITH t AS (SELECT user_id, {epoch_us} AS us FROM events),
+g AS (
+  SELECT user_id, (us - lag(us) OVER (PARTITION BY user_id ORDER BY us))
+           {intdiv} 1000000 AS dt
+  FROM t
+),
+d AS (SELECT user_id, dt FROM g WHERE dt IS NOT NULL),
+m AS (
+  SELECT user_id, cast(count(*) as bigint) AS n_gaps,
+         sum(dt) {intdiv} count(*) AS mean_dt
+  FROM d GROUP BY user_id
+)
+SELECT d.user_id, m.n_gaps, cast(m.mean_dt as bigint) AS mean_dt_s,
+       cast(sum((d.dt - m.mean_dt) * (d.dt - m.mean_dt)) as bigint) AS m2
+FROM d JOIN m ON m.user_id = d.user_id
+GROUP BY d.user_id, m.n_gaps, m.mean_dt
+ORDER BY d.user_id
+"""
+
+
+def q172_interevent_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q172_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q172_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+def _q173_sql(epoch_us: str, intdiv: str) -> str:
+    """Weekly retention cohorts (product-analytics classic): per week w,
+    the active-user count and how many of them were also active in week
+    w+1, with the retention rate in micro.  One distinct (user, week)
+    projection, one self-equi-join on (user, week + 1) — both keyed,
+    map-side combinable."""
+    week = f"({epoch_us}) {intdiv} 604800000000"
+    return f"""
+WITH uw AS (SELECT DISTINCT user_id, {week} AS week FROM events),
+act AS (
+  SELECT week, cast(count(*) as bigint) AS n_active FROM uw GROUP BY week
+),
+ret AS (
+  SELECT a.week, cast(count(*) as bigint) AS n_retained
+  FROM uw a JOIN uw b ON b.user_id = a.user_id AND b.week = a.week + 1
+  GROUP BY a.week
+)
+SELECT a.week AS week, a.n_active,
+       cast(coalesce(r.n_retained, 0) as bigint) AS n_retained,
+       cast(coalesce(r.n_retained, 0) * 1000000 {intdiv} a.n_active
+            as bigint) AS retention_micro
+FROM act a LEFT JOIN ret r ON r.week = a.week
+ORDER BY week
+"""
+
+
+def q173_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q173_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q173_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
 def q167_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See `_q167_sql`."""
     register_views(spark, sf_dir)
@@ -2935,6 +3057,11 @@ QUERIES = {
     "q169_knox_statistic": (q169_knox_statistic,
                             _q169_sql("epoch_us(ts)", "//")),
     "q170_colocation_index": (q170_colocation_index, _q170_sql("//")),
+    "q171_mobility_profile": (q171_mobility_profile, _q171_sql("//")),
+    "q172_interevent_moments": (q172_interevent_moments,
+                                _q172_sql("epoch_us(ts)", "//")),
+    "q173_weekly_retention": (q173_weekly_retention,
+                              _q173_sql("epoch_us(ts)", "//")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

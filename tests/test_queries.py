@@ -2238,3 +2238,88 @@ def test_q170_colocation_matches_python(spark):
     want = {k: (v, v * 1_000_000 // tot[k[0]]) for k, v in part.items()}
     assert got == want and len(got) == 20
     assert all(0 < p <= 1_000_000 for _, p in got.values())
+
+
+def test_q171_mobility_profile_matches_python(spark):
+    """Python recompute of rog^2, cell diversity, and top-cell share."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES, _Q153_RES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["user_id"]: (r["n_points"], r["rog2_micro2"], r["n_cells"],
+                          r["top_share_micro"])
+           for r in QUERIES["q171_mobility_profile"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, "
+        f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint) AS x, "
+        f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint) AS y, "
+        f"{geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q153_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        xs, ys = grp["x"].tolist(), grp["y"].tolist()
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        cx = (abs(sx) // n) * (1 if sx >= 0 else -1)
+        cy = (abs(sy) // n) * (1 if sy >= 0 else -1)
+        rog2 = sum((x - cx) ** 2 + (y - cy) ** 2 for x, y in zip(xs, ys)) // n
+        cc = Counter(grp["cell"].tolist())
+        want[uid] = (n, rog2, len(cc), max(cc.values()) * 1_000_000 // n)
+    assert got == want and len(got) == 150
+    assert all(r > 0 for _, r, _, _ in got.values())
+
+
+def test_q172_interevent_moments_match_python(spark):
+    """Python recompute of gap count, trunc mean (seconds), exact M2."""
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["user_id"]: (r["n_gaps"], r["mean_dt_s"], r["m2"])
+           for r in QUERIES["q172_interevent_moments"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, unix_micros(cast(ts as timestamp)) AS us "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        ts = sorted(grp["us"].tolist())
+        gaps = [(b - a) // 1_000_000 for a, b in zip(ts, ts[1:])]
+        if not gaps:
+            continue
+        mean = sum(gaps) // len(gaps)
+        want[uid] = (len(gaps), mean, sum((g - mean) ** 2 for g in gaps))
+    assert got == want and len(got) == 150
+    # bursty: variance is comparable to the mean squared somewhere
+    assert any(m2 > n * mean * mean // 2
+               for n, mean, m2 in got.values())
+
+
+def test_q173_weekly_retention_matches_python(spark):
+    """Python recompute of the weekly retention cohorts."""
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["week"]: (r["n_active"], r["n_retained"], r["retention_micro"])
+           for r in QUERIES["q173_weekly_retention"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT DISTINCT user_id, "
+        f"unix_micros(cast(ts as timestamp)) div 604800000000 AS week "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    weeks = {}
+    for uid, wk in zip(pdf["user_id"], pdf["week"]):
+        weeks.setdefault(int(wk), set()).add(int(uid))
+    want = {}
+    for wk, users in weeks.items():
+        nxt = weeks.get(wk + 1, set())
+        r = len(users & nxt)
+        want[wk] = (len(users), r, r * 1_000_000 // len(users))
+    assert got == want and len(got) >= 4
+    # the synthetic users are long-lived: mid-range weeks retain highly
+    assert max(r for _, _, r in got.values()) > 900_000
