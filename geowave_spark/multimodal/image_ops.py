@@ -398,3 +398,58 @@ def compress_signature_df(img: DataFrame) -> DataFrame:
     return img.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema=COMPRESS_SCHEMA
     )
+
+
+HOG_SCHEMA = ("image_id string, sector int, n_px long, sum_mag long")
+
+
+def hog_lite_df(img: DataFrame) -> DataFrame:
+    """Global gradient-orientation histogram per image (HOG-lite, the
+    classic appearance descriptor): Sobel gradients on interior pixels,
+    |gx|+|gy| magnitude, orientation quantized into 8 RATIONAL sectors
+    (the q138/q168 no-atan2 rule over (gx, gy) signs and the 5|a|<=2|b|
+    axis bands); zero-gradient pixels are excluded.  One narrow
+    mapInPandas, zero shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                g = gray(codec.decode(r["bytes"], r["fmt"])).astype(np.int64)
+                h, w = g.shape
+                gx = np.zeros((h, w), dtype=np.int64)
+                gy = np.zeros((h, w), dtype=np.int64)
+                for (dy, dx), wt in {(-1, -1): -1, (0, -1): -2, (1, -1): -1,
+                                     (-1, 1): 1, (0, 1): 2, (1, 1): 1}.items():
+                    gx[1:h - 1, 1:w - 1] += \
+                        wt * g[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                for (dy, dx), wt in {(-1, -1): -1, (-1, 0): -2, (-1, 1): -1,
+                                     (1, -1): 1, (1, 0): 2, (1, 1): 1}.items():
+                    gy[1:h - 1, 1:w - 1] += \
+                        wt * g[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                gx = gx[1:h - 1, 1:w - 1].ravel()
+                gy = gy[1:h - 1, 1:w - 1].ravel()
+                ax, ay = np.abs(gx), np.abs(gy)
+                mag = ax + ay
+                nz = mag > 0
+                gx, gy, ax, ay, mag = gx[nz], gy[nz], ax[nz], ay[nz], mag[nz]
+                horiz = 5 * ay <= 2 * ax
+                vert = 5 * ax <= 2 * ay
+                sector = np.where(
+                    horiz, np.where(gx > 0, 0, 4),
+                    np.where(vert, np.where(gy > 0, 2, 6),
+                             np.where((gx > 0) & (gy > 0), 1,
+                                      np.where((gx < 0) & (gy > 0), 3,
+                                               np.where((gx < 0) & (gy < 0),
+                                                        5, 7)))))
+                for s in range(8):
+                    m = sector == s
+                    if m.any():
+                        rows.append((r["image_id"], s, int(m.sum()),
+                                     int(mag[m].sum())))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "sector", "n_px", "sum_mag"])
+
+    return img.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=HOG_SCHEMA
+    )

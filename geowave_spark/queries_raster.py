@@ -407,14 +407,10 @@ FROM px GROUP BY image_id ORDER BY image_id
 """
 
 
-def _focal_tiles(spark: SparkSession, sf_dir: str, halo: int = 1):
-    """Shared q98/q103 input: the doc_id % 5 image subset split into a
-    16x16 luma tile relation (subset only bounds the 9-way oracle join —
-    the operators are subset-independent).  ``halo=2`` for the
-    5x5-support kernels (q137 Harris, q138 NMS); image dims are
-    multiples of 8, so every edge tile is >= 8 px and a 2-px halo never
-    reaches past the adjacent tile."""
-    from .raster import focal
+def _subset_images(spark: SparkSession, sf_dir: str):
+    """doc_id % 5 = 3 image subset (bounds pixel-level oracle joins only;
+    the operators are subset-independent): distributed synthesis via one
+    mapInPandas."""
     from .table.images import IMG_SCHEMA, gen_images_pdf
 
     _register_documents(spark, sf_dir)
@@ -427,9 +423,20 @@ def _focal_tiles(spark: SparkSession, sf_dir: str, halo: int = 1):
             if len(pdf):
                 yield gen_images_pdf(pdf)
 
-    img = docs.mapInPandas(gen, schema=IMG_SCHEMA).select(
+    return docs.mapInPandas(gen, schema=IMG_SCHEMA).select(
         "image_id", "bytes", "fmt")
-    return focal.tile_rows(img, tile=16, with_halo=True, halo=halo)
+
+
+def _focal_tiles(spark: SparkSession, sf_dir: str, halo: int = 1):
+    """Shared focal-op input: the subset images split into a 16x16 luma
+    tile relation with neighbor halo strips.  ``halo=2`` for the
+    5x5-support kernels (q137 Harris, q138 NMS); image dims are
+    multiples of 8, so every edge tile is >= 8 px and a 2-px halo never
+    reaches past the adjacent tile."""
+    from .raster import focal
+
+    return focal.tile_rows(_subset_images(spark, sf_dir), tile=16,
+                           with_halo=True, halo=halo)
 
 
 def q98_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,20 +597,8 @@ def q146_patch_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     patches with a pixel×patch-origin range join.  doc_id % 5 = 3 subset
     (bounds the oracle join only)."""
     from .multimodal.image_ops import patch_stats_df
-    from .table.images import IMG_SCHEMA, gen_images_pdf
 
-    _register_documents(spark, sf_dir)
-    docs = spark.sql(
-        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 3"
-    ).repartition(spark.sparkContext.defaultParallelism)
-
-    def gen(batches):
-        for pdf in batches:
-            if len(pdf):
-                yield gen_images_pdf(pdf)
-
-    img = docs.mapInPandas(gen, schema=IMG_SCHEMA).select(
-        "image_id", "bytes", "fmt")
+    img = _subset_images(spark, sf_dir)
     return patch_stats_df(img).orderBy("image_id", "py", "px")
 
 
@@ -629,6 +624,89 @@ FROM po o JOIN px p
  AND p.y >= o.py * {PATCH_STRIDE} AND p.y < o.py * {PATCH_STRIDE} + {PATCH}
 GROUP BY 1, 2, 3
 ORDER BY p.image_id, py, px
+"""
+
+
+def q174_hog_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global gradient-orientation histogram per image (HOG-lite; the
+    appearance descriptor computed before geometric matching — Harris
+    q137 finds WHERE, this summarizes WHICH WAY).  doc_id % 5 = 3 subset
+    (bounds the oracle's 8-way gradient join only); engine is whole-
+    image numpy in one mapInPandas (`image_ops.hog_lite_df`), zero
+    shuffles."""
+    from .multimodal.image_ops import hog_lite_df
+
+    img = _subset_images(spark, sf_dir)
+    return hog_lite_df(img).orderBy("image_id", "sector")
+
+
+def _q174_sql() -> str:
+    return f"""
+WITH {_grad_cte_sql()},
+s AS (
+  SELECT image_id, abs(gx) + abs(gy) AS mag,
+         CASE
+           WHEN 5 * abs(gy) <= 2 * abs(gx) THEN
+                CASE WHEN gx > 0 THEN 0 ELSE 4 END
+           WHEN 5 * abs(gx) <= 2 * abs(gy) THEN
+                CASE WHEN gy > 0 THEN 2 ELSE 6 END
+           WHEN gx > 0 AND gy > 0 THEN 1
+           WHEN gx < 0 AND gy > 0 THEN 3
+           WHEN gx < 0 AND gy < 0 THEN 5
+           ELSE 7
+         END AS sector
+  FROM g WHERE abs(gx) + abs(gy) > 0
+)
+SELECT image_id, cast(sector as int) AS sector,
+       cast(count(*) as bigint) AS n_px,
+       cast(sum(mag) as bigint) AS sum_mag
+FROM s GROUP BY 1, 2 ORDER BY image_id, sector
+"""
+
+
+def q175_tile_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local complexity map: distinct luma values + value range per 16x16
+    tile (the texture-richness screen a curation pipeline uses to drop
+    flat/synthetic regions before training).  The tile relation rows are
+    independent, so the whole op is one mapInPandas over tile rows —
+    zero shuffles, zero joins."""
+    import pandas as pd
+
+    from .raster import focal
+
+    core = focal.tile_rows(_subset_images(spark, sf_dir), tile=16,
+                           with_halo=False)
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for iid, ty, tx, th, tw, data in zip(
+                    pdf["image_id"], pdf["ty"], pdf["tx"],
+                    pdf["th"], pdf["tw"], pdf["data"]):
+                blk = np.frombuffer(data, dtype=np.uint8)
+                rows.append((iid, int(ty), int(tx), int(th) * int(tw),
+                             int(len(np.unique(blk))),
+                             int(blk.max()) - int(blk.min())))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "ty", "tx", "n_px", "n_distinct", "v_range"])
+
+    return core.mapInPandas(
+        stats,
+        schema="image_id string, ty int, tx int, n_px long, "
+               "n_distinct long, v_range long",
+    ).orderBy("image_id", "ty", "tx")
+
+
+def _q175_sql() -> str:
+    return f"""
+WITH {_px_cte_sql()}
+SELECT image_id, cast(y // 16 as int) AS ty, cast(x // 16 as int) AS tx,
+       cast(count(*) as bigint) AS n_px,
+       cast(count(DISTINCT v) as bigint) AS n_distinct,
+       cast(max(v) - min(v) as bigint) AS v_range
+FROM px GROUP BY 1, 2, 3 ORDER BY image_id, ty, tx
 """
 
 
@@ -1263,6 +1341,8 @@ RASTER_QUERIES = {
     "q139_morph_gradient": (q139_morph_gradient, _q139_sql()),
     "q140_lbp_texture": (q140_lbp_texture, _q140_sql()),
     "q146_patch_extraction": (q146_patch_extraction, _q146_sql()),
+    "q174_hog_orientation": (q174_hog_orientation, _q174_sql()),
+    "q175_tile_complexity": (q175_tile_complexity, _q175_sql()),
     "q108_raster_warp": (q108_raster_warp, _q108_sql()),
     "q114_temporal_composite": (q114_temporal_composite, _q114_sql()),
 }

@@ -579,3 +579,70 @@ def test_q146_patches_match_explicit_python_loops(spark, sf_dir, img_pdf):
         if not overlap_checked and (w - PATCH) // PATCH_STRIDE >= 1:
             overlap_checked = True
     assert got == want and len(got) > 0 and overlap_checked
+
+
+def test_q174_hog_matches_whole_image_numpy(spark, sf_dir, img_pdf):
+    """Whole-image recompute of the 8-sector orientation histogram using
+    the shared test Sobel helper (independent slicing path)."""
+    from geowave_spark.queries_raster import RASTER_QUERIES
+
+    got = {(r["image_id"], r["sector"]): (r["n_px"], r["sum_mag"])
+           for r in RASTER_QUERIES["q174_hog_orientation"][0](spark, sf_dir)
+           .collect()}
+
+    want = {}
+    for _, row in img_pdf.iterrows():
+        if int(row["image_id"][3:]) % 5 != 3:
+            continue
+        g = images.gray(codec.decode(row["bytes"], row["fmt"]))
+        h, w = g.shape
+        gx, gy = _whole_image_sobel(g)
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                a, b = int(gx[y, x]), int(gy[y, x])
+                mag = abs(a) + abs(b)
+                if mag == 0:
+                    continue
+                if 5 * abs(b) <= 2 * abs(a):
+                    s = 0 if a > 0 else 4
+                elif 5 * abs(a) <= 2 * abs(b):
+                    s = 2 if b > 0 else 6
+                elif a > 0 and b > 0:
+                    s = 1
+                elif a < 0 and b > 0:
+                    s = 3
+                elif a < 0 and b < 0:
+                    s = 5
+                else:
+                    s = 7
+                k = (row["image_id"], s)
+                n, m = want.get(k, (0, 0))
+                want[k] = (n + 1, m + mag)
+    assert got == want and len(got) > 0
+    assert len({s for _, s in got}) == 8
+
+
+def test_q175_tile_complexity_matches_numpy(spark, sf_dir, img_pdf):
+    """Whole-image recompute of per-tile distinct-value counts."""
+    from geowave_spark.queries_raster import RASTER_QUERIES
+
+    got = {(r["image_id"], r["ty"], r["tx"]):
+           (r["n_px"], r["n_distinct"], r["v_range"])
+           for r in RASTER_QUERIES["q175_tile_complexity"][0](spark, sf_dir)
+           .collect()}
+
+    want = {}
+    for _, row in img_pdf.iterrows():
+        if int(row["image_id"][3:]) % 5 != 3:
+            continue
+        g = images.gray(codec.decode(row["bytes"], row["fmt"]))
+        h, w = g.shape
+        for ty in range((h + 15) // 16):
+            for tx in range((w + 15) // 16):
+                blk = g[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+                want[(row["image_id"], ty, tx)] = (
+                    blk.size, len(np.unique(blk)),
+                    int(blk.max()) - int(blk.min()))
+    assert got == want and len(got) > 0
+    # complexity varies across tiles
+    assert len({d for _, d, _ in got.values()}) > 5
