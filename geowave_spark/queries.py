@@ -2703,6 +2703,95 @@ def q173_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q173_sql("unix_micros(cast(ts as timestamp))", "div"))
 
 
+def _q176_sql(epoch_us: str, intdiv: str) -> str:
+    """Home/work anchor detection per user (the mobility-inference
+    classic): the most-visited res-6 cell in NIGHT hours (22-06 UTC) vs
+    DAY hours (08-18 UTC), integer-encoded argmax (visits * BIG - cell:
+    max visits, ties to the SMALLEST cell), plus each anchor's visit
+    count.  One conditional keyed aggregate — no window, no sort."""
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q153_RES)
+    hour = f"(({epoch_us}) {intdiv} 3600000000) % 24"
+    big = 1 << 30
+    return f"""
+WITH t AS (
+  SELECT user_id, {cell} AS cell,
+         CASE WHEN {hour} >= 22 OR {hour} < 6 THEN 'night'
+              WHEN {hour} >= 8 AND {hour} < 18 THEN 'day'
+              ELSE NULL END AS band
+  FROM events
+),
+v AS (
+  SELECT user_id, band, cell, cast(count(*) as bigint) AS visits
+  FROM t WHERE band IS NOT NULL GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT user_id, band, max(visits * {big} + ({big} - 1 - cell)) AS enc
+  FROM v GROUP BY 1, 2
+)
+SELECT user_id, band,
+       cast({big} - 1 - enc % {big} as bigint) AS anchor_cell,
+       cast(enc {intdiv} {big} as bigint) AS visits
+FROM m ORDER BY user_id, band
+"""
+
+
+def q176_home_work_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q176_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q176_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+def _q178_sql(epoch_us: str, intdiv: str) -> str:
+    """Conversion funnel (view -> click -> purchase, strictly ordered in
+    time per user, each step within 24 h of the previous): stage
+    timestamps chain by strict inequality + a step deadline — the
+    product-analytics primitive.  Three conditional aggregates chained
+    through two tiny per-user joins (never a row-level pattern scan);
+    output is the per-stage user count + micro conversion vs stage 1."""
+    return f"""
+WITH t AS (SELECT user_id, event_type, {epoch_us} AS us FROM events),
+s1 AS (
+  SELECT user_id, min(us) AS t1 FROM t WHERE event_type = 'view'
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT t.user_id, min(t.us) AS t2
+  FROM t JOIN s1 ON s1.user_id = t.user_id
+  WHERE t.event_type = 'click' AND t.us > s1.t1
+    AND t.us < s1.t1 + 86400000000
+  GROUP BY t.user_id
+),
+s3 AS (
+  SELECT t.user_id, min(t.us) AS t3
+  FROM t JOIN s2 ON s2.user_id = t.user_id
+  WHERE t.event_type = 'purchase' AND t.us > s2.t2
+    AND t.us < s2.t2 + 86400000000
+  GROUP BY t.user_id
+),
+c AS (
+  SELECT cast((SELECT count(*) FROM s1) as bigint) AS n1,
+         cast((SELECT count(*) FROM s2) as bigint) AS n2,
+         cast((SELECT count(*) FROM s3) as bigint) AS n3
+)
+SELECT stage, n_users,
+       cast(n_users * 1000000 {intdiv} first_n as bigint) AS conv_micro
+FROM (
+  SELECT 1 AS stage, n1 AS n_users, n1 AS first_n FROM c
+  UNION ALL SELECT 2, n2, n1 FROM c
+  UNION ALL SELECT 3, n3, n1 FROM c
+) u ORDER BY stage
+"""
+
+
+def q178_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q178_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q178_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
 def q167_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See `_q167_sql`."""
     register_views(spark, sf_dir)
@@ -3062,6 +3151,10 @@ QUERIES = {
                                 _q172_sql("epoch_us(ts)", "//")),
     "q173_weekly_retention": (q173_weekly_retention,
                               _q173_sql("epoch_us(ts)", "//")),
+    "q176_home_work_anchors": (q176_home_work_anchors,
+                               _q176_sql("epoch_us(ts)", "//")),
+    "q178_conversion_funnel": (q178_conversion_funnel,
+                               _q178_sql("epoch_us(ts)", "//")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

@@ -2323,3 +2323,74 @@ def test_q173_weekly_retention_matches_python(spark):
     assert got == want and len(got) >= 4
     # the synthetic users are long-lived: mid-range weeks retain highly
     assert max(r for _, _, r in got.values()) > 900_000
+
+
+def test_q176_home_work_matches_python(spark):
+    """Python recompute of the band-conditional visit argmax."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES, _Q153_RES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["user_id"], r["band"]): (r["anchor_cell"], r["visits"])
+           for r in QUERIES["q176_home_work_anchors"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, "
+        f"(unix_micros(cast(ts as timestamp)) div 3600000000) % 24 AS hour, "
+        f"{geo.rowmajor_cell_sql(geo.lon_sql('event_id'), geo.lat_sql('event_id'), _Q153_RES)} AS cell "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    counts = Counter()
+    for uid, hr, cell in zip(pdf["user_id"], pdf["hour"], pdf["cell"]):
+        band = ("night" if hr >= 22 or hr < 6
+                else "day" if 8 <= hr < 18 else None)
+        if band:
+            counts[(int(uid), band, int(cell))] += 1
+    best = {}
+    for (uid, band, cell), v in counts.items():
+        k = (uid, band)
+        cur = best.get(k)
+        if cur is None or (v, -cell) > (cur[1], -cur[0]):
+            best[k] = (cell, v)
+    assert got == best and len(got) == 300
+    # anchors differ between night and day for at least some users
+    assert any(got[(u, "night")][0] != got[(u, "day")][0]
+               for u, b in got if b == "night" and (u, "day") in got)
+
+
+def test_q178_funnel_matches_python(spark):
+    """Python recompute of the strictly ordered 3-stage funnel."""
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["stage"]: (r["n_users"], r["conv_micro"])
+           for r in QUERIES["q178_conversion_funnel"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, event_type, unix_micros(cast(ts as timestamp)) "
+        f"AS us FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    n1 = n2 = n3 = 0
+    for _, grp in pdf.groupby("user_id"):
+        views = grp[grp["event_type"] == "view"]["us"]
+        if views.empty:
+            continue
+        n1 += 1
+        t1 = views.min()
+        clicks = grp[(grp["event_type"] == "click") & (grp["us"] > t1)
+                     & (grp["us"] < t1 + 86_400_000_000)]["us"]
+        if clicks.empty:
+            continue
+        n2 += 1
+        t2 = clicks.min()
+        buys = grp[(grp["event_type"] == "purchase") & (grp["us"] > t2)
+                   & (grp["us"] < t2 + 86_400_000_000)]["us"]
+        if buys.empty:
+            continue
+        n3 += 1
+    want = {1: (n1, 1_000_000), 2: (n2, n2 * 1_000_000 // n1),
+            3: (n3, n3 * 1_000_000 // n1)}
+    assert got == want
+    assert n1 > n3 > 0   # the funnel actually narrows
