@@ -2743,6 +2743,40 @@ def q176_home_work_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q176_sql("unix_micros(cast(ts as timestamp))", "div"))
 
 
+def _q177_sql(epoch_us: str, intdiv: str) -> str:
+    """Hour-of-day seasonality profile per event type: counts per
+    (type, hour) plus each type's peak hour by integer-encoded argmax
+    (ties to the earliest hour) and its share in micro — the diurnal
+    rhythm screen run before any temporal anomaly model."""
+    hour = f"(({epoch_us}) {intdiv} 3600000000) % 24"
+    big = 1 << 20
+    return f"""
+WITH t AS (SELECT event_type, {hour} AS hour FROM events),
+h AS (
+  SELECT event_type, hour, cast(count(*) as bigint) AS n
+  FROM t GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, max(n * {big} + (23 - hour)) AS enc,
+         sum(n) AS tot
+  FROM h GROUP BY event_type
+)
+SELECT h.event_type AS event_type, cast(h.hour as int) AS hour, h.n,
+       cast(23 - m.enc % {big} as int) AS peak_hour,
+       cast((m.enc {intdiv} {big}) * 1000000 {intdiv} m.tot as bigint)
+         AS peak_share_micro
+FROM h JOIN m ON m.event_type = h.event_type
+ORDER BY h.event_type, hour
+"""
+
+
+def q177_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q177_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q177_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
 def _q178_sql(epoch_us: str, intdiv: str) -> str:
     """Conversion funnel (view -> click -> purchase, strictly ordered in
     time per user, each step within 24 h of the previous): stage
@@ -3153,6 +3187,8 @@ QUERIES = {
                               _q173_sql("epoch_us(ts)", "//")),
     "q176_home_work_anchors": (q176_home_work_anchors,
                                _q176_sql("epoch_us(ts)", "//")),
+    "q177_hourly_seasonality": (q177_hourly_seasonality,
+                                _q177_sql("epoch_us(ts)", "//")),
     "q178_conversion_funnel": (q178_conversion_funnel,
                                _q178_sql("epoch_us(ts)", "//")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),

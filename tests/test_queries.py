@@ -2394,3 +2394,31 @@ def test_q178_funnel_matches_python(spark):
             3: (n3, n3 * 1_000_000 // n1)}
     assert got == want
     assert n1 > n3 > 0   # the funnel actually narrows
+
+
+def test_q177_hourly_seasonality_matches_python(spark):
+    """Python recompute of the per-type hour histogram + peak argmax."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["event_type"], r["hour"]):
+           (r["n"], r["peak_hour"], r["peak_share_micro"])
+           for r in QUERIES["q177_hourly_seasonality"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT event_type, "
+        f"(unix_micros(cast(ts as timestamp)) div 3600000000) % 24 AS hour "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    h = Counter(zip(pdf["event_type"], pdf["hour"]))
+    want = {}
+    for t in pdf["event_type"].unique():
+        hours = {hr: n for (tt, hr), n in h.items() if tt == t}
+        tot = sum(hours.values())
+        peak = max(hours, key=lambda hr: (hours[hr], -hr))
+        for hr, n in hours.items():
+            want[(t, int(hr))] = (n, int(peak),
+                                  hours[peak] * 1_000_000 // tot)
+    assert got == want and len(got) == 120   # 5 types x 24 hours
