@@ -521,6 +521,48 @@ FROM f GROUP BY image_id ORDER BY image_id
 """
 
 
+def q179_vignette_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vignetting / lens-shading screen: center-quarter vs corner-quarter
+    mean luma (milli) + micro ratio; see
+    `image_ops.vignette_stats_df`.  Zero shuffles; the oracle sums the
+    same regions with integer bounds."""
+    from .multimodal import image_ops
+
+    return image_ops.vignette_stats_df(
+        img_tab.images_df(spark, sf_dir)
+    ).orderBy("image_id")
+
+
+def _q179_sql() -> str:
+    return f"""
+WITH {_photometric_base_sql()},
+b AS (
+  SELECT doc_id, image_id, w, h, x, y, luma,
+         h // 4 AS qh, w // 4 AS qw,
+         h // 2 - (h // 4) // 2 AS cy0, w // 2 - (w // 4) // 2 AS cx0
+  FROM px
+),
+c AS (
+  SELECT image_id,
+         sum(CASE WHEN y >= cy0 AND y < cy0 + qh
+                   AND x >= cx0 AND x < cx0 + qw THEN luma END) AS cs,
+         sum(CASE WHEN y >= cy0 AND y < cy0 + qh
+                   AND x >= cx0 AND x < cx0 + qw THEN 1 END) AS cn,
+         sum(CASE WHEN (y < qh OR y >= h - qh)
+                   AND (x < qw OR x >= w - qw) THEN luma END) AS ks,
+         sum(CASE WHEN (y < qh OR y >= h - qh)
+                   AND (x < qw OR x >= w - qw) THEN 1 END) AS kn
+  FROM b GROUP BY image_id
+)
+SELECT image_id,
+       cast(cs * 1000 // cn as bigint) AS center_mean_milli,
+       cast(ks * 1000 // kn as bigint) AS corner_mean_milli,
+       cast((cs * 1000 // cn) * 1000000 // (ks * 1000 // kn) as bigint)
+         AS ratio_micro
+FROM c ORDER BY image_id
+"""
+
+
 def q131_quadrant_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crop-robust image near-dup candidates: pairs sharing ANY quadrant's
     64-bit average-hash (`image_ops.quadrant_hashes_df`) over the
@@ -652,5 +694,6 @@ MULTIMODAL_QUERIES = {
     "q151_rotation_canonical_dedup": (q151_rotation_canonical_dedup,
                                       Q151_SQL),
     "q166_compress_signature": (q166_compress_signature, _q166_sql()),
+    "q179_vignette_screen": (q179_vignette_screen, _q179_sql()),
     "q131_quadrant_hash_dedup": (q131_quadrant_hash_dedup, _q131_sql()),
 }

@@ -268,3 +268,30 @@ def test_compress_signature_python_recompute(spark, sf_dir):
     assert all(abs(2 * lsb - n_px) < n_px // 4
                for n_px, _, lsb, _ in got.values())
     assert len({lsb for *_, lsb, _ in got.values()}) > 10
+
+
+def test_vignette_stats_python_recompute(spark, sf_dir):
+    """Pure-python region-sum recompute of the vignetting screen."""
+    from geowave_spark.multimodal.image_ops import vignette_stats_df
+
+    img = img_tab.images_df(spark, sf_dir)
+    got = {r["image_id"]: (r["center_mean_milli"], r["corner_mean_milli"],
+                           r["ratio_micro"])
+           for r in vignette_stats_df(img).collect()}
+    assert len(got) > 50
+
+    for r in img.limit(8).collect():
+        g = img_tab.gray(codec.decode(bytes(r["bytes"]), r["fmt"]))
+        h, w = g.shape
+        qh, qw = h // 4, w // 4
+        cy0, cx0 = h // 2 - qh // 2, w // 2 - qw // 2
+        center = g[cy0:cy0 + qh, cx0:cx0 + qw]
+        corners = [g[:qh, :qw], g[:qh, w - qw:],
+                   g[h - qh:, :qw], g[h - qh:, w - qw:]]
+        cm = int(center.sum()) * 1000 // center.size
+        km = sum(int(c.sum()) for c in corners) * 1000 \
+            // sum(c.size for c in corners)
+        assert got[r["image_id"]] == (cm, km, cm * 1_000_000 // km)
+    # the luma field is globally stationary: ratios cluster near 1e6
+    assert sum(abs(v[2] - 1_000_000) < 300_000
+               for v in got.values()) > len(got) // 2
