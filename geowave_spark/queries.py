@@ -2826,6 +2826,51 @@ def q178_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q178_sql("unix_micros(cast(ts as timestamp))", "div"))
 
 
+_Q180_BIG = 1 << 20
+
+
+def _q180_sql(intdiv: str) -> str:
+    """Nearest-facility catchment assignment (discrete Voronoi): every
+    event assigned to its nearest of 8 facility sites (derived from the
+    first 8 suppliers' hash coordinates), then per-facility catchment
+    stats — the logistics/coverage primitive (the reference's kNN keys
+    point pairs; this partitions the plane).  The facility set is a
+    broadcast-size dimension: one cross join of events x 8 rows with an
+    integer-encoded argmin (d2-major, facility-id minor for ties), then
+    one keyed aggregate.  Distances are squared CENTI-degree integers
+    (micro^2 would overflow the argmin encode: 2.7e17 * 2^20 > 2^63;
+    centi keeps d2 <= 2.6e9 and the encode <= 2.8e15)."""
+    elon = f"cast(floor(({geo.lon_sql('event_id')}) * 100) as bigint)"
+    elat = f"cast(floor(({geo.lat_sql('event_id')}) * 100) as bigint)"
+    slon = f"cast(floor(({geo.lon_sql('s_suppkey')}) * 100) as bigint)"
+    slat = f"cast(floor(({geo.lat_sql('s_suppkey')}) * 100) as bigint)"
+    return f"""
+WITH f AS (
+  SELECT s_suppkey AS fac_id, {slon} AS fx, {slat} AS fy
+  FROM supplier WHERE s_suppkey < 8
+),
+e AS (SELECT event_id, {elon} AS x, {elat} AS y FROM events),
+a AS (
+  SELECT e.event_id,
+         min(((e.x - f.fx) * (e.x - f.fx) + (e.y - f.fy) * (e.y - f.fy))
+             * {_Q180_BIG} + f.fac_id) AS enc
+  FROM e CROSS JOIN f
+  GROUP BY e.event_id
+)
+SELECT cast(enc % {_Q180_BIG} as bigint) AS fac_id,
+       cast(count(*) as bigint) AS n_assigned,
+       cast(sum(enc {intdiv} {_Q180_BIG}) as bigint) AS sum_d2_centi,
+       cast(max(enc {intdiv} {_Q180_BIG}) as bigint) AS max_d2_centi
+FROM a GROUP BY 1 ORDER BY fac_id
+"""
+
+
+def q180_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q180_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q180_sql("div"))
+
+
 def q167_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See `_q167_sql`."""
     register_views(spark, sf_dir)
@@ -3191,6 +3236,7 @@ QUERIES = {
                                 _q177_sql("epoch_us(ts)", "//")),
     "q178_conversion_funnel": (q178_conversion_funnel,
                                _q178_sql("epoch_us(ts)", "//")),
+    "q180_nearest_facility": (q180_nearest_facility, _q180_sql("//")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

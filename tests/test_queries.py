@@ -2422,3 +2422,36 @@ def test_q177_hourly_seasonality_matches_python(spark):
             want[(t, int(hr))] = (n, int(peak),
                                   hours[peak] * 1_000_000 // tot)
     assert got == want and len(got) == 120   # 5 types x 24 hours
+
+
+def test_q180_nearest_facility_matches_python(spark):
+    """Python recompute of the argmin assignment and catchment stats."""
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["fac_id"]: (r["n_assigned"], r["sum_d2_centi"],
+                         r["max_d2_centi"])
+           for r in QUERIES["q180_nearest_facility"][0](spark, sf_dir)
+           .collect()}
+
+    ev = spark.sql(
+        f"SELECT cast(floor(({geo.lon_sql('event_id')}) * 100) as bigint) AS x, "
+        f"cast(floor(({geo.lat_sql('event_id')}) * 100) as bigint) AS y "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    fac = spark.sql(
+        f"SELECT s_suppkey AS fac_id, "
+        f"cast(floor(({geo.lon_sql('s_suppkey')}) * 100) as bigint) AS fx, "
+        f"cast(floor(({geo.lat_sql('s_suppkey')}) * 100) as bigint) AS fy "
+        f"FROM parquet.`{sf_dir}/supplier.parquet` WHERE s_suppkey < 8"
+    ).collect()
+    sites = [(int(r["fac_id"]), int(r["fx"]), int(r["fy"])) for r in fac]
+    agg = {}
+    for x, y in zip(ev["x"].tolist(), ev["y"].tolist()):
+        d2, fid = min(((x - fx) ** 2 + (y - fy) ** 2, i)
+                      for i, fx, fy in sites)
+        n, s, m = agg.get(fid, (0, 0, 0))
+        agg[fid] = (n + 1, s + d2, max(m, d2))
+    assert got == agg and len(got) == 8
+    # the partition is non-trivial: every facility catches something
+    assert min(n for n, _, _ in got.values()) > 0
