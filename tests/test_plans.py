@@ -443,3 +443,23 @@ def test_q152_covariance_partial_aggregation(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # partial_sum before the exchange on the pair key
     assert "partial_sum" in plan
+
+
+def test_q164_hausdorff_blocked_join_shape(spark, sf_dir):
+    """Hausdorff: the pair join is a keyed equi-join on the home-cell
+    block (never a CartesianProduct), and both keyed aggregates run
+    with map-side partials."""
+    plan = _plan(spark, sf_dir, "q164_track_hausdorff")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial_max" in plan
+
+
+def test_q180_nearest_facility_broadcast(spark, sf_dir):
+    """Nearest-facility: the 8-row facility dim rides a broadcast
+    (BroadcastNestedLoopJoin over the tiny side is acceptable — the big
+    side never shuffles for the join), and the argmin aggregate is
+    map-side combinable."""
+    plan = _plan(spark, sf_dir, "q180_nearest_facility")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan
