@@ -2871,6 +2871,87 @@ def q180_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q180_sql("div"))
 
 
+def _q181_sql() -> str:
+    """Benford first-significant-digit audit of the value column per
+    event type (data-forensics screen for fabricated/corrupted numeric
+    feeds): digit extracted ARITHMETICALLY from integer cents (a CASE
+    ladder over magnitude — string formatting of floats differs between
+    engines, integers don't), counts per (type, digit)."""
+    return """
+WITH v AS (
+  SELECT event_type, cast(floor(value * 100) as bigint) AS c
+  FROM events WHERE value > 0
+),
+d AS (
+  SELECT event_type,
+         CASE WHEN c >= 100000 THEN c / 100000
+              WHEN c >= 10000 THEN c / 10000
+              WHEN c >= 1000 THEN c / 1000
+              WHEN c >= 100 THEN c / 100
+              WHEN c >= 10 THEN c / 10
+              ELSE c END AS draw
+  FROM v
+)
+SELECT event_type, cast(floor(draw) as int) AS digit,
+       cast(count(*) as bigint) AS n
+FROM d GROUP BY 1, 2 ORDER BY event_type, digit
+"""
+
+
+def q181_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q181_sql` (dialect-free: `/` on integers is float division
+    in BOTH engines, then floor)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q181_sql())
+
+
+def _q182_sql(epoch_us: str, intdiv: str) -> str:
+    """CUSUM changepoint detection over each type's daily count series
+    (monitoring primitive: WHEN did the rate shift?): the classic
+    statistic max_d |sum_{i<=d}(x_i - mean)| computed EXACTLY in
+    integers by scaling — cum_d = sum_{i<=d}(x_i * D - T) where D = the
+    series length and T = the series total, so mean never becomes a
+    fraction.  Argmax day by integer encode (max |cum|, ties to the
+    EARLIEST day).  One day aggregate + one window cumsum + one keyed
+    argmax."""
+    day = f"({epoch_us}) {intdiv} 86400000000"
+    big = 1 << 20
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, cast(count(*) as bigint) AS x
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, cast(count(*) as bigint) AS dd,
+         cast(sum(x) as bigint) AS tot
+  FROM daily GROUP BY 1
+),
+c AS (
+  SELECT d.event_type, d.day,
+         sum(d.x * m.dd - m.tot) OVER (PARTITION BY d.event_type
+                                       ORDER BY d.day
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM daily d JOIN m ON m.event_type = d.event_type
+),
+e AS (
+  SELECT event_type,
+         max(abs(cum) * {big} + ({big} - 1 - day)) AS enc
+  FROM c GROUP BY event_type
+)
+SELECT event_type,
+       cast({big} - 1 - enc % {big} as bigint) AS cp_day,
+       cast(enc {intdiv} {big} as bigint) AS max_cusum_scaled
+FROM e ORDER BY event_type
+"""
+
+
+def q182_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q182_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q182_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
 def q167_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See `_q167_sql`."""
     register_views(spark, sf_dir)
@@ -3237,6 +3318,9 @@ QUERIES = {
     "q178_conversion_funnel": (q178_conversion_funnel,
                                _q178_sql("epoch_us(ts)", "//")),
     "q180_nearest_facility": (q180_nearest_facility, _q180_sql("//")),
+    "q181_benford_audit": (q181_benford_audit, _q181_sql()),
+    "q182_cusum_changepoint": (q182_cusum_changepoint,
+                               _q182_sql("epoch_us(ts)", "//")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

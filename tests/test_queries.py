@@ -2455,3 +2455,66 @@ def test_q180_nearest_facility_matches_python(spark):
     assert got == agg and len(got) == 8
     # the partition is non-trivial: every facility catches something
     assert min(n for n, _, _ in got.values()) > 0
+
+
+def test_q181_benford_matches_python(spark):
+    """Python recompute of the first-significant-digit counts."""
+    import math
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["event_type"], r["digit"]): r["n"]
+           for r in QUERIES["q181_benford_audit"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value").toPandas()
+    want = Counter()
+    for t, v in zip(pdf["event_type"], pdf["value"]):
+        if v <= 0:
+            continue
+        c = int(math.floor(v * 100))
+        want[(t, int(str(c)[0]))] += 1
+    assert got == dict(want) and len(got) == 45   # 5 types x digits 1-9
+    # the synthetic values span ~3 decades, so they approximate Benford:
+    # digit 1 dominates digit 9 corpus-wide (1-share measured ~0.28
+    # vs the log10(2) = 0.301 ideal)
+    ones = sum(n for (t, d), n in got.items() if d == 1)
+    nines = sum(n for (t, d), n in got.items() if d == 9)
+    assert ones > 2 * nines
+
+
+def test_q182_cusum_matches_python(spark):
+    """Python recompute of the scaled CUSUM maxima and changepoint days."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["event_type"]: (r["cp_day"], r["max_cusum_scaled"])
+           for r in QUERIES["q182_cusum_changepoint"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT event_type, unix_micros(cast(ts as timestamp)) "
+        f"div 86400000000 AS day FROM parquet.`{sf_dir}/events.parquet`"
+    ).toPandas()
+    daily = Counter(zip(pdf["event_type"], pdf["day"]))
+    want = {}
+    for t in pdf["event_type"].unique():
+        series = sorted((int(d), n) for (tt, d), n in daily.items()
+                        if tt == t)
+        dd = len(series)
+        tot = sum(n for _, n in series)
+        cum = 0
+        best = None
+        for d, x in series:
+            cum += x * dd - tot
+            key = (abs(cum), -d)
+            if best is None or key > best[0]:
+                best = (key, d, abs(cum))
+        want[t] = (best[1], best[2])
+    assert got == want and len(got) == 5
+    assert all(m > 0 for _, m in got.values())
