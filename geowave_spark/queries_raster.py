@@ -710,6 +710,65 @@ FROM px GROUP BY 1, 2, 3 ORDER BY image_id, ty, tx
 """
 
 
+def q183_footprint_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise IoU of overlapping image footprints — THE detection /
+    scene-dedup overlap metric (q101 answers how much two rects share;
+    IoU normalizes it for thresholding).  Engine: the q101 distributed
+    cover overlay join run SELF-ways (both sides the image footprint
+    table), aid < bid dedup, then IoU derived ONLY from already-floored
+    integer areas (inter * 1e6 // (aA + aB - inter)) so the ratio is
+    engine-exact despite the float geometry underneath."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from .join import spatial
+    from .table import images as images_mod
+    from .table.views import register_views
+
+    register_views(spark, sf_dir)
+    fps = spark.sql(
+        f"SELECT doc_id AS fid, lon0, lat0, lon1, lat1, "
+        f"cast(floor(1000000.0 * (lon1 - lon0) * (lat1 - lat0)) as bigint) "
+        f"AS area_micro "
+        f"FROM ({images_mod.images_base_sql()})")
+    pairs = spatial.rect_overlay_join(
+        spark, fps.selectExpr("fid AS bid", "lon0", "lat0", "lon1", "lat1"),
+        fps.selectExpr("fid AS aid", "lon0", "lat0", "lon1", "lat1"),
+        res=7, aid_col="bid", bid_col="aid",
+    ).filter("aid < bid")
+    a = fps.selectExpr("fid AS aid", "area_micro AS a_area")
+    b = fps.selectExpr("fid AS bid", "area_micro AS b_area")
+    return (
+        pairs.join(F.broadcast(a), "aid").join(F.broadcast(b), "bid")
+        .selectExpr(
+            "aid", "bid", "area_micro AS inter_micro",
+            "cast(area_micro * 1000000 div "
+            "(a_area + b_area - area_micro) as bigint) AS iou_micro")
+        .orderBy("aid", "bid")
+    )
+
+
+def _q183_sql() -> str:
+    from .table import images as images_mod
+
+    inter = ("cast(floor(1000000.0 * (least(a.lon1, b.lon1) - greatest(a.lon0, b.lon0))"
+             " * (least(a.lat1, b.lat1) - greatest(a.lat0, b.lat0))) as bigint)")
+    area = "cast(floor(1000000.0 * (lon1 - lon0) * (lat1 - lat0)) as bigint)"
+    return f"""
+WITH f AS (
+  SELECT doc_id AS fid, lon0, lat0, lon1, lat1, {area} AS area_micro
+  FROM ({images_mod.images_base_sql()})
+)
+SELECT a.fid AS aid, b.fid AS bid, {inter} AS inter_micro,
+       cast({inter} * 1000000 //
+            (a.area_micro + b.area_micro - {inter}) as bigint) AS iou_micro
+FROM f a JOIN f b
+  ON a.lon0 < b.lon1 AND b.lon0 < a.lon1
+ AND a.lat0 < b.lat1 AND b.lat0 < a.lat1
+ AND a.fid < b.fid
+ORDER BY aid, bid
+"""
+
+
 def _px_cte_sql() -> str:
     """Shared oracle prefix: decoded-luma pixel relation
     px(doc_id, image_id, w, h, x, y, v) for the doc_id % 5 = 3 subset."""
@@ -1343,6 +1402,7 @@ RASTER_QUERIES = {
     "q146_patch_extraction": (q146_patch_extraction, _q146_sql()),
     "q174_hog_orientation": (q174_hog_orientation, _q174_sql()),
     "q175_tile_complexity": (q175_tile_complexity, _q175_sql()),
+    "q183_footprint_iou": (q183_footprint_iou, _q183_sql()),
     "q108_raster_warp": (q108_raster_warp, _q108_sql()),
     "q114_temporal_composite": (q114_temporal_composite, _q114_sql()),
 }

@@ -646,3 +646,36 @@ def test_q175_tile_complexity_matches_numpy(spark, sf_dir, img_pdf):
     assert got == want and len(got) > 0
     # complexity varies across tiles
     assert len({d for _, d, _ in got.values()}) > 5
+
+
+def test_q183_footprint_iou_matches_python(spark, sf_dir):
+    """Brute-force python recompute of the footprint IoU pairs, plus the
+    IoU bound 0 < iou <= 1e6."""
+    from geowave_spark.queries_raster import RASTER_QUERIES
+    from geowave_spark.table import images as images_mod
+
+    got = {(r["aid"], r["bid"]): (r["inter_micro"], r["iou_micro"])
+           for r in RASTER_QUERIES["q183_footprint_iou"][0](spark, sf_dir)
+           .collect()}
+
+    fps = spark.sql(
+        f"SELECT doc_id AS fid, lon0, lat0, lon1, lat1 "
+        f"FROM ({images_mod.images_base_sql()})").collect()
+    import math
+    rects = [(r["fid"], r["lon0"], r["lat0"], r["lon1"], r["lat1"])
+             for r in fps]
+    areas = {fid: math.floor(1e6 * (x1 - x0) * (y1 - y0))
+             for fid, x0, y0, x1, y1 in rects}
+    want = {}
+    for i, (fa, ax0, ay0, ax1, ay1) in enumerate(rects):
+        for fb, bx0, by0, bx1, by1 in rects[i + 1:]:
+            a, b = (fa, fb) if fa < fb else (fb, fa)
+            if ax0 < bx1 and bx0 < ax1 and ay0 < by1 and by0 < ay1:
+                inter = math.floor(
+                    1e6 * (min(ax1, bx1) - max(ax0, bx0))
+                    * (min(ay1, by1) - max(ay0, by0)))
+                want[(a, b)] = (
+                    inter,
+                    inter * 1_000_000 // (areas[fa] + areas[fb] - inter))
+    assert got == want and len(got) > 100
+    assert all(0 < i <= 1_000_000 for _, i in got.values())
