@@ -1554,6 +1554,41 @@ ORDER BY id1, id2
 """
 
 
+def _q184(d: G.Dialect) -> str:
+    """Collocation mining: top word pairs by document-co-occurrence lift
+    (the PMI-style association scan of corpus linguistics; q158 is the
+    temporal-basket twin, this is the lexical one).  Candidate space is
+    bounded twice: only words in >= 25 documents enter (tiny frequent
+    vocabulary), and pairs need support >= 15; lift in trunc-division
+    micro.  Scale shape: distinct (doc, word) projection, frequent-word
+    semi-join, self-equi-join ON DOC (fan-out = frequent-words-per-doc
+    squared), keyed counts; final top-50 is a bounded sort over the
+    (tiny) pair aggregate."""
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, {d.explode(G.tokens(d))} AS w FROM documents
+),
+freq AS (
+  SELECT w, cast(count(*) as bigint) AS df FROM tok GROUP BY w
+  HAVING count(*) >= 25
+),
+ft AS (SELECT t.doc_id, t.w, f.df FROM tok t JOIN freq f ON f.w = t.w),
+nd AS (SELECT cast(count(DISTINCT doc_id) as bigint) AS n FROM tok),
+p AS (
+  SELECT a.w AS w1, b.w AS w2, min(a.df) AS df1, min(b.df) AS df2,
+         cast(count(*) as bigint) AS n_co
+  FROM ft a JOIN ft b ON b.doc_id = a.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w HAVING count(*) >= 15
+)
+SELECT w1, w2, n_co,
+       cast({d.intdiv('n_co * nd.n * 1000000', '(df1 * df2)')}
+            as bigint) AS lift_micro
+FROM p CROSS JOIN nd
+ORDER BY lift_micro DESC, w1, w2
+LIMIT 50
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -1586,4 +1621,5 @@ TEXT_QUERIES = {
     "q152_embedding_covariance": _dual(_q152),
     "q155_class_separation": _dual(_q155),
     "q156_fuzzy_dedup": _dual(_q156),
+    "q184_collocations": _dual(_q184),
 }

@@ -2518,3 +2518,37 @@ def test_q182_cusum_matches_python(spark):
         want[t] = (best[1], best[2])
     assert got == want and len(got) == 5
     assert all(m > 0 for _, m in got.values())
+
+
+def test_q184_collocations_match_python(spark):
+    """Python recompute of the top-50 frequent-word pair lifts."""
+    from collections import Counter
+    from itertools import combinations
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = [(r["w1"], r["w2"], r["n_co"], r["lift_micro"])
+           for r in TEXT_QUERIES["q184_collocations"][0](spark, sf_dir)
+           .collect()]
+
+    pdf = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "text").toPandas()
+    docs = [set(t.split(" ")) for t in pdf["text"]]
+    df = Counter()
+    for d in docs:
+        for w in d:
+            df[w] += 1
+    freq = {w for w, c in df.items() if c >= 25}
+    nd = len(docs)
+    co = Counter()
+    for d in docs:
+        for a, b in combinations(sorted(d & freq), 2):
+            co[(a, b)] += 1
+    pairs = [(a, b, n, n * nd * 1_000_000 // (df[a] * df[b]))
+             for (a, b), n in co.items() if n >= 15]
+    pairs.sort(key=lambda p: (-p[3], p[0], p[1]))
+    want = pairs[:50]
+    assert got == want and len(got) == 50
+    # a genuinely associated pair exists (lift > 1)
+    assert got[0][3] > 1_000_000
