@@ -3245,6 +3245,388 @@ def _q135_sql() -> str:
             + f"\nSELECT cell, ord FROM s{_Q135_ROUNDS} ORDER BY cell")
 
 
+def _q186_sql(epoch_us: str, intdiv: str) -> str:
+    """Gravity model of OD flows (the spatial-interaction workhorse:
+    Zipf 1946 / modern mobility literature): expected flow between cells
+    i, j proportional to outmass(i) * inmass(j) / d(i,j)^2, compared with
+    the observed q145 transition matrix; output the top flow corridors by
+    observed/expected ratio (the "surprisingly strong" links a transport
+    planner inspects first).  Integer-exact: cell-grid squared distance,
+    integer gravity, micro shares, trunc division everywhere.
+
+    Scale shape: one window lag per user (the q145 stream), one keyed
+    aggregate to the OD matrix, two tiny per-cell mass aggregates joined
+    back, and two scalar totals — the matrix is at most n_cells^2 rows,
+    so every join past the first aggregate is broadcast-sized.  Reference
+    analog: none — GeoWave bins counts (`TemporalBinningStrategy.java`)
+    but ships no interaction model; this is the analytics layer above
+    q145."""
+    n = 1 << _Q144_RES
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q144_RES)
+    return f"""
+WITH t AS (
+  SELECT user_id, {epoch_us} AS us, {cell} AS cell FROM events
+),
+e AS (
+  SELECT lag(cell) OVER w AS f, cell AS g, us - lag(us) OVER w AS dt
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+m AS (
+  SELECT f AS from_cell, g AS to_cell, cast(count(*) as bigint) AS n
+  FROM e WHERE f IS NOT NULL AND dt < {_Q144_GAP_US} AND f <> g
+  GROUP BY 1, 2
+),
+mo AS (SELECT from_cell AS c, sum(n) AS m FROM m GROUP BY 1),
+mi AS (SELECT to_cell AS c, sum(n) AS m FROM m GROUP BY 1),
+tot AS (SELECT sum(n) AS s FROM m),
+g AS (
+  SELECT m.from_cell, m.to_cell, m.n,
+         (m.from_cell % {n} - m.to_cell % {n}) * (m.from_cell % {n} - m.to_cell % {n})
+         + (m.from_cell {intdiv} {n} - m.to_cell {intdiv} {n})
+           * (m.from_cell {intdiv} {n} - m.to_cell {intdiv} {n}) AS d2,
+         ((mo.m * mi.m) {intdiv}
+          ((m.from_cell % {n} - m.to_cell % {n}) * (m.from_cell % {n} - m.to_cell % {n})
+           + (m.from_cell {intdiv} {n} - m.to_cell {intdiv} {n})
+             * (m.from_cell {intdiv} {n} - m.to_cell {intdiv} {n}))) AS grav
+  FROM m JOIN mo ON mo.c = m.from_cell JOIN mi ON mi.c = m.to_cell
+),
+gs AS (SELECT sum(grav) AS sg FROM g)
+SELECT g.from_cell, g.to_cell, g.n AS n_trans, cast(g.d2 as bigint) AS d2,
+       cast((g.n * 1000000) {intdiv} tot.s as bigint) AS obs_micro,
+       cast((g.grav * 1000000) {intdiv} greatest(gs.sg, 1) as bigint) AS exp_micro,
+       cast(((g.n * 1000000) {intdiv} tot.s) * 1000
+            {intdiv} greatest((g.grav * 1000000) {intdiv} greatest(gs.sg, 1), 1)
+            as bigint) AS ratio_milli
+FROM g CROSS JOIN tot CROSS JOIN gs
+ORDER BY ratio_milli DESC, from_cell, to_cell
+LIMIT 50
+"""
+
+
+def q186_gravity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q186_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q186_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+_Q187_RES = 5     # 1024 cells: sparse enough that peeling removes nodes
+_Q187_K = 14      # k-core threshold (sf0.01: keeps 451 of 1024 cells -> real peeling)
+_Q187_ROUNDS = 3  # bounded peel rounds (the q162/q135 bounded-iteration contract)
+
+
+def _q187_sql(epoch_us: str) -> str:
+    """k-core decomposition (bounded peel) of the undirected OD mobility
+    graph: repeatedly drop nodes with degree < k; what survives is the
+    densely-interconnected core (the bot-ring / hub-community filter of
+    graph analytics, Seidman 1983).  Three synchronous peel rounds — each
+    round is one degree aggregate + one semi-join of the edge set against
+    the survivor set, the exact shape that scales (no per-node state, no
+    driver loop data); full peeling iterates the same round to fixpoint.
+
+    Scale shape: edges live once, every round re-derives degrees with a
+    map-side-combinable count and filters edges by two broadcast-able
+    survivor joins.  Reference analog: none — GeoWave has no graph ops;
+    built on q145's transition stream."""
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q187_RES)
+    parts = [f"""t AS (
+  SELECT user_id, {epoch_us} AS us, {cell} AS cell FROM events
+),
+tr AS (
+  SELECT lag(cell) OVER w AS f, cell AS g, us - lag(us) OVER w AS dt
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+eu AS (
+  SELECT DISTINCT least(f, g) AS u, greatest(f, g) AS v
+  FROM tr WHERE f IS NOT NULL AND dt < {_Q144_GAP_US} AND f <> g
+),
+e0 AS (SELECT u AS a, v AS b FROM eu UNION ALL SELECT v AS a, u AS b FROM eu)"""]
+    for i in range(1, _Q187_ROUNDS + 1):
+        parts.append(f"""d{i} AS (
+  SELECT a, cast(count(*) as bigint) AS d FROM e{i - 1} GROUP BY a
+),
+n{i} AS (SELECT a FROM d{i} WHERE d >= {_Q187_K}),
+e{i} AS (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN n{i} x ON x.a = e.a JOIN n{i} y ON y.a = e.b
+)""")
+    r = _Q187_ROUNDS
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT a AS cell, cast(count(*) as bigint) AS core_deg
+FROM e{r} GROUP BY a HAVING count(*) >= {_Q187_K}
+ORDER BY cell
+""")
+
+
+def q187_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q187_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q187_sql("unix_micros(cast(ts as timestamp))"))
+
+
+_Q188_RADII = (50, 100, 200)  # centidegrees: 0.5, 1.0, 2.0
+
+
+def _q188_tail_sql(pairs_rel: str, radii_rows: str, intdiv: str) -> str:
+    """Shared K-statistic arithmetic over a (cid, qid, dist) pair relation;
+    `radii_rows` is the dialect-specific 3-row radius generator."""
+    return f"""
+WITH st AS (
+  SELECT cast(count(*) as bigint) AS n,
+         cast(floor((max(lon) - min(lon)) * (max(lat) - min(lat)) * 1000)
+              as bigint) AS a_milli
+  FROM ({geo.customer_points_sql()}) pts
+),
+r AS ({radii_rows}),
+c AS (
+  SELECT r.r_centi, cast(count(p.cid) as bigint) AS n_pairs
+  FROM r LEFT JOIN {pairs_rel} p ON p.dist * 100 <= r.r_centi
+  GROUP BY r.r_centi
+)
+SELECT cast(c.r_centi as int) AS r_centi, c.n_pairs,
+       cast((2 * c.n_pairs * st.a_milli) {intdiv} (st.n * (st.n - 1))
+            as bigint) AS k_milli
+FROM c CROSS JOIN st
+ORDER BY r_centi
+"""
+
+
+def q188_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K function (the clustering-vs-dispersion diagnostic of
+    point-pattern analysis, Ripley 1977) at three radii over the customer
+    point set: K(r) = A / (n (n-1)) * #{ordered pairs with d <= r}, with A
+    the bbox area in milli-deg^2.  The pair counts come from the ENGINE's
+    indexed within-distance self-join at the largest radius (cover-cell
+    candidates + exact refine, `join/spatial.py:513`; reference analog:
+    the buffered-envelope indexing of `TieredSpatialJoin.java:143-166` in
+    /root/reference) — the oracle brute-forces all pairs, the same
+    indexed-vs-brute contract as `GeoWaveSparkSpatialJoinIT.java:228-255`.
+
+    Scale shape: candidate generation is the q07/q51 broadcast-cover
+    join (salted-shuffle fallback when the point set outgrows the
+    broadcast threshold); the K arithmetic is three rows."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(geo.customer_points_sql())
+    qs = pts.select(F.col("cid").alias("qid"), "lon", "lat")
+    pairs = spatial.within_distance_join(
+        spark, pts, qs, radius=max(_Q188_RADII) / 100.0,
+        pid_col="cid", qid_col="qid")
+    pairs.filter(F.col("cid") < F.col("qid")) \
+        .createOrReplaceTempView("q188_pairs")
+    radii = ("SELECT explode(array" + str(_Q188_RADII) + ") AS r_centi")
+    return spark.sql(_q188_tail_sql("q188_pairs", radii, "div"))
+
+
+def _q188_duck_sql() -> str:
+    rmax = max(_Q188_RADII) / 100.0
+    dist = geo.planar_dist_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    pairs = f"""(
+  SELECT a.cid, b.cid AS qid, {dist} AS dist
+  FROM ({geo.customer_points_sql()}) a
+  JOIN ({geo.customer_points_sql()}) b
+    ON a.cid < b.cid AND {dist} <= {rmax}
+)"""
+    radii = ("SELECT unnest(" + str(list(_Q188_RADII)) + ") AS r_centi")
+    return _q188_tail_sql(pairs, radii, "//")
+
+
+def _q190_sql(epoch_us: str, intdiv: str) -> str:
+    """Trajectory midpoint interpolation: the point at 50% of each user's
+    cumulative L1 path length (ST_LineInterpolatePoint's streaming twin;
+    L1 arc length keeps the whole computation integer-exact — no sqrt —
+    and is monotone along the path, so the located segment is the same
+    one Euclidean length would pick for near-uniform tracks).  Per user:
+    running L1 length in micro-degrees, first segment whose cumulative
+    length reaches total/2, exact integer lerp within it.
+
+    Scale shape: one window pass partitioned by user (no global sort),
+    one per-user total via the same window, one row_number selection —
+    three stages over the same user-hash partitioning, which AQE fuses
+    into a single exchange.  Reference analog: none — GeoWave stores
+    trajectories (`TDriveIngestPlugin.java`) but ships no linear
+    referencing."""
+    lon = f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint)"
+    lat = f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint)"
+    return f"""
+WITH t AS (
+  SELECT user_id, event_id, {epoch_us} AS us, {lon} AS x, {lat} AS y
+  FROM events
+),
+s AS (
+  SELECT user_id, x, y, us, event_id,
+         lag(x) OVER w AS px, lag(y) OVER w AS py
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+seg AS (
+  SELECT user_id, px, py, x, y,
+         abs(x - px) + abs(y - py) AS len,
+         sum(abs(x - px) + abs(y - py)) OVER
+           (PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(abs(x - px) + abs(y - py)) OVER
+           (PARTITION BY user_id) AS total,
+         count(*) OVER (PARTITION BY user_id) AS n_seg
+  FROM s WHERE px IS NOT NULL
+),
+hit AS (
+  SELECT user_id, n_seg, total, px, py, x, y, len,
+         cum - len AS before_len,
+         row_number() OVER (PARTITION BY user_id ORDER BY cum, px, py, x, y)
+           AS rn
+  FROM seg WHERE cum >= (total {intdiv} 2)
+)
+SELECT user_id, cast(n_seg as bigint) AS n_seg,
+       cast(total as bigint) AS total_l1,
+       cast(px + (x - px) * ((total {intdiv} 2) - before_len)
+                 {intdiv} greatest(len, 1) as bigint) AS mid_x,
+       cast(py + (y - py) * ((total {intdiv} 2) - before_len)
+                 {intdiv} greatest(len, 1) as bigint) AS mid_y
+FROM hit WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q190_path_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q190_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q190_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+_Q192_WINDOW = 20  # banded Theil-Sen: pair each point with the next W
+
+
+def _q192_sql(epoch_us: str, intdiv: str) -> str:
+    """Banded Theil-Sen trend estimator per event_type (Theil 1950 / Sen
+    1968; the robust slope a monitoring pipeline trusts over least squares
+    when values have outliers).  Full Theil-Sen medians all O(n^2) pair
+    slopes; the scalable banded form pairs each point only with the next
+    {W} points in time order — the standard sliding-window variant, and
+    the same bounded-pairing contract as q164's blocked Hausdorff.
+    Integer-exact: slopes in micro-cents-per-second by trunc division
+    (sign-split so Spark's `div` and DuckDB's `//` agree on negatives;
+    sub-second gaps clamp to 1 s), exact lower-median by deterministic
+    (slope, pair-id) rank.
+
+    Scale shape: one row_number window per event_type, the pair build is
+    an equi-join on (event_type, rn + offset) with the 20-row offset
+    array broadcast, and the median is one more window over the pair
+    set — everything partitions by event_type, no global sort.
+    Reference analog: none (GeoWave aggregates have min/max/sum only);
+    sibling of q102's Mann-Kendall trend, which tests direction — this
+    estimates magnitude."""
+    return f"""
+WITH t AS (
+  SELECT event_type, event_id, {epoch_us} AS us,
+         cast(floor(value * 100) as bigint) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id, us, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY us, event_id)
+           AS rn
+  FROM t
+),
+offs AS (SELECT {{OFF}} AS off),
+ax AS (
+  -- materialize the partner rank BEFORE the pair join so it plans as a
+  -- hash equi-join on (event_type, rnb), never an event_type-only join
+  -- with the offset applied as a nested-loop filter (quadratic per type)
+  SELECT a.event_type, a.cents, a.us, a.rn + o.off AS rnb,
+         a.rn * 100 + o.off AS pair_id
+  FROM r a JOIN offs o ON true
+),
+p AS (
+  SELECT ax.event_type,
+         CASE WHEN b.cents >= ax.cents
+              THEN ((b.cents - ax.cents) * 1000000)
+                   {intdiv} greatest((b.us - ax.us) {intdiv} 1000000, 1)
+              ELSE -(((ax.cents - b.cents) * 1000000)
+                   {intdiv} greatest((b.us - ax.us) {intdiv} 1000000, 1))
+         END AS slope,
+         ax.pair_id
+  FROM ax JOIN r b ON b.event_type = ax.event_type AND b.rn = ax.rnb
+  WHERE b.us > ax.us
+),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, pair_id) AS k,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM p
+)
+SELECT event_type, cast(max(n) as bigint) AS n_pairs,
+       cast(max(CASE WHEN k = (n + 1) {intdiv} 2 THEN slope END)
+            as bigint) AS sen_slope_micro
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q192_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q192_sql`."""
+    register_views(spark, sf_dir)
+    offs = "explode(sequence(1, %d))" % _Q192_WINDOW
+    return spark.sql(
+        _q192_sql("unix_micros(cast(ts as timestamp))", "div")
+        .replace("{OFF}", offs))
+
+
+def _q192_duck_sql() -> str:
+    return _q192_sql("epoch_us(ts)", "//").replace(
+        "{OFF}", "unnest(generate_series(1, %d))" % _Q192_WINDOW)
+
+
+_Q194_WINDOW_US = 48 * 3600 * 1_000_000  # 48 h attribution lookback
+
+
+def _q194_sql(epoch_us: str) -> str:
+    """Last-touch conversion attribution: each purchase is credited to the
+    user's LATEST click/view touch within the preceding 48 h (the
+    marketing-analytics staple; deterministic tiebreak by touch event_id).
+    Purchases with no qualifying touch report as 'none'.  Output per
+    attributed touch type: conversions and total converted cents.
+
+    Scale shape: purchases and touches hash-partition by user_id, the
+    per-purchase winner is one row_number over the (purchase, candidate)
+    join bounded by the 48 h window, and the rollup is a tiny keyed
+    aggregate.  At 10^12 events the user-keyed join is the q119
+    composite-key shape — no broadcast of either side needed.  Reference
+    analog: none (GeoWave has no funnel ops); q178's deadline funnel is
+    the forward-looking twin."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, {epoch_us} AS us,
+         cast(floor(value * 100) as bigint) AS cents
+  FROM events
+),
+conv AS (SELECT user_id, event_id, us, cents FROM ev
+         WHERE event_type = 'purchase'),
+touch AS (SELECT user_id, event_id, event_type, us FROM ev
+          WHERE event_type IN ('click', 'view')),
+cand AS (
+  SELECT c.event_id AS conv_id, c.cents, t.event_type AS touch_type,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY t.us DESC, t.event_id DESC) AS rk
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.us < c.us AND t.us >= c.us - {_Q194_WINDOW_US}
+),
+hit AS (SELECT conv_id, cents, touch_type FROM cand WHERE rk = 1),
+aug AS (
+  SELECT coalesce(h.touch_type, 'none') AS touch_type, c.cents
+  FROM conv c LEFT JOIN hit h ON h.conv_id = c.event_id
+)
+SELECT touch_type, cast(count(*) as bigint) AS n_conv,
+       cast(sum(cents) as bigint) AS value_cents
+FROM aug GROUP BY touch_type ORDER BY touch_type
+"""
+
+
+def q194_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q194_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q194_sql("unix_micros(cast(ts as timestamp))"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3321,6 +3703,14 @@ QUERIES = {
     "q181_benford_audit": (q181_benford_audit, _q181_sql()),
     "q182_cusum_changepoint": (q182_cusum_changepoint,
                                _q182_sql("epoch_us(ts)", "//")),
+    "q186_gravity_model": (q186_gravity_model,
+                           _q186_sql("epoch_us(ts)", "//")),
+    "q187_kcore": (q187_kcore, _q187_sql("epoch_us(ts)")),
+    "q188_ripley_k": (q188_ripley_k, _q188_duck_sql()),
+    "q190_path_interpolation": (q190_path_interpolation,
+                                _q190_sql("epoch_us(ts)", "//")),
+    "q192_theil_sen": (q192_theil_sen, _q192_duck_sql()),
+    "q194_attribution": (q194_attribution, _q194_sql("epoch_us(ts)")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

@@ -1381,6 +1381,212 @@ ORDER BY tty, ttx
 """
 
 
+def q189_ssim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global SSIM (Wang et al. 2004) between candidate image pairs — the
+    perceptual near-duplicate verifier that runs AFTER a hash blocking
+    stage (q46 phash / q131 crop-robust / q151 rotation-canonical give
+    candidates; SSIM scores them).  Candidates here: same width, doc_id
+    within 70 (the synthesis makes same-width images repeat every 35 ids
+    inside the doc_id%5=3 subset — a deterministic blocking rule both
+    engines share); differing heights crop to the shared top rows, the
+    video-frame-compare contract.
+
+    Integer-exact end-to-end: luma sums/products are exact int64, the
+    SSIM ratio is one fixed integer formula evaluated in arbitrary-
+    precision Python on the engine side and HUGEINT in the DuckDB oracle
+    (truncating division both sides; the 1e4-scaled C1=65025, C2=585225
+    keep the standard stabilizers exact).  Scale shape: the pair join is an
+    equi-join on width + a bounded id-range predicate, bytes travel only
+    to their pair partition, and one mapInPandas emits 4 scalars per
+    pair — no pixel ever shuffles alone.  Reference analog: the
+    decoded-pixel comparisons of `RasterUtils`/merge ITs in
+    /root/reference check tiles for equality; SSIM is the lossy-world
+    generalization the north rule's PSNR invariant asks for."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .raster import codec
+    from .table.images import IMG_SCHEMA, gen_images_pdf
+
+    _register_documents(spark, sf_dir)
+    docs = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 3"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_images_pdf(pdf)
+
+    imgs = docs.mapInPandas(gen, schema=IMG_SCHEMA)
+    a = imgs.select(
+        F.expr("cast(substr(image_id, 4) as bigint)").alias("da"),
+        F.col("image_id").alias("id1"), F.col("bytes").alias("b1"),
+        F.col("fmt").alias("f1"), F.col("w").alias("w1"),
+        F.col("h").alias("h1"))
+    b = imgs.select(
+        F.expr("cast(substr(image_id, 4) as bigint)").alias("db"),
+        F.col("image_id").alias("id2"), F.col("bytes").alias("b2"),
+        F.col("fmt").alias("f2"), F.col("w").alias("w2"),
+        F.col("h").alias("h2"))
+    pairs = a.join(
+        b, (F.col("w2") == F.col("w1")) & (F.col("db") > F.col("da"))
+           & (F.col("db") - F.col("da") <= 70))
+
+    def ssim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            i1, i2, npx, ssims = [], [], [], []
+            for _, row in pdf.iterrows():
+                pa = codec.decode(row["b1"], row["f1"]).astype(np.int64)
+                pb = codec.decode(row["b2"], row["f2"]).astype(np.int64)
+                hh = min(pa.shape[0], pb.shape[0])
+                la = (pa[:hh, :, 0] * 299 + pa[:hh, :, 1] * 587
+                      + pa[:hh, :, 2] * 114) // 1000
+                lb = (pb[:hh, :, 0] * 299 + pb[:hh, :, 1] * 587
+                      + pb[:hh, :, 2] * 114) // 1000
+                n = int(la.size)
+                sa, sb = int(la.sum()), int(lb.sum())
+                saa, sbb = int((la * la).sum()), int((lb * lb).sum())
+                sab = int((la * lb).sum())
+                num = ((2 * sa * sb * 10000 + 65025 * n * n)
+                       * (2 * (n * sab - sa * sb) * 10000 + 585225 * n * n))
+                den = (((sa * sa + sb * sb) * 10000 + 65025 * n * n)
+                       * ((n * saa - sa * sa + n * sbb - sb * sb) * 10000
+                          + 585225 * n * n))
+                # DuckDB's HUGEINT // TRUNCATES toward zero on negatives
+                # (unlike Python's floor //) — emulate truncation exactly
+                den = max(den // 1000000, 1)
+                val = -((-num) // den) if num < 0 else num // den
+                i1.append(row["id1"]); i2.append(row["id2"])
+                npx.append(n); ssims.append(val)
+            yield pd.DataFrame({
+                "id1": pd.Series(i1, dtype="object"),
+                "id2": pd.Series(i2, dtype="object"),
+                "n_px": pd.Series(npx, dtype="int64"),
+                "ssim_micro": pd.Series(ssims, dtype="int64"),
+            })
+
+    return pairs.mapInPandas(
+        ssim, schema="id1 string, id2 string, n_px long, ssim_micro long"
+    ).orderBy("id1", "id2")
+
+
+def _q189_sql() -> str:
+    la = images.luma_sql("xs.g", "ys.g", doc_id="da", decoded=True)
+    lb = images.luma_sql("xs.g", "ys.g", doc_id="db", decoded=True)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {images.image_id_sql()} AS image_id,
+         {images.w_sql()} AS w, {images.h_sql()} AS h
+  FROM documents WHERE doc_id % 5 = 3
+),
+pr AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.image_id AS id1,
+         b.image_id AS id2, a.w AS w, least(a.h, b.h) AS hh
+  FROM base a JOIN base b
+    ON b.w = a.w AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 70
+),
+px AS MATERIALIZED (
+  SELECT id1, id2, {la} AS la, {lb} AS lb
+  FROM pr, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+           LATERAL (SELECT unnest(generate_series(0, hh - 1)) AS g) ys
+),
+s AS (
+  SELECT id1, id2, cast(count(*) as hugeint) AS n,
+         cast(sum(la) as hugeint) AS sa, cast(sum(lb) as hugeint) AS sb,
+         cast(sum(la * la) as hugeint) AS saa,
+         cast(sum(lb * lb) as hugeint) AS sbb,
+         cast(sum(la * lb) as hugeint) AS sab
+  FROM px GROUP BY id1, id2
+)
+SELECT id1, id2, cast(n as bigint) AS n_px,
+       cast(((2 * sa * sb * 10000 + 65025 * n * n)
+             * (2 * (n * sab - sa * sb) * 10000 + 585225 * n * n))
+            // greatest((((sa * sa + sb * sb) * 10000 + 65025 * n * n)
+                 * ((n * saa - sa * sa + n * sbb - sb * sb) * 10000
+                    + 585225 * n * n)) // 1000000, 1)
+            as bigint) AS ssim_micro
+FROM s ORDER BY id1, id2
+"""
+
+
+def q191_grayworld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gray-world illuminant diagnostic (Buchsbaum 1980): per-image RGB
+    channel sums from DECODED pixels plus the max/min channel-mean ratio
+    in milli — the white-balance / color-cast screen a vision-data
+    curation pipeline runs next to q79's quality ops and q95's band math.
+    All-positive integers, so trunc == floor and both engines agree.
+
+    Scale shape: identical to q95 — one narrow mapInPandas (decode +
+    three vectorized channel sums per image, scalars out), pixels never
+    shuffle.  Oracle recomputes the channel sums closed-form
+    (`table/images.channels_sql`) without touching bytes."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .raster import codec
+    from .table.images import images_df
+
+    img = images_df(spark, sf_dir).select("image_id", "bytes", "fmt")
+
+    def chans(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, npx, srs, sgs, sbs, casts = [], [], [], [], [], []
+            for _, row in pdf.iterrows():
+                px = codec.decode(row["bytes"], row["fmt"]).astype(np.int64)
+                sr = int(px[:, :, 0].sum())
+                sg = int(px[:, :, 1].sum())
+                sb = int(px[:, :, 2].sum())
+                ids.append(row["image_id"])
+                npx.append(int(px.shape[0] * px.shape[1]))
+                srs.append(sr); sgs.append(sg); sbs.append(sb)
+                casts.append(max(sr, sg, sb) * 1000 // max(min(sr, sg, sb), 1))
+            yield pd.DataFrame({
+                "image_id": pd.Series(ids, dtype="object"),
+                "n_px": pd.Series(npx, dtype="int64"),
+                "sum_r": pd.Series(srs, dtype="int64"),
+                "sum_g": pd.Series(sgs, dtype="int64"),
+                "sum_b": pd.Series(sbs, dtype="int64"),
+                "cast_milli": pd.Series(casts, dtype="int64"),
+            })
+
+    return img.mapInPandas(
+        chans,
+        schema=("image_id string, n_px long, sum_r long, sum_g long, "
+                "sum_b long, cast_milli long"),
+    ).orderBy("image_id")
+
+
+def _q191_sql() -> str:
+    r, g, b = images.channels_sql("xs.g", "ys.g", decoded=True)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {images.image_id_sql()} AS image_id,
+         {images.w_sql()} AS w, {images.h_sql()} AS h
+  FROM documents
+),
+px AS MATERIALIZED (
+  SELECT image_id, {r} AS r, {g} AS g, {b} AS b
+  FROM base, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+             LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
+),
+s AS (
+  SELECT image_id, cast(count(*) as bigint) AS n_px,
+         cast(sum(r) as bigint) AS sum_r, cast(sum(g) as bigint) AS sum_g,
+         cast(sum(b) as bigint) AS sum_b
+  FROM px GROUP BY image_id
+)
+SELECT image_id, n_px, sum_r, sum_g, sum_b,
+       cast((greatest(sum_r, sum_g, sum_b) * 1000)
+            // greatest(least(sum_r, sum_g, sum_b), 1) as bigint) AS cast_milli
+FROM s ORDER BY image_id
+"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -1405,4 +1611,6 @@ RASTER_QUERIES = {
     "q183_footprint_iou": (q183_footprint_iou, _q183_sql()),
     "q108_raster_warp": (q108_raster_warp, _q108_sql()),
     "q114_temporal_composite": (q114_temporal_composite, _q114_sql()),
+    "q189_ssim_pairs": (q189_ssim_pairs, _q189_sql()),
+    "q191_grayworld": (q191_grayworld, _q191_sql()),
 }

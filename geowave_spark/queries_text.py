@@ -1589,6 +1589,132 @@ LIMIT 50
 """
 
 
+def _q185(d: G.Dialect) -> str:
+    """DSIR-style importance resampling weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): token
+    features hash into 1024 buckets, the target distribution is the
+    English slice, the raw distribution is the whole corpus, and each
+    document scores by the mean add-1-smoothed target/raw bucket lift
+    (integer micro; the published method uses the log-ratio — lift keeps
+    the pipeline integer-exact with the same bucket machinery and a
+    near-identical doc ranking).  Output: top-100 docs a target-matched
+    pretraining mix would keep.
+
+    Scale shape: one explode of the token stream, two map-side-combinable
+    bucket aggregates, and the bucket table is FIXED at 1024 rows — the
+    lift join back onto the token stream is always a broadcast, so the
+    whole operator is two keyed aggregates over the corpus regardless of
+    scale.  (At 10^12 docs the bigint products stay safe: counts enter
+    the lift as per-bucket values <= total tokens ~ 10^15 only inside
+    (ct+1)*1e6, bounded 1e21 — production would flip to the per-rate
+    micro form; at bench scales the exact product form is used.)
+    Reference analog: none — GeoWave has no corpus ops; this is the
+    data-mixing primitive next to q77's source sampler."""
+    bucket = d.xform("v", "x % 1024")
+    return f"""
+WITH wv AS (SELECT doc_id, lang, {G.wordvals(d)} AS v FROM documents),
+tok AS (SELECT doc_id, lang, {d.explode(bucket)} AS b FROM wv),
+allc AS (
+  SELECT b, cast(count(*) as bigint) AS cr,
+         cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) as bigint) AS ct
+  FROM tok GROUP BY b
+),
+tots AS (
+  SELECT cast(sum(cr) as bigint) AS nr, cast(sum(ct) as bigint) AS nt
+  FROM allc
+),
+lift AS (
+  SELECT a.b,
+         cast({d.intdiv('(a.ct + 1) * (tots.nr + 1024) * 1000000',
+                        '(a.cr + 1) * (tots.nt + 1024)')} as bigint) AS l_micro
+  FROM allc a CROSS JOIN tots
+)
+SELECT t.doc_id, cast(count(*) as bigint) AS n_tok,
+       cast({d.intdiv('sum(l.l_micro)', 'count(*)')} as bigint) AS imp_micro
+FROM tok t JOIN lift l ON l.b = t.b
+GROUP BY t.doc_id
+ORDER BY imp_micro DESC, doc_id
+LIMIT 100
+"""
+
+
+def _q193(d: G.Dialect) -> str:
+    """Domain-shift detector: per-language chi-square divergence of the
+    hashed-token bucket distribution against the corpus-wide one (the
+    drift monitor a data pipeline runs when a new crawl snapshot lands —
+    large chi2 means the slice's token mix no longer matches the mix the
+    model was tuned on).  Rate-form chi-square in integer micro: per
+    bucket, observed and expected token rates floor to micro, the term is
+    (ro - re)^2 / max(re, 1) — all nonnegative, trunc == floor, and every
+    product stays under 1e15 regardless of corpus size (the overflow-safe
+    form; the raw-count chi-square squares token counts and bursts bigint
+    at ~1e6 tokens).
+
+    Scale shape: shares q185's machinery — one explode, one 1024-row
+    bucket aggregate per slice (GROUPING by lang and bucket in a single
+    map-side-combinable pass), then all arithmetic runs over <= 1024 * 5
+    rows.  Reference analog: none; sibling of q185 (importance weights)
+    and q115 (Zipf) in the corpus-health toolbox."""
+    bucket = d.xform("v", "x % 1024")
+    return f"""
+WITH wv AS (SELECT doc_id, lang, {G.wordvals(d)} AS v FROM documents),
+tok AS (SELECT doc_id, lang, {d.explode(bucket)} AS b FROM wv),
+bl AS (
+  SELECT lang, b, cast(count(*) as bigint) AS o FROM tok GROUP BY lang, b
+),
+nl AS (SELECT lang, cast(sum(o) as bigint) AS n FROM bl GROUP BY lang),
+corp AS (SELECT b, cast(sum(o) as bigint) AS cr FROM bl GROUP BY b),
+tot AS (SELECT cast(sum(cr) as bigint) AS nr FROM corp),
+terms AS (
+  SELECT bl.lang,
+         ({d.intdiv('bl.o * 1000000', 'nl.n')}
+          - {d.intdiv('c.cr * 1000000', 'tot.nr')})
+         * ({d.intdiv('bl.o * 1000000', 'nl.n')}
+            - {d.intdiv('c.cr * 1000000', 'tot.nr')}) AS d2,
+         greatest({d.intdiv('c.cr * 1000000', 'tot.nr')}, 1) AS re
+  FROM bl JOIN nl ON nl.lang = bl.lang
+  JOIN corp c ON c.b = bl.b CROSS JOIN tot
+)
+SELECT t.lang, cast(max(n2.n) as bigint) AS n_tok,
+       cast(sum({d.intdiv('d2', 're')}) as bigint) AS chi2_micro
+FROM terms t JOIN nl n2 ON n2.lang = t.lang
+GROUP BY t.lang ORDER BY t.lang
+"""
+
+
+def _q195(d: G.Dialect) -> str:
+    """Leakage-safe train/val/test split assignment: exact-duplicate
+    clusters (q15's md5 groups) are assigned as a UNIT — the split is
+    hashed from the cluster's canonical doc_id, never the member's — so
+    no verbatim copy of a training document can land in the eval split
+    (the train/test-contamination guard every serious pretraining corpus
+    applies; q96 is the external-benchmark twin of this internal one).
+    Split by canonical hash: 90/5/5 via (canonical_id * 2654435761) %
+    1000 — deterministic, engine-independent integer mixing.
+
+    Scale shape: one md5 groupBy for canonicals (map-side combinable),
+    one broadcast-able join back, one tiny rollup — the same two-pass
+    shape as q15 at any corpus size."""
+    return """
+WITH canon AS (
+  SELECT md5(text) AS k, min(doc_id) AS canonical_id,
+         cast(count(*) as bigint) AS sz
+  FROM documents GROUP BY md5(text)
+),
+assign AS (
+  SELECT k, canonical_id, sz,
+         CASE WHEN (canonical_id * 2654435761) % 1000 < 900 THEN 'train'
+              WHEN (canonical_id * 2654435761) % 1000 < 950 THEN 'val'
+              ELSE 'test' END AS split
+  FROM canon
+)
+SELECT split, cast(count(*) as bigint) AS n_clusters,
+       cast(sum(sz) as bigint) AS n_docs,
+       cast(min(canonical_id) as bigint) AS first_canonical
+FROM assign GROUP BY split ORDER BY split
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -1622,4 +1748,7 @@ TEXT_QUERIES = {
     "q155_class_separation": _dual(_q155),
     "q156_fuzzy_dedup": _dual(_q156),
     "q184_collocations": _dual(_q184),
+    "q185_dsir_importance": _dual(_q185),
+    "q193_domain_shift": _dual(_q193),
+    "q195_leakage_safe_split": _dual(_q195),
 }

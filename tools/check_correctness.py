@@ -10,6 +10,8 @@ from __future__ import annotations
 import sys
 import hashlib
 
+import time
+
 import duckdb
 import pandas as pd
 
@@ -57,6 +59,7 @@ def main() -> int:
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:
@@ -66,6 +69,8 @@ def main() -> int:
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows (no oracle)")
             continue
+        t_spark = time.monotonic() - t0
+        t0 = time.monotonic()
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
@@ -93,7 +98,9 @@ def main() -> int:
                     print(f"  first diff at sorted row {i}:\n  spark:  {s.iloc[i].to_dict()}\n  oracle: {o.iloc[i].to_dict()}")
             failures.append(name)
         else:
-            print(f"OK   {name}: {len(sdf)} rows")
+            t_duck = time.monotonic() - t0
+            print(f"OK   {name}: {len(sdf)} rows"
+                  f"  [spark {t_spark:.1f}s duck {t_duck:.1f}s]")
     spark.stop()
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
