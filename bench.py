@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     # regressions in the widened-strip emission or the heavier per-tile
     # numpy kernels surface here
     "q137_harris_corners",
+    # round-2 session-5 additions: the DSIR importance scan (explode +
+    # two bucket aggregates + fixed-1024-row broadcast join — the pure
+    # corpus-aggregate shape) and the 3x3 median filter (order-statistic
+    # kernel on the q98 halo harness; np.partition payload)
+    "q185_dsir_importance",
+    "q200_focal_median",
 ]
 
 

@@ -3627,6 +3627,58 @@ def q194_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q194_sql("unix_micros(cast(ts as timestamp))"))
 
 
+_Q199_K = 5  # k-anonymity threshold: distinct users per published OD pair
+
+
+def _q199_sql(epoch_us: str) -> str:
+    """k-anonymized OD matrix publication: q145's transition matrix with
+    every (from, to) pair supported by fewer than k=5 DISTINCT users
+    suppressed (the standard small-cell suppression rule mobility-data
+    releases apply — a cell attributable to < k people is a privacy
+    leak); the suppressed-cell count rides along so the release documents
+    its own censoring.
+
+    Scale shape: q145's window + one keyed aggregate with a
+    count(DISTINCT user_id) (two-phase under Spark: partial sets then
+    merge — still keyed, no global state), one scalar total broadcast
+    back.  Reference analog: none — GeoWave's visibility layer (q105/
+    q106) gates row access; this gates AGGREGATE publication."""
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q144_RES)
+    return f"""
+WITH t AS (
+  SELECT user_id, {epoch_us} AS us, {cell} AS cell FROM events
+),
+e AS (
+  SELECT user_id, lag(cell) OVER w AS f, cell AS g,
+         us - lag(us) OVER w AS dt
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+m AS (
+  SELECT f AS from_cell, g AS to_cell,
+         cast(count(*) as bigint) AS n_trans,
+         cast(count(DISTINCT user_id) as bigint) AS n_users
+  FROM e WHERE f IS NOT NULL AND dt < {_Q144_GAP_US}
+  GROUP BY 1, 2
+),
+sup AS (
+  SELECT cast(sum(CASE WHEN n_users < {_Q199_K} THEN 1 ELSE 0 END)
+              as bigint) AS n_suppressed
+  FROM m
+)
+SELECT m.from_cell, m.to_cell, m.n_trans, m.n_users, sup.n_suppressed
+FROM m CROSS JOIN sup
+WHERE m.n_users >= {_Q199_K}
+ORDER BY from_cell, to_cell
+"""
+
+
+def q199_kanon_od(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q199_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q199_sql("unix_micros(cast(ts as timestamp))"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3711,6 +3763,7 @@ QUERIES = {
                                 _q190_sql("epoch_us(ts)", "//")),
     "q192_theil_sen": (q192_theil_sen, _q192_duck_sql()),
     "q194_attribution": (q194_attribution, _q194_sql("epoch_us(ts)")),
+    "q199_kanon_od": (q199_kanon_od, _q199_sql("epoch_us(ts)")),
     "q89_idw_interpolation": (q89_idw_interpolation, _q89_duck_sql()),
     "q90_change_detection": (q90_change_detection, _q90_sql()),
     "q93_spatial_autocorrelation": (q93_spatial_autocorrelation, _q93_duck_sql()),

@@ -1381,6 +1381,43 @@ ORDER BY tty, ttx
 """
 
 
+def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared q189/q198 candidate harness: subset images self-joined on
+    equal width with doc_id within 70 (the deterministic blocking rule —
+    widths repeat every 35 ids inside the doc_id%5=3 subset); bytes of
+    both sides travel to the pair's partition for the pixel compare."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .table.images import IMG_SCHEMA, gen_images_pdf
+
+    _register_documents(spark, sf_dir)
+    docs = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 3"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_images_pdf(pdf)
+
+    imgs = docs.mapInPandas(gen, schema=IMG_SCHEMA)
+    a = imgs.select(
+        F.expr("cast(substr(image_id, 4) as bigint)").alias("da"),
+        F.col("image_id").alias("id1"), F.col("bytes").alias("b1"),
+        F.col("fmt").alias("f1"), F.col("w").alias("w1"),
+        F.col("h").alias("h1"))
+    b = imgs.select(
+        F.expr("cast(substr(image_id, 4) as bigint)").alias("db"),
+        F.col("image_id").alias("id2"), F.col("bytes").alias("b2"),
+        F.col("fmt").alias("f2"), F.col("w").alias("w2"),
+        F.col("h").alias("h2"))
+    return a.join(
+        b, (F.col("w2") == F.col("w1")) & (F.col("db") > F.col("da"))
+           & (F.col("db") - F.col("da") <= 70))
+
+
 def q189_ssim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global SSIM (Wang et al. 2004) between candidate image pairs — the
     perceptual near-duplicate verifier that runs AFTER a hash blocking
@@ -1408,32 +1445,8 @@ def q189_ssim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from .raster import codec
-    from .table.images import IMG_SCHEMA, gen_images_pdf
 
-    _register_documents(spark, sf_dir)
-    docs = spark.sql(
-        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 3"
-    ).repartition(spark.sparkContext.defaultParallelism)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield gen_images_pdf(pdf)
-
-    imgs = docs.mapInPandas(gen, schema=IMG_SCHEMA)
-    a = imgs.select(
-        F.expr("cast(substr(image_id, 4) as bigint)").alias("da"),
-        F.col("image_id").alias("id1"), F.col("bytes").alias("b1"),
-        F.col("fmt").alias("f1"), F.col("w").alias("w1"),
-        F.col("h").alias("h1"))
-    b = imgs.select(
-        F.expr("cast(substr(image_id, 4) as bigint)").alias("db"),
-        F.col("image_id").alias("id2"), F.col("bytes").alias("b2"),
-        F.col("fmt").alias("f2"), F.col("w").alias("w2"),
-        F.col("h").alias("h2"))
-    pairs = a.join(
-        b, (F.col("w2") == F.col("w1")) & (F.col("db") > F.col("da"))
-           & (F.col("db") - F.col("da") <= 70))
+    pairs = _dup_pairs(spark, sf_dir)
 
     def ssim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1587,6 +1600,123 @@ FROM s ORDER BY image_id
 """
 
 
+def q198_psnr_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSNR duplicate verification over the q189 candidate pairs: per
+    pair, integer luma MSE (milli) and a psnr40 flag — PSNR >= 40 dB iff
+    MSE <= 255^2 * 10^-4, i.e. ssd * 100000 <= 650025 * n_px, an EXACT
+    integer test (the north rule's "PSNR >= 40 dB for lossy formats"
+    acceptance bar turned into a standing relational operator; reference
+    analog: the decoded-tile equality checks in
+    `test/.../RasterTileResizeIT` family in /root/reference, generalized
+    to lossy tolerance).
+
+    Scale shape: identical to q189 — blocked pair join, one mapInPandas,
+    two scalars per pair."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .raster import codec
+
+    pairs = _dup_pairs(spark, sf_dir)
+
+    def mse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            i1, i2, npx, mses, flags = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                pa = codec.decode(row["b1"], row["f1"]).astype(np.int64)
+                pb = codec.decode(row["b2"], row["f2"]).astype(np.int64)
+                hh = min(pa.shape[0], pb.shape[0])
+                la = (pa[:hh, :, 0] * 299 + pa[:hh, :, 1] * 587
+                      + pa[:hh, :, 2] * 114) // 1000
+                lb = (pb[:hh, :, 0] * 299 + pb[:hh, :, 1] * 587
+                      + pb[:hh, :, 2] * 114) // 1000
+                n = int(la.size)
+                dd = la - lb
+                ssd = int((dd * dd).sum())
+                i1.append(row["id1"]); i2.append(row["id2"])
+                npx.append(n)
+                mses.append(ssd * 1000 // n)
+                flags.append(1 if ssd * 100000 <= 650025 * n else 0)
+            yield pd.DataFrame({
+                "id1": pd.Series(i1, dtype="object"),
+                "id2": pd.Series(i2, dtype="object"),
+                "n_px": pd.Series(npx, dtype="int64"),
+                "mse_milli": pd.Series(mses, dtype="int64"),
+                "psnr40": pd.Series(flags, dtype="int64"),
+            })
+
+    return pairs.mapInPandas(
+        mse, schema="id1 string, id2 string, n_px long, mse_milli long, "
+                    "psnr40 long"
+    ).orderBy("id1", "id2")
+
+
+def _q198_sql() -> str:
+    la = images.luma_sql("xs.g", "ys.g", doc_id="da", decoded=True)
+    lb = images.luma_sql("xs.g", "ys.g", doc_id="db", decoded=True)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {images.image_id_sql()} AS image_id,
+         {images.w_sql()} AS w, {images.h_sql()} AS h
+  FROM documents WHERE doc_id % 5 = 3
+),
+pr AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.image_id AS id1,
+         b.image_id AS id2, a.w AS w, least(a.h, b.h) AS hh
+  FROM base a JOIN base b
+    ON b.w = a.w AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 70
+),
+px AS MATERIALIZED (
+  SELECT id1, id2, ({la} - {lb}) * ({la} - {lb}) AS dd
+  FROM pr, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+           LATERAL (SELECT unnest(generate_series(0, hh - 1)) AS g) ys
+),
+s AS (
+  SELECT id1, id2, cast(count(*) as bigint) AS n_px,
+         cast(sum(dd) as bigint) AS ssd
+  FROM px GROUP BY id1, id2
+)
+SELECT id1, id2, n_px,
+       cast(ssd * 1000 // n_px as bigint) AS mse_milli,
+       cast(CASE WHEN ssd * 100000 <= 650025 * n_px THEN 1 ELSE 0 END
+            as bigint) AS psnr40
+FROM s ORDER BY id1, id2
+"""
+
+
+def q200_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 median filter (salt-and-pepper denoiser) over the q98
+    halo-exchange tile harness — the order-statistic kernel that mean/
+    Sobel convolutions cannot express, defined on pixels with a full
+    in-image 3x3 neighborhood (9 values, odd count: the median is an
+    element, integer-exact in numpy AND SQL median()).  Same single
+    shuffle as q98; the numpy partial-sort is the payload."""
+    from .raster import focal
+
+    return focal.focal_median_stats(
+        _focal_tiles(spark, sf_dir), halo_included=True) \
+        .orderBy("image_id", "ty", "tx")
+
+
+def _q200_sql() -> str:
+    n9 = ", ".join(f"({dx}, {dy})" for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return f"""
+WITH {_px_cte_sql()},
+o(dx, dy) AS (VALUES {n9}),
+f AS (
+  SELECT p.image_id, p.x, p.y, cast(median(q.v) as bigint) AS f
+  FROM px p
+  CROSS JOIN o
+  JOIN px q ON q.doc_id = p.doc_id
+           AND q.x = p.x + o.dx AND q.y = p.y + o.dy
+  WHERE p.x >= 1 AND p.x <= p.w - 2 AND p.y >= 1 AND p.y <= p.h - 2
+  GROUP BY 1, 2, 3
+)
+{_TILE_ROLLUP_SQL}"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -1613,4 +1743,6 @@ RASTER_QUERIES = {
     "q114_temporal_composite": (q114_temporal_composite, _q114_sql()),
     "q189_ssim_pairs": (q189_ssim_pairs, _q189_sql()),
     "q191_grayworld": (q191_grayworld, _q191_sql()),
+    "q198_psnr_verify": (q198_psnr_verify, _q198_sql()),
+    "q200_focal_median": (q200_focal_median, _q200_sql()),
 }

@@ -1715,6 +1715,109 @@ FROM assign GROUP BY split ORDER BY split
 """
 
 
+def _q196(d: G.Dialect) -> str:
+    """LSH recall/precision audit: on a deterministic 1-in-4 sample
+    (doc_id % 4 = 1), generate q16's banded MinHash candidates AND the
+    exact Jaccard >= 0.5 ground truth, then report candidate count, true
+    count, hits, precision and recall in micro — the self-audit every
+    production dedup pipeline runs before trusting its banding parameters
+    (and exactly the indexed-vs-brute contract of the reference's join
+    ITs, `test/.../spark/GeoWaveSparkSpatialJoinIT.java:228-255` in
+    /root/reference, turned into a standing metric).
+
+    Scale shape: the candidate side is q16's keyed band join (the scale
+    path); the exact side is a shingle-equality join, quadratic only
+    within co-shingle groups — which is why the audit runs on a bounded
+    SAMPLE slice at production scale (sampling is the point: recall
+    estimates don't need the full corpus)."""
+    sh = G.shingles3_from(d, "v")
+    mins = ", ".join(
+        f"min(({2 * j + 3} * (shingle % {G.P_MINHASH}) + {104729 * (j + 1) % G.P_MINHASH}) % {G.P_MINHASH}) AS m{j}"
+        for j in range(16)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"{G.band_hash([f'm{4 * b + i}' for i in range(4)])} AS bh FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH wv AS (SELECT doc_id, {G.wordvals(d)} AS v
+            FROM documents WHERE doc_id % 4 = 1),
+sh_rows AS (
+  SELECT DISTINCT doc_id, {d.explode(sh)} AS shingle
+  FROM wv WHERE {d.size('v')} >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh_rows GROUP BY doc_id),
+sig AS (SELECT doc_id, {mins} FROM sh_rows GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ninter
+  FROM sh_rows a JOIN sh_rows b ON b.shingle = a.shingle
+                              AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+tru AS (
+  SELECT i.d1, i.d2
+  FROM inter i JOIN sizes z1 ON z1.doc_id = i.d1
+               JOIN sizes z2 ON z2.doc_id = i.d2
+  WHERE cast(floor(1000000.0 * i.ninter / (z1.sz + z2.sz - i.ninter))
+             as bigint) >= 500000
+),
+hit AS (SELECT t.d1 FROM tru t JOIN cand c ON c.d1 = t.d1 AND c.d2 = t.d2),
+n AS (
+  SELECT (SELECT cast(count(*) as bigint) FROM cand) AS n_cand,
+         (SELECT cast(count(*) as bigint) FROM tru) AS n_true,
+         (SELECT cast(count(*) as bigint) FROM hit) AS n_hit
+)
+SELECT n_cand, n_true, n_hit,
+       cast({d.intdiv('n_hit * 1000000', 'greatest(n_cand, 1)')}
+            as bigint) AS precision_micro,
+       cast({d.intdiv('n_hit * 1000000', 'greatest(n_true, 1)')}
+            as bigint) AS recall_micro
+FROM n
+"""
+
+
+def _q197(d: G.Dialect) -> str:
+    """Cross-source overlap matrix: for every source pair, the number of
+    shared distinct 3-gram shingles and the containment ratio against the
+    smaller source's shingle set (the dedup-planning table that tells a
+    corpus team which crawls to cross-dedup first, and the mirror-site
+    detector).  Integer micro containment.
+
+    Scale shape: project DISTINCT (source, shingle) once — the join key
+    is the shingle and fan-out per shingle is bounded by the NUMBER OF
+    SOURCES (20), never by document count, so the pair join is O(distinct
+    shingles x sources), not O(docs^2); the output is a <= 20x20 matrix.
+    This bounded-fanout containment join is the scalable form q18's
+    within-source Jaccard cannot take across sources."""
+    sh = G.shingles3_from(d, "v")
+    return f"""
+WITH wv AS (SELECT doc_id, source, {G.wordvals(d)} AS v FROM documents),
+ss AS (
+  SELECT DISTINCT source, {d.explode(sh)} AS shingle
+  FROM wv WHERE {d.size('v')} >= 3
+),
+tot AS (SELECT source, cast(count(*) as bigint) AS n FROM ss GROUP BY source),
+pair AS (
+  SELECT a.source AS s1, b.source AS s2, cast(count(*) as bigint) AS n_shared
+  FROM ss a JOIN ss b ON b.shingle = a.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.s1, p.s2, p.n_shared,
+       cast({d.intdiv('p.n_shared * 1000000', 'least(t1.n, t2.n)')}
+            as bigint) AS containment_micro
+FROM pair p JOIN tot t1 ON t1.source = p.s1 JOIN tot t2 ON t2.source = p.s2
+ORDER BY containment_micro DESC, s1, s2
+LIMIT 50
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -1751,4 +1854,6 @@ TEXT_QUERIES = {
     "q185_dsir_importance": _dual(_q185),
     "q193_domain_shift": _dual(_q193),
     "q195_leakage_safe_split": _dual(_q195),
+    "q196_lsh_recall_audit": _dual(_q196),
+    "q197_source_overlap": _dual(_q197),
 }

@@ -454,6 +454,26 @@ def focal_morph_gradient_stats(tiles_df, halo_included: bool = False):
     return _focal_apply(tiles_df, morph_kernel, halo_included)
 
 
+def focal_median_stats(tiles_df, halo_included: bool = False):
+    """3x3 median filter — the order-statistic denoiser (salt-and-pepper
+    removal) that mean/Sobel kernels cannot express; defined only on
+    pixels whose full 3x3 neighborhood lies in the image (9 values, odd
+    count -> the median IS one of them: integer-exact, no .5 averaging,
+    so numpy and the SQL oracle's median() agree bit-for-bit)."""
+
+    def med_kernel(pad, msk, th, tw):
+        stk = np.stack([pad[dy:dy + th, dx:dx + tw]
+                        for dy in (0, 1, 2) for dx in (0, 1, 2)])
+        cnt = np.zeros((th, tw), dtype=np.int64)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                cnt += msk[dy:dy + th, dx:dx + tw]
+        med = np.median(stk, axis=0).astype(np.int64)
+        return med, cnt == 9
+
+    return _focal_apply(tiles_df, med_kernel, halo_included)
+
+
 # fixed LBP neighbor order: E, SE, S, SW, W, NW, N, NE — bit i weights 2^i
 _LBP_ORDER = [(0, 1), (1, 1), (1, 0), (1, -1),
               (0, -1), (-1, -1), (-1, 0), (-1, 1)]

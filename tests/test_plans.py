@@ -463,3 +463,31 @@ def test_q180_nearest_facility_broadcast(spark, sf_dir):
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_min" in plan
+
+
+def test_q192_theilsen_pair_join_is_hashed(spark, sf_dir):
+    """Theil-Sen: the pair join must key on (event_type, rnb) — the
+    materialized rank + offset — so the only nested-loop node is the
+    20-row offset broadcast.  The regression this pins: Catalyst planning
+    an event_type-only join with `b.rn = a.rn + off` as a BNLJ filter,
+    which is quadratic per event_type."""
+    plan = _plan(spark, sf_dir, "q192_theil_sen")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one BNLJ: the 20-row offsets relation
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q188_ripley_pairs_broadcast_cover(spark, sf_dir):
+    """Ripley's K rides the indexed within-distance self-join: broadcast
+    ring cover + exact refine, never a cartesian pair build."""
+    plan = _plan(spark, sf_dir, "q188_ripley_k")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_q189_ssim_pair_join_blocked(spark, sf_dir):
+    """SSIM pairs: the candidate join is width-blocked (equi on w) —
+    no cartesian pair explosion; the pixel work is one mapInPandas."""
+    plan = _plan(spark, sf_dir, "q189_ssim_pairs")
+    assert "CartesianProduct" not in plan
