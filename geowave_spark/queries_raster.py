@@ -1717,6 +1717,39 @@ f AS (
 {_TILE_ROLLUP_SQL}"""
 
 
+def q202_blur_laplacian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-of-Laplacian blur screen (Pech-Pacheco 2000) over the q98
+    halo harness: per-tile squared 5-point Laplacian energy — the
+    sharpness gate a vision-data pipeline runs next to q79's photometric
+    gate (defocused/blurred frames have near-zero Laplacian energy and
+    get dropped before training).  sum_f per tile IS the energy; same
+    single shuffle as q98."""
+    from .raster import focal
+
+    return focal.focal_laplacian_stats(
+        _focal_tiles(spark, sf_dir), halo_included=True) \
+        .orderBy("image_id", "ty", "tx")
+
+
+def _q202_sql() -> str:
+    n5 = "(0, 0, 4), (0, -1, -1), (0, 1, -1), (-1, 0, -1), (1, 0, -1)"
+    return f"""
+WITH {_px_cte_sql()},
+o(dx, dy, wt) AS (VALUES {n5}),
+l AS (
+  SELECT p.image_id, p.x, p.y,
+         cast(sum(o.wt * q.v) as bigint) AS lap
+  FROM px p
+  CROSS JOIN o
+  JOIN px q ON q.doc_id = p.doc_id
+           AND q.x = p.x + o.dx AND q.y = p.y + o.dy
+  WHERE p.x >= 1 AND p.x <= p.w - 2 AND p.y >= 1 AND p.y <= p.h - 2
+  GROUP BY 1, 2, 3
+),
+f AS (SELECT image_id, x, y, lap * lap AS f FROM l)
+{_TILE_ROLLUP_SQL}"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -1745,4 +1778,5 @@ RASTER_QUERIES = {
     "q191_grayworld": (q191_grayworld, _q191_sql()),
     "q198_psnr_verify": (q198_psnr_verify, _q198_sql()),
     "q200_focal_median": (q200_focal_median, _q200_sql()),
+    "q202_blur_laplacian": (q202_blur_laplacian, _q202_sql()),
 }

@@ -1818,6 +1818,77 @@ LIMIT 50
 """
 
 
+def _q201(d: G.Dialect) -> str:
+    """Heaps'-law vocabulary growth curve (Heaps 1978): distinct-vocab
+    size and cumulative token count at ten doc_id-ordered checkpoints —
+    the corpus-health curve that tells a data team whether a new crawl
+    still adds vocabulary or is recycling boilerplate (sublinear growth
+    flattening early = saturated/duplicated source).  Vocabulary is the
+    hashed word-value space (the q185/q16 token machinery).
+
+    Scale shape: per-word FIRST occurrence is one keyed min aggregate;
+    per-doc token counts one more; both then fan out only 10x against the
+    broadcast checkpoint row set — no token ever joins tokens.  All
+    integer."""
+    return f"""
+WITH wv AS (SELECT doc_id, {G.wordvals(d)} AS v FROM documents),
+tok AS (SELECT doc_id, {d.explode('v')} AS w FROM wv),
+first_occ AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+dt AS (SELECT doc_id, cast(count(*) as bigint) AS nt FROM tok GROUP BY doc_id),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+chk AS (
+  SELECT g.g AS decile, {d.intdiv('(mx.m + 1) * g.g', '10')} AS c
+  FROM mx, (SELECT {d.explode(d.seq('1', '10'))} AS g) g
+),
+vocab AS (
+  SELECT k.decile, cast(count(*) as bigint) AS n_vocab
+  FROM first_occ f JOIN chk k ON f.fd < k.c GROUP BY k.decile
+),
+toks AS (
+  SELECT k.decile, cast(sum(t.nt) as bigint) AS n_tokens
+  FROM dt t JOIN chk k ON t.doc_id < k.c GROUP BY k.decile
+)
+SELECT t.decile, t.n_tokens, coalesce(v.n_vocab, 0) AS n_vocab
+FROM toks t LEFT JOIN vocab v ON v.decile = t.decile
+ORDER BY t.decile
+"""
+
+
+def _q203(d: G.Dialect) -> str:
+    """Hard-negative mining for contrastive training: the closest
+    CROSS-LABEL embedding pairs among hyperplane-LSH bucket mates (q20's
+    16-bit buckets) — the pairs a metric-learning run feeds as negatives
+    because the encoder currently confuses them.  Distance is exact
+    integer: micro-floored components, squared euclidean (the q155
+    convention), deterministic (dist2, id) ordering, top 50.
+
+    Scale shape: candidates come from the bucket equi-join (the q20
+    scale path — mining within buckets is the production contract, not a
+    test shortcut), label inequality prunes in the join, and the top-50
+    is a bounded sort over the candidate aggregate."""
+    mf = d.xform("v", "cast(floor(x * 1000000) as bigint)")
+    bucket = G.hyperplane_bucket(d, "v", 64, nbits=16)
+    terms = " + ".join(
+        f"({d.at('a.mv', str(i))} - {d.at('c.mv', str(i))}) * "
+        f"({d.at('a.mv', str(i))} - {d.at('c.mv', str(i))})"
+        for i in range(1, 65)
+    )
+    return f"""
+WITH v0 AS (SELECT vec_id, label, {G.to_double_arr(d, 'embedding')} AS v
+            FROM embeddings),
+b AS (SELECT vec_id, label, {mf} AS mv, {bucket} AS bucket FROM v0),
+cand AS (
+  SELECT a.vec_id AS id1, c.vec_id AS id2,
+         a.label AS label1, c.label AS label2,
+         cast({terms} as bigint) AS dist2
+  FROM b a JOIN b c ON c.bucket = a.bucket AND a.vec_id < c.vec_id
+                   AND a.label <> c.label
+)
+SELECT id1, id2, label1, label2, dist2
+FROM cand ORDER BY dist2, id1, id2 LIMIT 50
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -1856,4 +1927,6 @@ TEXT_QUERIES = {
     "q195_leakage_safe_split": _dual(_q195),
     "q196_lsh_recall_audit": _dual(_q196),
     "q197_source_overlap": _dual(_q197),
+    "q201_heaps_law": _dual(_q201),
+    "q203_hard_negatives": _dual(_q203),
 }

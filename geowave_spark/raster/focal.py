@@ -454,6 +454,25 @@ def focal_morph_gradient_stats(tiles_df, halo_included: bool = False):
     return _focal_apply(tiles_df, morph_kernel, halo_included)
 
 
+def focal_laplacian_stats(tiles_df, halo_included: bool = False):
+    """Squared 5-point Laplacian (4*c - N - S - E - W)^2 — the
+    variance-of-Laplacian blur detector (Pech-Pacheco 2000): sharp images
+    have high Laplacian energy, defocused ones collapse toward zero.
+    Defined on pixels with the full 4-neighborhood in-image; squaring
+    keeps f nonnegative so the tile rollup's sum IS the sharpness
+    energy.  Integer-exact (|lap| <= 1020, f <= 1,040,400)."""
+
+    def lap_kernel(pad, msk, th, tw):
+        c = pad[1:1 + th, 1:1 + tw]
+        lap = (4 * c - pad[0:th, 1:1 + tw] - pad[2:2 + th, 1:1 + tw]
+               - pad[1:1 + th, 0:tw] - pad[1:1 + th, 2:2 + tw])
+        cnt = (msk[0:th, 1:1 + tw] + msk[2:2 + th, 1:1 + tw]
+               + msk[1:1 + th, 0:tw] + msk[1:1 + th, 2:2 + tw])
+        return lap * lap, cnt == 4
+
+    return _focal_apply(tiles_df, lap_kernel, halo_included)
+
+
 def focal_median_stats(tiles_df, halo_included: bool = False):
     """3x3 median filter — the order-statistic denoiser (salt-and-pepper
     removal) that mean/Sobel kernels cannot express; defined only on

@@ -14,6 +14,26 @@ sys.path.insert(0, "/root/repo")
 SF = "/root/testdata/sf0.001"
 
 NOTES = {
+    "q185_dsir_importance": (
+        "DSIR importance weights: one explode of the token stream, two "
+        "map-side-combinable bucket aggregates, and the FIXED 1024-row "
+        "lift table rides a BroadcastHashJoin back onto the stream — the "
+        "whole operator is two keyed passes regardless of corpus size, "
+        "zero Python nodes."
+    ),
+    "q192_theil_sen": (
+        "Banded Theil-Sen: the pair build materializes rank+offset BEFORE "
+        "the join so it plans as a BroadcastHashJoin on (event_type, rnb); "
+        "the only nested-loop node is the 20-row offsets broadcast "
+        "(regression pinned in tests/test_plans.py — the naive form "
+        "degenerates to an event_type-only BNLJ, quadratic per type)."
+    ),
+    "q200_focal_median": (
+        "3x3 median filter: identical exchange shape to q98 — one "
+        "repartition on the tile key + sortWithinPartitions + one "
+        "streaming complete-group mapInPandas; the np.partition median is "
+        "the payload, the plumbing adds nothing."
+    ),
     "q05_pip_rect_join": (
         "Flagship cover->broadcast->refine join: ONE ArrowEvalPython node "
         "(the vectorized cell encode), BroadcastHashJoin on cell, pure-JVM "
