@@ -679,6 +679,78 @@ ORDER BY canonical_id
 """
 
 
+def q208_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene-cut) detection — the video-pipeline pass that
+    runs BEFORE frame sampling (q44): segment each clip where the
+    inter-frame mean-luma jump exceeds a threshold, so one keyframe per
+    shot is kept instead of one per fixed stride.  Engine: the same
+    zero-shuffle `mapInPandas` decode as q44 at stride 1 (per-frame luma
+    sums are the payload), then a per-video window lag — state never
+    leaves the video's partition.  Oracle: per-frame mean luma recomputed
+    in closed form from the synthesis formula (`av.gen_video` ->
+    `table/images.gen_pixels`), no bytes decoded.
+
+    Scale shape: decode is embarrassingly parallel over clips; the lag
+    window shuffles once on media_id (at 100 TB, frames of one clip are
+    already co-located by the decode), and the final rollup is a keyed
+    aggregate.  Reference analog: none (no video surface in GeoWave);
+    threshold 8 luma levels ~ the classic fixed-threshold cut detector
+    (Boreczky & Rowe 1996)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    frames = av.frame_sample_df(av.media_df(spark, sf_dir), every=1)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    m = frames.withColumn("mean_luma", F.expr("luma_sum div (w * h)"))
+    d = m.withColumn(
+        "delta", F.abs(F.col("mean_luma") - F.lag("mean_luma").over(w)))
+    return (
+        d.groupBy("media_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum(F.when(F.col("delta") >= 8, 1).otherwise(0))
+             .cast("bigint").alias("n_cuts"),
+            F.sum(F.coalesce(F.col("delta"), F.lit(0)))
+             .cast("bigint").alias("sum_delta"),
+            F.max(F.coalesce(F.col("delta"), F.lit(0)))
+             .cast("bigint").alias("max_delta"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _q208_sql() -> str:
+    luma = img_tab.luma_sql("xs.g", "ys.g", "(v.doc_id * 1000 + fi.g)")
+    return f"""
+WITH v AS (
+  SELECT doc_id, cast(4 + doc_id % 5 as int) AS nf,
+         cast(16 + doc_id * 7 % 3 * 8 as int) AS w,
+         cast(16 + doc_id * 11 % 3 * 8 as int) AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+fm AS (
+  SELECT v.doc_id, fi.g AS fidx, sum({luma}) // (v.w * v.h) AS mean_luma
+  FROM v,
+       LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS g) fi,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
+  GROUP BY v.doc_id, fi.g, v.w, v.h
+),
+d AS (
+  SELECT doc_id, fidx,
+         abs(mean_luma - lag(mean_luma)
+             OVER (PARTITION BY doc_id ORDER BY fidx)) AS delta
+  FROM fm
+)
+SELECT {_MEDIA_ID} AS media_id,
+       cast(count(*) as bigint) AS n_frames,
+       cast(sum(CASE WHEN delta >= 8 THEN 1 ELSE 0 END) as bigint) AS n_cuts,
+       cast(sum(coalesce(delta, 0)) as bigint) AS sum_delta,
+       cast(max(coalesce(delta, 0)) as bigint) AS max_delta
+FROM d GROUP BY doc_id ORDER BY media_id
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q44_frame_sample": (q44_frame_sample, Q44_SQL),
     "q45_audio_features": (q45_audio_features, Q45_SQL),
@@ -696,4 +768,5 @@ MULTIMODAL_QUERIES = {
     "q166_compress_signature": (q166_compress_signature, _q166_sql()),
     "q179_vignette_screen": (q179_vignette_screen, _q179_sql()),
     "q131_quadrant_hash_dedup": (q131_quadrant_hash_dedup, _q131_sql()),
+    "q208_scene_cuts": (q208_scene_cuts, _q208_sql()),
 }

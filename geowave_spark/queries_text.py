@@ -1889,6 +1889,180 @@ FROM cand ORDER BY dist2, id1, id2 LIMIT 50
 """
 
 
+def _q204(d: G.Dialect) -> str:
+    """Symmetric int8 embedding quantization with a reconstruction-error
+    audit — the storage/serving compression pass of an embedding corpus
+    (FAISS SQ8 / product-serving convention: one scale per vector,
+    code = round-toward-zero(x * 127 / max|x|)).  Integer-exact
+    end-to-end: micro-floored elements, sign-split truncating division
+    (both dialects' intdiv semantics agree on nonnegative operands, so
+    the sign is factored out explicitly), squared dequantization error
+    summed in int64 (|err_elem| <= scale/127 * ~5e5 -> sums << 2^63).
+
+    Scale shape: one narrow projection per vector — no explode, no
+    shuffle until the tiny per-label aggregate; at 100 TB this is a
+    single map-side-combinable scan.  Reference analog: none (GeoWave
+    stores raster tiles, not vectors); this is the pipeline op a
+    trillion-vector store runs before writing ANN shards (q82's PQ is
+    the codebook sibling; SQ8 is the per-vector sibling)."""
+    mf = d.xform("v", "cast(floor(x * 1000000) as bigint)")
+    absmax = d.fold(d.xform("mv", "abs(x)"), "cast(1 as bigint)",
+                    "greatest(acc, x)")
+    # code(x)   = sign(x) * (|x| * 127 div s)           (|code| <= 127)
+    # deq(x)    = sign(x) * (|code| * s div 127)
+    # err(x)    = (x - deq(x))^2
+    q_abs = d.intdiv("(abs(x) * 127)", "s")
+    deq_abs = d.intdiv(f"(({q_abs}) * s)", "127")
+    err = (f"(abs(x) - ({deq_abs})) * (abs(x) - ({deq_abs}))")
+    sum_err = d.fold(d.xform("mv", err), "cast(0 as bigint)", "acc + x")
+    nonzero = d.size(d.arr_filter("mv", f"{q_abs} > 0"))
+    return f"""
+WITH v0 AS (SELECT vec_id, label, {G.to_double_arr(d, 'embedding')} AS v
+            FROM embeddings),
+m AS (SELECT vec_id, label, {mf} AS mv FROM v0),
+s AS (SELECT vec_id, label, mv, {absmax} AS s FROM m),
+e AS (
+  SELECT vec_id, label, s AS scale,
+         cast({sum_err} as bigint) AS sq_err,
+         cast({nonzero} as bigint) AS n_nonzero
+  FROM s
+)
+SELECT label,
+       cast(count(*) as bigint) AS n_vecs,
+       cast(sum(scale) as bigint) AS sum_scale,
+       cast(sum(sq_err) as bigint) AS sum_sq_err,
+       cast({d.intdiv('sum(sq_err)', 'sum(n_nonzero)')} as bigint)
+         AS err_per_dim,
+       cast(sum(n_nonzero) as bigint) AS n_nonzero
+FROM e GROUP BY label ORDER BY label
+"""
+
+
+_LEXICON = "('slow', 'big', 'small')"
+
+
+def _q205(d: G.Dialect) -> str:
+    """Lexicon screening — the denylist/compliance gate of a text
+    pipeline (toxicity / boilerplate / brand-term screens all reduce to
+    this shape): per-document hit counts against a flag lexicon, rolled
+    up per source with a flagged-document rate.  Distinct from q63
+    (statistical quality) and q122 (PII rewrite): the lexicon here is a
+    *membership* screen whose word list would be a broadcast side input
+    at production size.
+
+    Scale shape: pure per-row codegen (token filter against an inlined
+    literal set; a 100k-term production lexicon becomes a broadcast
+    hash join on exploded tokens — same plan class as q96's
+    decontamination join), then one tiny keyed aggregate."""
+    toks = G.tokens(d)
+    hits = d.size(d.arr_filter(toks, f"x IN {_LEXICON}"))
+    return f"""
+WITH m AS (
+  SELECT doc_id, source,
+         cast({d.size(toks)} as bigint) AS n_tokens,
+         cast({hits} as bigint) AS n_hits
+  FROM documents WHERE length(text) > 0
+)
+SELECT source,
+       cast(count(*) as bigint) AS n_docs,
+       cast(sum(n_hits) as bigint) AS total_hits,
+       cast(sum(CASE WHEN n_hits >= 3 THEN 1 ELSE 0 END) as bigint)
+         AS n_flagged,
+       cast((sum(CASE WHEN n_hits >= 3 THEN 1 ELSE 0 END) * 1000)
+            {'div' if d.is_spark else '//'} count(*) as bigint)
+         AS flag_rate_milli,
+       cast({d.intdiv('(sum(n_hits) * 1000000)', 'sum(n_tokens)')} as bigint)
+         AS hit_density_micro
+FROM m GROUP BY source ORDER BY source
+"""
+
+
+def _q206(d: G.Dialect) -> str:
+    """Containment near-dup pairs — the ASYMMETRIC dedup relation
+    (Broder's containment c(A,B) = |A∩B| / |A|): catches a short
+    document wholly quoted inside a longer one, which symmetric Jaccard
+    (q18) scores low because the union is large.  The canonical
+    quote-inclusion / page-template detector of a crawl pipeline.
+    Emitted when the SMALLER shingle set is >= 60% contained in the
+    other; integer-exact micro ratios.
+
+    Scale shape: identical join skeleton to q18 (distinct-shingle
+    equality join keyed by (source, shingle), group-count for the
+    intersection) — fan-out bounded by within-source shingle
+    co-occurrence; the production candidate path is q16's banded
+    MinHash join.  Ordering (contained, container) is decided per pair
+    from the two set sizes — no second join pass."""
+    sh = G.shingles3_from(d, "v")
+    return f"""
+WITH wv AS (SELECT doc_id, source, {G.wordvals(d)} AS v FROM documents),
+sh_rows AS (
+  SELECT DISTINCT doc_id, source, {d.explode(sh)} AS shingle
+  FROM wv WHERE {d.size('v')} >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh_rows GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ninter
+  FROM sh_rows a
+  JOIN sh_rows b ON b.source = a.source AND b.shingle = a.shingle
+                AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT CASE WHEN z1.sz <= z2.sz THEN i.d1 ELSE i.d2 END AS contained_id,
+         CASE WHEN z1.sz <= z2.sz THEN i.d2 ELSE i.d1 END AS container_id,
+         least(z1.sz, z2.sz) AS small_sz,
+         greatest(z1.sz, z2.sz) AS big_sz,
+         cast(floor(1000000.0 * i.ninter / least(z1.sz, z2.sz)) as bigint)
+           AS containment_micro
+  FROM inter i
+  JOIN sizes z1 ON z1.doc_id = i.d1 JOIN sizes z2 ON z2.doc_id = i.d2
+)
+SELECT contained_id, container_id,
+       cast(small_sz as bigint) AS small_sz,
+       cast(big_sz as bigint) AS big_sz, containment_micro
+FROM scored WHERE containment_micro >= 600000
+ORDER BY contained_id, container_id
+"""
+
+
+def _q207(d: G.Dialect) -> str:
+    """Skyline (Pareto-frontier) document selection — "best quality at
+    every length budget": a document survives iff no other document has
+    a higher quality score with fewer-or-equal characters (nor a
+    same-score strictly-shorter one).  The data-selection shape behind
+    "pick the most instructive sample per token budget" curation.
+
+    Scale shape: the 2-D skyline decomposes relationally — one keyed
+    aggregate to (score -> min length), a running min over the DISTINCT
+    score axis (a window over a tiny relation, broadcast back), and a
+    semi-join of the corpus against the surviving (score, len) frontier.
+    No pairwise self-join: O(n) + O(|distinct scores|), the textbook
+    sort-based skyline (Borzsony et al., ICDE 2001) in window form.
+    Score here is q63's distinct-token ratio in permille (integer)."""
+    toks = G.tokens(d)
+    score = (f"cast(({d.size(d.arr_distinct(toks))} * 1000) "
+             f"{'div' if d.is_spark else '//'} {d.size(toks)} as bigint)")
+    return f"""
+WITH m AS (
+  SELECT doc_id, cast(length(text) as bigint) AS n_chars, {score} AS score
+  FROM documents WHERE length(text) > 0
+),
+per_score AS (SELECT score, min(n_chars) AS min_len FROM m GROUP BY score),
+frontier AS (
+  SELECT score, min_len,
+         min(min_len) OVER (ORDER BY score DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_above
+  FROM per_score
+)
+SELECT m.doc_id, m.score, m.n_chars
+FROM m
+JOIN frontier f ON f.score = m.score AND m.n_chars = f.min_len
+WHERE f.best_above IS NULL OR f.min_len < f.best_above
+ORDER BY m.score DESC, m.doc_id
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
@@ -1929,4 +2103,8 @@ TEXT_QUERIES = {
     "q197_source_overlap": _dual(_q197),
     "q201_heaps_law": _dual(_q201),
     "q203_hard_negatives": _dual(_q203),
+    "q204_int8_quant": _dual(_q204),
+    "q205_lexicon_screen": _dual(_q205),
+    "q206_containment_dedup": _dual(_q206),
+    "q207_skyline_selection": _dual(_q207),
 }
