@@ -407,15 +407,16 @@ FROM px GROUP BY image_id ORDER BY image_id
 """
 
 
-def _subset_images(spark: SparkSession, sf_dir: str):
-    """doc_id % 5 = 3 image subset (bounds pixel-level oracle joins only;
-    the operators are subset-independent): distributed synthesis via one
-    mapInPandas."""
+def _subset_images(spark: SparkSession, sf_dir: str, mod: int = 5,
+                   rem: int = 3):
+    """doc_id % mod = rem image subset (bounds pixel-level oracle joins
+    only; the operators are subset-independent): distributed synthesis
+    via one mapInPandas."""
     from .table.images import IMG_SCHEMA, gen_images_pdf
 
     _register_documents(spark, sf_dir)
     docs = spark.sql(
-        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 3"
+        f"SELECT doc_id, text FROM documents WHERE doc_id % {mod} = {rem}"
     ).repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches):
@@ -1750,6 +1751,137 @@ f AS (SELECT image_id, x, y, lap * lap AS f FROM l)
 {_TILE_ROLLUP_SQL}"""
 
 
+def _q209_tail_sql(hist_rel: str, dv: str) -> str:
+    """Shared signature-join tail over a hist relation
+    (image_id, npx, h0..h7); ``dv`` is the dialect's integer-divide."""
+    qcols = ", ".join(
+        f"(h{k} * 16) {dv} npx AS q{k}, (h{k} * 1000000) {dv} npx AS s{k}"
+        for k in range(8))
+    sig = " + ".join(f"q{k} * {17 ** k}" for k in range(8))
+    l1 = " + ".join(f"abs(a.s{k} - b.s{k})" for k in range(8))
+    return f"""
+q AS (SELECT image_id, npx, {qcols} FROM {hist_rel}),
+sigs AS (SELECT *, {sig} AS sig FROM q)
+SELECT a.image_id AS img1, b.image_id AS img2, cast(a.sig as bigint) AS sig,
+       cast({l1} as bigint) AS l1_micro
+FROM sigs a JOIN sigs b ON b.sig = a.sig AND a.image_id < b.image_id
+WHERE {l1} <= 20000
+ORDER BY img1, img2"""
+
+
+def q209_hist_signature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-statistics near-dup candidates: 8-bin luma-histogram
+    signature join.  Each image reduces to a quantized histogram-share
+    signature (17 levels per bin folded into one int64); images sharing
+    the signature are candidates, refined by an exact L1 distance between
+    micro-share vectors (<= 2% total variation).  The photometric
+    complement of the structural hashes (q46 phash / q131 quadrant /
+    q151 rotation-canonical): histogram signatures survive warps and
+    recompression that break positional hashes, at the cost of false
+    positives — which is why the refine (and the q198 PSNR verifier
+    downstream) exists.
+
+    Scale shape: decode + bincount is the embarrassingly-parallel payload
+    (one mapInPandas, zero shuffle); candidates come from an equi-join on
+    the signature (well-spread at corpus scale), never all pairs; the
+    refine is 8-column codegen arithmetic on the joined row.  Oracle:
+    histograms recomputed per pixel in closed form (`_px_cte_sql`), same
+    tail formula."""
+    import numpy as np
+    import pandas as pd
+
+    from .raster import codec
+    from .table.images import gray
+
+    def hist(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                px = codec.decode(bytes(pdf["bytes"].iloc[i]),
+                                  pdf["fmt"].iloc[i])
+                g = gray(px)
+                h = np.bincount((g // 32).ravel(), minlength=8)
+                rows.append((pdf["image_id"].iloc[i], int(g.size),
+                             *(int(v) for v in h)))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "npx"] + [f"h{k}" for k in range(8)])
+
+    schema = ("image_id string, npx long, "
+              + ", ".join(f"h{k} long" for k in range(8)))
+    _subset_images(spark, sf_dir).mapInPandas(hist, schema=schema) \
+        .createOrReplaceTempView("q209_hist")
+    return spark.sql("WITH " + _q209_tail_sql("q209_hist", "div"))
+
+
+def _q209_sql() -> str:
+    hcols = ", ".join(
+        f"sum(case when v // 32 = {k} then 1 else 0 end) AS h{k}"
+        for k in range(8))
+    return f"""
+WITH {_px_cte_sql()},
+hist AS (SELECT image_id, max(w * h) AS npx, {hcols} FROM px
+         GROUP BY image_id),
+{_q209_tail_sql('hist', '//')}"""
+
+
+def q210_cc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected-component (blob) census of the thresholded
+    luma mask (>= 128) over each image's 32x32 crop: blob count, largest
+    blob, masked-pixel total.  THE segmentation primitive done the
+    100 TB way — per-tile local labeling (numpy payload) + 1-px boundary
+    label strips + global star-contraction merge (`raster/blobs.py`); no
+    executor ever assembles a whole mask.  The doc_id % 25 subset bounds
+    the oracle's recursive flood fill only.
+
+    Oracle: DuckDB recursive CTE — min-label propagation over the masked
+    pixel adjacency (a label moves to a neighbor only while smaller than
+    the neighbor's own seed id, which provably delivers every pixel its
+    component minimum) — a fully independent, tiling-free labeling."""
+    from .raster.blobs import blob_stats
+
+    return blob_stats(_subset_images(spark, sf_dir, mod=25, rem=3)) \
+        .orderBy("image_id")
+
+
+def _q210_sql() -> str:
+    from .table import images as img_tab
+
+    luma = img_tab.luma_sql("xs.g", "ys.g", decoded=True)
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id
+  FROM documents WHERE doc_id % 25 = 3
+),
+px AS MATERIALIZED (
+  SELECT doc_id, image_id, xs.g AS x, ys.g AS y
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, 31)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, 31)) AS g) ys
+  WHERE {luma} >= 128
+),
+lab AS (
+  SELECT doc_id, image_id, x, y, y * 32 + x AS lbl FROM px
+  UNION
+  SELECT p.doc_id, p.image_id, p.x, p.y, l.lbl
+  FROM lab l
+  JOIN px p ON p.doc_id = l.doc_id
+           AND abs(p.x - l.x) + abs(p.y - l.y) = 1
+  WHERE l.lbl < p.y * 32 + p.x
+),
+fin AS (
+  SELECT image_id, x, y, min(lbl) AS comp FROM lab GROUP BY 1, 2, 3
+),
+comps AS (SELECT image_id, comp, count(*) AS sz FROM fin GROUP BY 1, 2)
+SELECT image_id,
+       cast(count(*) as bigint) AS n_blobs,
+       cast(max(sz) as bigint) AS max_blob,
+       cast(sum(sz) as bigint) AS n_masked
+FROM comps GROUP BY image_id ORDER BY image_id
+"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -1779,4 +1911,6 @@ RASTER_QUERIES = {
     "q198_psnr_verify": (q198_psnr_verify, _q198_sql()),
     "q200_focal_median": (q200_focal_median, _q200_sql()),
     "q202_blur_laplacian": (q202_blur_laplacian, _q202_sql()),
+    "q209_hist_signature_join": (q209_hist_signature_join, _q209_sql()),
+    "q210_cc_blobs": (q210_cc_blobs, _q210_sql()),
 }
