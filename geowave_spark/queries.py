@@ -3684,6 +3684,118 @@ def q199_kanon_od(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .queries_raster import RASTER_QUERIES  # noqa: E402
 
+_Q211_CELL = 2_000_000  # 2 deg in micro-degrees
+
+
+def _q211_segs_sql(rem: int) -> str:
+    """Bounded synthetic segment set ``rem`` (micro-degree integer
+    coords): anchor hashed into a 30x30-deg region, offset within +-2
+    deg.  The anchor mix is QUADRATIC (h*h mod m) — an affine
+    multiplicative hash of the stride-100 event_id keys yields parallel
+    point lattices whose A/B sets never come within segment reach
+    (measured: zero crossings); squaring breaks the lattice.  Pure int64
+    arithmetic — identical in both engines."""
+    return f"""
+  SELECT sid, ax, ay,
+         cast(ax + ((h * 97 + g * 131) % 4000001) - 2000000 as bigint) AS bx,
+         cast(ay + ((h * 131 + g * 97) % 4000001) - 2000000 as bigint) AS by
+  FROM (
+    SELECT sid, h, g,
+           cast((h * h) % 30000000 as bigint) AS ax,
+           cast((g * g) % 30000000 as bigint) AS ay
+    FROM (
+      SELECT event_id AS sid,
+             (event_id * 2654435761) % 1000003 AS h,
+             (event_id * 2246822519) % 999983 AS g
+      FROM events WHERE event_id % 100 = {rem}
+    ) t0
+  ) t1"""
+
+
+def _q211_proper(a: tuple[str, str, str, str],
+                 b: tuple[str, str, str, str]) -> str:
+    """Proper segment crossing via integer orientation products: each
+    segment's endpoints strictly straddle the other's supporting line."""
+    ax, ay, bx, by = a
+    ox, oy, px, py = b
+
+    def straddle(x1, y1, x2, y2, u1, v1, u2, v2):
+        # sign comparison, not a product: two ~1e15 cross values would
+        # overflow int64 when multiplied
+        c1 = f"(({x2} - {x1}) * ({v1} - {y1}) - ({y2} - {y1}) * ({u1} - {x1}))"
+        c2 = f"(({x2} - {x1}) * ({v2} - {y1}) - ({y2} - {y1}) * ({u2} - {x1}))"
+        return (f"(({c1} > 0 AND {c2} < 0) OR ({c1} < 0 AND {c2} > 0))")
+
+    return (straddle(ax, ay, bx, by, ox, oy, px, py) + " AND "
+            + straddle(ox, oy, px, py, ax, ay, bx, by))
+
+
+def _q211_spark_sql() -> str:
+    """Engine path: 2-deg grid-cell blocking (bbox supercover explode on
+    both sides), DISTINCT candidate pairs from the cell equi-join, exact
+    integer orientation refine.  The classic overlay join: candidates
+    scale with local density, never all pairs."""
+    cover = (
+        "LATERAL VIEW explode(sequence(least(ax, bx) div {c}, "
+        "greatest(ax, bx) div {c})) cxs AS cx "
+        "LATERAL VIEW explode(sequence(least(ay, by) div {c}, "
+        "greatest(ay, by) div {c})) cys AS cy"
+    ).format(c=_Q211_CELL)
+    return f"""
+WITH sa AS ({_q211_segs_sql(0)}),
+sb AS ({_q211_segs_sql(1)}),
+ca AS (SELECT sid, ax, ay, bx, by, cy * 100 + cx AS cell FROM sa {cover}),
+cb AS (SELECT sid, ax, ay, bx, by, cy * 100 + cx AS cell FROM sb {cover}),
+cand AS (
+  SELECT DISTINCT ca.sid AS sid_a, ca.ax, ca.ay, ca.bx, ca.by,
+         cb.sid AS sid_b, cb.ax AS ox, cb.ay AS oy, cb.bx AS px,
+         cb.by AS py
+  FROM ca JOIN cb ON cb.cell = ca.cell
+)
+SELECT sid_a, sid_b
+FROM cand
+WHERE {_q211_proper(('ax', 'ay', 'bx', 'by'), ('ox', 'oy', 'px', 'py'))}
+ORDER BY sid_a, sid_b
+"""
+
+
+def q211_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-overlay intersection join: which segments of set A properly
+    cross segments of set B (the road-network x pipeline-routes overlay,
+    and the self-intersection primitive behind polygon validation).
+    Engine: 2-deg supercover cell blocking + DISTINCT candidates + exact
+    int64 orientation tests (proper crossings only — collinear touches
+    are measure-zero under the hash coordinates).  Oracle: brute-force
+    all pairs with the same predicate, the indexed-vs-brute contract of
+    `GeoWaveSparkSpatialJoinIT.java:228-255` (/root/reference).
+
+    Scale shape: candidate volume tracks LOCAL segment density (cell
+    equi-join on a well-spread key), the refine is codegen integer
+    arithmetic, and the only skew risk — a dense cell — salts exactly
+    like the q56 rect join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q211_spark_sql())
+
+
+_Q211_DUCK = f"""
+WITH sa AS ({_q211_segs_sql(0)}),
+sb AS ({_q211_segs_sql(1)}),
+bbox AS MATERIALIZED (
+  SELECT d.sid AS sid_a, d.ax, d.ay, d.bx, d.by,
+         o.sid AS sid_b, o.ax AS ox, o.ay AS oy, o.bx AS px, o.by AS py
+  FROM sa d JOIN sb o
+    ON least(o.ax, o.bx) <= greatest(d.ax, d.bx)
+   AND greatest(o.ax, o.bx) >= least(d.ax, d.bx)
+   AND least(o.ay, o.by) <= greatest(d.ay, d.by)
+   AND greatest(o.ay, o.by) >= least(d.ay, d.by)
+)
+SELECT sid_a, sid_b
+FROM bbox
+WHERE {_q211_proper(('ax', 'ay', 'bx', 'by'), ('ox', 'oy', 'px', 'py'))}
+ORDER BY sid_a, sid_b
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -3759,6 +3871,7 @@ QUERIES = {
                            _q186_sql("epoch_us(ts)", "//")),
     "q187_kcore": (q187_kcore, _q187_sql("epoch_us(ts)")),
     "q188_ripley_k": (q188_ripley_k, _q188_duck_sql()),
+    "q211_segment_intersections": (q211_segment_intersections, _Q211_DUCK),
     "q190_path_interpolation": (q190_path_interpolation,
                                 _q190_sql("epoch_us(ts)", "//")),
     "q192_theil_sen": (q192_theil_sen, _q192_duck_sql()),
