@@ -1882,6 +1882,312 @@ FROM comps GROUP BY image_id ORDER BY image_id
 """
 
 
+def q212_hough_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hough line detection over the halo-exchange tile harness: edge
+    pixels (central-difference gradient magnitude >= 200, full
+    4-neighborhood in-image) vote in four INTEGER direction accumulators
+    — dir 0 rho=x (vertical), 1 rho=y (horizontal), 2 rho=x+y (diag),
+    3 rho=x-y (anti-diag); top-3 lines per (image, direction).  The
+    stripe/wrap structure of the synthetic luma field produces real
+    lines, so the detector finds genuine maxima, not noise.
+
+    Scale shape: votes are emitted as per-tile PARTIAL rows
+    (`focal.hough_votes`) and summed by ONE keyed aggregation — the
+    map-side-combine accumulator pattern; the vote space (image, dir,
+    rho) is a well-spread key at any image size and no executor ever
+    materializes an image or a full accumulator.  Integer angles make
+    every vote exactly reproducible in the DuckDB twin.  (Reference has
+    no interest-point/line op — this extends the q137 Harris gap-fill;
+    raster analytics live in `analytics/mapreduce/.../kde/*` only.)"""
+    from pyspark.sql import Window
+
+    from .raster import focal
+
+    votes = focal.hough_votes(
+        _focal_tiles(spark, sf_dir, halo=1), halo_included=True)
+    total = votes.groupBy("image_id", "dir", "rho").agg(
+        F.sum("votes").alias("votes"))
+    w = Window.partitionBy("image_id", "dir").orderBy(
+        F.col("votes").desc(), F.col("rho").asc())
+    return (
+        total.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("image_id", "dir", "rho", "votes")
+        .orderBy("image_id", "dir", "rho")
+    )
+
+
+def _q212_sql() -> str:
+    return f"""
+WITH {_px_cte_sql()},
+nb AS MATERIALIZED (
+  SELECT p.image_id, p.x, p.y,
+         max(CASE WHEN d.dx = 1 THEN q.v END) AS ve,
+         max(CASE WHEN d.dx = -1 THEN q.v END) AS vw,
+         max(CASE WHEN d.dy = 1 THEN q.v END) AS vs,
+         max(CASE WHEN d.dy = -1 THEN q.v END) AS vn
+  FROM px p
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) d(dx, dy)
+  JOIN px q ON q.doc_id = p.doc_id AND q.x = p.x + d.dx AND q.y = p.y + d.dy
+  WHERE p.x >= 1 AND p.x <= p.w - 2 AND p.y >= 1 AND p.y <= p.h - 2
+  GROUP BY 1, 2, 3
+),
+edges AS (SELECT image_id, x, y FROM nb
+          WHERE abs(ve - vw) + abs(vs - vn) >= 200),
+acc AS (
+  SELECT image_id, d.dir,
+         CASE d.dir WHEN 0 THEN x WHEN 1 THEN y
+              WHEN 2 THEN x + y ELSE x - y END AS rho,
+         count(*) AS votes
+  FROM edges CROSS JOIN (VALUES (0), (1), (2), (3)) d(dir)
+  GROUP BY 1, 2, 3
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY image_id, dir
+         ORDER BY votes DESC, rho ASC) AS rn FROM acc)
+SELECT image_id, cast(dir as int) AS dir, cast(rho as int) AS rho,
+       cast(votes as bigint) AS votes
+FROM rk WHERE rn <= 3 ORDER BY image_id, dir, rho
+"""
+
+
+_TPL = 8          # template side (px)
+_TPL_WIN = 25     # offsets per axis over the 32x32 crop
+
+
+def _template_np():
+    import numpy as np
+
+    u, v = np.mgrid[0:_TPL, 0:_TPL]
+    return (u * 41 + v * 23 + ((u + v) % 3) * 17) % 256
+
+
+def q213_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template matching: best placement of a fixed 8x8 integer template
+    over each image's 32x32 crop by exact SAD (sum of absolute
+    differences) — the registration/alignment primitive behind mosaic
+    seaming and duplicate-crop detection.  argmin tie-break is scan
+    order (sad, y, x).
+
+    Scale shape: per-image independent work, ONE mapInPandas, zero
+    shuffles — the SAD surface is a vectorized stride-trick window view,
+    never a Python pixel loop; for images larger than a tile the same
+    kernel runs on the halo harness with a (tpl-1)-px strip.  Integer
+    SAD means the DuckDB twin (pixel x template-cell join) is exact."""
+    import numpy as np
+    import pandas as pd
+
+    from .raster import codec
+    from .table.images import gray
+
+    tpl = _template_np().astype(np.int64)
+
+    def best(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                px = codec.decode(bytes(pdf["bytes"].iloc[i]),
+                                  pdf["fmt"].iloc[i])
+                g = gray(px)[:32, :32].astype(np.int64)
+                wins = sliding_window_view(g, (_TPL, _TPL))
+                sad = np.abs(wins - tpl).sum(axis=(2, 3))
+                k = int(np.argmin(sad))          # row-major => (y, x) ties
+                rows.append((pdf["image_id"].iloc[i],
+                             k // _TPL_WIN, k % _TPL_WIN,
+                             int(sad.flat[k])))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "image_id", "best_y", "best_x", "best_sad"])
+
+    return _subset_images(spark, sf_dir, mod=25, rem=4).mapInPandas(
+        best, schema="image_id string, best_y int, best_x int, best_sad long"
+    ).orderBy("image_id")
+
+
+def _q213_sql() -> str:
+    from .table import images as img_tab
+
+    luma = img_tab.luma_sql("xs.g", "ys.g", decoded=True)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id
+  FROM documents WHERE doc_id % 25 = 4
+),
+px AS MATERIALIZED (
+  SELECT doc_id, image_id, xs.g AS x, ys.g AS y, {luma} AS v
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, 31)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, 31)) AS g) ys
+),
+tpl AS (
+  SELECT u.g AS u, v.g AS v,
+         (u.g * 41 + v.g * 23 + ((u.g + v.g) % 3) * 17) % 256 AS t
+  FROM (SELECT unnest(generate_series(0, {_TPL - 1})) AS g) u,
+       (SELECT unnest(generate_series(0, {_TPL - 1})) AS g) v
+),
+sad AS (
+  SELECT p.image_id, o.oy, o.ox, sum(abs(p.v - t.t)) AS sad
+  FROM (SELECT a.g AS oy, b.g AS ox
+        FROM (SELECT unnest(generate_series(0, {_TPL_WIN - 1})) AS g) a,
+             (SELECT unnest(generate_series(0, {_TPL_WIN - 1})) AS g) b) o
+  CROSS JOIN tpl t
+  JOIN px p ON p.x = o.ox + t.v AND p.y = o.oy + t.u
+  GROUP BY 1, 2, 3
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY image_id
+         ORDER BY sad ASC, oy ASC, ox ASC) AS rn FROM sad)
+SELECT image_id, cast(oy as int) AS best_y, cast(ox as int) AS best_x,
+       cast(sad as bigint) AS best_sad
+FROM rk WHERE rn = 1 ORDER BY image_id
+"""
+
+
+def _q214_tail_sql(part_rel: str) -> str:
+    """Shared Otsu tail over a PARTIAL histogram relation
+    (image_id, v, cnt): keyed roll-up, cumulative window, integer-exact
+    between-class variance argmax.  The only float is the final
+    score division (same IEEE expression text in both dialects; the
+    squared term is built from an int64-exact difference cast to double
+    BEFORE squaring, so no int64 overflow at any image size)."""
+    cw = ("OVER (PARTITION BY image_id ORDER BY v "
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return f"""
+hist AS (SELECT image_id, v, sum(cnt) AS cnt FROM {part_rel}
+         GROUP BY image_id, v),
+cum AS (
+  SELECT image_id, v,
+         sum(cnt) {cw} AS w0,
+         sum(v * cnt) {cw} AS s0,
+         sum(cnt) OVER (PARTITION BY image_id) AS n,
+         sum(v * cnt) OVER (PARTITION BY image_id) AS s
+  FROM hist
+),
+sc AS (
+  SELECT image_id, v, w0,
+         cast(s0 * n - w0 * s as double) * cast(s0 * n - w0 * s as double)
+           / cast(w0 * (n - w0) as double) AS score
+  FROM cum WHERE w0 < n
+),
+rk AS (SELECT image_id, v, w0, row_number() OVER (PARTITION BY image_id
+         ORDER BY score DESC, v ASC) AS rn FROM sc)
+SELECT image_id, cast(v as int) AS otsu_t, cast(w0 as bigint) AS w0_px
+FROM rk WHERE rn = 1 ORDER BY image_id"""
+
+
+def q214_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu global threshold per image: the argmax-between-class-variance
+    binarization that feeds mask-based ops (q210 blobs, q104 contours)
+    a principled threshold instead of the fixed 128.
+
+    Scale shape: per-TILE partial 256-bin histograms (mapInPandas
+    bincount, the embarrassingly-parallel payload) -> ONE keyed
+    aggregation onto (image, value) -> a 256-row-per-image window scan.
+    The accumulator is distributed exactly like q212's votes; nothing
+    per-image ever exceeds 256 rows after the roll-up.  Between-class
+    variance compares via an int64-exact cross-difference, so the argmax
+    (tie -> smallest t, provably attained at a present value) matches
+    DuckDB bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from .raster import focal
+
+    core = focal.tile_rows(_subset_images(spark, sf_dir), tile=16,
+                           with_halo=False)
+
+    def part_hist(batches):
+        for pdf in batches:
+            frames = []
+            for iid, data in zip(pdf["image_id"], pdf["data"]):
+                blk = np.frombuffer(data, dtype=np.uint8)
+                h = np.bincount(blk, minlength=256)
+                nz = np.flatnonzero(h)
+                frames.append(pd.DataFrame({
+                    "image_id": iid, "v": nz.astype(np.int32),
+                    "cnt": h[nz].astype(np.int64)}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    core.mapInPandas(
+        part_hist, schema="image_id string, v int, cnt long"
+    ).createOrReplaceTempView("q214_part")
+    return spark.sql("WITH " + _q214_tail_sql("q214_part"))
+
+
+def _q214_sql() -> str:
+    return f"""
+WITH {_px_cte_sql()},
+part AS (SELECT image_id, v, count(*) AS cnt FROM px GROUP BY 1, 2),
+{_q214_tail_sql('part')}
+"""
+
+
+def q215_bayer_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered (Bayer 4x4) dithering census: per 16x16 tile, how many
+    pixels turn on under the classic dispersed-dot threshold map
+    on = (v // 16) > B4(y%4, x%4), plus a positional checksum — the
+    deterministic halftoning op print/preview pipelines run, and a
+    strict per-pixel positional check of the decode path.
+
+    Scale shape: tile rows are independent (threshold map is position-
+    local), so this is ONE mapInPandas over the tile relation — zero
+    shuffles, zero joins; B4 is computed by the same closed formula in
+    numpy and in the oracle's SQL (no lookup table to drift)."""
+    import numpy as np
+    import pandas as pd
+
+    from .raster import focal
+
+    core = focal.tile_rows(_subset_images(spark, sf_dir), tile=16,
+                           with_halo=False)
+
+    def dither(batches):
+        for pdf in batches:
+            rows = []
+            for iid, ty, tx, y0, x0, th, tw, data in zip(
+                    pdf["image_id"], pdf["ty"], pdf["tx"], pdf["y0"],
+                    pdf["x0"], pdf["th"], pdf["tw"], pdf["data"]):
+                blk = np.frombuffer(data, dtype=np.uint8).reshape(
+                    int(th), int(tw)).astype(np.int64)
+                yy, xx = np.mgrid[0:int(th), 0:int(tw)]
+                gy, gx = yy + int(y0), xx + int(x0)
+
+                def b2(i, j):
+                    return 2 * (j % 2) + 3 * (i % 2) - 4 * (i % 2) * (j % 2)
+
+                b4 = 4 * b2(gy % 2, gx % 2) + b2((gy // 2) % 2, (gx // 2) % 2)
+                on = (blk // 16) > b4
+                rows.append((iid, int(ty), int(tx), int(on.sum()),
+                             int((gy[on] * 131 + gx[on]).sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "image_id", "ty", "tx", "n_on", "pos_sum"])
+
+    return core.mapInPandas(
+        dither,
+        schema="image_id string, ty int, tx int, n_on long, pos_sum long",
+    ).orderBy("image_id", "ty", "tx")
+
+
+def _q215_sql() -> str:
+    b2yx = "(2 * ((x) % 2) + 3 * ((y) % 2) - 4 * ((y) % 2) * ((x) % 2))"
+    b2hi = ("(2 * (((x) // 2) % 2) + 3 * (((y) // 2) % 2)"
+            " - 4 * (((y) // 2) % 2) * (((x) // 2) % 2))")
+    return f"""
+WITH {_px_cte_sql()},
+d AS (
+  SELECT image_id, y // 16 AS ty, x // 16 AS tx, y, x
+  FROM px
+  WHERE (v // 16) > 4 * {b2yx} + {b2hi}
+)
+SELECT image_id, cast(ty as int) AS ty, cast(tx as int) AS tx,
+       cast(count(*) as bigint) AS n_on,
+       cast(sum(y * 131 + x) as bigint) AS pos_sum
+FROM d GROUP BY 1, 2, 3 ORDER BY image_id, ty, tx
+"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -1913,4 +2219,8 @@ RASTER_QUERIES = {
     "q202_blur_laplacian": (q202_blur_laplacian, _q202_sql()),
     "q209_hist_signature_join": (q209_hist_signature_join, _q209_sql()),
     "q210_cc_blobs": (q210_cc_blobs, _q210_sql()),
+    "q212_hough_lines": (q212_hough_lines, _q212_sql()),
+    "q213_template_match": (q213_template_match, _q213_sql()),
+    "q214_otsu_threshold": (q214_otsu_threshold, _q214_sql()),
+    "q215_bayer_dither": (q215_bayer_dither, _q215_sql()),
 }

@@ -519,3 +519,77 @@ def focal_lbp_stats(tiles_df, halo_included: bool = False):
         return code, n == 9
 
     return _focal_apply(tiles_df, lbp_kernel, halo_included)
+
+
+def hough_votes(tiles_df, threshold: int = 200, halo_included: bool = False):
+    """Partial Hough-transform vote rows over the halo-exchange tile
+    harness: per tile, central-difference gradient magnitude
+    |vE-vW| + |vS-vN| marks edge pixels (full 4-neighborhood in-image
+    only), and each edge pixel votes in four integer-exact direction
+    accumulators — dir 0: rho = x (vertical lines), dir 1: rho = y
+    (horizontal), dir 2: rho = x + y (diagonal), dir 3: rho = x - y
+    (anti-diagonal).  Emits PARTIAL (image_id, dir, rho, votes) rows;
+    the caller sums them with one keyed aggregation — the map-side
+    combine shape that keeps the accumulator distributed at any image
+    size (no executor ever holds a whole image's vote space, let alone
+    a whole image).  Integer angles avoid any trig, so the DuckDB twin
+    reproduces every vote exactly."""
+
+    from .tiles import _complete_groups, _group_bounds
+
+    key_cols = ["image_id", "ty", "tx"]
+    full = (tiles_df if halo_included
+            else tiles_df.unionByName(halo_strips(tiles_df, 1)))
+    width = tiles_df.sparkSession.sparkContext.defaultParallelism * 4
+    keyed = full.repartition(width, *key_cols).sortWithinPartitions(*key_cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in _complete_groups(batches, key_cols):
+            kinds = pdf["kind"].to_numpy()
+            y0s = pdf["y0"].to_numpy()
+            x0s = pdf["x0"].to_numpy()
+            ths = pdf["th"].to_numpy()
+            tws = pdf["tw"].to_numpy()
+            datas = pdf["data"].to_numpy()
+            ids = pdf["image_id"].to_numpy()
+            out: list[tuple] = []
+            starts, ends = _group_bounds(pdf, key_cols)
+            for s, e in zip(starts, ends):
+                core = np.flatnonzero(kinds[s:e] == KIND_CORE)
+                if core.size != 1:
+                    continue
+                ci = s + int(core[0])
+                th, tw = int(ths[ci]), int(tws[ci])
+                cy0, cx0 = int(y0s[ci]), int(x0s[ci])
+                pad = np.zeros((th + 2, tw + 2), dtype=np.int64)
+                msk = np.zeros((th + 2, tw + 2), dtype=np.int64)
+                for j in range(s, e):
+                    blk = np.frombuffer(datas[j], dtype=np.uint8).reshape(
+                        int(ths[j]), int(tws[j]))
+                    ry = int(y0s[j]) - cy0 + 1
+                    rx = int(x0s[j]) - cx0 + 1
+                    pad[ry:ry + blk.shape[0], rx:rx + blk.shape[1]] = blk
+                    msk[ry:ry + blk.shape[0], rx:rx + blk.shape[1]] = 1
+                ve = pad[1:1 + th, 2:2 + tw]
+                vw = pad[1:1 + th, 0:tw]
+                vs = pad[2:2 + th, 1:1 + tw]
+                vn = pad[0:th, 1:1 + tw]
+                n4 = (msk[1:1 + th, 2:2 + tw] + msk[1:1 + th, 0:tw]
+                      + msk[2:2 + th, 1:1 + tw] + msk[0:th, 1:1 + tw])
+                gm = np.abs(ve - vw) + np.abs(vs - vn)
+                yy, xx = np.nonzero((n4 == 4) & (gm >= threshold))
+                if yy.size == 0:
+                    continue
+                gx = xx + cx0
+                gy = yy + cy0
+                for d, rho in enumerate((gx, gy, gx + gy, gx - gy)):
+                    vals, cnts = np.unique(rho, return_counts=True)
+                    out.extend(
+                        (ids[ci], d, int(v), int(c))
+                        for v, c in zip(vals, cnts))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["image_id", "dir", "rho", "votes"])
+
+    return keyed.mapInPandas(
+        run, schema="image_id string, dir int, rho int, votes long")
