@@ -3933,3 +3933,7 @@ QUERIES.update(OSM_QUERIES)
 from .queries_scenes import SCENE_QUERIES  # noqa: E402
 
 QUERIES.update(SCENE_QUERIES)
+
+from .queries_mobility import MOBILITY_QUERIES  # noqa: E402
+
+QUERIES.update(MOBILITY_QUERIES)

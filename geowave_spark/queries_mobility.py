@@ -1,0 +1,219 @@
+"""Mobility / tessellation operators (q216-q218).
+
+Hexagonal tessellation binning, polyline decimation, and convoy (co-movement)
+pair detection — the movement-analytics layer over the binned-aggregation and
+track primitives (reference analogs: `SpatialBinningType` H3 hex binning
+`core/geotime/.../binning/SpatialBinningType.java:15-16`; trajectory rollups
+`extensions/formats/gpx/.../GPXConsumer.java`; NN partitioning
+`analytics/mapreduce/.../nn/NNMapReduce.java`).
+
+Same dual-dialect discipline as queries.py: every derived value is a shared
+SQL text (or differs only in the integer-division / epoch spelling), floats
+stay IEEE-identical by construction, outputs are integerized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .table import geo
+from .table.views import register_views
+
+# --------------------------------------------------------------- q216 hex bin
+
+
+def _q216_sql() -> str:
+    """Hexagonal tessellation binning (pointy-top axial coordinates, cube
+    rounding per Amit Patel's canonical construction): the H3-style hex
+    binned aggregation of `SpatialBinningType.java` expressed in pure
+    closed-form SQL — no library, no UDF, identical text in both engines.
+
+    Scale shape: projection + cube-round are whole-stage-codegen
+    arithmetic; the only shuffle is the final keyed aggregate with
+    map-side partials.  Hexagons have uniform area and 6-neighbor
+    adjacency (vs the row-major grid's 4/8 ambiguity), which is why the
+    reference ships H3 alongside square SFC cells.
+
+    Float discipline: sqrt(3e0) is IEEE-correctly-rounded in both
+    engines; rounding is floor(v + 0.5e0) (identical, no banker's
+    ambiguity); the axial->cube adjustment uses only abs/compare on
+    doubles produced by the same expression text.
+    """
+    s = "5e0"  # hex size (circumradius) in degrees
+    lon, lat = geo.lon_sql("event_id"), geo.lat_sql("event_id")
+    qf = f"((sqrt(3e0) / 3e0 * lon - lat / 3e0) / {s})"
+    rf = f"((2e0 / 3e0 * lat) / {s})"
+    return f"""
+WITH p AS (
+  SELECT event_id, value, {lon} AS lon, {lat} AS lat FROM events
+),
+ax AS (
+  SELECT event_id, value, {qf} AS qf, {rf} AS rf, (-{qf} - {rf}) AS sf
+  FROM p
+),
+cr AS (
+  SELECT event_id, value, qf, rf, sf,
+         floor(qf + 0.5e0) AS rq, floor(rf + 0.5e0) AS rr,
+         floor(sf + 0.5e0) AS rs
+  FROM ax
+),
+hx AS (
+  SELECT event_id, value,
+         cast(CASE WHEN abs(rq - qf) > abs(rr - rf)
+                    AND abs(rq - qf) > abs(rs - sf)
+                   THEN -rr - rs ELSE rq END as bigint) AS hq,
+         cast(CASE WHEN NOT (abs(rq - qf) > abs(rr - rf)
+                             AND abs(rq - qf) > abs(rs - sf))
+                    AND abs(rr - rf) > abs(rs - sf)
+                   THEN -rq - rs ELSE rr END as bigint) AS hr
+  FROM cr
+)
+SELECT hq, hr, cast(count(*) as bigint) AS n,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS val_cents
+FROM hx GROUP BY hq, hr ORDER BY hq, hr
+"""
+
+
+def q216_hex_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q216_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q216_sql())
+
+
+# -------------------------------------------------------- q217 decimation
+
+
+def _q217_sql() -> str:
+    """Polyline decimation by perpendicular offset (the one-pass
+    Lang/radial-offset simplification family; the streaming-friendly
+    sibling of Douglas-Peucker, which is recursive and therefore not a
+    per-row operator): an interior vertex is DROPPED when its
+    perpendicular distance to the chord between its window neighbors is
+    below tol — compared squared (cross^2 <= tol^2 * |chord|^2) so no
+    sqrt/division enters the float path.  Track endpoints always kept;
+    a degenerate chord (prev == next) falls back to point-to-prev
+    distance.
+
+    Scale shape: ONE window shuffle keyed by track (user_id), then a
+    keyed aggregate that reuses the same hash partitioning — vertices
+    never fan out, no joins.  Output per track: vertex counts before /
+    after and an id-checksum of the kept vertices.
+    """
+    lon, lat = geo.lon_sql("event_id"), geo.lat_sql("event_id")
+    w = "OVER (PARTITION BY user_id ORDER BY event_id)"
+    tol2 = "400e0"  # tol = 20 degrees, squared
+    cross = ("((nx - px) * (lat - py) - (ny - py) * (lon - px))")
+    chord2 = "((nx - px) * (nx - px) + (ny - py) * (ny - py))"
+    dprev2 = "((lon - px) * (lon - px) + (lat - py) * (lat - py))"
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, {lon} AS lon, {lat} AS lat
+  FROM events WHERE user_id % 20 = 0
+),
+nb AS (
+  SELECT user_id, event_id, lon, lat,
+         lag(lon) {w} AS px, lag(lat) {w} AS py,
+         lead(lon) {w} AS nx, lead(lat) {w} AS ny
+  FROM pts
+),
+k AS (
+  SELECT user_id, event_id,
+         CASE
+           WHEN px IS NULL OR nx IS NULL THEN 1
+           WHEN {chord2} = 0e0 THEN
+             CASE WHEN {dprev2} > {tol2} THEN 1 ELSE 0 END
+           WHEN {cross} * {cross} > {tol2} * {chord2} THEN 1
+           ELSE 0
+         END AS keep
+  FROM nb
+)
+SELECT user_id, cast(count(*) as bigint) AS n_pts,
+       cast(sum(keep) as bigint) AS n_kept,
+       cast(sum(CASE WHEN keep = 1 THEN event_id ELSE 0 END) as bigint)
+         AS kept_id_sum
+FROM k GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q217_polyline_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q217_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q217_sql())
+
+
+# ------------------------------------------------------------- q218 convoy
+
+
+_Q218_CELLBITS = 20  # row-major res-9 cell ids fit in 2^18; 2^20 is safe
+
+
+def _q218_sql(epoch_us: str, intdiv: str) -> str:
+    """Convoy / flock pair detection (Gudmundsson & van Kreveld's flock
+    pattern, pairwise form): two users are a convoy pair when they share
+    a grid cell in >= 3 CONSECUTIVE day bins.  Positions use the
+    flock-correlated derivation (users in the same flock share a
+    daily-moving base point, plus per-event jitter) so the pattern is
+    non-trivially present in the synthetic table.
+
+    Scale shape — never all-pairs: (1) per (user, day) reduce to ONE
+    representative cell (encoded argmin by event_id — hash aggregate,
+    no window sort); (2) the pair generator is an equi-join keyed by
+    (day, cell), so fan-out is bounded by per-cell occupancy exactly
+    like the spatial cover join (hot cells are the same salting story as
+    `join/spatial.py`); (3) consecutive-run length per pair is one
+    gaps-and-islands window over the tiny (pair, hour) co-binning list.
+    """
+    flock_lon = geo.lon_sql("((user_id % 7) * 1000003 + tbin * 7919)")
+    flock_lat = geo.lat_sql("((user_id % 7) * 999983 + tbin * 104729)")
+    cell = geo.rowmajor_cell_sql(
+        "(blon + (event_id % 997) / 1e4 - 0.0498e0)",
+        "(blat + (event_id % 991) / 1e4 - 0.0495e0)", 9)
+    enc = 1 << _Q218_CELLBITS
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id,
+         cast(({epoch_us}) {intdiv} 86400000000 as bigint) AS tbin
+  FROM events
+),
+pos AS (
+  SELECT event_id, user_id, tbin, {flock_lon} AS blon, {flock_lat} AS blat
+  FROM e
+),
+uc AS (
+  SELECT user_id, tbin,
+         cast(min(event_id * {enc} + {cell}) % {enc} as bigint) AS cell
+  FROM pos GROUP BY user_id, tbin
+),
+pairs AS (
+  SELECT a.user_id AS u1, b.user_id AS u2, a.tbin
+  FROM uc a JOIN uc b
+    ON b.tbin = a.tbin AND b.cell = a.cell AND a.user_id < b.user_id
+),
+runs AS (
+  SELECT u1, u2, tbin,
+         tbin - row_number() OVER (PARTITION BY u1, u2 ORDER BY tbin) AS grp
+  FROM pairs
+),
+scored AS (
+  SELECT u1, u2, grp, cast(count(*) as bigint) AS run_len
+  FROM runs GROUP BY u1, u2, grp
+)
+SELECT u1, u2, cast(sum(run_len) as bigint) AS n_cobins,
+       cast(max(run_len) as bigint) AS max_run
+FROM scored GROUP BY u1, u2 HAVING max(run_len) >= 3
+ORDER BY u1, u2
+"""
+
+
+def q218_convoy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q218_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q218_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+MOBILITY_QUERIES = {
+    "q216_hex_binning": (q216_hex_binning, _q216_sql()),
+    "q217_polyline_decimation": (q217_polyline_decimation, _q217_sql()),
+    "q218_convoy_pairs": (q218_convoy_pairs,
+                          _q218_sql("epoch_us(ts)", "//")),
+}

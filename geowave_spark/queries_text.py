@@ -2063,8 +2063,103 @@ ORDER BY m.score DESC, m.doc_id
 """
 
 
+
+
+# ------------------------------------------------------ q219 ppjoin
+
+
+def _q219_core(d: G.Dialect, candidates: str) -> str:
+    """Shared verify/threshold tail over a `cand (d1, d2)` CTE."""
+    return f"""
+inter AS (
+  SELECT c.d1, c.d2, cast(count(*) as bigint) AS ninter
+  FROM cand c
+  JOIN tok x ON x.doc_id = c.d1
+  JOIN tok y ON y.doc_id = c.d2 AND y.w = x.w
+  GROUP BY c.d1, c.d2
+)
+SELECT i.d1, i.d2, i.ninter,
+       cast(floor(1000000.0 * i.ninter / (s1.n + s2.n - i.ninter))
+            as bigint) AS jac_micro
+FROM inter i
+JOIN sz s1 ON s1.doc_id = i.d1
+JOIN sz s2 ON s2.doc_id = i.d2
+WHERE 2 * i.ninter >= (s1.n + s2.n - i.ninter)
+ORDER BY d1, d2
+"""
+
+
+def _q219_head(d: G.Dialect) -> str:
+    sh = G.shingles3_from(d, "v")
+    return f"""
+WITH wv AS (SELECT doc_id, {G.wordvals(d)} AS v FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, {d.explode(sh)} AS w
+  FROM wv WHERE {d.size('v')} >= 3
+),
+sz AS (SELECT doc_id, cast(count(*) as bigint) AS n FROM tok GROUP BY doc_id)
+"""
+
+
+def _q219_spark(spark, sf_dir):
+    """PPJoin-style set-similarity self-join with PREFIX FILTERING
+    (Chaudhuri/Ganti/Kaushik SSJoin + Xiao et al. PPJoin): 3-gram
+    shingle-set Jaccard >= 0.5 pairs, but candidates come ONLY from each
+    document's prefix — its (n - ceil(0.5 n) + 1) globally-rarest
+    shingles under the total order (df, shingle).  The prefix-filter
+    lemma makes this lossless: J(x,y) >= t implies |x| >= t|y|, hence
+    overlap >= t * max(|x|,|y|), hence the prefixes must intersect — so
+    the result
+    set equals the brute-force oracle's exactly (the indexed-vs-brute
+    contract of `GeoWaveSparkSpatialJoinIT.java:228-255`).
+
+    Scale shape: stop-shingles NEVER generate candidate pairs (they
+    rank past every prefix), which is precisely the quadratic blowup in
+    a naive shingle-equality join (q18's shape — q18 runs at J >= 0.03
+    where prefix filtering cannot prune; this operator is the
+    high-threshold regime where it prunes almost everything); candidate
+    fan-out is bounded by rare-shingle co-occurrence.  The threshold
+    test is integer-exact (2*inter >= union); only the reported
+    jac_micro divides, with one shared expression text.
+    """
+    d = G.SPARK
+    register_views(spark, sf_dir)
+    sql = f"""
+{_q219_head(d)},
+df AS (SELECT w, count(*) AS dfreq FROM tok GROUP BY w),
+ranked AS (
+  SELECT t.doc_id, t.w, s.n,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY f.dfreq, t.w) AS r
+  FROM tok t JOIN df f ON f.w = t.w JOIN sz s ON s.doc_id = t.doc_id
+),
+pref AS (
+  SELECT doc_id, w FROM ranked
+  WHERE r <= n - {d.intdiv('(n + 1)', '2')} + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM pref a JOIN pref b ON b.w = a.w AND a.doc_id < b.doc_id
+),
+{_q219_core(d, 'cand')}"""
+    return spark.sql(sql)
+
+
+def _q219_duck_sql() -> str:
+    """Brute-force oracle: every co-token pair, same integer threshold."""
+    d = G.DUCK
+    return f"""
+{_q219_head(d)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM tok a JOIN tok b ON b.w = a.w AND a.doc_id < b.doc_id
+),
+{_q219_core(d, 'cand')}"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
+    "q219_ppjoin_similarity": (_q219_spark, _q219_duck_sql()),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
     "q17_simhash": _dual(_q17),
     "q18_ngram_jaccard": (_q18_spark, _q18(G.DUCK)),

@@ -2552,3 +2552,180 @@ def test_q184_collocations_match_python(spark):
     assert got == want and len(got) == 50
     # a genuinely associated pair exists (lift > 1)
     assert got[0][3] > 1_000_000
+
+
+def test_q216_hex_binning_matches_numpy(spark):
+    """Numpy recompute of the axial projection + cube rounding."""
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["hq"], r["hr"]): (r["n"], r["val_cents"])
+           for r in QUERIES["q216_hex_binning"][0](spark, sf_dir).collect()}
+
+    pdf = spark.sql(
+        f"SELECT {geo.lon_sql('event_id')} AS lon, "
+        f"{geo.lat_sql('event_id')} AS lat, value "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    lon, lat = pdf["lon"].to_numpy(), pdf["lat"].to_numpy()
+    s = 5.0
+    qf = (np.sqrt(3.0) / 3.0 * lon - lat / 3.0) / s
+    rf = (2.0 / 3.0 * lat) / s
+    sf = -qf - rf
+    rq, rr, rs = (np.floor(v + 0.5) for v in (qf, rf, sf))
+    dq, dr, ds = np.abs(rq - qf), np.abs(rr - rf), np.abs(rs - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    hq = np.where(fix_q, -rr - rs, rq).astype(np.int64)
+    hr = np.where(fix_r, -rq - rs, rr).astype(np.int64)
+    cents = np.round(pdf["value"].to_numpy() * 100).astype(np.int64)
+    want = {}
+    for q, r, c in zip(hq, hr, cents):
+        n, tot = want.get((q, r), (0, 0))
+        want[(q, r)] = (n + 1, tot + int(c))
+    assert got == want
+
+
+def test_q217_polyline_decimation_matches_pandas(spark):
+    """Pandas recompute of the perpendicular-offset keep mask per track."""
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["user_id"]: (r["n_pts"], r["n_kept"], r["kept_id_sum"])
+           for r in QUERIES["q217_polyline_decimation"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, event_id, {geo.lon_sql('event_id')} AS lon, "
+        f"{geo.lat_sql('event_id')} AS lat "
+        f"FROM parquet.`{sf_dir}/events.parquet` WHERE user_id % 20 = 0"
+    ).toPandas().sort_values(["user_id", "event_id"])
+    tol2 = 400.0
+    want = {}
+    for uid, g in pdf.groupby("user_id"):
+        xs, ys, ids = (g["lon"].to_list(), g["lat"].to_list(),
+                       g["event_id"].to_list())
+        kept = 0
+        ksum = 0
+        for i in range(len(xs)):
+            if i == 0 or i == len(xs) - 1:
+                keep = True
+            else:
+                px, py, nx, ny = xs[i - 1], ys[i - 1], xs[i + 1], ys[i + 1]
+                chord2 = (nx - px) ** 2 + (ny - py) ** 2
+                if chord2 == 0.0:
+                    keep = ((xs[i] - px) ** 2 + (ys[i] - py) ** 2) > tol2
+                else:
+                    cross = ((nx - px) * (ys[i] - py)
+                             - (ny - py) * (xs[i] - px))
+                    keep = cross * cross > tol2 * chord2
+            if keep:
+                kept += 1
+                ksum += int(ids[i])
+        want[uid] = (len(xs), kept, ksum)
+    assert got == want and len(got) >= 5
+
+
+def test_q218_convoy_pairs_matches_python(spark):
+    """Python recompute of the co-binning join + consecutive-run scan."""
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["u1"], r["u2"]): (r["n_cobins"], r["max_run"])
+           for r in QUERIES["q218_convoy_pairs"][0](spark, sf_dir).collect()}
+
+    lon = geo.lon_sql("((user_id % 7) * 1000003 + tbin * 7919)")
+    lat = geo.lat_sql("((user_id % 7) * 999983 + tbin * 104729)")
+    cell = geo.rowmajor_cell_sql(
+        "(" + lon + " + (event_id % 997) / 1e4 - 0.0498e0)",
+        "(" + lat + " + (event_id % 991) / 1e4 - 0.0495e0)", 9)
+    pdf = spark.sql(
+        f"SELECT user_id, tbin, min(event_id * 1048576 + {cell}) % 1048576"
+        f" AS cell FROM (SELECT user_id, event_id, "
+        f"unix_micros(cast(ts as timestamp)) div 86400000000 AS tbin "
+        f"FROM parquet.`{sf_dir}/events.parquet`) GROUP BY user_id, tbin"
+    ).toPandas()
+    bucket = {}
+    for u, t, c in pdf.itertuples(index=False):
+        bucket.setdefault((t, c), []).append(u)
+    cobins = {}
+    for (t, _c), us in bucket.items():
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                cobins.setdefault((us[i], us[j]), set()).add(t)
+    want = {}
+    for pair, ts in cobins.items():
+        ts = sorted(ts)
+        best = run = 1
+        for a, b in zip(ts, ts[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        if best >= 3:
+            want[pair] = (len(ts), best)
+    assert got == want and len(got) > 100
+
+
+def test_q219_ppjoin_matches_python_and_prunes(spark):
+    """Python recompute of shingle-set Jaccard >= 0.5 pairs, plus proof
+    the prefix filter prunes: candidate pairs << brute-force co-shingle
+    pairs on the same corpus."""
+    from geowave_spark.functions import sqlgen as G
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table.views import register_views
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["d1"], r["d2"]): (r["ninter"], r["jac_micro"])
+           for r in QUERIES["q219_ppjoin_similarity"][0](spark, sf_dir)
+           .collect()}
+
+    d = G.SPARK
+    register_views(spark, sf_dir)
+    sh = G.shingles3_from(d, "v")
+    pdf = spark.sql(
+        f"SELECT doc_id, {G.wordvals(d)} AS v FROM documents"
+        f" WHERE size(split(text, ' ')) >= 3").toPandas()
+    import math
+    sets = {}
+    for _, row in pdf.iterrows():
+        v = row["v"]
+        sets[row["doc_id"]] = {tuple(v[i:i + 3]) for i in range(len(v) - 2)}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if inter and 2 * inter >= union:
+                want[(a, b)] = (inter, math.floor(1e6 * inter / union))
+    assert got == want and len(got) >= 10
+
+    # pruning: candidates from prefixes vs all co-shingle pairs
+    head = spark.sql(f"""
+WITH wv AS (SELECT doc_id, {G.wordvals(d)} AS v FROM documents),
+tok AS (SELECT DISTINCT doc_id, {d.explode(sh)} AS w
+        FROM wv WHERE {d.size('v')} >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+df AS (SELECT w, count(*) AS dfreq FROM tok GROUP BY w),
+ranked AS (
+  SELECT t.doc_id, t.w, s.n,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY f.dfreq, t.w) AS r
+  FROM tok t JOIN df f ON f.w = t.w JOIN sz s ON s.doc_id = t.doc_id
+),
+pref AS (SELECT doc_id, w FROM ranked
+         WHERE r <= n - ((n + 1) div 2) + 1)
+SELECT
+  (SELECT count(*) FROM (SELECT DISTINCT a.doc_id, b.doc_id
+     FROM pref a JOIN pref b ON b.w = a.w AND a.doc_id < b.doc_id) c)
+    AS n_cand,
+  (SELECT count(*) FROM (SELECT DISTINCT a.doc_id, b.doc_id
+     FROM tok a JOIN tok b ON b.w = a.w AND a.doc_id < b.doc_id) c)
+    AS n_brute
+""").collect()[0]
+    assert head["n_cand"] < head["n_brute"] / 10
+    assert head["n_cand"] >= len(want)
