@@ -217,3 +217,57 @@ MOBILITY_QUERIES = {
     "q218_convoy_pairs": (q218_convoy_pairs,
                           _q218_sql("epoch_us(ts)", "//")),
 }
+
+
+# ----------------------------------------------------- q220 polygon measures
+
+
+def _q220_sql(intdiv: str) -> str:
+    """Polygon measure functions — shoelace signed area + polygon
+    centroid (the ST_Area / ST_Centroid surface the reference's Geom*
+    UDF registry stops short of, `analytics/spark/.../udf/
+    UDFRegistrySPI.java:15-27` has predicates+distance only) — over the
+    deterministic hexagon table.  Pure unrolled closed-form arithmetic:
+    the 6-term shoelace cross sum and the centroid cross-weighted sums
+    are IEEE-exact doubles from one shared expression text; only the
+    final micro floors divide.
+
+    Scale shape: per-row arithmetic in whole-stage codegen, zero
+    shuffles before the ORDER BY (which a real pipeline drops) — the
+    map-side-only vector-measure scan.
+    """
+    from .table import geo as geo_mod
+
+    nv = len(geo_mod.HEX_OFFSETS)
+    cross = " + ".join(
+        f"(vx{k} * vy{(k + 1) % nv} - vx{(k + 1) % nv} * vy{k})"
+        for k in range(nv))
+    cxs = " + ".join(
+        f"((vx{k} + vx{(k + 1) % nv}) * "
+        f"(vx{k} * vy{(k + 1) % nv} - vx{(k + 1) % nv} * vy{k}))"
+        for k in range(nv))
+    cys = " + ".join(
+        f"((vy{k} + vy{(k + 1) % nv}) * "
+        f"(vx{k} * vy{(k + 1) % nv} - vx{(k + 1) % nv} * vy{k}))"
+        for k in range(nv))
+    return f"""
+WITH h AS ({geo_mod.hex_a_sql()}),
+m AS (
+  SELECT aid, ({cross}) AS a2, ({cxs}) AS cxs, ({cys}) AS cys FROM h
+)
+SELECT aid,
+       cast(floor(abs(a2) / 2e0 * 1000000e0) as bigint) AS area_micro,
+       cast(floor(cxs / (3e0 * a2) * 1000000e0) as bigint) AS cx_micro,
+       cast(floor(cys / (3e0 * a2) * 1000000e0) as bigint) AS cy_micro
+FROM m ORDER BY aid
+"""
+
+
+def q220_polygon_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q220_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q220_sql("div"))
+
+
+MOBILITY_QUERIES["q220_polygon_measures"] = (
+    q220_polygon_measures, _q220_sql("//"))

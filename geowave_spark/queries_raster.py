@@ -2188,6 +2188,83 @@ FROM d GROUP BY 1, 2, 3 ORDER BY image_id, ty, tx
 """
 
 
+
+
+def q221_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw image moments m00..m11 + luma-weighted centroid (the Hu-moment
+    / orientation front end: mass, first and second moments of the luma
+    field — the shape-statistics primitive OpenCV calls `moments`).
+    Integer-exact end to end: coordinates and luma are integers, so every
+    partial sum is int64 (max m20 ~ 80^2 * 255 * 5760 < 2^34) and the
+    centroid is an integer micro floor of two nonnegative sums.
+
+    Scale shape: per-TILE partial moment sums inside one mapInPandas
+    (global coordinates from the tile origin — no pixel ever leaves its
+    task), then ONE keyed roll-up per image; the classic two-level
+    aggregation, same skeleton as q214's histogram."""
+    import numpy as np
+    import pandas as pd
+
+    from .raster import focal
+
+    core = focal.tile_rows(_subset_images(spark, sf_dir), tile=16,
+                           with_halo=False)
+
+    def part(batches):
+        for pdf in batches:
+            rows = []
+            for iid, x0, y0, th, tw, data in zip(
+                    pdf["image_id"], pdf["x0"], pdf["y0"], pdf["th"],
+                    pdf["tw"], pdf["data"]):
+                v = np.frombuffer(data, dtype=np.uint8).reshape(
+                    th, tw).astype(np.int64)
+                xs = (x0 + np.arange(tw, dtype=np.int64))[None, :]
+                ys = (y0 + np.arange(th, dtype=np.int64))[:, None]
+                rows.append((iid, int(v.sum()), int((xs * v).sum()),
+                             int((ys * v).sum()), int((xs * xs * v).sum()),
+                             int((ys * ys * v).sum()),
+                             int((xs * ys * v).sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "image_id", "m00", "m10", "m01", "m20", "m02", "m11"])
+
+    core.mapInPandas(
+        part, schema=("image_id string, m00 long, m10 long, m01 long, "
+                      "m20 long, m02 long, m11 long")
+    ).createOrReplaceTempView("q221_part")
+    return spark.sql(
+        "WITH part AS (SELECT * FROM q221_part),\n" + _q221_tail_sql("div"))
+
+
+def _q221_tail_sql(intdiv: str) -> str:
+    return f"""
+s AS (
+  SELECT image_id, cast(sum(m00) as bigint) AS m00,
+         cast(sum(m10) as bigint) AS m10, cast(sum(m01) as bigint) AS m01,
+         cast(sum(m20) as bigint) AS m20, cast(sum(m02) as bigint) AS m02,
+         cast(sum(m11) as bigint) AS m11
+  FROM part GROUP BY image_id
+)
+SELECT image_id, m00, m10, m01, m20, m02, m11,
+       cast((m10 * 1000000) {intdiv} m00 as bigint) AS cx_micro,
+       cast((m01 * 1000000) {intdiv} m00 as bigint) AS cy_micro
+FROM s ORDER BY image_id
+"""
+
+
+def _q221_sql() -> str:
+    return f"""
+WITH {_px_cte_sql()},
+part AS (
+  SELECT image_id, sum(v) AS m00, sum(x * v) AS m10, sum(y * v) AS m01,
+         sum(x * x * v) AS m20, sum(y * y * v) AS m02,
+         sum(x * y * v) AS m11
+  FROM px GROUP BY image_id
+),
+{_q221_tail_sql("//")}
+"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -2223,4 +2300,5 @@ RASTER_QUERIES = {
     "q213_template_match": (q213_template_match, _q213_sql()),
     "q214_otsu_threshold": (q214_otsu_threshold, _q214_sql()),
     "q215_bayer_dither": (q215_bayer_dither, _q215_sql()),
+    "q221_image_moments": (q221_image_moments, _q221_sql()),
 }

@@ -2157,9 +2157,84 @@ cand AS (
 {_q219_core(d, 'cand')}"""
 
 
+
+
+# --------------------------------------------- q222 power iteration
+
+
+def _q222(d: G.Dialect) -> str:
+    """Dominant eigenvector of the embedding covariance by POWER
+    ITERATION (4 unrolled rounds) — the spectral step PCA/whitening
+    pipelines run after q152's covariance scan; together they are the
+    "top principal direction" primitive for embedding-drift and
+    anisotropy diagnostics.
+
+    Determinism: all fixed-point integer — covariance entries floored
+    to 1e-6-scaled ints with a SIGN-SAFE truncating division (Spark div
+    truncates toward zero, DuckDB // floors: they agree only through
+    the CASE-wrapped abs form), the iterate renormalized to max-abs
+    1000 each round, so every sum is order-independent int64 (|w| <=
+    64 * 2e9 * 1e3 < 2^47) and both engines hash identically.
+
+    Scale shape: the covariance build is q152's n*d^2 map-side-reduced
+    self-join; each iteration is ONE hash join (64^2 matrix rows x 64
+    vector rows) + keyed aggregate + a scalar cross join — constant
+    work after the covariance scan, no driver loop, no collect."""
+
+    def tdiv(x: str, n: str) -> str:
+        return (f"(CASE WHEN {x} >= 0 THEN {d.intdiv(x, n)} "
+                f"ELSE -{d.intdiv(f'(-({x}))', n)} END)")
+
+    if d.is_spark:
+        dims = (
+            "SELECT vec_id, pos + 1 AS dd, "
+            "cast(floor(col * 1000000) as bigint) AS val "
+            "FROM v0e LATERAL VIEW posexplode(v) pe AS pos, col"
+        )
+    else:
+        dims = (
+            "SELECT vec_id, dg.g AS dd, "
+            "cast(floor(v[dg.g] * 1000000) as bigint) AS val "
+            "FROM v0e, LATERAL (SELECT unnest(generate_series(1, 64)) AS g) dg"
+        )
+    its = []
+    for k in range(1, 5):
+        its.append(f"""
+w{k} AS (
+  SELECT c.i AS dd, cast(sum(c.c * v.val) as bigint) AS wv
+  FROM covs c JOIN v{k - 1} v ON v.dd = c.j GROUP BY c.i
+),
+m{k} AS (SELECT greatest(max(abs(wv)), 1) AS ma FROM w{k}),
+v{k} AS (
+  SELECT dd, {tdiv('(wv * 1000)', 'ma')} AS val
+  FROM w{k} CROSS JOIN m{k}
+)""")
+    return f"""
+WITH v0e AS (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v
+             FROM embeddings),
+dims AS ({dims}),
+mean AS (
+  SELECT dd, {d.intdiv('sum(val)', 'count(*)')} AS m FROM dims GROUP BY dd
+),
+cent AS (
+  SELECT dims.vec_id, dims.dd, dims.val - mean.m AS c
+  FROM dims JOIN mean ON mean.dd = dims.dd
+),
+cov AS (
+  SELECT a.dd AS i, b.dd AS j, cast(sum(a.c * b.c) as bigint) AS cs
+  FROM cent a JOIN cent b ON a.vec_id = b.vec_id GROUP BY a.dd, b.dd
+),
+covs AS (SELECT i, j, {tdiv('cs', '1000000')} AS c FROM cov),
+v0 AS (SELECT {d.explode(d.seq('1', '64'))} AS dd, cast(1000 as bigint) AS val),
+{','.join(its)}
+SELECT dd, val AS v_fix FROM v4 ORDER BY dd
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q219_ppjoin_similarity": (_q219_spark, _q219_duck_sql()),
+    "q222_power_iteration": _dual(_q222),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
     "q17_simhash": _dual(_q17),
     "q18_ngram_jaccard": (_q18_spark, _q18(G.DUCK)),

@@ -2729,3 +2729,99 @@ SELECT
 """).collect()[0]
     assert head["n_cand"] < head["n_brute"] / 10
     assert head["n_cand"] >= len(want)
+
+
+def test_q220_polygon_measures_matches_python(spark):
+    """Shoelace area/centroid recomputed from the hex vertex table."""
+    import math
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["aid"]: (r["area_micro"], r["cx_micro"], r["cy_micro"])
+           for r in QUERIES["q220_polygon_measures"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(geo.hex_a_sql()).toPandas()
+    want = {}
+    for _, row in pdf.iterrows():
+        vs = [(row[f"vx{k}"], row[f"vy{k}"]) for k in range(6)]
+        a2 = cxs = cys = 0.0
+        for k in range(6):
+            x0, y0 = vs[k]
+            x1, y1 = vs[(k + 1) % 6]
+            cr = x0 * y1 - x1 * y0
+            a2 += cr
+            cxs += (x0 + x1) * cr
+            cys += (y0 + y1) * cr
+        want[row["aid"]] = (math.floor(abs(a2) / 2.0 * 1e6),
+                            math.floor(cxs / (3.0 * a2) * 1e6),
+                            math.floor(cys / (3.0 * a2) * 1e6))
+    assert got == want and len(got) == 500
+
+
+def test_q221_image_moments_match_numpy(spark):
+    """Whole-image numpy recompute of the raw moments + centroid."""
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.raster import codec
+    from geowave_spark.table import images as img_tab
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["image_id"]: (r["m00"], r["m10"], r["m01"], r["m20"],
+                           r["m02"], r["m11"], r["cx_micro"], r["cy_micro"])
+           for r in QUERIES["q221_image_moments"][0](spark, sf_dir)
+           .collect()}
+
+    docs = spark.sql(
+        f"SELECT doc_id, text FROM parquet.`{sf_dir}/documents.parquet` "
+        f"WHERE doc_id % 5 = 3").toPandas()
+    pdf = img_tab.gen_images_pdf(docs)
+    want = {}
+    for _, row in pdf.iterrows():
+        g = img_tab.gray(codec.decode(row["bytes"], row["fmt"])
+                         ).astype(np.int64)
+        h, w = g.shape
+        xs = np.arange(w, dtype=np.int64)[None, :]
+        ys = np.arange(h, dtype=np.int64)[:, None]
+        m00 = int(g.sum())
+        m10, m01 = int((xs * g).sum()), int((ys * g).sum())
+        want[row["image_id"]] = (
+            m00, m10, m01, int((xs * xs * g).sum()),
+            int((ys * ys * g).sum()), int((xs * ys * g).sum()),
+            m10 * 1_000_000 // m00, m01 * 1_000_000 // m00)
+    assert got == want and len(got) == 100
+
+
+def test_q222_power_iteration_matches_numpy(spark):
+    """Integer power iteration recomputed from the raw embeddings."""
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = [r["v_fix"] for r in
+           QUERIES["q222_power_iteration"][0](spark, sf_dir).collect()]
+
+    pdf = spark.sql(
+        f"SELECT embedding FROM parquet.`{sf_dir}/embeddings.parquet`"
+    ).toPandas()
+    vals = np.floor(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+    ) * 1e6).astype(np.int64)
+    mean = np.sum(vals, axis=0) // vals.shape[0]
+    cent = vals - mean[None, :]
+    cov = cent.T @ cent
+
+    def tdiv(x, n):
+        return np.where(x >= 0, x // n, -((-x) // n))
+
+    c = tdiv(cov, 1_000_000)
+    v = np.full(64, 1000, dtype=np.int64)
+    for _ in range(4):
+        w = c @ v
+        ma = max(int(np.abs(w).max()), 1)
+        v = tdiv(w * 1000, ma)
+    assert got == v.tolist()
