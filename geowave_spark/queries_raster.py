@@ -2265,6 +2265,86 @@ part AS (
 """
 
 
+
+
+def q225_palette_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-palette extraction: top-3 quantized RGB colors per image
+    (4x4x4 color cube, 64 bins) — the color-analytics mode complement of
+    q191's gray-world means; feeds color-based dedup blocking and
+    thumbnail placeholder generation.
+
+    Scale shape: per-image 64-bin histograms inside one mapInPandas
+    decode pass (a bincount per image — pixels never shuffle), then a
+    window top-3 over <= 64 rows per image.  Deterministic tie-break:
+    higher count first, then smaller bin id."""
+    import numpy as np
+    import pandas as pd
+
+    from .raster import codec
+
+    img = _subset_images(spark, sf_dir)
+
+    def part(batches):
+        for pdf in batches:
+            rows = []
+            for iid, bts, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                     pdf["fmt"]):
+                rgb = codec.decode(bts, fmt).astype(np.int64)
+                q = ((rgb[:, :, 0] // 64) * 16 + (rgb[:, :, 1] // 64) * 4
+                     + rgb[:, :, 2] // 64)
+                h = np.bincount(q.ravel(), minlength=64)
+                nz = np.flatnonzero(h)
+                for b in nz:
+                    rows.append((iid, int(b), int(h[b])))
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "qcolor",
+                                                  "cnt"])
+
+    img.mapInPandas(
+        part, schema="image_id string, qcolor int, cnt long"
+    ).createOrReplaceTempView("q225_part")
+    return spark.sql(
+        "WITH hist AS (SELECT * FROM q225_part),\n" + _q225_tail_sql())
+
+
+def _q225_tail_sql() -> str:
+    return """
+ranked AS (
+  SELECT image_id, qcolor, cnt,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY cnt DESC, qcolor ASC) AS rnk
+  FROM hist
+)
+SELECT image_id, cast(rnk as int) AS rnk, cast(qcolor as int) AS qcolor,
+       cast(cnt as bigint) AS cnt
+FROM ranked WHERE rnk <= 3 ORDER BY image_id, rnk
+"""
+
+
+def _q225_sql() -> str:
+    from .table import images as img_tab
+
+    r, g, b = img_tab.channels_sql("xs.g", "ys.g", decoded=True)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
+  FROM documents WHERE doc_id % 5 = 3
+),
+px AS MATERIALIZED (
+  SELECT image_id,
+         ({r} // 64) * 16 + ({g} // 64) * 4 + ({b} // 64) AS qcolor
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
+),
+hist AS (
+  SELECT image_id, qcolor, count(*) AS cnt FROM px GROUP BY 1, 2
+),
+{_q225_tail_sql()}
+"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -2301,4 +2381,5 @@ RASTER_QUERIES = {
     "q214_otsu_threshold": (q214_otsu_threshold, _q214_sql()),
     "q215_bayer_dither": (q215_bayer_dither, _q215_sql()),
     "q221_image_moments": (q221_image_moments, _q221_sql()),
+    "q225_palette_extraction": (q225_palette_extraction, _q225_sql()),
 }

@@ -2231,10 +2231,113 @@ SELECT dd, val AS v_fix FROM v4 ORDER BY dd
 """
 
 
+
+
+# ------------------------------------------- q223 random projection
+
+
+def _q223(d: G.Dialect) -> str:
+    """Johnson-Lindenstrauss dimensionality reduction by DETERMINISTIC
+    sign projection (Achlioptas 2003: +-1 entries preserve pairwise
+    distances in expectation) — 64 -> 16 dims, the ANN-prep /
+    embedding-compaction step that runs before LSH bucketing (q20 emits
+    hash BITS; this emits the reduced VECTOR, which downstream cosine /
+    IVF ops consume).  The sign matrix is a closed-form hash of
+    (in_dim, out_dim), so both engines build the identical matrix with
+    no randomness and no broadcast variable.
+
+    Integer-exact: micro-floored components times +-1 summed in int64
+    (|p| <= 64 * 2e6 < 2^28).  Scale shape: one explode to (vec, dim)
+    rows, one equi-join against the 1024-row sign matrix (broadcast in
+    Spark by size), one keyed aggregate to (vec, out_dim) — n*d*k
+    product rows with map-side partial sums, no shuffle of raw vectors.
+    """
+    if d.is_spark:
+        dims = (
+            "SELECT vec_id, pos + 1 AS dd, "
+            "cast(floor(col * 1000000) as bigint) AS val "
+            "FROM v0e LATERAL VIEW posexplode(v) pe AS pos, col"
+        )
+    else:
+        dims = (
+            "SELECT vec_id, dg.g AS dd, "
+            "cast(floor(v[dg.g] * 1000000) as bigint) AS val "
+            "FROM v0e, LATERAL (SELECT unnest(generate_series(1, 64)) AS g) dg"
+        )
+    sign = "(CASE WHEN (j * 2654435761 + k * 40503) % 2 = 0 THEN 1 ELSE -1 END)"
+    return f"""
+WITH v0e AS (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v
+             FROM embeddings),
+dims AS ({dims}),
+jm AS (SELECT {d.explode(d.seq('1', '64'))} AS j),
+km AS (SELECT {d.explode(d.seq('1', '16'))} AS k),
+sgn AS (SELECT j, k, {sign} AS s FROM jm CROSS JOIN km)
+SELECT dims.vec_id, sgn.k AS out_dim,
+       cast(sum(dims.val * sgn.s) as bigint) AS p_micro
+FROM dims JOIN sgn ON sgn.j = dims.dd
+GROUP BY dims.vec_id, sgn.k
+ORDER BY vec_id, out_dim
+"""
+
+
+
+
+# ---------------------------------------------- q224 phrase search
+
+
+def _q224(d: G.Dialect) -> str:
+    """Exact PHRASE search over a positional inverted index — the
+    retrieval primitive q99 (BM25 bag scoring) and q96 (set-overlap
+    decontamination) both lack: order-sensitive term-at-a-time
+    intersection, w1 at p, w2 at p+1, w3 at p+2 via (doc, pos)
+    equi-joins.  The query phrase is the corpus's most frequent word
+    trigram (deterministic tie-break) so the test is self-contained; in
+    production the phrase is user input and only the `hits` chain runs
+    — each join is keyed by (doc_id, pos) and semi-filtered by the
+    (broadcast) query terms, so cost is O(postings of the rarest term),
+    the classic positional-index bound.
+
+    Output: per-document match count + first match position, with the
+    phrase words carried for readability."""
+    if d.is_spark:
+        pos = ("SELECT doc_id, pos + 1 AS pos, col AS w "
+               "FROM toks LATERAL VIEW posexplode(t) pe AS pos, col")
+    else:
+        pos = ("SELECT doc_id, pg.g AS pos, t[pg.g] AS w "
+               "FROM toks, LATERAL (SELECT unnest(generate_series(1, "
+               "len(t))) AS g) pg")
+    return f"""
+WITH toks AS (SELECT doc_id, {d.split_ws('text')} AS t FROM documents),
+pos AS ({pos}),
+tri AS (
+  SELECT a.w AS w1, b.w AS w2, c.w AS w3, count(*) AS n
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  GROUP BY a.w, b.w, c.w
+),
+top AS (SELECT w1, w2, w3 FROM tri ORDER BY n DESC, w1, w2, w3 LIMIT 1),
+hits AS (
+  SELECT p1.doc_id, p1.pos
+  FROM pos p1 JOIN top t ON p1.w = t.w1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+            AND p2.w = t.w2
+  JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+            AND p3.w = t.w3
+)
+SELECT h.doc_id, cast(count(*) as bigint) AS n_matches,
+       cast(min(h.pos) as bigint) AS first_pos, t.w1, t.w2, t.w3
+FROM hits h CROSS JOIN top t
+GROUP BY h.doc_id, t.w1, t.w2, t.w3 ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q219_ppjoin_similarity": (_q219_spark, _q219_duck_sql()),
     "q222_power_iteration": _dual(_q222),
+    "q223_random_projection": _dual(_q223),
+    "q224_phrase_search": _dual(_q224),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
     "q17_simhash": _dual(_q17),
     "q18_ngram_jaccard": (_q18_spark, _q18(G.DUCK)),

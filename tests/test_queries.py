@@ -2825,3 +2825,92 @@ def test_q222_power_iteration_matches_numpy(spark):
         ma = max(int(np.abs(w).max()), 1)
         v = tdiv(w * 1000, ma)
     assert got == v.tolist()
+
+
+def test_q223_random_projection_matches_numpy(spark):
+    """Integer JL sign projection recomputed from raw embeddings."""
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["vec_id"], r["out_dim"]): r["p_micro"] for r in
+           QUERIES["q223_random_projection"][0](spark, sf_dir).collect()}
+
+    pdf = spark.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"parquet.`{sf_dir}/embeddings.parquet`").toPandas()
+    j = np.arange(1, 65, dtype=np.int64)[:, None]
+    k = np.arange(1, 17, dtype=np.int64)[None, :]
+    sgn = np.where((j * 2654435761 + k * 40503) % 2 == 0, 1, -1)
+    want = {}
+    for vid, emb in zip(pdf["vec_id"], pdf["embedding"]):
+        v = np.floor(np.asarray(emb, dtype=np.float64) * 1e6
+                     ).astype(np.int64)
+        p = v @ sgn
+        for kk in range(16):
+            want[(vid, kk + 1)] = int(p[kk])
+    assert got == want and len(got) == 500 * 16
+
+
+def test_q224_phrase_search_matches_python(spark):
+    """Python recompute: top trigram + per-doc phrase match positions."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    res = QUERIES["q224_phrase_search"][0](spark, sf_dir).collect()
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"]) for r in res}
+    phrase = (res[0]["w1"], res[0]["w2"], res[0]["w3"])
+
+    pdf = spark.sql(
+        f"SELECT doc_id, text FROM parquet.`{sf_dir}/documents.parquet`"
+    ).toPandas()
+    tris = Counter()
+    docs = {}
+    for did, txt in zip(pdf["doc_id"], pdf["text"]):
+        ws = txt.split(" ")
+        docs[did] = ws
+        for i in range(len(ws) - 2):
+            tris[(ws[i], ws[i + 1], ws[i + 2])] += 1
+    # deterministic tie-break: max count, then lexicographically smallest
+    top_n = max(tris.values())
+    best = min(t for t, n in tris.items() if n == top_n)
+    assert phrase == best
+    want = {}
+    for did, ws in docs.items():
+        hits = [i + 1 for i in range(len(ws) - 2)
+                if (ws[i], ws[i + 1], ws[i + 2]) == best]
+        if hits:
+            want[did] = (len(hits), hits[0])
+    assert got == want
+
+
+def test_q225_palette_matches_numpy(spark):
+    """Whole-image numpy recompute of the quantized top-3 colors."""
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.raster import codec
+    from geowave_spark.table import images as img_tab
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["image_id"], r["rnk"]): (r["qcolor"], r["cnt"]) for r in
+           QUERIES["q225_palette_extraction"][0](spark, sf_dir).collect()}
+
+    docs = spark.sql(
+        f"SELECT doc_id, text FROM parquet.`{sf_dir}/documents.parquet` "
+        f"WHERE doc_id % 5 = 3").toPandas()
+    pdf = img_tab.gen_images_pdf(docs)
+    want = {}
+    for _, row in pdf.iterrows():
+        rgb = codec.decode(row["bytes"], row["fmt"]).astype(np.int64)
+        q = ((rgb[:, :, 0] // 64) * 16 + (rgb[:, :, 1] // 64) * 4
+             + rgb[:, :, 2] // 64)
+        h = np.bincount(q.ravel(), minlength=64)
+        order = sorted((int(b) for b in np.flatnonzero(h)),
+                       key=lambda b: (-int(h[b]), b))
+        for rnk, b in enumerate(order[:3], start=1):
+            want[(row["image_id"], rnk)] = (b, int(h[b]))
+    assert got == want and len(got) == 300
