@@ -271,3 +271,120 @@ def q220_polygon_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MOBILITY_QUERIES["q220_polygon_measures"] = (
     q220_polygon_measures, _q220_sql("//"))
+
+
+# ------------------------------------------------- q226 shortest paths
+
+
+def _q226_sql(epoch_us: str, intdiv: str) -> str:
+    """Single-source shortest paths over the weighted OD mobility graph
+    (4 unrolled Bellman-Ford / min-plus rounds — the routing primitive;
+    q163 counts triangles on this graph, q162 runs its random walk, this
+    runs its METRIC).  Edge weight = planar cell-center distance in
+    integer micro-degrees; source = the smallest node id with an edge.
+
+    Scale shape: each round is ONE hash join (frontier x edges) + keyed
+    min aggregate — the textbook distributed Bellman-Ford step; no
+    driver loop, no collect, rounds unrolled so the whole computation is
+    a single Catalyst plan.  Integer-exact: weights floored to micro
+    BEFORE summing, so path lengths are order-independent int64."""
+    res = 3
+    n = 1 << res
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), res)
+    gap_us = 86_400_000_000
+
+    def center(node: str) -> tuple[str, str]:
+        gx = f"({node} % {n})"
+        gy = f"({node} {intdiv} {n})"
+        return (f"((cast({gx} as double) + 0.5e0) / {n} * 360e0 - 180e0)",
+                f"((cast({gy} as double) + 0.5e0) / {n} * 180e0 - 90e0)")
+
+    ux, uy = center("u")
+    vx, vy = center("v")
+    w = (f"cast(floor(sqrt(({ux} - {vx}) * ({ux} - {vx}) + "
+         f"({uy} - {vy}) * ({uy} - {vy})) * 1000000e0) as bigint)")
+    rounds = []
+    for k in range(1, 5):
+        rounds.append(f"""
+d{k} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.v AS node, d.dist + e.w AS dist
+    FROM ed e JOIN d{k - 1} d ON d.node = e.u
+  ) s GROUP BY node
+)""")
+    return f"""
+WITH t AS (
+  SELECT user_id, {epoch_us} AS us, {cell} AS cell FROM events
+),
+tr AS (
+  SELECT lag(cell) OVER win AS f, cell AS g, us - lag(us) OVER win AS dt
+  FROM t WINDOW win AS (PARTITION BY user_id ORDER BY us)
+),
+eu AS (
+  SELECT DISTINCT least(f, g) AS u, greatest(f, g) AS v
+  FROM tr WHERE f IS NOT NULL AND dt < {gap_us} AND f <> g
+),
+ed AS (
+  SELECT u, v, {w} AS w FROM eu
+  UNION ALL
+  SELECT v AS u, u AS v, {w} AS w FROM eu
+),
+src AS (SELECT min(u) AS s FROM ed),
+d0 AS (SELECT s AS node, cast(0 as bigint) AS dist FROM src),
+{','.join(rounds)}
+SELECT node, dist AS dist_micro FROM d4 ORDER BY node
+"""
+
+
+def q226_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q226_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q226_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+# --------------------------------------------------- q227 gini diversity
+
+
+def _q227_sql(intdiv: str) -> str:
+    """Simpson/Gini diversity of event types per spatial bin — the
+    land-use-mix / category-diversity metric (1 - sum p_i^2), computed
+    WITHOUT logs so it stays integer-exact across engines (the entropy
+    twin would need ln, which is not cross-engine reproducible):
+    gini_micro = (N^2 - sum n_i^2) * 1e6 / N^2 in pure int64.
+
+    Scale shape: one (cell, type) keyed count (map-side combined), one
+    per-cell re-aggregate — the two-level rollup; type vocabulary is
+    tiny so the second aggregate is bounded."""
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), 5)
+    return f"""
+WITH t AS (SELECT event_id, event_type, {cell} AS cell FROM events),
+c AS (
+  SELECT cell, event_type, cast(count(*) as bigint) AS n
+  FROM t GROUP BY cell, event_type
+),
+g AS (
+  SELECT cell, sum(n) AS nn, sum(n * n) AS sq,
+         cast(count(*) as bigint) AS n_types
+  FROM c GROUP BY cell
+)
+SELECT cell, cast(nn as bigint) AS n_events, n_types,
+       cast(((nn * nn - sq) * 1000000) {intdiv} (nn * nn) as bigint)
+         AS gini_micro
+FROM g ORDER BY cell
+"""
+
+
+def q227_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q227_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q227_sql("div"))
+
+
+MOBILITY_QUERIES["q226_shortest_paths"] = (
+    q226_shortest_paths, _q226_sql("epoch_us(ts)", "//"))
+MOBILITY_QUERIES["q227_gini_diversity"] = (
+    q227_gini_diversity, _q227_sql("//"))

@@ -751,7 +751,108 @@ FROM d GROUP BY doc_id ORDER BY media_id
 """
 
 
+
+
+def q228_keyframe_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection per detected scene — the composition step after
+    q208: segment each clip at mean-luma jumps >= 8, then within each
+    scene keep the SHARPEST frame (horizontal-gradient energy, the
+    join-free sharpness proxy of q202's variance-of-Laplacian), encoded
+    argmax so ties break to the earliest frame without a sort.
+
+    Scale shape: one mapInPandas decode pass emits per-frame scalars
+    (mean luma + gradient SSE — frames never shuffle raw), one window
+    per clip builds the running scene id (cumsum of cut flags), one
+    keyed aggregate picks the keyframe.  This is the training-data
+    pipeline's "one frame per shot" sampler (PySceneDetect's
+    detect-then-select, expressed relationally)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    media = av.media_df(spark, sf_dir)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                if pdf["kind"].iloc[i] != "video":
+                    continue
+                fr = av._decode_video(
+                    bytes(pdf["bytes"].iloc[i]), pdf["fmt"].iloc[i])
+                for f in range(fr.shape[0]):
+                    g = img_tab.gray(fr[f]).astype(np.int64)
+                    d = np.diff(g, axis=1)
+                    rows.append((pdf["media_id"].iloc[i], f,
+                                 int(g.sum()) // (g.shape[0] * g.shape[1]),
+                                 int((d * d).sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "frame_idx", "mean_luma", "grad_sse"])
+
+    media.mapInPandas(
+        stats, schema=("media_id string, frame_idx int, mean_luma long, "
+                       "grad_sse long")
+    ).createOrReplaceTempView("q228_frames")
+    return spark.sql("WITH fs AS (SELECT * FROM q228_frames),\n"
+                     + _q228_tail_sql())
+
+
+def _q228_tail_sql() -> str:
+    return """
+cuts AS (
+  SELECT media_id, frame_idx, grad_sse,
+         CASE WHEN abs(mean_luma - lag(mean_luma)
+                       OVER (PARTITION BY media_id ORDER BY frame_idx))
+                   >= 8 THEN 1 ELSE 0 END AS is_cut
+  FROM fs
+),
+scened AS (
+  SELECT media_id, frame_idx, grad_sse,
+         sum(is_cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS scene_id
+  FROM cuts
+)
+SELECT media_id, cast(scene_id as int) AS scene_id,
+       cast(count(*) as bigint) AS n_frames,
+       cast(63 - max(grad_sse * 64 + (63 - frame_idx)) % 64 as int)
+         AS key_idx,
+       cast(max(grad_sse * 64 + (63 - frame_idx)) div 64 as bigint)
+         AS key_grad_sse
+FROM scened GROUP BY media_id, scene_id ORDER BY media_id, scene_id
+"""
+
+
+def _q228_sql() -> str:
+    luma = img_tab.luma_sql("xs.g", "ys.g", "(v.doc_id * 1000 + fi.g)")
+    luma_l = img_tab.luma_sql("(xs.g - 1)", "ys.g", "(v.doc_id * 1000 + fi.g)")
+    return f"""
+WITH v AS (
+  SELECT doc_id, cast(4 + doc_id % 5 as int) AS nf,
+         cast(16 + doc_id * 7 % 3 * 8 as int) AS w,
+         cast(16 + doc_id * 11 % 3 * 8 as int) AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+fs AS (
+  SELECT {_MEDIA_ID} AS media_id, fi.g AS frame_idx,
+         sum({luma}) // (v.w * v.h) AS mean_luma,
+         sum(CASE WHEN xs.g >= 1
+                  THEN ({luma} - {luma_l}) * ({luma} - {luma_l})
+                  ELSE 0 END) AS grad_sse
+  FROM v,
+       LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS g) fi,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
+  GROUP BY media_id, fi.g, v.w, v.h
+),
+{_q228_tail_sql().replace(' div 64', ' // 64')}
+"""
+
+
 MULTIMODAL_QUERIES = {
+    "q228_keyframe_selection": (q228_keyframe_selection, _q228_sql()),
     "q44_frame_sample": (q44_frame_sample, Q44_SQL),
     "q45_audio_features": (q45_audio_features, Q45_SQL),
     "q46_phash_neardup": (q46_phash_neardup, _q46_sql()),

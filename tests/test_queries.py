@@ -2914,3 +2914,119 @@ def test_q225_palette_matches_numpy(spark):
         for rnk, b in enumerate(order[:3], start=1):
             want[(row["image_id"], rnk)] = (b, int(h[b]))
     assert got == want and len(got) == 300
+
+
+def test_q226_shortest_paths_matches_python(spark):
+    """Python Bellman-Ford (4 rounds) over the recomputed OD graph."""
+    import math
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["node"]: r["dist_micro"] for r in
+           QUERIES["q226_shortest_paths"][0](spark, sf_dir).collect()}
+
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), 3)
+    pdf = spark.sql(
+        f"SELECT user_id, unix_micros(cast(ts as timestamp)) AS us, "
+        f"{cell} AS cell FROM parquet.`{sf_dir}/events.parquet`"
+    ).toPandas().sort_values(["user_id", "us"])
+    edges = set()
+    for _, g in pdf.groupby("user_id"):
+        cs, us = g["cell"].to_list(), g["us"].to_list()
+        for i in range(1, len(cs)):
+            if us[i] - us[i - 1] < 86_400_000_000 and cs[i] != cs[i - 1]:
+                edges.add((min(cs[i - 1], cs[i]), max(cs[i - 1], cs[i])))
+
+    def center(node):
+        gx, gy = node % 8, node // 8
+        return ((gx + 0.5) / 8 * 360.0 - 180.0,
+                (gy + 0.5) / 8 * 180.0 - 90.0)
+
+    ed = {}
+    for u, v in edges:
+        ux, uy = center(u)
+        vx, vy = center(v)
+        w = math.floor(math.sqrt((ux - vx) ** 2 + (uy - vy) ** 2) * 1e6)
+        ed.setdefault(u, []).append((v, w))
+        ed.setdefault(v, []).append((u, w))
+    src = min(u for u, _ in edges)
+    dist = {src: 0}
+    for _ in range(4):
+        nd = dict(dist)
+        for u, d in dist.items():
+            for v, w in ed.get(u, []):
+                if d + w < nd.get(v, float("inf")):
+                    nd[v] = d + w
+        dist = nd
+    assert got == dist and len(got) >= 10
+
+
+def test_q227_gini_matches_python(spark):
+    """Python recompute of the per-cell Simpson/Gini diversity."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["cell"]: (r["n_events"], r["n_types"], r["gini_micro"])
+           for r in QUERIES["q227_gini_diversity"][0](spark, sf_dir)
+           .collect()}
+
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), 5)
+    pdf = spark.sql(
+        f"SELECT {cell} AS cell, event_type FROM "
+        f"parquet.`{sf_dir}/events.parquet`").toPandas()
+    cnt = Counter(zip(pdf["cell"], pdf["event_type"]))
+    per_cell = {}
+    for (c, t), n in cnt.items():
+        per_cell.setdefault(c, {})[t] = n
+    want = {}
+    for c, types in per_cell.items():
+        nn = sum(types.values())
+        sq = sum(n * n for n in types.values())
+        want[c] = (nn, len(types), (nn * nn - sq) * 1_000_000 // (nn * nn))
+    assert got == want
+
+
+def test_q228_keyframes_match_numpy(spark):
+    """Whole-clip numpy recompute: scenes + sharpest-frame argmax."""
+    import numpy as np
+
+    from geowave_spark.multimodal import av
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import images as img_tab
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["media_id"], r["scene_id"]):
+           (r["n_frames"], r["key_idx"], r["key_grad_sse"])
+           for r in QUERIES["q228_keyframe_selection"][0](spark, sf_dir)
+           .collect()}
+
+    docs = spark.sql(
+        f"SELECT doc_id FROM parquet.`{sf_dir}/documents.parquet` "
+        f"WHERE doc_id % 2 = 0").toPandas()
+    want = {}
+    for did in docs["doc_id"]:
+        vid = av.gen_video(int(did))
+        mid = "med" + str(int(did)).zfill(10)
+        stats = []
+        for f in range(vid.shape[0]):
+            g = img_tab.gray(vid[f]).astype(np.int64)
+            d = np.diff(g, axis=1)
+            stats.append((int(g.sum()) // (g.shape[0] * g.shape[1]),
+                          int((d * d).sum())))
+        scene = 0
+        scenes = {}
+        for f, (ml, gs) in enumerate(stats):
+            if f > 0 and abs(ml - stats[f - 1][0]) >= 8:
+                scene += 1
+            scenes.setdefault(scene, []).append((f, gs))
+        for sid, frames in scenes.items():
+            kf, kg = max(frames, key=lambda t: (t[1], -t[0]))
+            want[(mid, sid)] = (len(frames), kf, kg)
+    assert got == want and len(got) > 300
