@@ -2345,6 +2345,157 @@ hist AS (
 """
 
 
+
+
+def q229_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization LUT per image — the global tone-mapping op
+    (OpenCV equalizeHist): eq(v) = (cdf(v) - cdf_min) * 255 / (n -
+    cdf_min), all integer.  The output is the LUT summary (remap
+    checksum + dynamic range), which fully determines the equalized
+    image without re-touching pixels.
+
+    Scale shape: q214's two-level histogram (per-tile bincount partials
+    -> keyed (image, value) roll-up), then the CDF is one window cumsum
+    over <= 256 rows per image — the canonical "global stat, local
+    apply" plan where the global pass moves only histograms, never
+    pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from .raster import focal
+
+    core = focal.tile_rows(_subset_images(spark, sf_dir), tile=16,
+                           with_halo=False)
+
+    def part_hist(batches):
+        for pdf in batches:
+            frames = []
+            for iid, data in zip(pdf["image_id"], pdf["data"]):
+                blk = np.frombuffer(data, dtype=np.uint8)
+                h = np.bincount(blk, minlength=256)
+                nz = np.flatnonzero(h)
+                frames.append(pd.DataFrame({
+                    "image_id": iid, "v": nz.astype(np.int32),
+                    "cnt": h[nz].astype(np.int64)}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    core.mapInPandas(
+        part_hist, schema="image_id string, v int, cnt long"
+    ).createOrReplaceTempView("q229_part")
+    return spark.sql("WITH part AS (SELECT * FROM q229_part),\n"
+                     + _q229_tail_sql("div"))
+
+
+def _q229_tail_sql(intdiv: str) -> str:
+    return f"""
+hist AS (
+  SELECT image_id, v, cast(sum(cnt) as bigint) AS cnt
+  FROM part GROUP BY image_id, v
+),
+cdf AS (
+  SELECT image_id, v, cnt,
+         sum(cnt) OVER (PARTITION BY image_id ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c,
+         sum(cnt) OVER (PARTITION BY image_id) AS n
+  FROM hist
+),
+firstc AS (
+  SELECT image_id, min(v) AS v0 FROM hist GROUP BY image_id
+),
+lut AS (
+  SELECT c.image_id, c.v, c.cnt,
+         ((c.c - f0.c0) * 255) {intdiv} greatest(c.n - f0.c0, 1) AS eq
+  FROM cdf c JOIN (
+    SELECT cdf.image_id, cdf.cnt AS c0
+    FROM cdf JOIN firstc ON firstc.image_id = cdf.image_id
+                        AND firstc.v0 = cdf.v
+  ) f0 ON f0.image_id = c.image_id
+)
+SELECT image_id,
+       cast(sum(cnt * eq) as bigint) AS remap_checksum,
+       cast(min(eq) as bigint) AS eq_min,
+       cast(max(eq) as bigint) AS eq_max,
+       cast(count(*) as bigint) AS n_levels
+FROM lut GROUP BY image_id ORDER BY image_id
+"""
+
+
+def _q229_sql() -> str:
+    return f"""
+WITH {_px_cte_sql()},
+part AS (SELECT image_id, v, count(*) AS cnt FROM px GROUP BY 1, 2),
+{_q229_tail_sql("//")}
+"""
+
+
+def q230_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integral image (summed-area table) at tile granularity — the
+    distributed 2D PREFIX SCAN: sat(ty, tx) = total luma of every pixel
+    above-left of the tile's bottom-right corner, the constant-time
+    box-sum primitive behind Viola-Jones features and q80's box filter.
+
+    Scale shape: per-tile sums from one decode pass (pixels never
+    shuffle), then the 2D cumulative sum is TWO window scans — along
+    tile rows, then along tile columns — each keyed by image; nothing
+    larger than the tile GRID (w/16 x h/16 rows per image) ever moves.
+    This is how a 10^6 x 10^6-pixel SAT is built on a cluster: local
+    SATs + a tile-grid scan, never a sequential pixel pass."""
+    import numpy as np
+    import pandas as pd
+
+    from .raster import focal
+
+    core = focal.tile_rows(_subset_images(spark, sf_dir), tile=16,
+                           with_halo=False)
+
+    def part(batches):
+        for pdf in batches:
+            rows = []
+            for iid, ty, tx, data in zip(pdf["image_id"], pdf["ty"],
+                                         pdf["tx"], pdf["data"]):
+                v = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                rows.append((iid, int(ty), int(tx), int(v.sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "ty", "tx",
+                                                  "s"])
+
+    core.mapInPandas(
+        part, schema="image_id string, ty int, tx int, s long"
+    ).createOrReplaceTempView("q230_part")
+    return spark.sql("WITH part AS (SELECT * FROM q230_part),\n"
+                     + _q230_tail_sql())
+
+
+def _q230_tail_sql() -> str:
+    return """
+cx AS (
+  SELECT image_id, ty, tx,
+         sum(s) OVER (PARTITION BY image_id, ty ORDER BY tx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sx
+  FROM part
+)
+SELECT image_id, cast(ty as int) AS ty, cast(tx as int) AS tx,
+       cast(sum(sx) OVER (PARTITION BY image_id, tx ORDER BY ty
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) as bigint) AS sat
+FROM cx ORDER BY image_id, ty, tx
+"""
+
+
+def _q230_sql() -> str:
+    return f"""
+WITH {_px_cte_sql()},
+part AS (
+  SELECT image_id, y // 16 AS ty, x // 16 AS tx, sum(v) AS s
+  FROM px GROUP BY 1, 2, 3
+),
+{_q230_tail_sql()}
+"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -2382,4 +2533,6 @@ RASTER_QUERIES = {
     "q215_bayer_dither": (q215_bayer_dither, _q215_sql()),
     "q221_image_moments": (q221_image_moments, _q221_sql()),
     "q225_palette_extraction": (q225_palette_extraction, _q225_sql()),
+    "q229_hist_equalization": (q229_hist_equalization, _q229_sql()),
+    "q230_integral_image": (q230_integral_image, _q230_sql()),
 }

@@ -3030,3 +3030,64 @@ def test_q228_keyframes_match_numpy(spark):
             kf, kg = max(frames, key=lambda t: (t[1], -t[0]))
             want[(mid, sid)] = (len(frames), kf, kg)
     assert got == want and len(got) > 300
+
+
+def test_q229_hist_equalization_matches_numpy(spark):
+    """Whole-image numpy recompute of the equalization LUT summary."""
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.raster import codec
+    from geowave_spark.table import images as img_tab
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["image_id"]: (r["remap_checksum"], r["eq_min"], r["eq_max"],
+                           r["n_levels"])
+           for r in QUERIES["q229_hist_equalization"][0](spark, sf_dir)
+           .collect()}
+
+    docs = spark.sql(
+        f"SELECT doc_id, text FROM parquet.`{sf_dir}/documents.parquet` "
+        f"WHERE doc_id % 5 = 3").toPandas()
+    pdf = img_tab.gen_images_pdf(docs)
+    want = {}
+    for _, row in pdf.iterrows():
+        g = img_tab.gray(codec.decode(row["bytes"], row["fmt"]))
+        h = np.bincount(g.ravel(), minlength=256)
+        nz = np.flatnonzero(h)
+        c = np.cumsum(h[nz])
+        c0, n = int(c[0]), int(c[-1])
+        eq = (c - c0) * 255 // max(n - c0, 1)
+        want[row["image_id"]] = (int((h[nz] * eq).sum()), int(eq.min()),
+                                 int(eq.max()), len(nz))
+    assert got == want and len(got) == 100
+
+
+def test_q230_integral_image_matches_numpy(spark):
+    """SAT corner values recomputed from whole-image cumsums."""
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.raster import codec
+    from geowave_spark.table import images as img_tab
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["image_id"], r["ty"], r["tx"]): r["sat"] for r in
+           QUERIES["q230_integral_image"][0](spark, sf_dir).collect()}
+
+    docs = spark.sql(
+        f"SELECT doc_id, text FROM parquet.`{sf_dir}/documents.parquet` "
+        f"WHERE doc_id % 5 = 3").toPandas()
+    pdf = img_tab.gen_images_pdf(docs)
+    want = {}
+    for _, row in pdf.iterrows():
+        g = img_tab.gray(codec.decode(row["bytes"], row["fmt"])
+                         ).astype(np.int64)
+        sat = g.cumsum(axis=0).cumsum(axis=1)
+        h, w = g.shape
+        for ty in range((h + 15) // 16):
+            for tx in range((w + 15) // 16):
+                y1 = min((ty + 1) * 16, h) - 1
+                x1 = min((tx + 1) * 16, w) - 1
+                want[(row["image_id"], ty, tx)] = int(sat[y1, x1])
+    assert got == want and len(got) > 1000
