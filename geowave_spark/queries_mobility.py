@@ -388,3 +388,155 @@ MOBILITY_QUERIES["q226_shortest_paths"] = (
     q226_shortest_paths, _q226_sql("epoch_us(ts)", "//"))
 MOBILITY_QUERIES["q227_gini_diversity"] = (
     q227_gini_diversity, _q227_sql("//"))
+
+
+# -------------------------------------------- q231 label propagation
+
+
+def _q231_sql(epoch_us: str, intdiv: str) -> str:
+    """Community detection by synchronous LABEL PROPAGATION (Raghavan et
+    al. 2007; 4 unrolled rounds) over the OD mobility graph — the
+    community structure q163's triangles measure locally, extracted
+    globally.  Each node starts as its own label; each round every node
+    adopts the most frequent label among its neighbors (encoded argmax,
+    tie -> smallest label), synchronously, so the result is
+    deterministic and identically reproducible in both engines.
+
+    Scale shape per round: ONE edges x labels hash join, one (node,
+    label) count, one per-node encoded-argmax hash aggregate — no
+    window sort, no driver loop.  Output: per-community member count +
+    min node (stable community key)."""
+    res = 5
+    n = 1 << res
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), res)
+    gap_us = 86_400_000_000
+    big = 1 << 20
+    rounds = []
+    for k in range(1, 5):
+        rounds.append(f"""
+cnt{k} AS (
+  SELECT e.v AS node, l.lbl, count(*) AS c
+  FROM ed e JOIN l{k - 1} l ON l.node = e.u
+  GROUP BY e.v, l.lbl
+),
+l{k} AS (
+  SELECT n0.node,
+         coalesce(cast({big - 1} - max(c.c * {big} + ({big - 1} - c.lbl))
+                       % {big} as bigint), n0.node) AS lbl
+  FROM l0 n0 LEFT JOIN cnt{k} c ON c.node = n0.node
+  GROUP BY n0.node
+)""")
+    return f"""
+WITH t AS (
+  SELECT user_id, {epoch_us} AS us, {cell} AS cell FROM events
+),
+tr AS (
+  SELECT lag(cell) OVER win AS f, cell AS g, us - lag(us) OVER win AS dt
+  FROM t WINDOW win AS (PARTITION BY user_id ORDER BY us)
+),
+eu AS (
+  SELECT DISTINCT least(f, g) AS u, greatest(f, g) AS v
+  FROM tr WHERE f IS NOT NULL AND dt < {gap_us} AND f <> g
+),
+ed AS (
+  SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu
+),
+l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM ed),
+{','.join(rounds)}
+SELECT lbl AS community, cast(count(*) as bigint) AS n_members,
+       cast(min(node) as bigint) AS min_node
+FROM l4 GROUP BY lbl ORDER BY lbl
+"""
+
+
+def q231_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q231_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q231_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+# --------------------------------------- q232 keyword geo-density
+
+
+def _q232_sql(intdiv: str) -> str:
+    """Caption-keyword geo-density — the text x geo FUSION rollup: for
+    every spatial cell, the fraction of image captions containing a
+    keyword (the "beach photos cluster on coasts" analytics shape; the
+    reference keeps text predicates and spatial binning in separate
+    layers — `StartsWith.java` vs `SpatialBinningType.java` — this
+    composes them in one pass).
+
+    Scale shape: the keyword test is a codegen `like` on the caption,
+    the cell comes from the footprint center closed-form — one scan,
+    one keyed aggregate, map-side partials; no join at all."""
+    from .table import images as images_mod
+
+    cell = geo.rowmajor_cell_sql("(lon0 + lon1) / 2", "(lat0 + lat1) / 2", 4)
+    return f"""
+WITH b AS ({images_mod.images_base_sql()}),
+t AS (
+  SELECT {cell} AS cell,
+         CASE WHEN caption LIKE '%stream%' THEN 1 ELSE 0 END AS hit
+  FROM b
+)
+SELECT cell, cast(count(*) as bigint) AS n_images,
+       cast(sum(hit) as bigint) AS n_hits,
+       cast((sum(hit) * 1000000) {intdiv} count(*) as bigint) AS rate_micro
+FROM t GROUP BY cell ORDER BY cell
+"""
+
+
+def q232_keyword_geo_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q232_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q232_sql("div"))
+
+
+# -------------------------------------------- q233 split boundaries
+
+
+def _q233_sql() -> str:
+    """Equi-depth split boundaries (exact deciles per event type) — the
+    statistics-balanced split PLAN exposed as a query: the reference
+    computes these boundaries from its row-range histogram to cut
+    balanced input splits (`SplitsProvider.java:284-325`); our engine's
+    `stats.balance_partitions` consumes the same quantiles.  ntile(10)
+    over a total order (value cents, then event_id) is deterministic and
+    identical across engines.
+
+    Scale shape: one window sort per type (the inherent cost of exact
+    quantiles — the approximate path is percentile_approx / q25), one
+    keyed min/max roll-up per bucket."""
+    return """
+WITH t AS (
+  SELECT event_type, event_id,
+         cast(round(value * 100) as bigint) AS cents
+  FROM events
+),
+b AS (
+  SELECT event_type, cents,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY cents, event_id) AS bucket
+  FROM t
+)
+SELECT event_type, cast(bucket as int) AS bucket,
+       cast(count(*) as bigint) AS n,
+       cast(min(cents) as bigint) AS lo_cents,
+       cast(max(cents) as bigint) AS hi_cents
+FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket
+"""
+
+
+def q233_split_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q233_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q233_sql())
+
+
+MOBILITY_QUERIES["q231_label_propagation"] = (
+    q231_label_propagation, _q231_sql("epoch_us(ts)", "//"))
+MOBILITY_QUERIES["q232_keyword_geo_density"] = (
+    q232_keyword_geo_density, _q232_sql("//"))
+MOBILITY_QUERIES["q233_split_boundaries"] = (
+    q233_split_boundaries, _q233_sql())

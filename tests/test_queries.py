@@ -3091,3 +3091,93 @@ def test_q230_integral_image_matches_numpy(spark):
                 x1 = min((tx + 1) * 16, w) - 1
                 want[(row["image_id"], ty, tx)] = int(sat[y1, x1])
     assert got == want and len(got) > 1000
+
+
+def test_q231_label_propagation_matches_python(spark):
+    """Python recompute of 4 synchronous label-propagation rounds."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["community"]: (r["n_members"], r["min_node"]) for r in
+           QUERIES["q231_label_propagation"][0](spark, sf_dir).collect()}
+
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), 5)
+    pdf = spark.sql(
+        f"SELECT user_id, unix_micros(cast(ts as timestamp)) AS us, "
+        f"{cell} AS cell FROM parquet.`{sf_dir}/events.parquet`"
+    ).toPandas().sort_values(["user_id", "us"])
+    edges = set()
+    for _, g in pdf.groupby("user_id"):
+        cs, us = g["cell"].to_list(), g["us"].to_list()
+        for i in range(1, len(cs)):
+            if us[i] - us[i - 1] < 86_400_000_000 and cs[i] != cs[i - 1]:
+                edges.add((min(cs[i - 1], cs[i]), max(cs[i - 1], cs[i])))
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    lbl = {n: n for n in nbrs}
+    for _ in range(4):
+        new = {}
+        for n in nbrs:
+            c = Counter(lbl[m] for m in nbrs[n])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lbl = new
+    agg = {}
+    for n, l in lbl.items():
+        cnt, mn = agg.get(l, (0, n))
+        agg[l] = (cnt + 1, min(mn, n))
+    assert got == agg and len(got) >= 5
+
+
+def test_q232_q233_match_python(spark):
+    """Python recompute of keyword geo rates and ntile boundaries."""
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo, images as img_tab
+
+    sf_dir = "/root/testdata/sf0.01"
+    got232 = {r["cell"]: (r["n_images"], r["n_hits"], r["rate_micro"])
+              for r in QUERIES["q232_keyword_geo_density"][0](spark, sf_dir)
+              .collect()}
+    fp = img_tab.footprint_sql()
+    cell = geo.rowmajor_cell_sql(
+        f"(({fp['lon0']}) + ({fp['lon1']})) / 2",
+        f"(({fp['lat0']}) + ({fp['lat1']})) / 2", 4)
+    pdf = spark.sql(
+        f"SELECT {cell} AS cell, text FROM "
+        f"parquet.`{sf_dir}/documents.parquet`").toPandas()
+    want = {}
+    for c, t in zip(pdf["cell"], pdf["text"]):
+        n, h = want.get(c, (0, 0))
+        want[c] = (n + 1, h + (1 if "stream" in t else 0))
+    want = {c: (n, h, h * 1_000_000 // n) for c, (n, h) in want.items()}
+    assert got232 == want
+    assert any(0 < h < n for c, (n, h, _r) in
+               [(k, v) for k, v in want.items()])
+
+    got233 = {(r["event_type"], r["bucket"]):
+              (r["n"], r["lo_cents"], r["hi_cents"])
+              for r in QUERIES["q233_split_boundaries"][0](spark, sf_dir)
+              .collect()}
+    epdf = spark.sql(
+        f"SELECT event_type, event_id, "
+        f"cast(round(value * 100) as bigint) AS cents "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    want233 = {}
+    for t, g in epdf.groupby("event_type"):
+        rows = sorted(zip(g["cents"], g["event_id"]))
+        n = len(rows)
+        base, rem = divmod(n, 10)
+        start = 0
+        for b in range(1, 11):
+            size = base + (1 if b <= rem else 0)
+            chunk = rows[start:start + size]
+            start += size
+            cents = [c for c, _ in chunk]
+            want233[(t, b)] = (len(chunk), min(cents), max(cents))
+    assert got233 == want233 and len(got233) == 50
