@@ -2302,17 +2302,8 @@ def _q162_sql() -> str:
               f"ORDER BY cell")
 
 
-def _q163_sql(epoch_us: str, intdiv: str) -> str:
-    """Triangle counting + local clustering coefficient over the
-    undirected OD mobility graph (q145's transitions, direction
-    dropped): the community-structure primitive (triangles are what
-    separates real mobility graphs from random ones).  Canonical
-    oriented edges (u < v) make each triangle counted exactly once via
-    the standard two-join wedge-closure plan: edges(u,v) JOIN edges(v,w)
-    gives wedges u<v<w, closed by edges(u,w).  Per-node coefficient =
-    1e6 * 2 * tri / (deg * (deg - 1)), trunc division.  Scale shape:
-    two keyed equi-joins over the edge relation (the standard
-    distributed triangle plan; degree-ordering bounds wedge fan-out)."""
+def _q163_eu_sql(epoch_us: str) -> str:
+    """Canonical oriented OD edge relation eu(u, v) with u < v."""
     cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
                                  geo.lat_sql("event_id"), _Q144_RES)
     return f"""
@@ -2322,23 +2313,27 @@ WITH t AS (
 tr AS (
   SELECT lag(cell) OVER w AS f, cell AS g, us - lag(us) OVER w AS dt
   FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
-),
-eu AS (
-  SELECT DISTINCT least(f, g) AS u, greatest(f, g) AS v
-  FROM tr WHERE f IS NOT NULL AND dt < {_Q144_GAP_US} AND f <> g
-),
+)
+SELECT DISTINCT least(f, g) AS u, greatest(f, g) AS v
+FROM tr WHERE f IS NOT NULL AND dt < {_Q144_GAP_US} AND f <> g
+"""
+
+
+def _q163_tail_sql(eu: str, intdiv: str) -> str:
+    """Wedge-closure triangle count + clustering over an eu view."""
+    return f"""
 deg AS (
   SELECT node, cast(count(*) as bigint) AS d
-  FROM (SELECT u AS node FROM eu UNION ALL SELECT v AS node FROM eu)
+  FROM (SELECT u AS node FROM {eu} UNION ALL SELECT v AS node FROM {eu})
   GROUP BY node
 ),
 wedge AS (
   SELECT a.u AS x, a.v AS y, b.v AS z
-  FROM eu a JOIN eu b ON b.u = a.v
+  FROM {eu} a JOIN {eu} b ON b.u = a.v
 ),
 tri AS (
   SELECT w.x, w.y, w.z
-  FROM wedge w JOIN eu c ON c.u = w.x AND c.v = w.z
+  FROM wedge w JOIN {eu} c ON c.u = w.x AND c.v = w.z
 ),
 per_node AS (
   SELECT node, cast(count(*) as bigint) AS n_tri
@@ -2357,11 +2352,31 @@ ORDER BY cell
 """
 
 
+def _q163_sql(epoch_us: str, intdiv: str) -> str:
+    """Triangle counting + local clustering coefficient over the
+    undirected OD mobility graph (q145's transitions, direction
+    dropped): the community-structure primitive (triangles are what
+    separates real mobility graphs from random ones).  Canonical
+    oriented edges (u < v) make each triangle counted exactly once via
+    the standard two-join wedge-closure plan: edges(u,v) JOIN edges(v,w)
+    gives wedges u<v<w, closed by edges(u,w).  Per-node coefficient =
+    1e6 * 2 * tri / (deg * (deg - 1)), trunc division.  Scale shape:
+    two keyed equi-joins over the edge relation (the standard
+    distributed triangle plan; degree-ordering bounds wedge fan-out).
+    This one-text form is the ORACLE; the Spark path materializes eu
+    once (CTE inlining would re-run the window 4x)."""
+    return (f"WITH eu AS ({_q163_eu_sql(epoch_us)}),\n"
+            + _q163_tail_sql("eu", intdiv))
+
+
 def q163_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """See `_q163_sql`."""
+    """See `_q163_sql`; eu materialized once via `mat_view`."""
+    from .table.views import mat_view
+
     register_views(spark, sf_dir)
-    return spark.sql(
-        _q163_sql("unix_micros(cast(ts as timestamp))", "div"))
+    mat_view(spark, "q163_eu",
+             _q163_eu_sql("unix_micros(cast(ts as timestamp))"))
+    return spark.sql("WITH " + _q163_tail_sql("q163_eu", "div"))
 
 
 def _q165_sql(intdiv: str) -> str:
@@ -3359,10 +3374,57 @@ ORDER BY cell
 """)
 
 
+def _q187_edges_sql(epoch_us: str) -> str:
+    """Directed-both-ways OD edge relation for the k-core peel."""
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), _Q187_RES)
+    return f"""
+WITH t AS (
+  SELECT user_id, {epoch_us} AS us, {cell} AS cell FROM events
+),
+tr AS (
+  SELECT lag(cell) OVER w AS f, cell AS g, us - lag(us) OVER w AS dt
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+eu AS (
+  SELECT DISTINCT least(f, g) AS u, greatest(f, g) AS v
+  FROM tr WHERE f IS NOT NULL AND dt < {_Q144_GAP_US} AND f <> g
+)
+SELECT u AS a, v AS b FROM eu UNION ALL SELECT v AS a, u AS b FROM eu
+"""
+
+
+def _q187_round_sql(prev: str) -> str:
+    """One peel round: degree filter + edge semi-joins, over a view."""
+    return f"""
+WITH d AS (
+  SELECT a, cast(count(*) as bigint) AS d FROM {prev} GROUP BY a
+),
+n AS (SELECT a FROM d WHERE d >= {_Q187_K})
+SELECT e.a, e.b FROM {prev} e
+JOIN n x ON x.a = e.a JOIN n y ON y.a = e.b
+"""
+
+
 def q187_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """See `_q187_sql`."""
+    """See `_q187_sql`; materialized-loop Spark path (Spark inlines the
+    unrolled CTEs, re-running the edge build 3^rounds times — the edge
+    relation is checkpointed once and each peel round builds on the
+    previous checkpoint instead)."""
+    from .table.views import mat_view
+
     register_views(spark, sf_dir)
-    return spark.sql(_q187_sql("unix_micros(cast(ts as timestamp))"))
+    e = mat_view(spark, "q187_e0",
+                 _q187_edges_sql("unix_micros(cast(ts as timestamp))"))
+    for k in range(_Q187_ROUNDS):
+        e.createOrReplaceTempView("q187_prev")
+        e = spark.sql(_q187_round_sql("q187_prev"))
+        e = e.localCheckpoint(eager=True)
+    e.createOrReplaceTempView("q187_final")
+    return spark.sql(f"""
+SELECT a AS cell, cast(count(*) as bigint) AS core_deg
+FROM q187_final GROUP BY a HAVING count(*) >= {_Q187_K}
+ORDER BY cell""")
 
 
 _Q188_RADII = (50, 100, 200)  # centidegrees: 0.5, 1.0, 2.0

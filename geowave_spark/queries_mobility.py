@@ -276,18 +276,9 @@ MOBILITY_QUERIES["q220_polygon_measures"] = (
 # ------------------------------------------------- q226 shortest paths
 
 
-def _q226_sql(epoch_us: str, intdiv: str) -> str:
-    """Single-source shortest paths over the weighted OD mobility graph
-    (4 unrolled Bellman-Ford / min-plus rounds — the routing primitive;
-    q163 counts triangles on this graph, q162 runs its random walk, this
-    runs its METRIC).  Edge weight = planar cell-center distance in
-    integer micro-degrees; source = the smallest node id with an edge.
-
-    Scale shape: each round is ONE hash join (frontier x edges) + keyed
-    min aggregate — the textbook distributed Bellman-Ford step; no
-    driver loop, no collect, rounds unrolled so the whole computation is
-    a single Catalyst plan.  Integer-exact: weights floored to micro
-    BEFORE summing, so path lengths are order-independent int64."""
+def _q226_edges_sql(epoch_us: str, intdiv: str) -> str:
+    """The weighted OD edge relation ed(u, v, w) — both directions,
+    planar cell-center weights in integer micro-degrees."""
     res = 3
     n = 1 << res
     cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
@@ -304,17 +295,6 @@ def _q226_sql(epoch_us: str, intdiv: str) -> str:
     vx, vy = center("v")
     w = (f"cast(floor(sqrt(({ux} - {vx}) * ({ux} - {vx}) + "
          f"({uy} - {vy}) * ({uy} - {vy})) * 1000000e0) as bigint)")
-    rounds = []
-    for k in range(1, 5):
-        rounds.append(f"""
-d{k} AS (
-  SELECT node, min(dist) AS dist FROM (
-    SELECT node, dist FROM d{k - 1}
-    UNION ALL
-    SELECT e.v AS node, d.dist + e.w AS dist
-    FROM ed e JOIN d{k - 1} d ON d.node = e.u
-  ) s GROUP BY node
-)""")
     return f"""
 WITH t AS (
   SELECT user_id, {epoch_us} AS us, {cell} AS cell FROM events
@@ -326,12 +306,49 @@ tr AS (
 eu AS (
   SELECT DISTINCT least(f, g) AS u, greatest(f, g) AS v
   FROM tr WHERE f IS NOT NULL AND dt < {gap_us} AND f <> g
-),
-ed AS (
-  SELECT u, v, {w} AS w FROM eu
+)
+SELECT u, v, {w} AS w FROM eu
+UNION ALL
+SELECT v AS u, u AS v, {w} AS w FROM eu
+"""
+
+
+def _q226_round_sql(ed: str, prev: str) -> str:
+    """One Bellman-Ford min-plus round over view names."""
+    return f"""
+SELECT node, min(dist) AS dist FROM (
+  SELECT node, dist FROM {prev}
   UNION ALL
-  SELECT v AS u, u AS v, {w} AS w FROM eu
-),
+  SELECT e.v AS node, d.dist + e.w AS dist
+  FROM {ed} e JOIN {prev} d ON d.node = e.u
+) s GROUP BY node
+"""
+
+
+def _q226_sql(epoch_us: str, intdiv: str) -> str:
+    """Single-source shortest paths over the weighted OD mobility graph
+    (4 Bellman-Ford / min-plus rounds — the routing primitive; q163
+    counts triangles on this graph, q162 runs its random walk, this
+    runs its METRIC).  Edge weight = planar cell-center distance in
+    integer micro-degrees; source = the smallest node id with an edge.
+
+    This unrolled-CTE form is the ORACLE (DuckDB materializes each CTE
+    once).  The Spark path (`q226_shortest_paths`) materializes the
+    edge relation with `mat_view` and iterates — Spark inlines CTEs, so
+    the unrolled text would re-execute the edge build 2^rounds times.
+
+    Scale shape: each round is ONE hash join (frontier x edges) + keyed
+    min aggregate — the textbook distributed Bellman-Ford step; no
+    driver-side data, rounds build on checkpointed <= |V|-row frames.
+    Integer-exact: weights floored to micro BEFORE summing, so path
+    lengths are order-independent int64."""
+    ed = _q226_edges_sql(epoch_us, intdiv)
+    rounds = []
+    for k in range(1, 5):
+        body = _q226_round_sql("ed", f"d{k - 1}")
+        rounds.append(f"d{k} AS ({body})")
+    return f"""
+WITH ed AS ({ed}),
 src AS (SELECT min(u) AS s FROM ed),
 d0 AS (SELECT s AS node, cast(0 as bigint) AS dist FROM src),
 {','.join(rounds)}
@@ -340,9 +357,21 @@ SELECT node, dist AS dist_micro FROM d4 ORDER BY node
 
 
 def q226_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """See `_q226_sql`."""
+    """See `_q226_sql`; materialized-loop Spark path."""
+    from .table.views import mat_view
+
     register_views(spark, sf_dir)
-    return spark.sql(_q226_sql("unix_micros(cast(ts as timestamp))", "div"))
+    mat_view(spark, "q226_ed",
+             _q226_edges_sql("unix_micros(cast(ts as timestamp))", "div"))
+    d = spark.sql("SELECT min(u) AS node, cast(0 as bigint) AS dist "
+                  "FROM q226_ed")
+    for k in range(4):
+        d.createOrReplaceTempView("q226_d")
+        d = spark.sql(_q226_round_sql("q226_ed", "q226_d"))
+        d = d.localCheckpoint(eager=True)
+    d.createOrReplaceTempView("q226_final")
+    return spark.sql(
+        "SELECT node, dist AS dist_micro FROM q226_final ORDER BY node")
 
 
 # --------------------------------------------------- q227 gini diversity
@@ -393,40 +422,16 @@ MOBILITY_QUERIES["q227_gini_diversity"] = (
 # -------------------------------------------- q231 label propagation
 
 
-def _q231_sql(epoch_us: str, intdiv: str) -> str:
-    """Community detection by synchronous LABEL PROPAGATION (Raghavan et
-    al. 2007; 4 unrolled rounds) over the OD mobility graph — the
-    community structure q163's triangles measure locally, extracted
-    globally.  Each node starts as its own label; each round every node
-    adopts the most frequent label among its neighbors (encoded argmax,
-    tie -> smallest label), synchronously, so the result is
-    deterministic and identically reproducible in both engines.
+_Q231_BIG = 1 << 20
 
-    Scale shape per round: ONE edges x labels hash join, one (node,
-    label) count, one per-node encoded-argmax hash aggregate — no
-    window sort, no driver loop.  Output: per-community member count +
-    min node (stable community key)."""
+
+def _q231_edges_sql(epoch_us: str) -> str:
+    """Directed-both-ways OD edge relation at res 5 (sparser than
+    q226's res-3 routing graph, so community structure survives)."""
     res = 5
-    n = 1 << res
     cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
                                  geo.lat_sql("event_id"), res)
     gap_us = 86_400_000_000
-    big = 1 << 20
-    rounds = []
-    for k in range(1, 5):
-        rounds.append(f"""
-cnt{k} AS (
-  SELECT e.v AS node, l.lbl, count(*) AS c
-  FROM ed e JOIN l{k - 1} l ON l.node = e.u
-  GROUP BY e.v, l.lbl
-),
-l{k} AS (
-  SELECT n0.node,
-         coalesce(cast({big - 1} - max(c.c * {big} + ({big - 1} - c.lbl))
-                       % {big} as bigint), n0.node) AS lbl
-  FROM l0 n0 LEFT JOIN cnt{k} c ON c.node = n0.node
-  GROUP BY n0.node
-)""")
     return f"""
 WITH t AS (
   SELECT user_id, {epoch_us} AS us, {cell} AS cell FROM events
@@ -438,11 +443,50 @@ tr AS (
 eu AS (
   SELECT DISTINCT least(f, g) AS u, greatest(f, g) AS v
   FROM tr WHERE f IS NOT NULL AND dt < {gap_us} AND f <> g
-),
-ed AS (
-  SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu
-),
-l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM ed),
+)
+SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu
+"""
+
+
+def _q231_round_sql(ed: str, nodes: str, prev: str) -> str:
+    """One synchronous label-propagation round over view names."""
+    big = _Q231_BIG
+    return f"""
+SELECT n0.node,
+       coalesce(cast({big - 1} - max(c.c * {big} + ({big - 1} - c.lbl))
+                     % {big} as bigint), n0.node) AS lbl
+FROM {nodes} n0 LEFT JOIN (
+  SELECT e.v AS node, l.lbl, count(*) AS c
+  FROM {ed} e JOIN {prev} l ON l.node = e.u
+  GROUP BY e.v, l.lbl
+) c ON c.node = n0.node
+GROUP BY n0.node
+"""
+
+
+def _q231_sql(epoch_us: str, intdiv: str) -> str:
+    """Community detection by synchronous LABEL PROPAGATION (Raghavan et
+    al. 2007; 4 rounds) over the OD mobility graph — the community
+    structure q163's triangles measure locally, extracted globally.
+    Each node starts as its own label; each round every node adopts the
+    most frequent label among its neighbors (encoded argmax, tie ->
+    smallest label), synchronously, so the result is deterministic and
+    identically reproducible in both engines.
+
+    This unrolled-CTE form is the ORACLE; the Spark path materializes
+    edges/l0 with `mat_view` and iterates (CTE inlining would re-run
+    the edge build every round).  Scale shape per round: ONE edges x
+    labels hash join, one (node, label) count, one per-node
+    encoded-argmax hash aggregate — no window sort, no driver loop.
+    Output: per-community member count + min node (stable key)."""
+    rounds = []
+    for k in range(1, 5):
+        body = _q231_round_sql("ed", "l0n", f"l{k - 1}")
+        rounds.append(f"l{k} AS ({body})")
+    return f"""
+WITH ed AS ({_q231_edges_sql(epoch_us)}),
+l0n AS (SELECT DISTINCT u AS node, u AS lbl FROM ed),
+l0 AS (SELECT node, lbl FROM l0n),
 {','.join(rounds)}
 SELECT lbl AS community, cast(count(*) as bigint) AS n_members,
        cast(min(node) as bigint) AS min_node
@@ -451,9 +495,23 @@ FROM l4 GROUP BY lbl ORDER BY lbl
 
 
 def q231_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """See `_q231_sql`."""
+    """See `_q231_sql`; materialized-loop Spark path."""
+    from .table.views import mat_view
+
     register_views(spark, sf_dir)
-    return spark.sql(_q231_sql("unix_micros(cast(ts as timestamp))", "div"))
+    mat_view(spark, "q231_ed",
+             _q231_edges_sql("unix_micros(cast(ts as timestamp))"))
+    lbl = mat_view(spark, "q231_l0",
+                   "SELECT DISTINCT u AS node, u AS lbl FROM q231_ed")
+    for k in range(4):
+        lbl.createOrReplaceTempView("q231_prev")
+        lbl = spark.sql(_q231_round_sql("q231_ed", "q231_l0", "q231_prev"))
+        lbl = lbl.localCheckpoint(eager=True)
+    lbl.createOrReplaceTempView("q231_final")
+    return spark.sql("""
+SELECT lbl AS community, cast(count(*) as bigint) AS n_members,
+       cast(min(node) as bigint) AS min_node
+FROM q231_final GROUP BY lbl ORDER BY lbl""")
 
 
 # --------------------------------------- q232 keyword geo-density

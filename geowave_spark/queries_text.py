@@ -1233,58 +1233,95 @@ FROM parts ORDER BY vec_id
 """
 
 
-def _q118(d: G.Dialect) -> str:
-    """Graph centrality over the kNN similarity graph (PageRank, 4
-    unrolled iterations): importance-weighted sample selection — central
-    documents anchor dup clusters / coreset picks, peripheral ones are
-    candidates for trimming.  Complements q64 (connected components) as
-    the second iterative graph operator, expressed as pure unrolled
-    dataflow: each iteration is one hash join (edges x ranks on src) +
-    one keyed aggregate — no driver loop, no collect.
-
-    Determinism: fixed-point integer ranks (damping 0.85, uniform
-    out-degree 5 => per-edge contribution floor(17*r/100) floored BEFORE
-    the sum, so the aggregate is order-independent int64 and the DuckDB
-    twin hashes identically).  Scale note: the all-pairs top-5 edge build
-    here is the oracle-grade candidate generator; at corpus scale the
-    edges come from q20's LSH buckets or q41's IVF cells instead, and the
-    iteration cost is |E| per round regardless of how edges were built."""
+def _q118_edges_sql(d: G.Dialect) -> str:
+    """kNN similarity edges (top-5 by cosine per source vector)."""
     dt = G.dot(d, "q.v", "c.v", 64)
-    contrib = d.intdiv("17 * r.r", "100")
-    its = []
-    for i in range(1, 5):
-        its.append(f"""
-r{i} AS (
-  SELECT n.vec_id, 150000 + coalesce(s.contrib, 0) AS r
-  FROM nodes n LEFT JOIN (
-    SELECT e.dst AS vec_id, sum({contrib}) AS contrib
-    FROM edges e JOIN r{i - 1} r ON r.vec_id = e.src
-    GROUP BY e.dst
-  ) s ON s.vec_id = n.vec_id
-)""")
     return f"""
 WITH {_vec_cte(d)},
 sims AS (
   SELECT q.vec_id AS src, c.vec_id AS dst,
          cast(floor(1000000.0 * ({dt}) / (q.nv * c.nv)) as bigint) AS sim
   FROM vecs q JOIN vecs c ON q.vec_id <> c.vec_id
-),
-edges AS (
-  SELECT src, dst FROM (
-    SELECT src, dst,
-           row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC)
-             AS rk
-    FROM sims
-  ) t WHERE rk <= 5
-),
-nodes AS (SELECT vec_id FROM embeddings),
-r0 AS (SELECT vec_id, cast(1000000 as bigint) AS r FROM nodes),
-{",".join(its)}
+)
+SELECT src, dst FROM (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC)
+           AS rk
+  FROM sims
+) t WHERE rk <= 5
+"""
+
+
+def _q118_round_sql(d: G.Dialect, edges: str, nodes: str, prev: str) -> str:
+    """One PageRank round over view names."""
+    contrib = d.intdiv("17 * r.r", "100")
+    return f"""
+SELECT n.vec_id, 150000 + coalesce(s.contrib, 0) AS r
+FROM {nodes} n LEFT JOIN (
+  SELECT e.dst AS vec_id, sum({contrib}) AS contrib
+  FROM {edges} e JOIN {prev} r ON r.vec_id = e.src
+  GROUP BY e.dst
+) s ON s.vec_id = n.vec_id
+"""
+
+
+_Q118_FINAL = """
 SELECT vec_id, cast(r as bigint) AS rank_fp,
        cast(row_number() OVER (ORDER BY r DESC, vec_id) as bigint)
          AS centrality_order
-FROM r4 ORDER BY vec_id
+FROM {r} ORDER BY vec_id
 """
+
+
+def _q118(d: G.Dialect) -> str:
+    """Graph centrality over the kNN similarity graph (PageRank, 4
+    iterations): importance-weighted sample selection — central
+    documents anchor dup clusters / coreset picks, peripheral ones are
+    candidates for trimming.  Complements q64 (connected components) as
+    the second iterative graph operator: each iteration is one hash
+    join (edges x ranks on src) + one keyed aggregate — no driver-side
+    data, no collect.
+
+    This unrolled-CTE form is the ORACLE; the Spark path
+    (`_q118_spark`) materializes the edge build once via `mat_view` —
+    inlined CTEs would re-run the all-pairs top-5 candidate generator
+    every round.  Determinism: fixed-point integer ranks (damping 0.85,
+    uniform out-degree 5 => per-edge contribution floor(17*r/100)
+    floored BEFORE the sum, so the aggregate is order-independent int64
+    and the DuckDB twin hashes identically).  Scale note: the all-pairs
+    top-5 edge build is the oracle-grade candidate generator; at corpus
+    scale the edges come from q20's LSH buckets or q41's IVF cells, and
+    the iteration cost is |E| per round regardless."""
+    its = []
+    for i in range(1, 5):
+        body = _q118_round_sql(d, "edges", "nodes", f"r{i - 1}")
+        its.append(f"r{i} AS ({body})")
+    return f"""
+WITH edges AS ({_q118_edges_sql(d)}),
+nodes AS (SELECT vec_id FROM embeddings),
+r0 AS (SELECT vec_id, cast(1000000 as bigint) AS r FROM nodes),
+{",".join(its)}
+{_Q118_FINAL.format(r="r4")}
+"""
+
+
+def _q118_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-loop Spark path for `_q118`."""
+    from .table.views import mat_view
+
+    d = G.SPARK
+    register_views(spark, sf_dir)
+    mat_view(spark, "q118_edges", _q118_edges_sql(d))
+    mat_view(spark, "q118_nodes", "SELECT vec_id FROM embeddings")
+    r = spark.sql("SELECT vec_id, cast(1000000 as bigint) AS r "
+                  "FROM q118_nodes")
+    for _ in range(4):
+        r.createOrReplaceTempView("q118_prev")
+        r = spark.sql(
+            _q118_round_sql(d, "q118_edges", "q118_nodes", "q118_prev"))
+        r = r.localCheckpoint(eager=True)
+    r.createOrReplaceTempView("q118_final")
+    return spark.sql(_Q118_FINAL.format(r="q118_final"))
 
 
 def _q122(d: G.Dialect) -> str:
@@ -2124,8 +2161,18 @@ def _q219_spark(spark, sf_dir):
     """
     d = G.SPARK
     register_views(spark, sf_dir)
+    # tok is referenced by df, ranked and BOTH sides of the verify join —
+    # materialize it once (Spark inlines CTEs; see `mat_view`).
+    from .table.views import mat_view
+
+    sh = G.shingles3_from(d, "v")
+    mat_view(spark, "q219_tok", f"""
+SELECT DISTINCT doc_id, {d.explode(sh)} AS w
+FROM (SELECT doc_id, {G.wordvals(d)} AS v FROM documents) wv
+WHERE {d.size('v')} >= 3""")
     sql = f"""
-{_q219_head(d)},
+WITH tok AS (SELECT * FROM q219_tok),
+sz AS (SELECT doc_id, cast(count(*) as bigint) AS n FROM tok GROUP BY doc_id),
 df AS (SELECT w, count(*) AS dfreq FROM tok GROUP BY w),
 ranked AS (
   SELECT t.doc_id, t.w, s.n,
@@ -2159,32 +2206,55 @@ cand AS (
 
 
 
+def _q224_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized Spark path for `_q224`: the positional index `pos`
+    is referenced five times (trigram scan + three hit joins) — at
+    scale it is a STORED index; here it is checkpointed once via
+    `mat_view` so the explode runs a single time."""
+    from .table.views import mat_view
+
+    d = G.SPARK
+    register_views(spark, sf_dir)
+    mat_view(spark, "q224_pos", f"""
+SELECT doc_id, pos + 1 AS pos, col AS w
+FROM (SELECT doc_id, {d.split_ws('text')} AS t FROM documents) toks
+LATERAL VIEW posexplode(t) pe AS pos, col""")
+    return spark.sql(f"""
+WITH pos AS (SELECT * FROM q224_pos),
+tri AS (
+  SELECT a.w AS w1, b.w AS w2, c.w AS w3, count(*) AS n
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  GROUP BY a.w, b.w, c.w
+),
+top AS (SELECT w1, w2, w3 FROM tri ORDER BY n DESC, w1, w2, w3 LIMIT 1),
+hits AS (
+  SELECT p1.doc_id, p1.pos
+  FROM pos p1 JOIN top t ON p1.w = t.w1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+            AND p2.w = t.w2
+  JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+            AND p3.w = t.w3
+)
+SELECT h.doc_id, cast(count(*) as bigint) AS n_matches,
+       cast(min(h.pos) as bigint) AS first_pos, t.w1, t.w2, t.w3
+FROM hits h CROSS JOIN top t
+GROUP BY h.doc_id, t.w1, t.w2, t.w3 ORDER BY doc_id""")
+
+
 # --------------------------------------------- q222 power iteration
 
 
-def _q222(d: G.Dialect) -> str:
-    """Dominant eigenvector of the embedding covariance by POWER
-    ITERATION (4 unrolled rounds) — the spectral step PCA/whitening
-    pipelines run after q152's covariance scan; together they are the
-    "top principal direction" primitive for embedding-drift and
-    anisotropy diagnostics.
+def _q222_tdiv(d: G.Dialect, x: str, n: str) -> str:
+    """Sign-safe truncating integer division (Spark div truncates toward
+    zero, DuckDB // floors; they agree only through this CASE form)."""
+    return (f"(CASE WHEN {x} >= 0 THEN {d.intdiv(x, n)} "
+            f"ELSE -{d.intdiv(f'(-({x}))', n)} END)")
 
-    Determinism: all fixed-point integer — covariance entries floored
-    to 1e-6-scaled ints with a SIGN-SAFE truncating division (Spark div
-    truncates toward zero, DuckDB // floors: they agree only through
-    the CASE-wrapped abs form), the iterate renormalized to max-abs
-    1000 each round, so every sum is order-independent int64 (|w| <=
-    64 * 2e9 * 1e3 < 2^47) and both engines hash identically.
 
-    Scale shape: the covariance build is q152's n*d^2 map-side-reduced
-    self-join; each iteration is ONE hash join (64^2 matrix rows x 64
-    vector rows) + keyed aggregate + a scalar cross join — constant
-    work after the covariance scan, no driver loop, no collect."""
-
-    def tdiv(x: str, n: str) -> str:
-        return (f"(CASE WHEN {x} >= 0 THEN {d.intdiv(x, n)} "
-                f"ELSE -{d.intdiv(f'(-({x}))', n)} END)")
-
+def _q222_covs_sql(d: G.Dialect) -> str:
+    """Full covariance matrix covs(i, j, c) in down-scaled integers."""
     if d.is_spark:
         dims = (
             "SELECT vec_id, pos + 1 AS dd, "
@@ -2197,18 +2267,6 @@ def _q222(d: G.Dialect) -> str:
             "cast(floor(v[dg.g] * 1000000) as bigint) AS val "
             "FROM v0e, LATERAL (SELECT unnest(generate_series(1, 64)) AS g) dg"
         )
-    its = []
-    for k in range(1, 5):
-        its.append(f"""
-w{k} AS (
-  SELECT c.i AS dd, cast(sum(c.c * v.val) as bigint) AS wv
-  FROM covs c JOIN v{k - 1} v ON v.dd = c.j GROUP BY c.i
-),
-m{k} AS (SELECT greatest(max(abs(wv)), 1) AS ma FROM w{k}),
-v{k} AS (
-  SELECT dd, {tdiv('(wv * 1000)', 'ma')} AS val
-  FROM w{k} CROSS JOIN m{k}
-)""")
     return f"""
 WITH v0e AS (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v
              FROM embeddings),
@@ -2223,14 +2281,69 @@ cent AS (
 cov AS (
   SELECT a.dd AS i, b.dd AS j, cast(sum(a.c * b.c) as bigint) AS cs
   FROM cent a JOIN cent b ON a.vec_id = b.vec_id GROUP BY a.dd, b.dd
+)
+SELECT i, j, {_q222_tdiv(d, 'cs', '1000000')} AS c FROM cov
+"""
+
+
+def _q222_round_sql(d: G.Dialect, covs: str, prev: str) -> str:
+    """One power-iteration round (multiply + max-abs renormalize)."""
+    return f"""
+WITH w AS (
+  SELECT c.i AS dd, cast(sum(c.c * v.val) as bigint) AS wv
+  FROM {covs} c JOIN {prev} v ON v.dd = c.j GROUP BY c.i
 ),
-covs AS (SELECT i, j, {tdiv('cs', '1000000')} AS c FROM cov),
+m AS (SELECT greatest(max(abs(wv)), 1) AS ma FROM w)
+SELECT dd, {_q222_tdiv(d, '(wv * 1000)', 'ma')} AS val
+FROM w CROSS JOIN m
+"""
+
+
+def _q222(d: G.Dialect) -> str:
+    """Dominant eigenvector of the embedding covariance by POWER
+    ITERATION (4 rounds) — the spectral step PCA/whitening pipelines
+    run after q152's covariance scan; together they are the "top
+    principal direction" primitive for embedding-drift and anisotropy
+    diagnostics.
+
+    This unrolled-CTE form is the ORACLE (DuckDB materializes CTEs
+    once); the Spark path materializes `covs` with `mat_view` and
+    iterates — inlined CTEs would re-run the n*d^2 covariance build
+    ~2^rounds times.  Determinism: all fixed-point integer — sign-safe
+    truncating divisions, iterate renormalized to max-abs 1000 each
+    round, every sum order-independent int64 (|w| <= 64 * 2e9 * 1e3 <
+    2^47), so both engines hash identically.
+
+    Scale shape: the covariance build is q152's n*d^2 map-side-reduced
+    self-join; each round is ONE 64^2 x 64 hash join + keyed aggregate
+    + a scalar cross join — constant work after the covariance scan."""
+    its = []
+    for k in range(1, 5):
+        body = _q222_round_sql(d, "covs", f"v{k - 1}")
+        its.append(f"v{k} AS ({body})")
+    return f"""
+WITH covs AS ({_q222_covs_sql(d)}),
 v0 AS (SELECT {d.explode(d.seq('1', '64'))} AS dd, cast(1000 as bigint) AS val),
 {','.join(its)}
 SELECT dd, val AS v_fix FROM v4 ORDER BY dd
 """
 
 
+def _q222_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-loop Spark path for `_q222`."""
+    from .table.views import mat_view
+
+    d = G.SPARK
+    register_views(spark, sf_dir)
+    mat_view(spark, "q222_covs", _q222_covs_sql(d))
+    v = spark.sql(f"SELECT {d.explode(d.seq('1', '64'))} AS dd, "
+                  "cast(1000 as bigint) AS val")
+    for _ in range(4):
+        v.createOrReplaceTempView("q222_prev")
+        v = spark.sql(_q222_round_sql(d, "q222_covs", "q222_prev"))
+        v = v.localCheckpoint(eager=True)
+    v.createOrReplaceTempView("q222_final")
+    return spark.sql("SELECT dd, val AS v_fix FROM q222_final ORDER BY dd")
 
 
 # ------------------------------------------- q223 random projection
@@ -2335,9 +2448,9 @@ GROUP BY h.doc_id, t.w1, t.w2, t.w3 ORDER BY doc_id
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q219_ppjoin_similarity": (_q219_spark, _q219_duck_sql()),
-    "q222_power_iteration": _dual(_q222),
+    "q222_power_iteration": (_q222_spark, _q222(G.DUCK)),
     "q223_random_projection": _dual(_q223),
-    "q224_phrase_search": _dual(_q224),
+    "q224_phrase_search": (_q224_spark, _q224(G.DUCK)),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
     "q17_simhash": _dual(_q17),
     "q18_ngram_jaccard": (_q18_spark, _q18(G.DUCK)),
@@ -2362,7 +2475,7 @@ TEXT_QUERIES = {
     "q112_token_chunking": _dual(_q112),
     "q115_zipf_vocab": _dual(_q115),
     "q116_embedding_outliers": _dual(_q116),
-    "q118_graph_centrality": _dual(_q118),
+    "q118_graph_centrality": (_q118_spark, _q118(G.DUCK)),
     "q122_pii_scrub": _dual(_q122),
     "q142_bpe_merge_rounds": (q142_bpe_merge_rounds, _q142_duck()),
     "q152_embedding_covariance": _dual(_q152),

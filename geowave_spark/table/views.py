@@ -47,3 +47,20 @@ def register_views(spark: SparkSession, sf_dir: str,
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     spark._geowave_views_sf = sf_dir
+
+
+def mat_view(spark, name: str, sql_or_df, eager: bool = True):
+    """Materialize a relation once and expose it as a temp view.
+
+    Spark SQL inlines WITH-CTEs: a CTE referenced k times executes k
+    times, and an unrolled iterative query (Bellman-Ford, label
+    propagation, k-core, power iteration) re-executes its base-relation
+    subtree 2^rounds..3^rounds times.  `localCheckpoint(eager=True)`
+    cuts the lineage and stores the partitions, so every later reference
+    is a scan of the materialized result — the Spark analog of the
+    reference's MEMORY_ONLY_SER persists inside its tiered join
+    (`TieredSpatialJoin.java:352` in /root/reference)."""
+    df = spark.sql(sql_or_df) if isinstance(sql_or_df, str) else sql_or_df
+    df = df.localCheckpoint(eager=eager)
+    df.createOrReplaceTempView(name)
+    return df

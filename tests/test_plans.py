@@ -491,3 +491,23 @@ def test_q189_ssim_pair_join_blocked(spark, sf_dir):
     no cartesian pair explosion; the pixel work is one mapInPandas."""
     plan = _plan(spark, sf_dir, "q189_ssim_pairs")
     assert "CartesianProduct" not in plan
+
+
+def test_iterative_queries_materialize_base_relations(spark, sf_dir):
+    """Unrolled iterative ops must NOT re-execute their base-relation
+    subtree per round: Spark inlines CTEs, so the Spark paths
+    materialize edges/covariance/token relations via `mat_view`
+    (localCheckpoint) and the FINAL plan must contain zero parquet
+    scans — every reference reads the checkpointed result instead.
+    Regression guard for the 2^rounds scan blowup (q226 once planned
+    62 parquet scans)."""
+    for name in (
+        "q226_shortest_paths", "q231_label_propagation",
+        "q222_power_iteration", "q187_kcore",
+        "q163_triangle_clustering", "q118_graph_centrality",
+        "q219_ppjoin_similarity", "q224_phrase_search",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        n = plan.count("Scan parquet")
+        assert n == 0, f"{name}: {n} parquet scans in final plan"
+        assert "CartesianProduct" not in plan, name
