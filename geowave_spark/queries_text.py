@@ -1752,22 +1752,19 @@ FROM assign GROUP BY split ORDER BY split
 """
 
 
-def _q196(d: G.Dialect) -> str:
-    """LSH recall/precision audit: on a deterministic 1-in-4 sample
-    (doc_id % 4 = 1), generate q16's banded MinHash candidates AND the
-    exact Jaccard >= 0.5 ground truth, then report candidate count, true
-    count, hits, precision and recall in micro — the self-audit every
-    production dedup pipeline runs before trusting its banding parameters
-    (and exactly the indexed-vs-brute contract of the reference's join
-    ITs, `test/.../spark/GeoWaveSparkSpatialJoinIT.java:228-255` in
-    /root/reference, turned into a standing metric).
-
-    Scale shape: the candidate side is q16's keyed band join (the scale
-    path); the exact side is a shingle-equality join, quadratic only
-    within co-shingle groups — which is why the audit runs on a bounded
-    SAMPLE slice at production scale (sampling is the point: recall
-    estimates don't need the full corpus)."""
+def _q196_sh_sql(d: G.Dialect) -> str:
+    """Distinct shingle rows of the 1-in-4 audit sample."""
     sh = G.shingles3_from(d, "v")
+    return f"""
+SELECT DISTINCT doc_id, {d.explode(sh)} AS shingle
+FROM (SELECT doc_id, {G.wordvals(d)} AS v
+      FROM documents WHERE doc_id % 4 = 1) wv
+WHERE {d.size('v')} >= 3
+"""
+
+
+def _q196_tail_sql(d: G.Dialect, sh_rows: str) -> str:
+    """Audit body over a shingle-row view name."""
     mins = ", ".join(
         f"min(({2 * j + 3} * (shingle % {G.P_MINHASH}) + {104729 * (j + 1) % G.P_MINHASH}) % {G.P_MINHASH}) AS m{j}"
         for j in range(16)
@@ -1778,14 +1775,8 @@ def _q196(d: G.Dialect) -> str:
         for b in range(4)
     )
     return f"""
-WITH wv AS (SELECT doc_id, {G.wordvals(d)} AS v
-            FROM documents WHERE doc_id % 4 = 1),
-sh_rows AS (
-  SELECT DISTINCT doc_id, {d.explode(sh)} AS shingle
-  FROM wv WHERE {d.size('v')} >= 3
-),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh_rows GROUP BY doc_id),
-sig AS (SELECT doc_id, {mins} FROM sh_rows GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM {sh_rows} GROUP BY doc_id),
+sig AS (SELECT doc_id, {mins} FROM {sh_rows} GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -1794,7 +1785,7 @@ cand AS (
 ),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ninter
-  FROM sh_rows a JOIN sh_rows b ON b.shingle = a.shingle
+  FROM {sh_rows} a JOIN {sh_rows} b ON b.shingle = a.shingle
                               AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
@@ -1818,6 +1809,38 @@ SELECT n_cand, n_true, n_hit,
             as bigint) AS recall_micro
 FROM n
 """
+
+
+def _q196(d: G.Dialect) -> str:
+    """LSH recall/precision audit: on a deterministic 1-in-4 sample
+    (doc_id % 4 = 1), generate q16's banded MinHash candidates AND the
+    exact Jaccard >= 0.5 ground truth, then report candidate count, true
+    count, hits, precision and recall in micro — the self-audit every
+    production dedup pipeline runs before trusting its banding parameters
+    (and exactly the indexed-vs-brute contract of the reference's join
+    ITs, `test/.../spark/GeoWaveSparkSpatialJoinIT.java:228-255` in
+    /root/reference, turned into a standing metric).
+
+    This one-text form is the ORACLE; the Spark path materializes the
+    shingle rows once (they feed sizes, sig and BOTH sides of the exact
+    join — inlined CTEs would re-explode them ~7x).  Scale shape: the
+    candidate side is q16's keyed band join (the scale path); the exact
+    side is a shingle-equality join, quadratic only within co-shingle
+    groups — which is why the audit runs on a bounded SAMPLE slice at
+    production scale (sampling is the point: recall estimates don't
+    need the full corpus)."""
+    return (f"WITH sh_rows AS ({_q196_sh_sql(d)}),"
+            + _q196_tail_sql(d, "sh_rows"))
+
+
+def _q196_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized Spark path for `_q196`."""
+    from .table.views import mat_view
+
+    d = G.SPARK
+    register_views(spark, sf_dir)
+    mat_view(spark, "q196_sh", _q196_sh_sql(d))
+    return spark.sql("WITH " + _q196_tail_sql(d, "q196_sh"))
 
 
 def _q197(d: G.Dialect) -> str:
@@ -2485,7 +2508,7 @@ TEXT_QUERIES = {
     "q185_dsir_importance": _dual(_q185),
     "q193_domain_shift": _dual(_q193),
     "q195_leakage_safe_split": _dual(_q195),
-    "q196_lsh_recall_audit": _dual(_q196),
+    "q196_lsh_recall_audit": (_q196_spark, _q196(G.DUCK)),
     "q197_source_overlap": _dual(_q197),
     "q201_heaps_law": _dual(_q201),
     "q203_hard_negatives": _dual(_q203),
