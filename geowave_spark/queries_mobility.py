@@ -598,3 +598,202 @@ MOBILITY_QUERIES["q232_keyword_geo_density"] = (
     q232_keyword_geo_density, _q232_sql("//"))
 MOBILITY_QUERIES["q233_split_boundaries"] = (
     q233_split_boundaries, _q233_sql())
+
+
+# ------------------------------------------------ q234 lag-1 autocorrelation
+
+
+def _q234_sql(epoch_us: str, intdiv: str) -> str:
+    """Lag-1 temporal autocorrelation of the daily count series per
+    spatial cell — the persistence/memory diagnostic of a time series
+    (complements q182's CUSUM level-shift and q102's Mann-Kendall
+    trend): acf1_micro = 1e6 * sum((x_t - m)(x_{t+1} - m)) /
+    sum((x_t - m)^2), computed in integers over MILLI-scaled deviations
+    (the mean is a trunc-divided integer milli, so both engines agree;
+    the final ratio is one sign-safe trunc division).
+
+    Scale shape: one (cell, day) count, one lag window per cell over
+    <= 30 rows, two keyed aggregates — nothing wider than the binned
+    series ever shuffles."""
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), 4)
+    num = "cast(sum(CASE WHEN nxt IS NULL THEN 0 ELSE dv * (nxt * 1000 - m) END) as bigint)"
+    den = "cast(sum(dv * dv) as bigint)"
+    ratio = (f"(CASE WHEN {num} >= 0 THEN ({num} * 1000000) {intdiv} {den} "
+             f"ELSE -((-({num}) * 1000000) {intdiv} {den}) END)")
+    return f"""
+WITH t AS (
+  SELECT {cell} AS cell,
+         cast(({epoch_us}) {intdiv} 86400000000 as bigint) AS day
+  FROM events
+),
+c AS (
+  SELECT cell, day, cast(count(*) as bigint) AS x
+  FROM t GROUP BY cell, day
+),
+m AS (
+  SELECT cell, (sum(x) * 1000) {intdiv} count(*) AS m,
+         cast(count(*) as bigint) AS n_days
+  FROM c GROUP BY cell
+),
+d AS (
+  SELECT c.cell, c.x * 1000 - m.m AS dv,
+         lead(c.x) OVER (PARTITION BY c.cell ORDER BY c.day) AS nxt,
+         m.m, m.n_days
+  FROM c JOIN m ON m.cell = c.cell
+)
+SELECT cell, max(n_days) AS n_days,
+       cast({ratio} as bigint) AS acf1_micro
+FROM d GROUP BY cell HAVING max(n_days) >= 10 AND {den} > 0
+ORDER BY cell
+"""
+
+
+def q234_lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q234_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q234_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+# ----------------------------------------------- q235 geometric median
+
+
+def _q235_points_sql() -> str:
+    """Event points with micro-integer coordinates, keyed by type."""
+    lon, lat = geo.lon_sql("event_id"), geo.lat_sql("event_id")
+    return (f"SELECT event_type, "
+            f"cast(floor(({lon}) * 1000000) as bigint) AS xm, "
+            f"cast(floor(({lat}) * 1000000) as bigint) AS ym FROM events")
+
+
+def _q235_round_sql(pts: str, prev: str, intdiv: str) -> str:
+    """One Weiszfeld round: inverse-distance weights to the current
+    center, re-weighted integer centroid (weights 1e12/d_micro)."""
+    d2 = "((p.xm - c.cx) * (p.xm - c.cx) + (p.ym - c.cy) * (p.ym - c.cy))"
+    w = (f"(1000000000000 {intdiv} "
+         f"greatest(cast(floor(sqrt(cast({d2} as double))) as bigint), 1))")
+    return f"""
+SELECT p.event_type,
+       cast(sum({w} * p.xm) {intdiv} sum({w}) as bigint) AS cx,
+       cast(sum({w} * p.ym) {intdiv} sum({w}) as bigint) AS cy
+FROM {pts} p JOIN {prev} c ON c.event_type = p.event_type
+GROUP BY p.event_type
+"""
+
+
+def _q235_sql(intdiv: str) -> str:
+    """Geometric median per event type by WEISZFELD iteration (3
+    rounds from the centroid) — the robust central-location estimator
+    (the L1 answer to q33's L2 KMeans centers; one distant outlier
+    moves the mean, not this).  Fixed-point integer throughout: micro
+    coordinates, inverse-distance weights 1e12/d floored before the
+    weighted sums, so both engines agree bit-for-bit.
+
+    This unrolled form is the ORACLE; the Spark path materializes the
+    micro-point relation once and iterates (each round is one
+    points x 5-row-centers hash join + keyed aggregate).  Weights
+    bound: w <= 1e12, |xm| <= 1.8e8, n <= rows => sums < 2^63 at any
+    tested scale; at 1e12 rows the weight scale drops a digit."""
+    rounds = []
+    for k in range(1, 4):
+        rounds.append(
+            f"c{k} AS ({_q235_round_sql('pts', f'c{k - 1}', intdiv)})")
+    return f"""
+WITH pts AS ({_q235_points_sql()}),
+c0 AS (
+  SELECT event_type,
+         cast(sum(xm) {intdiv} count(*) as bigint) AS cx,
+         cast(sum(ym) {intdiv} count(*) as bigint) AS cy
+  FROM pts GROUP BY event_type
+),
+{','.join(rounds)}
+SELECT event_type, cx AS cx_micro, cy AS cy_micro FROM c3
+ORDER BY event_type
+"""
+
+
+def q235_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q235_sql`; materialized-loop Spark path."""
+    from .table.views import mat_view
+
+    register_views(spark, sf_dir)
+    mat_view(spark, "q235_pts", _q235_points_sql())
+    c = spark.sql("""
+SELECT event_type, cast(sum(xm) div count(*) as bigint) AS cx,
+       cast(sum(ym) div count(*) as bigint) AS cy
+FROM q235_pts GROUP BY event_type""")
+    for _ in range(3):
+        c.createOrReplaceTempView("q235_prev")
+        c = spark.sql(_q235_round_sql("q235_pts", "q235_prev", "div"))
+        c = c.localCheckpoint(eager=True)
+    c.createOrReplaceTempView("q235_final")
+    return spark.sql("SELECT event_type, cx AS cx_micro, cy AS cy_micro "
+                     "FROM q235_final ORDER BY event_type")
+
+
+# --------------------------------------------------- q236 KS drift
+
+
+def _q236_sql(epoch_us: str, intdiv: str) -> str:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the first
+    and second half of the month, per event type — the
+    distribution-shift gate (q193's chi-square compares token
+    HISTOGRAMS; KS compares full CDFs of a continuous value, catching
+    shape changes a binned test misses).  D_micro = max over observed
+    values of |CDF_a - CDF_b| * 1e6, exact integers: cross-multiplied
+    counts so no per-row division at all.
+
+    Scale shape: one (type, half, cents) count, one value-ordered
+    window per type building both running CDFs in a single pass
+    (conditional cumsums), one max aggregate.  The window is over the
+    DISTINCT value domain, not raw rows."""
+    half = f"(CASE WHEN ({epoch_us}) {intdiv} 86400000000 < 19737 THEN 0 ELSE 1 END)"
+    return f"""
+WITH t AS (
+  SELECT event_type, {half} AS half,
+         cast(round(value * 100) as bigint) AS cents
+  FROM events
+),
+c AS (
+  SELECT event_type, cents,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS nb
+  FROM t GROUP BY event_type, cents
+),
+tot AS (
+  SELECT event_type, sum(na) AS ta, sum(nb) AS tb FROM c GROUP BY event_type
+),
+cum AS (
+  SELECT c.event_type,
+         sum(c.na) OVER (PARTITION BY c.event_type ORDER BY c.cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ca,
+         sum(c.nb) OVER (PARTITION BY c.event_type ORDER BY c.cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cb,
+         t.ta, t.tb
+  FROM c JOIN tot t ON t.event_type = c.event_type
+)
+SELECT event_type,
+       cast(max(abs(ca * tb - cb * ta) * 1000000 {intdiv} (ta * tb))
+            as bigint) AS ks_micro,
+       cast(max(ta) as bigint) AS n_first,
+       cast(max(tb) as bigint) AS n_second
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q236_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q236_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q236_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+MOBILITY_QUERIES["q234_lag1_autocorrelation"] = (
+    q234_lag1_autocorrelation, _q234_sql("epoch_us(ts)", "//"))
+MOBILITY_QUERIES["q235_geometric_median"] = (
+    q235_geometric_median, _q235_sql("//"))
+MOBILITY_QUERIES["q236_ks_drift"] = (
+    q236_ks_drift, _q236_sql("epoch_us(ts)", "//"))

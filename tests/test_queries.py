@@ -3181,3 +3181,109 @@ def test_q232_q233_match_python(spark):
             cents = [c for c, _ in chunk]
             want233[(t, b)] = (len(chunk), min(cents), max(cents))
     assert got233 == want233 and len(got233) == 50
+
+
+def test_q234_acf_matches_python(spark):
+    """Python recompute of the integer lag-1 autocorrelation."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["cell"]: (r["n_days"], r["acf1_micro"]) for r in
+           QUERIES["q234_lag1_autocorrelation"][0](spark, sf_dir)
+           .collect()}
+
+    cell = geo.rowmajor_cell_sql(geo.lon_sql("event_id"),
+                                 geo.lat_sql("event_id"), 4)
+    pdf = spark.sql(
+        f"SELECT {cell} AS cell, "
+        f"unix_micros(cast(ts as timestamp)) div 86400000000 AS day "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    cnt = Counter(zip(pdf["cell"], pdf["day"]))
+    series = {}
+    for (c, d), n in cnt.items():
+        series.setdefault(c, {})[d] = n
+    want = {}
+    for c, sd in series.items():
+        days = sorted(sd)
+        if len(days) < 10:
+            continue
+        xs = [sd[d] for d in days]
+        m = sum(xs) * 1000 // len(xs)
+        dv = [x * 1000 - m for x in xs]
+        num = sum(dv[i] * dv[i + 1] for i in range(len(dv) - 1))
+        den = sum(v * v for v in dv)
+        if den == 0:
+            continue
+        r = (num * 1_000_000) // den if num >= 0 else -((-num * 1_000_000) // den)
+        want[c] = (len(days), r)
+    assert got == want and len(got) > 100
+
+
+def test_q235_geometric_median_matches_python(spark):
+    """Python recompute of 3 integer Weiszfeld rounds."""
+    import math
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import geo
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["event_type"]: (r["cx_micro"], r["cy_micro"]) for r in
+           QUERIES["q235_geometric_median"][0](spark, sf_dir).collect()}
+
+    pdf = spark.sql(
+        f"SELECT event_type, "
+        f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint) AS xm, "
+        f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint) AS ym "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    want = {}
+    for t, g in pdf.groupby("event_type"):
+        def tdiv(a, b):
+            return a // b if a >= 0 else -((-a) // b)
+
+        xs, ys = g["xm"].to_list(), g["ym"].to_list()
+        cx, cy = tdiv(sum(xs), len(xs)), tdiv(sum(ys), len(ys))
+        for _ in range(3):
+            sw = swx = swy = 0
+            for x, y in zip(xs, ys):
+                d = max(math.floor(math.sqrt(float((x - cx) ** 2
+                                                   + (y - cy) ** 2))), 1)
+                w = 10 ** 12 // d
+                sw += w
+                swx += w * x
+                swy += w * y
+            cx, cy = tdiv(swx, sw), tdiv(swy, sw)
+        want[t] = (cx, cy)
+    assert got == want and len(got) == 5
+
+
+def test_q236_ks_matches_python(spark):
+    """Python recompute of the exact two-sample KS statistic."""
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["event_type"]: (r["ks_micro"], r["n_first"], r["n_second"])
+           for r in QUERIES["q236_ks_drift"][0](spark, sf_dir).collect()}
+
+    pdf = spark.sql(
+        f"SELECT event_type, "
+        f"CASE WHEN unix_micros(cast(ts as timestamp)) div 86400000000 "
+        f"< 19737 THEN 0 ELSE 1 END AS half, "
+        f"cast(round(value * 100) as bigint) AS cents "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    want = {}
+    for t, g in pdf.groupby("event_type"):
+        a = sorted(g[g["half"] == 0]["cents"])
+        b = sorted(g[g["half"] == 1]["cents"])
+        ta, tb = len(a), len(b)
+        vals = sorted(set(a) | set(b))
+        import bisect
+        best = 0
+        for v in vals:
+            ca = bisect.bisect_right(a, v)
+            cb = bisect.bisect_right(b, v)
+            best = max(best, abs(ca * tb - cb * ta) * 1_000_000 // (ta * tb))
+        want[t] = (best, ta, tb)
+    assert got == want and len(got) == 5
