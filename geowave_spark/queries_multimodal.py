@@ -851,7 +851,85 @@ fs AS (
 """
 
 
+
+
+def q237_audio_onsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio onset detection per clip — the audio twin of q208's video
+    scene cuts: 100-sample window energies, an onset wherever the
+    energy jump E_k - E_(k-1) >= 5000 (full windows only; the tail
+    partial window is dropped on both sides).  Feeds audio
+    segmentation / voice-activity-style gating in a media pipeline.
+
+    Scale shape: one mapInPandas decode pass emits per-WINDOW energies
+    (samples never shuffle), one lag window per clip, one keyed
+    roll-up.  Oracle: window energies recomputed in closed form from
+    the synthesis formula (`av.gen_audio`), no bytes decoded."""
+    import numpy as np
+    import pandas as pd
+
+    media = av.media_df(spark, sf_dir)
+
+    def wins(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                if pdf["kind"].iloc[i] != "audio":
+                    continue
+                sm = av._decode_audio(
+                    bytes(pdf["bytes"].iloc[i]), pdf["fmt"].iloc[i]
+                ).astype(np.int64)
+                nw = len(sm) // 100
+                for k in range(nw):
+                    w = sm[k * 100:(k + 1) * 100]
+                    rows.append((pdf["media_id"].iloc[i], k,
+                                 int((w * w).sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=["media_id", "k", "e"])
+
+    media.mapInPandas(
+        wins, schema="media_id string, k int, e long"
+    ).createOrReplaceTempView("q237_wins")
+    return spark.sql("WITH w AS (SELECT * FROM q237_wins),\n"
+                     + _q237_tail_sql())
+
+
+def _q237_tail_sql() -> str:
+    return """
+d AS (
+  SELECT media_id, k, e,
+         e - lag(e) OVER (PARTITION BY media_id ORDER BY k) AS delta
+  FROM w
+)
+SELECT media_id, cast(count(*) as bigint) AS n_windows,
+       cast(sum(CASE WHEN delta >= 5000 THEN 1 ELSE 0 END) as bigint)
+         AS n_onsets,
+       cast(max(coalesce(delta, -100000000)) as bigint) AS max_delta,
+       cast(sum(e) as bigint) AS sum_energy
+FROM d GROUP BY media_id ORDER BY media_id
+"""
+
+
+def _q237_sql() -> str:
+    v = "(((a.doc_id * 7 + s.g * 13) % 256) - 128)"
+    return f"""
+WITH a AS (
+  SELECT doc_id, cast(1000 + doc_id % 500 as int) AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+w AS (
+  SELECT {_MEDIA_ID} AS media_id, s.g // 100 AS k,
+         sum({v} * {v}) AS e
+  FROM a,
+       LATERAL (SELECT unnest(generate_series(0, (n // 100) * 100 - 1))
+                AS g) s
+  GROUP BY media_id, s.g // 100
+),
+{_q237_tail_sql()}
+"""
+
+
 MULTIMODAL_QUERIES = {
+    "q237_audio_onsets": (q237_audio_onsets, _q237_sql()),
     "q228_keyframe_selection": (q228_keyframe_selection, _q228_sql()),
     "q44_frame_sample": (q44_frame_sample, Q44_SQL),
     "q45_audio_features": (q45_audio_features, Q45_SQL),

@@ -2468,11 +2468,48 @@ GROUP BY h.doc_id, t.w1, t.w2, t.w3 ORDER BY doc_id
 """
 
 
+
+
+# ------------------------------------- q238 truncation (MRL) audit
+
+
+def _q238(d: G.Dialect) -> str:
+    """Embedding-truncation fidelity audit (the Matryoshka /
+    dimensionality-truncation question: how well does cosine on the
+    FIRST 16 dims track cosine on all 64?) — run before committing to
+    truncated vectors for cheap ANN prefilters (q20/q41 style).  On a
+    deterministic pair sample (vec_id % 5 = 0 paired with its
+    successor), reports both cosines and the absolute gap, plus the
+    concordance-ready ordering columns.
+
+    Scale shape: the pair sample is an equi-join on vec_id + 1 (no
+    all-pairs anything); cosines are sequential-fold array lambdas
+    (whole-stage codegen, bit-identical across engines via the shared
+    fold text)."""
+    va, vb = G.to_double_arr(d, "a.embedding"), G.to_double_arr(d, "b.embedding")
+    c64 = G.cosine_micro(d, "av", "bv", 64)
+    c16 = G.cosine_micro(d, "av", "bv", 16)
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2, {va} AS av, {vb} AS bv
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 5 = 0
+),
+scored AS (
+  SELECT v1, v2, {c64} AS cos64_micro, {c16} AS cos16_micro FROM pairs
+)
+SELECT v1, v2, cos64_micro, cos16_micro,
+       abs(cos64_micro - cos16_micro) AS gap_micro
+FROM scored ORDER BY v1
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q219_ppjoin_similarity": (_q219_spark, _q219_duck_sql()),
     "q222_power_iteration": (_q222_spark, _q222(G.DUCK)),
     "q223_random_projection": _dual(_q223),
+    "q238_truncation_audit": _dual(_q238),
     "q224_phrase_search": (_q224_spark, _q224(G.DUCK)),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
     "q17_simhash": _dual(_q17),

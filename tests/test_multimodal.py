@@ -99,3 +99,32 @@ def test_audio_features_match_local(spark, sf_dir):
         assert int(row.n_samples) == len(s)
         assert int(row.peak) == int(np.abs(s).max())
         assert int(row.sum_sq) == int((s * s).sum())
+
+
+def test_q237_audio_onsets_match_numpy(spark):
+    """Whole-clip numpy recompute of window energies + onset count."""
+    import numpy as np
+
+    from geowave_spark.multimodal import av
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["media_id"]: (r["n_windows"], r["n_onsets"], r["max_delta"],
+                           r["sum_energy"])
+           for r in QUERIES["q237_audio_onsets"][0](spark, sf_dir)
+           .collect()}
+
+    docs = spark.sql(
+        f"SELECT doc_id FROM parquet.`{sf_dir}/documents.parquet` "
+        f"WHERE doc_id % 2 = 1").toPandas()
+    want = {}
+    for did in docs["doc_id"]:
+        s = av.gen_audio(int(did)).astype(np.int64)
+        nw = len(s) // 100
+        e = [int((s[k * 100:(k + 1) * 100] ** 2).sum()) for k in range(nw)]
+        d = [e[k] - e[k - 1] for k in range(1, nw)]
+        want["med" + str(int(did)).zfill(10)] = (
+            nw, sum(1 for x in d if x >= 5000),
+            max(d) if d else -100000000, sum(e))
+    assert got == want and len(got) == 250
+    assert any(v[1] > 0 for v in want.values())

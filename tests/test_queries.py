@@ -3287,3 +3287,44 @@ def test_q236_ks_matches_python(spark):
             best = max(best, abs(ca * tb - cb * ta) * 1_000_000 // (ta * tb))
         want[t] = (best, ta, tb)
     assert got == want and len(got) == 5
+
+
+def test_q238_truncation_audit_matches_numpy(spark):
+    """Numpy recompute of full-vs-16-dim cosine on the pair sample."""
+    import math
+
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["v1"], r["v2"]): (r["cos64_micro"], r["cos16_micro"],
+                                r["gap_micro"])
+           for r in QUERIES["q238_truncation_audit"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"parquet.`{sf_dir}/embeddings.parquet`").toPandas()
+    vecs = {int(v): np.asarray(e, dtype=np.float64)
+            for v, e in zip(pdf["vec_id"], pdf["embedding"])}
+
+    def cos_micro(a, b):
+        # sequential fold order matches the SQL fold
+        dd = na = nb = 0.0
+        for x, y in zip(a, b):
+            dd += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return math.floor(1e6 * dd / (math.sqrt(na) * math.sqrt(nb)))
+
+    want = {}
+    for v in sorted(vecs):
+        if v % 5 == 0 and v + 1 in vecs:
+            a, b = vecs[v], vecs[v + 1]
+            c64 = cos_micro(a, b)
+            c16 = cos_micro(a[:16], b[:16])
+            want[(v, v + 1)] = (c64, c16, abs(c64 - c16))
+    assert got == want and len(got) == 100
