@@ -2190,83 +2190,6 @@ FROM d GROUP BY 1, 2, 3 ORDER BY image_id, ty, tx
 
 
 
-def q221_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw image moments m00..m11 + luma-weighted centroid (the Hu-moment
-    / orientation front end: mass, first and second moments of the luma
-    field — the shape-statistics primitive OpenCV calls `moments`).
-    Integer-exact end to end: coordinates and luma are integers, so every
-    partial sum is int64 (max m20 ~ 80^2 * 255 * 5760 < 2^34) and the
-    centroid is an integer micro floor of two nonnegative sums.
-
-    Scale shape: per-TILE partial moment sums inside one mapInPandas
-    (global coordinates from the tile origin — no pixel ever leaves its
-    task), then ONE keyed roll-up per image; the classic two-level
-    aggregation, same skeleton as q214's histogram."""
-    import numpy as np
-    import pandas as pd
-
-    from .raster import focal
-
-    core = focal.tile_rows(_subset_images(spark, sf_dir), tile=16,
-                           with_halo=False)
-
-    def part(batches):
-        for pdf in batches:
-            rows = []
-            for iid, x0, y0, th, tw, data in zip(
-                    pdf["image_id"], pdf["x0"], pdf["y0"], pdf["th"],
-                    pdf["tw"], pdf["data"]):
-                v = np.frombuffer(data, dtype=np.uint8).reshape(
-                    th, tw).astype(np.int64)
-                xs = (x0 + np.arange(tw, dtype=np.int64))[None, :]
-                ys = (y0 + np.arange(th, dtype=np.int64))[:, None]
-                rows.append((iid, int(v.sum()), int((xs * v).sum()),
-                             int((ys * v).sum()), int((xs * xs * v).sum()),
-                             int((ys * ys * v).sum()),
-                             int((xs * ys * v).sum())))
-            if rows:
-                yield pd.DataFrame(rows, columns=[
-                    "image_id", "m00", "m10", "m01", "m20", "m02", "m11"])
-
-    core.mapInPandas(
-        part, schema=("image_id string, m00 long, m10 long, m01 long, "
-                      "m20 long, m02 long, m11 long")
-    ).createOrReplaceTempView("q221_part")
-    return spark.sql(
-        "WITH part AS (SELECT * FROM q221_part),\n" + _q221_tail_sql("div"))
-
-
-def _q221_tail_sql(intdiv: str) -> str:
-    return f"""
-s AS (
-  SELECT image_id, cast(sum(m00) as bigint) AS m00,
-         cast(sum(m10) as bigint) AS m10, cast(sum(m01) as bigint) AS m01,
-         cast(sum(m20) as bigint) AS m20, cast(sum(m02) as bigint) AS m02,
-         cast(sum(m11) as bigint) AS m11
-  FROM part GROUP BY image_id
-)
-SELECT image_id, m00, m10, m01, m20, m02, m11,
-       cast((m10 * 1000000) {intdiv} m00 as bigint) AS cx_micro,
-       cast((m01 * 1000000) {intdiv} m00 as bigint) AS cy_micro
-FROM s ORDER BY image_id
-"""
-
-
-def _q221_sql() -> str:
-    return f"""
-WITH {_px_cte_sql()},
-part AS (
-  SELECT image_id, sum(v) AS m00, sum(x * v) AS m10, sum(y * v) AS m01,
-         sum(x * x * v) AS m20, sum(y * y * v) AS m02,
-         sum(x * y * v) AS m11
-  FROM px GROUP BY image_id
-),
-{_q221_tail_sql("//")}
-"""
-
-
-
-
 def q225_palette_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant-palette extraction: top-3 quantized RGB colors per image
     (4x4x4 color cube, 64 bins) — the color-analytics mode complement of
@@ -2345,89 +2268,6 @@ hist AS (
 """
 
 
-
-
-def q229_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Histogram equalization LUT per image — the global tone-mapping op
-    (OpenCV equalizeHist): eq(v) = (cdf(v) - cdf_min) * 255 / (n -
-    cdf_min), all integer.  The output is the LUT summary (remap
-    checksum + dynamic range), which fully determines the equalized
-    image without re-touching pixels.
-
-    Scale shape: q214's two-level histogram (per-tile bincount partials
-    -> keyed (image, value) roll-up), then the CDF is one window cumsum
-    over <= 256 rows per image — the canonical "global stat, local
-    apply" plan where the global pass moves only histograms, never
-    pixels."""
-    import numpy as np
-    import pandas as pd
-
-    from .raster import focal
-
-    core = focal.tile_rows(_subset_images(spark, sf_dir), tile=16,
-                           with_halo=False)
-
-    def part_hist(batches):
-        for pdf in batches:
-            frames = []
-            for iid, data in zip(pdf["image_id"], pdf["data"]):
-                blk = np.frombuffer(data, dtype=np.uint8)
-                h = np.bincount(blk, minlength=256)
-                nz = np.flatnonzero(h)
-                frames.append(pd.DataFrame({
-                    "image_id": iid, "v": nz.astype(np.int32),
-                    "cnt": h[nz].astype(np.int64)}))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
-
-    core.mapInPandas(
-        part_hist, schema="image_id string, v int, cnt long"
-    ).createOrReplaceTempView("q229_part")
-    return spark.sql("WITH part AS (SELECT * FROM q229_part),\n"
-                     + _q229_tail_sql("div"))
-
-
-def _q229_tail_sql(intdiv: str) -> str:
-    return f"""
-hist AS (
-  SELECT image_id, v, cast(sum(cnt) as bigint) AS cnt
-  FROM part GROUP BY image_id, v
-),
-cdf AS (
-  SELECT image_id, v, cnt,
-         sum(cnt) OVER (PARTITION BY image_id ORDER BY v
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS c,
-         sum(cnt) OVER (PARTITION BY image_id) AS n
-  FROM hist
-),
-firstc AS (
-  SELECT image_id, min(v) AS v0 FROM hist GROUP BY image_id
-),
-lut AS (
-  SELECT c.image_id, c.v, c.cnt,
-         ((c.c - f0.c0) * 255) {intdiv} greatest(c.n - f0.c0, 1) AS eq
-  FROM cdf c JOIN (
-    SELECT cdf.image_id, cdf.cnt AS c0
-    FROM cdf JOIN firstc ON firstc.image_id = cdf.image_id
-                        AND firstc.v0 = cdf.v
-  ) f0 ON f0.image_id = c.image_id
-)
-SELECT image_id,
-       cast(sum(cnt * eq) as bigint) AS remap_checksum,
-       cast(min(eq) as bigint) AS eq_min,
-       cast(max(eq) as bigint) AS eq_max,
-       cast(count(*) as bigint) AS n_levels
-FROM lut GROUP BY image_id ORDER BY image_id
-"""
-
-
-def _q229_sql() -> str:
-    return f"""
-WITH {_px_cte_sql()},
-part AS (SELECT image_id, v, count(*) AS cnt FROM px GROUP BY 1, 2),
-{_q229_tail_sql("//")}
-"""
 
 
 def q230_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2531,8 +2371,6 @@ RASTER_QUERIES = {
     "q213_template_match": (q213_template_match, _q213_sql()),
     "q214_otsu_threshold": (q214_otsu_threshold, _q214_sql()),
     "q215_bayer_dither": (q215_bayer_dither, _q215_sql()),
-    "q221_image_moments": (q221_image_moments, _q221_sql()),
     "q225_palette_extraction": (q225_palette_extraction, _q225_sql()),
-    "q229_hist_equalization": (q229_hist_equalization, _q229_sql()),
     "q230_integral_image": (q230_integral_image, _q230_sql()),
 }

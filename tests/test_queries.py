@@ -2761,40 +2761,6 @@ def test_q220_polygon_measures_matches_python(spark):
     assert got == want and len(got) == 500
 
 
-def test_q221_image_moments_match_numpy(spark):
-    """Whole-image numpy recompute of the raw moments + centroid."""
-    import numpy as np
-
-    from geowave_spark.queries import QUERIES
-    from geowave_spark.raster import codec
-    from geowave_spark.table import images as img_tab
-
-    sf_dir = "/root/testdata/sf0.01"
-    got = {r["image_id"]: (r["m00"], r["m10"], r["m01"], r["m20"],
-                           r["m02"], r["m11"], r["cx_micro"], r["cy_micro"])
-           for r in QUERIES["q221_image_moments"][0](spark, sf_dir)
-           .collect()}
-
-    docs = spark.sql(
-        f"SELECT doc_id, text FROM parquet.`{sf_dir}/documents.parquet` "
-        f"WHERE doc_id % 5 = 3").toPandas()
-    pdf = img_tab.gen_images_pdf(docs)
-    want = {}
-    for _, row in pdf.iterrows():
-        g = img_tab.gray(codec.decode(row["bytes"], row["fmt"])
-                         ).astype(np.int64)
-        h, w = g.shape
-        xs = np.arange(w, dtype=np.int64)[None, :]
-        ys = np.arange(h, dtype=np.int64)[:, None]
-        m00 = int(g.sum())
-        m10, m01 = int((xs * g).sum()), int((ys * g).sum())
-        want[row["image_id"]] = (
-            m00, m10, m01, int((xs * xs * g).sum()),
-            int((ys * ys * g).sum()), int((xs * ys * g).sum()),
-            m10 * 1_000_000 // m00, m01 * 1_000_000 // m00)
-    assert got == want and len(got) == 100
-
-
 def test_q222_power_iteration_matches_numpy(spark):
     """Integer power iteration recomputed from the raw embeddings."""
     import numpy as np
@@ -3030,37 +2996,6 @@ def test_q228_keyframes_match_numpy(spark):
             kf, kg = max(frames, key=lambda t: (t[1], -t[0]))
             want[(mid, sid)] = (len(frames), kf, kg)
     assert got == want and len(got) > 300
-
-
-def test_q229_hist_equalization_matches_numpy(spark):
-    """Whole-image numpy recompute of the equalization LUT summary."""
-    import numpy as np
-
-    from geowave_spark.queries import QUERIES
-    from geowave_spark.raster import codec
-    from geowave_spark.table import images as img_tab
-
-    sf_dir = "/root/testdata/sf0.01"
-    got = {r["image_id"]: (r["remap_checksum"], r["eq_min"], r["eq_max"],
-                           r["n_levels"])
-           for r in QUERIES["q229_hist_equalization"][0](spark, sf_dir)
-           .collect()}
-
-    docs = spark.sql(
-        f"SELECT doc_id, text FROM parquet.`{sf_dir}/documents.parquet` "
-        f"WHERE doc_id % 5 = 3").toPandas()
-    pdf = img_tab.gen_images_pdf(docs)
-    want = {}
-    for _, row in pdf.iterrows():
-        g = img_tab.gray(codec.decode(row["bytes"], row["fmt"]))
-        h = np.bincount(g.ravel(), minlength=256)
-        nz = np.flatnonzero(h)
-        c = np.cumsum(h[nz])
-        c0, n = int(c[0]), int(c[-1])
-        eq = (c - c0) * 255 // max(n - c0, 1)
-        want[row["image_id"]] = (int((h[nz] * eq).sum()), int(eq.min()),
-                                 int(eq.max()), len(nz))
-    assert got == want and len(got) == 100
 
 
 def test_q230_integral_image_matches_numpy(spark):
