@@ -928,7 +928,123 @@ w AS (
 """
 
 
+
+
+def q240_block_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block motion estimation between consecutive video frames — the
+    video-codec / optical-flow primitive: per interior 4x4 block, the
+    SAD-minimizing displacement in a +-1 search window (9 candidates,
+    encoded argmin, tie -> smallest (dy+1)*3+(dx+1) code).  Motion
+    statistics separate static clips from moving ones — the
+    training-data "camera motion" screen, and the registry's first
+    inter-frame operator (q208/q228 use only per-frame scalars).
+
+    Scale shape: one mapInPandas decode pass per clip does the whole
+    search vectorized (frames never shuffle); the roll-up is one keyed
+    aggregate of 4 scalars per clip."""
+    import numpy as np
+    import pandas as pd
+
+    media = av.media_df(spark, sf_dir)
+
+    def motion(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                if pdf["kind"].iloc[i] != "video":
+                    continue
+                fr = av._decode_video(
+                    bytes(pdf["bytes"].iloc[i]), pdf["fmt"].iloc[i])
+                nf, h, w = fr.shape[0], fr.shape[1], fr.shape[2]
+                grays = [img_tab.gray(fr[f]).astype(np.int64)
+                         for f in range(nf)]
+                nb = mnz = ml1 = ssad = 0
+                for f in range(1, nf):
+                    cur, prv = grays[f], grays[f - 1]
+                    for by in range(1, h // 4 - 1):
+                        for bx in range(1, w // 4 - 1):
+                            y0, x0 = by * 4, bx * 4
+                            cb = cur[y0:y0 + 4, x0:x0 + 4]
+                            best = None
+                            for dy in (-1, 0, 1):
+                                for dx in (-1, 0, 1):
+                                    pb = prv[y0 + dy:y0 + dy + 4,
+                                             x0 + dx:x0 + dx + 4]
+                                    sad = int(np.abs(cb - pb).sum())
+                                    code = (dy + 1) * 3 + (dx + 1)
+                                    enc = sad * 16 + code
+                                    if best is None or enc < best:
+                                        best = enc
+                            sad, code = best // 16, best % 16
+                            dy, dx = code // 3 - 1, code % 3 - 1
+                            nb += 1
+                            mnz += 1 if (dx, dy) != (0, 0) else 0
+                            ml1 += abs(dx) + abs(dy)
+                            ssad += sad
+                rows.append((pdf["media_id"].iloc[i], nb, mnz, ml1, ssad))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "n_blocks", "mv_nonzero", "mv_l1_sum",
+                    "sad_sum"])
+
+    out = media.mapInPandas(
+        motion, schema=("media_id string, n_blocks long, mv_nonzero long, "
+                        "mv_l1_sum long, sad_sum long"))
+    out.createOrReplaceTempView("q240_rows")
+    return spark.sql("SELECT * FROM q240_rows ORDER BY media_id")
+
+
+def _q240_sql() -> str:
+    cur = img_tab.luma_sql("(bxs.g * 4 + j.g)", "(bys.g * 4 + i.g)",
+                           "(v.doc_id * 1000 + fi.g)")
+    prv = img_tab.luma_sql("(bxs.g * 4 + j.g + cd.dx)",
+                           "(bys.g * 4 + i.g + cd.dy)",
+                           "(v.doc_id * 1000 + fi.g - 1)")
+    cands = ", ".join(f"({dx}, {dy})" for dy in (-1, 0, 1)
+                      for dx in (-1, 0, 1))
+    return f"""
+WITH v AS (
+  SELECT doc_id, cast(4 + doc_id % 5 as int) AS nf,
+         cast(16 + doc_id * 7 % 3 * 8 as int) AS w,
+         cast(16 + doc_id * 11 % 3 * 8 as int) AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+cd(dx, dy) AS (VALUES {cands}),
+sad AS (
+  SELECT v.doc_id, fi.g AS fidx, bxs.g AS bx, bys.g AS by,
+         cd.dx, cd.dy,
+         sum(abs(({cur}) - ({prv}))) AS sad
+  FROM v,
+       LATERAL (SELECT unnest(generate_series(1, nf - 1)) AS g) fi,
+       LATERAL (SELECT unnest(generate_series(1, w // 4 - 2)) AS g) bxs,
+       LATERAL (SELECT unnest(generate_series(1, h // 4 - 2)) AS g) bys,
+       LATERAL (SELECT unnest(generate_series(0, 3)) AS g) i,
+       LATERAL (SELECT unnest(generate_series(0, 3)) AS g) j,
+       cd
+  GROUP BY v.doc_id, fi.g, bxs.g, bys.g, cd.dx, cd.dy
+),
+best AS (
+  SELECT doc_id, fidx, bx, by,
+         min(sad * 16 + (dy + 1) * 3 + (dx + 1)) AS enc
+  FROM sad GROUP BY doc_id, fidx, bx, by
+),
+mv AS (
+  SELECT doc_id, enc // 16 AS sad,
+         (enc % 16) // 3 - 1 AS dy, (enc % 16) % 3 - 1 AS dx
+  FROM best
+)
+SELECT {_MEDIA_ID} AS media_id,
+       cast(count(*) as bigint) AS n_blocks,
+       cast(sum(CASE WHEN dx <> 0 OR dy <> 0 THEN 1 ELSE 0 END) as bigint)
+         AS mv_nonzero,
+       cast(sum(abs(dx) + abs(dy)) as bigint) AS mv_l1_sum,
+       cast(sum(sad) as bigint) AS sad_sum
+FROM mv GROUP BY doc_id ORDER BY media_id
+"""
+
+
 MULTIMODAL_QUERIES = {
+    "q240_block_motion": (q240_block_motion, _q240_sql()),
     "q237_audio_onsets": (q237_audio_onsets, _q237_sql()),
     "q228_keyframe_selection": (q228_keyframe_selection, _q228_sql()),
     "q44_frame_sample": (q44_frame_sample, Q44_SQL),

@@ -2336,6 +2336,110 @@ part AS (
 """
 
 
+
+
+_Q239_C = ((1, 1, 1, 1), (2, 1, -1, -2), (1, -1, -1, 1), (1, -2, 2, -1))
+
+
+def q239_block_transform_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain energy profile per image via the EXACT-INTEGER
+    4x4 block transform (the H.264 core transform — the integer-exact
+    stand-in for the JPEG DCT, whose cosines would not reproduce
+    bit-identically across engines): Y = C X C^T per 4x4 luma block,
+    energies rolled up into DC / low / high bands.  The
+    high-frequency share separates texture-rich images from flat ones
+    — the frequency twin of q202's spatial blur screen, and the first
+    frequency-domain operator in the registry.
+
+    Scale shape: the transform is a per-block einsum inside one
+    mapInPandas decode pass (pixels never shuffle; 16x16 tiles align
+    to the 4-grid so no cross-tile blocks exist), then ONE keyed
+    roll-up of 3 scalars per tile."""
+    import numpy as np
+    import pandas as pd
+
+    from .raster import focal
+
+    core = focal.tile_rows(_subset_images(spark, sf_dir), tile=16,
+                           with_halo=False)
+    C = np.array(_Q239_C, dtype=np.int64)
+
+    def part(batches):
+        for pdf in batches:
+            rows = []
+            for iid, th, tw, data in zip(pdf["image_id"], pdf["th"],
+                                         pdf["tw"], pdf["data"]):
+                g = np.frombuffer(data, dtype=np.uint8).reshape(
+                    th, tw).astype(np.int64)
+                bh, bw = th // 4, tw // 4
+                blk = g[:bh * 4, :bw * 4].reshape(
+                    bh, 4, bw, 4).transpose(0, 2, 1, 3)
+                y = np.einsum("ui,abik,vk->abuv", C, blk, C,
+                              optimize=True)
+                e = y * y
+                u = np.arange(4)[:, None]
+                v = np.arange(4)[None, :]
+                dc = (u + v == 0).astype(np.int64)
+                low = ((u + v >= 1) & (u + v <= 2)).astype(np.int64)
+                hi = (u + v >= 3).astype(np.int64)
+                rows.append((iid, int((e * dc).sum()),
+                             int((e * low).sum()), int((e * hi).sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "dc_e",
+                                                  "low_e", "hi_e"])
+
+    core.mapInPandas(
+        part, schema="image_id string, dc_e long, low_e long, hi_e long"
+    ).createOrReplaceTempView("q239_part")
+    return spark.sql("WITH part AS (SELECT * FROM q239_part),\n"
+                     + _q239_tail_sql("div"))
+
+
+def _q239_tail_sql(intdiv: str) -> str:
+    return f"""
+s AS (
+  SELECT image_id, cast(sum(dc_e) as bigint) AS dc_energy,
+         cast(sum(low_e) as bigint) AS low_energy,
+         cast(sum(hi_e) as bigint) AS high_energy
+  FROM part GROUP BY image_id
+)
+SELECT image_id, dc_energy, low_energy, high_energy,
+       cast((high_energy * 1000000) {intdiv}
+            greatest(low_energy + high_energy, 1) as bigint) AS hf_share_micro
+FROM s ORDER BY image_id
+"""
+
+
+def _q239_sql() -> str:
+    cvals = ", ".join(f"({u}, {i}, {w})"
+                      for u, row in enumerate(_Q239_C)
+                      for i, w in enumerate(row))
+    return f"""
+WITH {_px_cte_sql()},
+cm(u, i, w) AS (VALUES {cvals}),
+t AS (
+  SELECT image_id, x // 4 AS bx, y // 4 AS by, cm.u, x % 4 AS j,
+         sum(cm.w * v) AS tv
+  FROM px JOIN cm ON cm.i = y % 4
+  GROUP BY image_id, x // 4, y // 4, cm.u, x % 4
+),
+yy AS (
+  SELECT image_id, bx, by, t.u, c2.u AS vf, sum(t.tv * c2.w) AS yv
+  FROM t JOIN cm c2 ON c2.i = t.j
+  GROUP BY image_id, bx, by, t.u, c2.u
+),
+part AS (
+  SELECT image_id,
+         sum(CASE WHEN u + vf = 0 THEN yv * yv ELSE 0 END) AS dc_e,
+         sum(CASE WHEN u + vf BETWEEN 1 AND 2 THEN yv * yv ELSE 0 END)
+           AS low_e,
+         sum(CASE WHEN u + vf >= 3 THEN yv * yv ELSE 0 END) AS hi_e
+  FROM yy GROUP BY image_id
+),
+{_q239_tail_sql("//")}
+"""
+
+
 RASTER_QUERIES = {
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
@@ -2373,4 +2477,5 @@ RASTER_QUERIES = {
     "q215_bayer_dither": (q215_bayer_dither, _q215_sql()),
     "q225_palette_extraction": (q225_palette_extraction, _q225_sql()),
     "q230_integral_image": (q230_integral_image, _q230_sql()),
+    "q239_block_transform_energy": (q239_block_transform_energy, _q239_sql()),
 }

@@ -128,3 +128,48 @@ def test_q237_audio_onsets_match_numpy(spark):
             max(d) if d else -100000000, sum(e))
     assert got == want and len(got) == 250
     assert any(v[1] > 0 for v in want.values())
+
+
+def test_q240_block_motion_matches_numpy(spark):
+    """Whole-clip numpy recompute of the 4x4 +-1 SAD search."""
+    import numpy as np
+
+    from geowave_spark.multimodal import av
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.table import images as img_tab
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["media_id"]: (r["n_blocks"], r["mv_nonzero"], r["mv_l1_sum"],
+                           r["sad_sum"])
+           for r in QUERIES["q240_block_motion"][0](spark, sf_dir)
+           .collect()}
+
+    docs = spark.sql(
+        f"SELECT doc_id FROM parquet.`{sf_dir}/documents.parquet` "
+        f"WHERE doc_id % 2 = 0").toPandas()
+    want = {}
+    for did in docs["doc_id"]:
+        vid = av.gen_video(int(did))
+        grays = [img_tab.gray(vid[f]).astype(np.int64)
+                 for f in range(vid.shape[0])]
+        h, w = grays[0].shape
+        nb = mnz = ml1 = ssad = 0
+        for f in range(1, len(grays)):
+            cur, prv = grays[f], grays[f - 1]
+            for by in range(1, h // 4 - 1):
+                for bx in range(1, w // 4 - 1):
+                    y0, x0 = by * 4, bx * 4
+                    cb = cur[y0:y0 + 4, x0:x0 + 4]
+                    best = min(
+                        (int(np.abs(cb - prv[y0 + dy:y0 + dy + 4,
+                                             x0 + dx:x0 + dx + 4]).sum())
+                         * 16 + (dy + 1) * 3 + (dx + 1))
+                        for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+                    sad, code = best // 16, best % 16
+                    dy, dx = code // 3 - 1, code % 3 - 1
+                    nb += 1
+                    mnz += 1 if (dx, dy) != (0, 0) else 0
+                    ml1 += abs(dx) + abs(dy)
+                    ssad += sad
+        want["med" + str(int(did)).zfill(10)] = (nb, mnz, ml1, ssad)
+    assert got == want and len(got) == 250

@@ -3263,3 +3263,42 @@ def test_q238_truncation_audit_matches_numpy(spark):
             c16 = cos_micro(a[:16], b[:16])
             want[(v, v + 1)] = (c64, c16, abs(c64 - c16))
     assert got == want and len(got) == 100
+
+
+def test_q239_block_transform_matches_numpy(spark):
+    """Whole-image numpy recompute of the integer 4x4 transform bands."""
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.queries_raster import _Q239_C
+    from geowave_spark.raster import codec
+    from geowave_spark.table import images as img_tab
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["image_id"]: (r["dc_energy"], r["low_energy"],
+                           r["high_energy"], r["hf_share_micro"])
+           for r in QUERIES["q239_block_transform_energy"][0](
+               spark, sf_dir).collect()}
+
+    docs = spark.sql(
+        f"SELECT doc_id, text FROM parquet.`{sf_dir}/documents.parquet` "
+        f"WHERE doc_id % 5 = 3").toPandas()
+    pdf = img_tab.gen_images_pdf(docs)
+    C = np.array(_Q239_C, dtype=np.int64)
+    want = {}
+    for _, row in pdf.iterrows():
+        g = img_tab.gray(codec.decode(row["bytes"], row["fmt"])
+                         ).astype(np.int64)
+        h, w = g.shape
+        bh, bw = h // 4, w // 4
+        blk = g[:bh * 4, :bw * 4].reshape(bh, 4, bw, 4).transpose(0, 2, 1, 3)
+        y = np.einsum("ui,abik,vk->abuv", C, blk, C)
+        e = y * y
+        u = np.arange(4)[:, None]
+        v = np.arange(4)[None, :]
+        dc = int((e * (u + v == 0)).sum())
+        low = int((e * ((u + v >= 1) & (u + v <= 2))).sum())
+        hi = int((e * (u + v >= 3)).sum())
+        want[row["image_id"]] = (
+            dc, low, hi, hi * 1_000_000 // max(low + hi, 1))
+    assert got == want and len(got) == 100
