@@ -797,3 +797,143 @@ MOBILITY_QUERIES["q235_geometric_median"] = (
     q235_geometric_median, _q235_sql("//"))
 MOBILITY_QUERIES["q236_ks_drift"] = (
     q236_ks_drift, _q236_sql("epoch_us(ts)", "//"))
+
+
+# ------------------------------------------------- q241 record linkage
+
+
+def _q241_sql(intdiv: str) -> str:
+    """Probabilistic record linkage (Fellegi-Sunter shape) with
+    MULTI-PASS BLOCKING — the entity-resolution primitive of any data
+    integration pipeline, absent from the dedup family (q15..q206 all
+    match a table against itself on content; this links TWO tables by
+    field-agreement evidence).  The dirty side is constructed
+    deterministically from customer (dropped rows, perturbed names /
+    nations / balances / segments), so both engines derive an
+    identical fixture and ground truth stays known to the pytest.
+
+    Mechanics: candidate pairs come from the union of two blocking
+    passes (nationkey; mktsegment x coarse balance bucket) — a pair
+    missed by one pass because its blocking field was corrupted is
+    caught by the other (the multi-pass recall argument).  Each
+    candidate scores integer log-odds-style agreement weights (name
+    +24/-8, balance-within-1-cent +10/-5, segment +3/-2); score >= 25
+    emits a link.
+
+    Scale shape: blocking bounds the quadratic — pair counts are
+    sum of per-block sizes squared, never |A| x |B|; scoring is one
+    codegen projection over the candidate join."""
+    return f"""
+WITH a AS (
+  SELECT c_custkey AS akey, c_name AS name, c_nationkey AS nat,
+         c_mktsegment AS seg,
+         cast(round(c_acctbal * 100) as bigint) AS bal
+  FROM customer
+),
+b AS (
+  SELECT c_custkey AS bkey,
+         CASE WHEN c_custkey % 13 = 0 THEN c_name || 'x'
+              ELSE c_name END AS name,
+         CASE WHEN c_custkey % 7 = 0
+              THEN cast((c_nationkey + 1) % 25 as int)
+              ELSE c_nationkey END AS nat,
+         CASE WHEN c_custkey % 11 = 0 THEN 'CORRUPTED' ELSE c_mktsegment
+              END AS seg,
+         cast(round(c_acctbal * 100) as bigint)
+           + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS bal
+  FROM customer WHERE c_custkey % 5 < 4
+),
+p1 AS (
+  SELECT a.akey, b.bkey FROM a JOIN b ON b.nat = a.nat
+),
+p2 AS (
+  SELECT a.akey, b.bkey FROM a
+  JOIN b ON b.seg = a.seg AND (b.bal {intdiv} 10000) = (a.bal {intdiv} 10000)
+),
+cand AS (SELECT DISTINCT akey, bkey FROM (
+  SELECT * FROM p1 UNION ALL SELECT * FROM p2) u
+),
+scored AS (
+  SELECT c.akey, c.bkey,
+         (CASE WHEN a.name = b.name THEN 24 ELSE -8 END
+          + CASE WHEN abs(a.bal - b.bal) <= 1 THEN 10 ELSE -5 END
+          + CASE WHEN a.seg = b.seg THEN 3 ELSE -2 END) AS score
+  FROM cand c JOIN a ON a.akey = c.akey JOIN b ON b.bkey = c.bkey
+)
+SELECT akey, bkey, cast(score as bigint) AS score
+FROM scored WHERE score >= 25 ORDER BY akey, bkey
+"""
+
+
+def q241_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q241_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q241_sql("div"))
+
+
+# --------------------------------------------------- q242 discrete hazard
+
+
+def _q242_sql(epoch_us: str, intdiv: str, day_gen: str = 'unnest(generate_series(0, 29))') -> str:
+    """Discrete hazard curve for time-to-conversion (the Kaplan-Meier
+    life table without its float product): per whole-day duration d,
+    the risk set (users still unconverted and uncensored at d), the
+    conversion events at d, and the integer-micro hazard d_events /
+    n_risk — survival analysis over the view -> purchase funnel (q178
+    counts stage totals; this resolves WHEN conversions happen, with
+    right-censoring at the observation end handled correctly).
+
+    Scale shape: two per-user min-aggregates, a 30-row day lattice,
+    and two broadcastable inequality joins against the tiny per-user
+    duration table — at production scale the duration table is the
+    aggregate, never raw events."""
+    day_us = 86_400_000_000
+    return f"""
+WITH t AS (SELECT user_id, event_type, {epoch_us} AS us FROM events),
+obs_end AS (SELECT max(us) AS e FROM t),
+s1 AS (
+  SELECT user_id, min(us) AS t0 FROM t WHERE event_type = 'view'
+  GROUP BY user_id
+),
+conv AS (
+  SELECT t.user_id, min(t.us) AS tp
+  FROM t JOIN s1 ON s1.user_id = t.user_id
+  WHERE t.event_type = 'purchase' AND t.us > s1.t0
+  GROUP BY t.user_id
+),
+dur AS (
+  SELECT s1.user_id,
+         CASE WHEN c.tp IS NULL THEN (o.e - s1.t0) {intdiv} {day_us}
+              ELSE (c.tp - s1.t0) {intdiv} {day_us} END AS d,
+         CASE WHEN c.tp IS NULL THEN 0 ELSE 1 END AS converted
+  FROM s1 LEFT JOIN conv c ON c.user_id = s1.user_id
+  CROSS JOIN obs_end o
+),
+days AS (SELECT {day_gen} AS d),
+km AS (
+  SELECT days.d,
+         (SELECT count(*) FROM dur WHERE dur.d >= days.d) AS n_risk,
+         (SELECT count(*) FROM dur
+          WHERE dur.d = days.d AND dur.converted = 1) AS n_events
+  FROM days
+)
+SELECT cast(d as int) AS day, cast(n_risk as bigint) AS n_risk,
+       cast(n_events as bigint) AS n_events,
+       cast(CASE WHEN n_risk > 0 THEN (n_events * 1000000) {intdiv} n_risk
+                 ELSE 0 END as bigint) AS hazard_micro
+FROM km WHERE n_risk > 0 ORDER BY day
+"""
+
+
+def q242_discrete_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q242_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q242_sql("unix_micros(cast(ts as timestamp))", "div",
+                  day_gen="explode(sequence(0, 29))"))
+
+
+MOBILITY_QUERIES["q241_record_linkage"] = (
+    q241_record_linkage, _q241_sql("//"))
+MOBILITY_QUERIES["q242_discrete_hazard"] = (
+    q242_discrete_hazard, _q242_sql("epoch_us(ts)", "//"))

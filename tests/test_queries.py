@@ -3302,3 +3302,89 @@ def test_q239_block_transform_matches_numpy(spark):
         want[row["image_id"]] = (
             dc, low, hi, hi * 1_000_000 // max(low + hi, 1))
     assert got == want and len(got) == 100
+
+
+def test_q241_record_linkage_quality(spark):
+    """Full python recompute of blocking + scoring, plus ground-truth
+    audit: zero false links, and every missed clean record must have
+    BOTH blocking fields corrupted (the multi-pass recall contract)."""
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    rows = QUERIES["q241_record_linkage"][0](spark, sf_dir).collect()
+    links = {(r["akey"], r["bkey"]): r["score"] for r in rows}
+    assert all(a == b for a, b in links)  # zero false links
+
+    pdf = spark.sql(
+        f"SELECT c_custkey AS k, c_name AS name, c_nationkey AS nat, "
+        f"c_mktsegment AS seg, cast(round(c_acctbal * 100) as bigint) "
+        f"AS bal FROM parquet.`{sf_dir}/customer.parquet`").toPandas()
+    a = {int(r.k): (r.name, int(r.nat), r.seg, int(r.bal))
+         for r in pdf.itertuples()}
+    b = {}
+    for k, (name, nat, seg, bal) in a.items():
+        if k % 5 >= 4:
+            continue
+        b[k] = (name + "x" if k % 13 == 0 else name,
+                (nat + 1) % 25 if k % 7 == 0 else nat,
+                "CORRUPTED" if k % 11 == 0 else seg,
+                bal + 1 if k % 3 == 0 else bal)
+    blocks1 = {}
+    blocks2 = {}
+    for k, (_n, nat, seg, bal) in a.items():
+        blocks1.setdefault(nat, ([], []))[0].append(k)
+        blocks2.setdefault((seg, bal // 10000), ([], []))[0].append(k)
+    for k, (_n, nat, seg, bal) in b.items():
+        blocks1.setdefault(nat, ([], []))[1].append(k)
+        blocks2.setdefault((seg, bal // 10000), ([], []))[1].append(k)
+    cand = set()
+    for blocks in (blocks1, blocks2):
+        for aks, bks in blocks.values():
+            cand.update((ak, bk) for ak in aks for bk in bks)
+    want = {}
+    for ak, bk in cand:
+        an, anat, aseg, abal = a[ak]
+        bn, bnat, bseg, bbal = b[bk]
+        score = ((24 if an == bn else -8)
+                 + (10 if abs(abal - bbal) <= 1 else -5)
+                 + (3 if aseg == bseg else -2))
+        if score >= 25:
+            want[(ak, bk)] = score
+    assert links == want and len(links) > len(b) * 0.85
+    # every missed clean record failed BOTH blocking passes
+    missed = [k for k in b if k % 13 != 0 and (k, k) not in links]
+    for k in missed:
+        assert a[k][1] != b[k][1]  # nation corrupted
+        assert (a[k][2], a[k][3] // 10000) != (b[k][2], b[k][3] // 10000)
+
+
+def test_q242_discrete_hazard_matches_python(spark):
+    """Python recompute of the life-table risk sets and hazards."""
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["day"]: (r["n_risk"], r["n_events"], r["hazard_micro"])
+           for r in QUERIES["q242_discrete_hazard"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, event_type, "
+        f"unix_micros(cast(ts as timestamp)) AS us "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    end = int(pdf["us"].max())
+    t0 = pdf[pdf["event_type"] == "view"].groupby("user_id")["us"].min()
+    durs = []
+    for uid, start in t0.items():
+        pu = pdf[(pdf["user_id"] == uid) & (pdf["event_type"] == "purchase")
+                 & (pdf["us"] > start)]["us"]
+        if len(pu):
+            durs.append(((int(pu.min()) - int(start)) // 86_400_000_000, 1))
+        else:
+            durs.append(((end - int(start)) // 86_400_000_000, 0))
+    want = {}
+    for d in range(30):
+        n_risk = sum(1 for dd, _c in durs if dd >= d)
+        n_ev = sum(1 for dd, c in durs if dd == d and c == 1)
+        if n_risk > 0:
+            want[d] = (n_risk, n_ev, n_ev * 1_000_000 // n_risk)
+    assert got == want and len(got) >= 10
