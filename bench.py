@@ -75,6 +75,11 @@ BENCH_QUERIES = [
     # kernel on the q98 halo harness; np.partition payload)
     "q185_dsir_importance",
     "q200_focal_median",
+    # round-2 session-6 addition: synchronous label propagation — the
+    # materialized-loop iterative-graph shape (mat_view localCheckpoint +
+    # 4 join/aggregate rounds); regressions in checkpoint materialization
+    # or the per-round shuffle surface here
+    "q231_label_propagation",
 ]
 
 
