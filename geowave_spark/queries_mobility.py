@@ -937,3 +937,66 @@ MOBILITY_QUERIES["q241_record_linkage"] = (
     q241_record_linkage, _q241_sql("//"))
 MOBILITY_QUERIES["q242_discrete_hazard"] = (
     q242_discrete_hazard, _q242_sql("epoch_us(ts)", "//"))
+
+
+# --------------------------------------------- q244 active-user curves
+
+
+def _q244_sql(epoch_us: str, intdiv: str,
+              day7: str = "unnest(generate_series(0, 6))") -> str:
+    """Active-user curves — DAU, rolling 7-day WAU, daily new users and
+    cumulative uniques (the product-analytics growth dashboard; q173's
+    cohort retention slices by signup week, this tracks the aggregate
+    curves).  Rolling distinct counts cannot use a window frame
+    directly, so each (user, day) activity row fans out to the <= 7
+    window ends it supports (a BOUNDED explode) and WAU is a keyed
+    distinct-count — the standard relational rolling-distinct plan.
+
+    Scale shape: everything reduces to the distinct (user, day)
+    activity relation first (one keyed dedup of the raw events); the
+    7x fan-out and the first-day aggregate are both over that reduced
+    relation, never raw events."""
+    day_us = 86_400_000_000
+    return f"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         cast(({epoch_us}) {intdiv} {day_us} as bigint) AS day
+  FROM events
+),
+dau AS (
+  SELECT day, cast(count(*) as bigint) AS dau FROM act GROUP BY day
+),
+wau AS (
+  SELECT day + o.g AS day, cast(count(DISTINCT user_id) as bigint) AS wau
+  FROM act, LATERAL (SELECT {day7} AS g) o
+  GROUP BY day + o.g
+),
+firstday AS (
+  SELECT user_id, min(day) AS d0 FROM act GROUP BY user_id
+),
+newu AS (
+  SELECT d0 AS day, cast(count(*) as bigint) AS new_users
+  FROM firstday GROUP BY d0
+)
+SELECT d.day, d.dau, w.wau,
+       cast(coalesce(n.new_users, 0) as bigint) AS new_users,
+       cast(sum(coalesce(n.new_users, 0))
+            OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) as bigint) AS cum_users
+FROM dau d
+JOIN wau w ON w.day = d.day
+LEFT JOIN newu n ON n.day = d.day
+ORDER BY d.day
+"""
+
+
+def q244_active_user_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q244_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q244_sql("unix_micros(cast(ts as timestamp))", "div",
+                  day7="explode(sequence(0, 6))"))
+
+
+MOBILITY_QUERIES["q244_active_user_curves"] = (
+    q244_active_user_curves, _q244_sql("epoch_us(ts)", "//"))

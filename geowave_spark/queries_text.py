@@ -2504,12 +2504,59 @@ FROM scored ORDER BY v1
 """
 
 
+
+
+# --------------------------------------------- q243 tf-idf keywords
+
+
+def _q243(d: G.Dialect) -> str:
+    """Per-document keyword extraction: top-3 terms by TF-IDF (the
+    tagging/labeling primitive; q99's BM25 scores documents against a
+    QUERY, q115 ranks the global vocabulary — this ranks terms WITHIN
+    each document).  IDF is the Robertson rational form scaled to
+    integer micro BEFORE the ranking window, so the order is
+    engine-exact with no logarithms: score = tf * (2N - 2df + 1) *
+    1e6 / (2df + 1), trunc division.
+
+    Scale shape: one token explode -> (doc, word) tf counts
+    (map-side combined), the df/N aggregates are vocabulary-sized and
+    broadcast back, and the only per-doc work is a top-3 window over
+    that doc's own distinct terms."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {d.explode(G.tokens(d))} AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, w, cast(count(*) as bigint) AS tf
+  FROM tok GROUP BY doc_id, w
+),
+df AS (SELECT w, cast(count(*) as bigint) AS df FROM tf GROUP BY w),
+n AS (SELECT cast(count(*) as bigint) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w,
+         {d.intdiv('(tf.tf * (2 * n.n - 2 * df.df + 1) * 1000000)',
+                   '(2 * df.df + 1)')} AS score
+  FROM tf JOIN df ON df.w = tf.w CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, w, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, w ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, cast(rnk as int) AS rnk, w AS term,
+       cast(score as bigint) AS score_micro
+FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q219_ppjoin_similarity": (_q219_spark, _q219_duck_sql()),
     "q222_power_iteration": (_q222_spark, _q222(G.DUCK)),
     "q223_random_projection": _dual(_q223),
     "q238_truncation_audit": _dual(_q238),
+    "q243_tfidf_keywords": _dual(_q243),
     "q224_phrase_search": (_q224_spark, _q224(G.DUCK)),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
     "q17_simhash": _dual(_q17),

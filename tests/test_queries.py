@@ -3388,3 +3388,63 @@ def test_q242_discrete_hazard_matches_python(spark):
         if n_risk > 0:
             want[d] = (n_risk, n_ev, n_ev * 1_000_000 // n_risk)
     assert got == want and len(got) >= 10
+
+
+def test_q243_tfidf_keywords_match_python(spark):
+    """Python recompute of the integer TF-IDF top-3 terms per doc."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {(r["doc_id"], r["rnk"]): (r["term"], r["score_micro"])
+           for r in QUERIES["q243_tfidf_keywords"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT doc_id, text FROM parquet.`{sf_dir}/documents.parquet`"
+    ).toPandas()
+    n = len(pdf)
+    tfs = {}
+    df = Counter()
+    for did, txt in zip(pdf["doc_id"], pdf["text"]):
+        tf = Counter(txt.split(" "))
+        tfs[did] = tf
+        df.update(tf.keys())
+    want = {}
+    for did, tf in tfs.items():
+        scored = sorted(
+            ((-(t * (2 * n - 2 * df[w] + 1) * 1_000_000 // (2 * df[w] + 1)),
+              w) for w, t in tf.items()))
+        for rnk, (neg, w) in enumerate(scored[:3], start=1):
+            want[(did, rnk)] = (w, -neg)
+    assert got == want and len(got) == 3 * n
+
+
+def test_q244_active_users_match_python(spark):
+    """Python recompute of DAU / rolling WAU / new / cumulative users."""
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["day"]: (r["dau"], r["wau"], r["new_users"], r["cum_users"])
+           for r in QUERIES["q244_active_user_curves"][0](spark, sf_dir)
+           .collect()}
+
+    pdf = spark.sql(
+        f"SELECT DISTINCT user_id, "
+        f"unix_micros(cast(ts as timestamp)) div 86400000000 AS day "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    act = set(zip(pdf["user_id"], pdf["day"]))
+    days = sorted({d for _u, d in act})
+    first = {}
+    for u, d in act:
+        first[u] = min(first.get(u, d), d)
+    want = {}
+    cum = 0
+    for d in days:
+        dau = sum(1 for _u, dd in act if dd == d)
+        wau = len({u for u, dd in act if d - 6 <= dd <= d})
+        new = sum(1 for u, f in first.items() if f == d)
+        cum += new
+        want[d] = (dau, wau, new, cum)
+    assert got == want and len(got) == 30
