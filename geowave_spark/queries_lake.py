@@ -537,3 +537,82 @@ LAKE_QUERIES = {
     "q123_wap_publish": (q123_wap_publish, Q123_SQL),
     "q124_inverted_index_search": (q124_inverted_index_search, Q124_SQL),
 }
+
+
+def _diff_events_table(spark: SparkSession, sf_dir: str) -> str:
+    """Events table mutated across three snapshots: create (event_id%3=0),
+    copy-on-write DELETE (%7=0 of those), append (%3=1) — the fixture
+    for the snapshot-diff operator."""
+    sfn = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_SCRATCH, f"snap_diff_{sfn}")
+    if S.current_snapshot(path) != 3:
+        shutil.rmtree(path, ignore_errors=True)
+
+        def part(i: int):
+            return spark.sql(
+                f"SELECT event_id, event_type, "
+                f"cast(round(value * 100) as bigint) AS cents "
+                f"FROM parquet.`{sf_dir}/events.parquet` "
+                f"WHERE event_id % 3 = {i}"
+            )
+
+        S.create(part(0), path, num_files=4)
+        S.delete_where(spark, path, "event_id % 7 = 0")
+        S.append(part(1), path, num_files=4)
+    return path
+
+
+def q245_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF — the table-level change summary between two
+    versions (what Iceberg calls a changelog scan, generalized past
+    appends: q91's incremental scan refuses non-append history, this
+    reads BOTH endpoints and reconciles by key).  Classifies every key
+    as added / removed between snapshot 1 and the current version via
+    one full-outer key join of two time-travel reads, then rolls the
+    changes up per event type.
+
+    Scale shape: two manifest-planned snapshot reads (file-pruned
+    independently), ONE keyed full-outer join on the table key, keyed
+    roll-up; nothing scans history in between — cost is the two
+    endpoint sizes, not the number of intervening snapshots."""
+    path = _diff_events_table(spark, sf_dir)
+    old = S.scan(spark, path, snapshot=1).select(
+        F.col("event_id").alias("k_old"),
+        F.col("event_type").alias("t_old"))
+    new = S.scan(spark, path).select(
+        F.col("event_id").alias("k_new"),
+        F.col("event_type").alias("t_new"))
+    diff = old.join(new, old["k_old"] == new["k_new"], "full_outer")
+    return (
+        diff.withColumn(
+            "change",
+            F.when(F.col("k_old").isNull(), F.lit("added"))
+             .when(F.col("k_new").isNull(), F.lit("removed")))
+        .filter(F.col("change").isNotNull())
+        .withColumn("event_type", F.coalesce("t_old", "t_new"))
+        .groupBy("change", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_keys"))
+        .orderBy("change", "event_type")
+    )
+
+
+Q245_SQL = """
+WITH old AS (
+  SELECT event_id, event_type FROM events WHERE event_id % 3 = 0
+),
+new AS (
+  SELECT event_id, event_type FROM events
+  WHERE (event_id % 3 = 0 AND event_id % 7 <> 0) OR event_id % 3 = 1
+),
+d AS (
+  SELECT CASE WHEN o.event_id IS NULL THEN 'added'
+              WHEN n.event_id IS NULL THEN 'removed' END AS change,
+         coalesce(o.event_type, n.event_type) AS event_type
+  FROM old o FULL OUTER JOIN new n ON n.event_id = o.event_id
+)
+SELECT change, event_type, cast(count(*) as bigint) AS n_keys
+FROM d WHERE change IS NOT NULL
+GROUP BY change, event_type ORDER BY change, event_type
+"""
+
+LAKE_QUERIES["q245_snapshot_diff"] = (q245_snapshot_diff, Q245_SQL)

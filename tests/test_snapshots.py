@@ -388,3 +388,27 @@ def test_q124_inverted_index_pruning_is_effective(spark, sf_dir):
                     where=f"term IN ({in_list})").count()
     full = S.scan(spark, path, where=f"term IN ({in_list})").count()
     assert pruned == full > 0
+
+
+def test_q245_snapshot_diff_classifies_changes(spark):
+    """The diff's keys must be exactly the delete set (removed) and the
+    appended third (added), recomputed from the fixture rules."""
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    rows = QUERIES["q245_snapshot_diff"][0](spark, sf_dir).collect()
+    got = {(r["change"], r["event_type"]): r["n_keys"] for r in rows}
+
+    pdf = spark.sql(
+        f"SELECT event_id, event_type FROM "
+        f"parquet.`{sf_dir}/events.parquet`").toPandas()
+    want = {}
+    for eid, t in zip(pdf["event_id"], pdf["event_type"]):
+        if eid % 3 == 0 and eid % 7 == 0:
+            k = ("removed", t)
+        elif eid % 3 == 1:
+            k = ("added", t)
+        else:
+            continue
+        want[k] = want.get(k, 0) + 1
+    assert got == want and sum(got.values()) > 100
