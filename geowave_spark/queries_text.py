@@ -2550,6 +2550,108 @@ FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
 """
 
 
+
+
+# ----------------------------------------------- q246 k-center coreset
+
+
+def _q246_pts_sql(d: G.Dialect) -> str:
+    """Integer-micro embedding vectors (vec_id, iv array<bigint>)."""
+    arr = G.to_double_arr(d, "embedding")
+    iv = d.xform(arr, "cast(floor(x * 1000000) as bigint)")
+    return f"SELECT vec_id, {iv} AS iv FROM embeddings"
+
+
+def _q246_dist2(d: G.Dialect, a: str, b: str) -> str:
+    """Integer squared L2 distance between two bigint arrays."""
+    ea = d.at(a, "i")
+    eb = d.at(b, "i")
+    if d.is_spark:
+        terms = f"transform(sequence(1, 64), i -> ({ea} - {eb}) * ({ea} - {eb}))"
+    else:
+        terms = (f"list_transform(generate_series(1, 64), "
+                 f"i -> ({ea} - {eb}) * ({ea} - {eb}))")
+    return d.fold(terms, "cast(0 as bigint)", "acc + x")
+
+
+def _q246_round_pick_sql(d: G.Dialect, pts: str, cent: str) -> str:
+    dist2 = _q246_dist2(d, "p.iv", "c.iv")
+    dv = d.intdiv("enc", "1024")
+    return f"""
+SELECT cast(1023 - enc % 1024 as bigint) AS vec_id,
+       cast({dv} as bigint) AS radius
+FROM (
+  SELECT max(dmin * 1024 + (1023 - vec_id)) AS enc FROM (
+    SELECT p.vec_id, min({dist2}) AS dmin
+    FROM {pts} p CROSS JOIN {cent} c
+    GROUP BY p.vec_id
+  ) pd
+) nx
+"""
+
+
+def _q246(d: G.Dialect) -> str:
+    """Coreset selection by greedy k-center (farthest-point traversal,
+    Gonzalez 1985; 4 rounds from the lowest-id seed): the DIVERSITY
+    sampler of training-data curation — q74/q76 sample by rate and
+    mixture weight, SemDeDup (q83) removes redundancy, this picks the
+    maximally-spread representatives (and its radius column is the
+    2-approximation of the optimal k-center cost).
+
+    This unrolled-CTE form is the ORACLE; the Spark path materializes
+    the integer-vector relation once and loops, checkpointing the tiny
+    center set each round.  Each round is ONE points x centers join
+    (centers <= 5 rows, broadcast) + per-point min + encoded argmax —
+    no all-pairs anything; integer-exact (micro components, int64
+    squared distances, encoded ties to the lowest vec_id)."""
+    parts = [f"pts AS ({_q246_pts_sql(d)})",
+             "c0 AS (SELECT vec_id, iv FROM pts WHERE vec_id = "
+             "(SELECT min(vec_id) FROM pts))"]
+    sels = ["SELECT 0 AS round, vec_id, cast(0 as bigint) AS radius FROM c0"]
+    for k in range(1, 5):
+        parts.append(
+            f"p{k} AS ({_q246_round_pick_sql(d, 'pts', f'c{k - 1}')})")
+        parts.append(
+            f"c{k} AS (SELECT vec_id, iv FROM c{k - 1} UNION ALL "
+            f"SELECT pts.vec_id, pts.iv FROM pts "
+            f"JOIN p{k} ON p{k}.vec_id = pts.vec_id)")
+        sels.append(f"SELECT {k} AS round, vec_id, radius FROM p{k}")
+    body = "\nUNION ALL\n".join(sels)
+    return (f"WITH {','.join(parts)}\n"
+            f"SELECT cast(round as int) AS round, vec_id, radius "
+            f"FROM ({body}) u ORDER BY round")
+
+
+def _q246_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-loop Spark path for `_q246`."""
+    from .table.views import mat_view
+
+    d = G.SPARK
+    register_views(spark, sf_dir)
+    mat_view(spark, "q246_pts", _q246_pts_sql(d))
+    cent = spark.sql("SELECT vec_id, iv FROM q246_pts WHERE vec_id = "
+                     "(SELECT min(vec_id) FROM q246_pts)")
+    cent = cent.localCheckpoint(eager=True)
+    cent.createOrReplaceTempView("q246_cent")
+    picks = spark.sql(
+        "SELECT 0 AS round, vec_id, cast(0 as bigint) AS radius "
+        "FROM q246_cent")
+    for k in range(1, 5):
+        cent.createOrReplaceTempView("q246_cent")
+        pick = spark.sql(_q246_round_pick_sql(d, "q246_pts", "q246_cent"))
+        pick = pick.localCheckpoint(eager=True)
+        pick.createOrReplaceTempView("q246_pick")
+        picks = picks.unionAll(spark.sql(
+            f"SELECT {k} AS round, vec_id, radius FROM q246_pick"))
+        cent = cent.unionAll(spark.sql(
+            "SELECT p.vec_id, p.iv FROM q246_pts p "
+            "JOIN q246_pick x ON x.vec_id = p.vec_id"))
+        cent = cent.localCheckpoint(eager=True)
+    picks.createOrReplaceTempView("q246_picks")
+    return spark.sql("SELECT cast(round as int) AS round, vec_id, radius "
+                     "FROM q246_picks ORDER BY round")
+
+
 TEXT_QUERIES = {
     "q15_exact_dedup": _dual(_q15),
     "q219_ppjoin_similarity": (_q219_spark, _q219_duck_sql()),
@@ -2557,6 +2659,7 @@ TEXT_QUERIES = {
     "q223_random_projection": _dual(_q223),
     "q238_truncation_audit": _dual(_q238),
     "q243_tfidf_keywords": _dual(_q243),
+    "q246_kcenter_coreset": (_q246_spark, _q246(G.DUCK)),
     "q224_phrase_search": (_q224_spark, _q224(G.DUCK)),
     "q16_minhash_lsh_pairs": (_q16_spark, _q16(G.DUCK)),
     "q17_simhash": _dual(_q17),

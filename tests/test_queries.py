@@ -3448,3 +3448,35 @@ def test_q244_active_users_match_python(spark):
         cum += new
         want[d] = (dau, wau, new, cum)
     assert got == want and len(got) == 30
+
+
+def test_q246_kcenter_matches_numpy(spark):
+    """Numpy recompute of the greedy farthest-point traversal."""
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = [(r["round"], r["vec_id"], r["radius"]) for r in
+           QUERIES["q246_kcenter_coreset"][0](spark, sf_dir).collect()]
+
+    pdf = spark.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"parquet.`{sf_dir}/embeddings.parquet`").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    iv = np.floor(np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]]) * 1e6
+                  ).astype(np.int64)
+    order = np.argsort(ids)
+    ids, iv = ids[order], iv[order]
+    centers = [0]
+    want = [(0, int(ids[0]), 0)]
+    dmin = ((iv - iv[0]) ** 2).sum(axis=1)
+    for k in range(1, 5):
+        enc = dmin * 1024 + (1023 - ids)
+        best = int(enc.max())
+        vid, rad = 1023 - best % 1024, best // 1024
+        want.append((k, int(vid), int(rad)))
+        ci = int(np.where(ids == vid)[0][0])
+        dmin = np.minimum(dmin, ((iv - iv[ci]) ** 2).sum(axis=1))
+    assert got == want
