@@ -1000,3 +1000,68 @@ def q244_active_user_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MOBILITY_QUERIES["q244_active_user_curves"] = (
     q244_active_user_curves, _q244_sql("epoch_us(ts)", "//"))
+
+
+# ------------------------------------------------ q247 data contract audit
+
+
+def _q247_sql() -> str:
+    """Data-contract audit — the expectations suite every ingest gate
+    runs before publishing a batch (null rates, value ranges,
+    referential integrity, key uniqueness, freshness window), emitted
+    as one violations summary (the Great-Expectations / dbt-test shape
+    as a single relational pass; the reference's ingest layer validates
+    per-feature via its adapter schema, `FeatureDataAdapter.java:71` in
+    /root/reference — this is the table-level generalization).
+
+    Scale shape: each check is one aggregate or one broadcastable
+    anti-join; the union is a 6-row result.  Same text in both
+    engines."""
+    return """
+SELECT * FROM (
+  SELECT 'ref_orders_custkey' AS check_name,
+         cast(count(*) as bigint) AS n_checked,
+         cast(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              as bigint) AS n_violations
+  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+  UNION ALL
+  SELECT 'range_lineitem_qty',
+         cast(count(*) as bigint),
+         cast(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) as bigint)
+  FROM lineitem
+  UNION ALL
+  SELECT 'null_events_value',
+         cast(count(*) as bigint),
+         cast(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) as bigint)
+  FROM events
+  UNION ALL
+  SELECT 'fresh_events_ts',
+         cast(count(*) as bigint),
+         cast(sum(CASE WHEN ts < timestamp '2024-01-01 00:00:00'
+                        OR ts >= timestamp '2024-02-01 00:00:00'
+                       THEN 1 ELSE 0 END) as bigint)
+  FROM events
+  UNION ALL
+  SELECT 'unique_part_key',
+         cast(count(*) as bigint),
+         cast(count(*) - count(DISTINCT p_partkey) as bigint)
+  FROM part
+  UNION ALL
+  SELECT 'ref_lineitem_orderkey',
+         cast(count(*) as bigint),
+         cast(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+              as bigint)
+  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+) u ORDER BY check_name
+"""
+
+
+def q247_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q247_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q247_sql())
+
+
+MOBILITY_QUERIES["q247_data_contract_audit"] = (
+    q247_data_contract_audit, _q247_sql())

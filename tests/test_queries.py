@@ -3480,3 +3480,42 @@ def test_q246_kcenter_matches_numpy(spark):
         ci = int(np.where(ids == vid)[0][0])
         dmin = np.minimum(dmin, ((iv - iv[ci]) ** 2).sum(axis=1))
     assert got == want
+
+
+def test_q247_contract_audit_matches_python(spark):
+    """Pandas recompute of every expectation; the referential checks
+    must count real orphans (or prove there are none)."""
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["check_name"]: (r["n_checked"], r["n_violations"]) for r in
+           QUERIES["q247_data_contract_audit"][0](spark, sf_dir)
+           .collect()}
+
+    t = {n: spark.read.parquet(f"{sf_dir}/{n}.parquet").toPandas()
+         for n in ("orders", "customer", "lineitem", "events", "part")}
+    custs = set(t["customer"]["c_custkey"])
+    okeys = set(t["orders"]["o_orderkey"])
+    ev = t["events"]
+    import pandas as pd
+    want = {
+        "ref_orders_custkey": (
+            len(t["orders"]),
+            int((~t["orders"]["o_custkey"].isin(custs)).sum())),
+        "range_lineitem_qty": (
+            len(t["lineitem"]),
+            int(((t["lineitem"]["l_quantity"] < 1)
+                 | (t["lineitem"]["l_quantity"] > 50)).sum())),
+        "null_events_value": (len(ev), int(ev["value"].isna().sum())),
+        "fresh_events_ts": (
+            len(ev),
+            int(((ev["ts"] < pd.Timestamp("2024-01-01"))
+                 | (ev["ts"] >= pd.Timestamp("2024-02-01"))).sum())),
+        "unique_part_key": (
+            len(t["part"]),
+            len(t["part"]) - t["part"]["p_partkey"].nunique()),
+        "ref_lineitem_orderkey": (
+            len(t["lineitem"]),
+            int((~t["lineitem"]["l_orderkey"].isin(okeys)).sum())),
+    }
+    assert got == want and len(got) == 6
