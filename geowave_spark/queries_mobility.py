@@ -1065,3 +1065,48 @@ def q247_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MOBILITY_QUERIES["q247_data_contract_audit"] = (
     q247_data_contract_audit, _q247_sql())
+
+
+# --------------------------------------------------- q248 peak burst
+
+
+def _q248_sql(epoch_us: str, intdiv: str) -> str:
+    """Peak sliding-window burst per user — the rate-limiting /
+    abuse-detection primitive: the maximum number of events any user
+    fires within ANY 1-hour window (exact, not binned: hour BINS miss
+    bursts straddling a boundary, which is precisely why rate limiters
+    use sliding windows; q172's burstiness moments summarize the
+    distribution, this finds the worst case).  Exact via the classic
+    observation that the peak window starts at an event: count events
+    in [t, t+1h) for every event t.
+
+    Scale shape: the candidate join is keyed by user and bounded by
+    per-user in-window fan-out (never cross-user); one keyed max
+    aggregate, then a tiny distribution roll-up per event-type."""
+    return f"""
+WITH t AS (
+  SELECT user_id, event_type, {epoch_us} AS us FROM events
+),
+w AS (
+  SELECT a.user_id, a.us, cast(count(*) as bigint) AS in_window
+  FROM t a JOIN t b ON b.user_id = a.user_id
+                   AND b.us >= a.us AND b.us < a.us + 3600000000
+  GROUP BY a.user_id, a.us
+),
+peak AS (
+  SELECT user_id, max(in_window) AS peak_1h FROM w GROUP BY user_id
+)
+SELECT peak_1h, cast(count(*) as bigint) AS n_users
+FROM peak GROUP BY peak_1h ORDER BY peak_1h
+"""
+
+
+def q248_peak_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q248_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q248_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+MOBILITY_QUERIES["q248_peak_burst"] = (
+    q248_peak_burst, _q248_sql("epoch_us(ts)", "//"))

@@ -3519,3 +3519,26 @@ def test_q247_contract_audit_matches_python(spark):
             int((~t["lineitem"]["l_orderkey"].isin(okeys)).sum())),
     }
     assert got == want and len(got) == 6
+
+
+def test_q248_peak_burst_matches_python(spark):
+    """Python recompute of the exact sliding-window peak per user."""
+    from collections import Counter
+
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["peak_1h"]: r["n_users"] for r in
+           QUERIES["q248_peak_burst"][0](spark, sf_dir).collect()}
+
+    pdf = spark.sql(
+        f"SELECT user_id, unix_micros(cast(ts as timestamp)) AS us "
+        f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
+    import bisect
+    peaks = Counter()
+    for _uid, g in pdf.groupby("user_id"):
+        us = sorted(g["us"])
+        peak = max(bisect.bisect_left(us, t + 3_600_000_000)
+                   - i for i, t in enumerate(us))
+        peaks[peak] += 1
+    assert got == dict(peaks) and sum(got.values()) == 150
