@@ -3999,3 +3999,7 @@ QUERIES.update(SCENE_QUERIES)
 from .queries_mobility import MOBILITY_QUERIES  # noqa: E402
 
 QUERIES.update(MOBILITY_QUERIES)
+
+from .queries_fleet import FLEET_QUERIES  # noqa: E402
+
+QUERIES.update(FLEET_QUERIES)

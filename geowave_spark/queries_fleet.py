@@ -1,0 +1,469 @@
+"""Fleet-scale operational audits: the queries an operator of this engine
+runs ON the engine itself when the corpus is 10^12 rows and the cluster is
+1000 executors — reshard-stability planning, SFC-locality verification,
+dateline-wrapping join correctness, and deterministic curriculum ordering.
+
+All four are pure relational expressions built through the dual-dialect
+generator (`functions/sqlgen.py`): the Spark path is whole-stage-codegen
+SQL (no Python in the hot loop) and the DuckDB oracle evaluates the same
+closed-form spec, so the check is engine-vs-spec.
+
+Reference parity notes:
+- q250 audits the locality property GeoWave's SFC tests assert pointwise
+  (`core/index/src/test/java/org/locationtech/geowave/core/index/sfc/zorder/
+  ZOrderSFCTest.java`) as a *distributed aggregate* over the whole key
+  space — the quantity that decides range-scan amplification at scale.
+- q253 is the distributed form of GeoWave's dateline handling
+  (`core/geotime/.../GeometryUtils.java` splitting at the antimeridian;
+  binned dataset tests) as a join: wrapped query rects are split into two
+  normal rects BEFORE indexing, so the engine join never sees a
+  wrap-around range.
+- q249/q254 extend the engine toward corpus-operations (same lane as
+  q74-q77): consistent-hash reshard planning and curriculum interleave.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions import sqlgen as G
+from .table import geo
+from .table.views import register_views
+
+# --------------------------------------------------------------- q249
+
+_P249 = 1000003  # prime modulus for the per-(row, shard) rendezvous hash
+
+
+def _q249_hrw_shard(d: G.Dialect, key: str, n_shards: int) -> str:
+    """Rendezvous (highest-random-weight) shard for ``key`` among
+    ``n_shards`` buckets: argmax_k h(key, k), ties to the lowest k.
+
+    h(key, k) = m^5 mod P with m = (key + 104729*k + 17) mod P — a
+    degree-5 permutation polynomial of Z_P (gcd(5, P-1) = 1), chosen
+    because a hash LINEAR in k is an arithmetic progression mod P whose
+    argmax is structurally biased toward late k (measured: 52% of keys
+    moved on 16->20 instead of the theoretical 20%); the nonlinear
+    permutation restores per-bucket uniformity (measured 17% moved on
+    the sf0.01 corpus).  The argmax is a fold over an encoded max, so
+    the whole thing is one codegen expression per row — no explode, no
+    join, no shuffle.  Encoding: enc = h * 64 + (63 - k); max(enc)
+    decodes to the winning k with lowest-k tie-breaks.  n_shards <= 64.
+    All intermediates bounded by P^2 < 1e12 — int64-safe in both
+    engines.
+    """
+    m = f"(({key} % {_P249} + 104729 * x + 17) % {_P249})"
+    m2 = f"(({m} * {m}) % {_P249})"
+    m4 = f"(({m2} * {m2}) % {_P249})"
+    h = f"((({m4}) * {m}) % {_P249})"
+    enc = f"({h} * 64 + (63 - x))"
+    folded = d.fold(
+        d.seq("0", str(n_shards - 1)),
+        "cast(-1 as bigint)",
+        f"greatest(acc, {enc})",
+    )
+    return f"(63 - ({folded}) % 64)"
+
+
+def _q249(d: G.Dialect) -> str:
+    """Reshard-stability audit: growing the corpus layout from 16 to 20
+    shards, what fraction of rows must physically move under (a) naive
+    mod-N assignment vs (b) rendezvous hashing?
+
+    At 10^12 rows a reshard IS a full-corpus shuffle unless the assignment
+    is consistent: mod-N moves ~1 - 1/lcm ≈ 95% of rows, rendezvous moves
+    only the ~4/20 = 20% that land in the new buckets.  This query is the
+    planning tool that quantifies the difference per source before anyone
+    pays for the move.  One scan, one keyed aggregate.
+    """
+    hrw16 = _q249_hrw_shard(d, "doc_id", 16)
+    hrw20 = _q249_hrw_shard(d, "doc_id", 20)
+    return f"""
+SELECT source,
+       count(*) AS n,
+       cast(sum(CASE WHEN doc_id % 16 <> doc_id % 20 THEN 1 ELSE 0 END) as bigint) AS moved_mod,
+       cast(sum(CASE WHEN hrw16 <> hrw20 THEN 1 ELSE 0 END) as bigint) AS moved_hrw,
+       cast(floor(1000.0 * sum(CASE WHEN doc_id % 16 <> doc_id % 20 THEN 1 ELSE 0 END) / count(*)) as bigint) AS moved_mod_milli,
+       cast(floor(1000.0 * sum(CASE WHEN hrw16 <> hrw20 THEN 1 ELSE 0 END) / count(*)) as bigint) AS moved_hrw_milli
+FROM (
+  SELECT source, doc_id, {hrw16} AS hrw16, {hrw20} AS hrw20
+  FROM documents
+) t
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------- q250
+
+_R250 = 8  # grid resolution: 2^8 x 2^8 cells
+
+
+def _q250_zkey(d: G.Dialect, x: str, y: str) -> str:
+    """Z-order (Morton) key by bit interleave — pure int arithmetic,
+    identical in Spark SQL and DuckDB (no engine-specific bit builtins)."""
+    terms = []
+    for i in range(_R250):
+        bx = f"({d.intdiv(x, str(1 << i))} % 2)"
+        by = f"({d.intdiv(y, str(1 << i))} % 2)"
+        terms.append(f"{bx} * {1 << (2 * i)} + {by} * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _q250(d: G.Dialect) -> str:
+    """SFC locality audit: over the OCCUPIED cells of the corpus, how far
+    apart do spatially-adjacent cells land in key space under Z-order vs
+    row-major?  Reported per adjacency direction (E = x+1, N = y+1):
+    pair count, total and max |key gap| for both curves.
+
+    This is the aggregate that predicts range-decomposition quality: a
+    query window touches adjacent cells, and the sum of key gaps is
+    (up to constants) the number of extra keys a contiguous range scan
+    would read.  Row-major is the control: E gaps are exactly 1 but N
+    gaps are exactly 2^res — Z-order trades a slightly worse E for an
+    exponentially better N.  Occupied cells come from the lineitem point
+    corpus; the whole query is scan -> distinct-cell aggregate ->
+    self-join on (x±1, y) which Spark executes as one shuffle on the
+    small distinct-cell relation, never on the point corpus.
+    """
+    n = 1 << _R250
+    pts = geo.lineitem_points_sql()
+    zk = _q250_zkey(d, "c1.x", "c1.y")
+    zk2 = _q250_zkey(d, "c2.x", "c2.y")
+    return f"""
+WITH pts AS ({pts}),
+cells AS (
+  SELECT DISTINCT
+    cast(floor((lon + 180e0) / 360e0 * {n}) as bigint) AS x,
+    cast(floor((lat + 90e0) / 180e0 * {n}) as bigint) AS y
+  FROM pts
+  WHERE lon >= -180 AND lon < 180 AND lat >= -90 AND lat < 90
+),
+pairs AS (
+  SELECT 'E' AS dir,
+         abs({zk2} - {zk}) AS zgap,
+         abs((c2.y * {n} + c2.x) - (c1.y * {n} + c1.x)) AS rgap
+  FROM cells c1 JOIN cells c2 ON c2.x = c1.x + 1 AND c2.y = c1.y
+  UNION ALL
+  SELECT 'N' AS dir,
+         abs({zk2} - {zk}) AS zgap,
+         abs((c2.y * {n} + c2.x) - (c1.y * {n} + c1.x)) AS rgap
+  FROM cells c1 JOIN cells c2 ON c2.x = c1.x AND c2.y = c1.y + 1
+)
+SELECT dir, count(*) AS pairs,
+       cast(sum(zgap) as bigint) AS z_total_gap, max(zgap) AS z_max_gap,
+       cast(sum(rgap) as bigint) AS row_total_gap, max(rgap) AS row_max_gap
+FROM pairs
+GROUP BY dir
+ORDER BY dir
+"""
+
+
+# --------------------------------------------------------------- q253
+
+_N253 = 12  # wrapped query rects
+
+
+def _q253_rects(d: G.Dialect) -> str:
+    """12 deterministic antimeridian-crossing rects: rect r spans
+    [lon_min, 180) U [-180, lon_max) with lon_min in (168..179) and
+    lon_max in (-180..-169) — every one wraps."""
+    return f"""
+SELECT x AS rect_id,
+       cast(168 + (x * 7) % 12 as double) AS lon_min,
+       cast(-180 + (x * 5) % 11 + 1 as double) AS lon_max,
+       cast(-60 + (x * 23) % 100 as double) AS lat_min,
+       cast(-60 + (x * 23) % 100 + 14 as double) AS lat_max
+FROM (SELECT {d.explode(d.seq('0', str(_N253 - 1)))} AS x) s
+"""
+
+
+def _q253(d: G.Dialect) -> str:
+    """Dateline-wrapping containment join, oracle form: the wrap is an OR
+    of the two longitude intervals evaluated directly per (point, rect)."""
+    pts = geo.lineitem_points_sql()
+    return f"""
+WITH pts AS ({pts}),
+rects AS ({_q253_rects(d)})
+SELECT r.rect_id,
+       count(*) AS n_pts,
+       cast(sum(cast(p.qty as bigint)) as bigint) AS sum_qty
+FROM pts p JOIN rects r
+  ON (p.lon >= r.lon_min OR p.lon < r.lon_max)
+ AND p.lat >= r.lat_min AND p.lat < r.lat_max
+GROUP BY r.rect_id
+ORDER BY r.rect_id
+"""
+
+
+def _q253_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine path: split every wrapped rect at the antimeridian into two
+    normal rects tagged with the same rect_id, then run ONE broadcast
+    range join against the split set — the engine join itself never sees
+    a wrap-around longitude range, exactly GeoWave's strategy of
+    splitting geometries at the dateline before indexing
+    (`core/geotime/.../GeometryUtils.java`).  A point matches exactly one
+    half (the halves are disjoint), so no dedup pass is needed; the
+    aggregate keys on the original rect_id.  The point corpus is never
+    shuffled: scan -> broadcast join -> partial agg."""
+    d = G.SPARK
+    register_views(spark, sf_dir)
+    pts = geo.lineitem_points_sql()
+    return spark.sql(f"""
+WITH pts AS ({pts}),
+rects AS ({_q253_rects(d)}),
+split AS (
+  SELECT rect_id, lon_min, cast(180 as double) AS lon_hi, lat_min, lat_max
+  FROM rects
+  UNION ALL
+  SELECT rect_id, cast(-180 as double) AS lon_min, lon_max AS lon_hi,
+         lat_min, lat_max
+  FROM rects
+)
+SELECT /*+ BROADCAST(split) */ s.rect_id,
+       count(*) AS n_pts,
+       cast(sum(cast(p.qty as bigint)) as bigint) AS sum_qty
+FROM pts p JOIN split s
+  ON p.lon >= s.lon_min AND p.lon < s.lon_hi
+ AND p.lat >= s.lat_min AND p.lat < s.lat_max
+GROUP BY s.rect_id
+ORDER BY s.rect_id
+""")
+
+
+# --------------------------------------------------------------- q254
+
+def _q254(d: G.Dialect) -> str:
+    """Deterministic curriculum interleave: order the corpus easy->hard
+    WITHOUT starving any difficulty band.  Docs are cut into 10 length
+    deciles (the difficulty proxy); within a decile they are ranked by a
+    seeded hash (deterministic shuffle); the global position interleaves
+    deciles round-robin — position = (rank-1)*10 + (decile-1).
+
+    This is the ordering a 10^12-row training run wants: streaming the
+    output sequentially gives every shard the same difficulty mixture,
+    with no global sort by the raw score (which would hot-spot long docs
+    into the tail shards).  Two window functions over one scan; the
+    oracle evaluates the identical spec.  Output: the first 240 rows of
+    the curriculum.
+    """
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile,
+         ((doc_id * 40503 + 2531011) % 1000003) AS shuf
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, lang, decile,
+         (row_number() OVER (PARTITION BY decile ORDER BY shuf, doc_id) - 1)
+           * 10 + (decile - 1) AS pos
+  FROM ranked
+)
+SELECT cast(pos as bigint) AS pos, doc_id, cast(decile as int) AS decile, lang
+FROM pos
+ORDER BY pos
+LIMIT 240
+"""
+
+
+# --------------------------------------------------------------- q251
+
+_K251 = 5  # selections after the seed
+
+
+def _q251_cand_sql(d: G.Dialect, pts: str, sel: str) -> str:
+    """One MMR round: among candidates not yet selected, pick the argmax of
+    score = 7e10 * rel - 3 * (max_dot_to_selected div 100), ties to the
+    lowest vec_id (encoded argmax — score * 4096 + (4095 - vec_id))."""
+    dot = _q251_dot(d, "c.iv", "s.iv")
+    return f"""
+SELECT cast(4095 - enc % 4096 as bigint) AS vec_id,
+       cast({d.intdiv("enc", "4096")} as bigint) AS score
+FROM (
+  SELECT max(sc * 4096 + (4095 - vec_id)) AS enc FROM (
+    SELECT c.vec_id,
+           7 * c.rel * 10000000000 - 3 * ({d.intdiv(f"max({dot})", "100")}) AS sc
+    FROM {pts} c CROSS JOIN {sel} s
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM {sel})
+    GROUP BY c.vec_id, c.rel
+  ) scored
+) mx
+"""
+
+
+def _q251_dot(d: G.Dialect, a: str, b: str) -> str:
+    ea, eb = d.at(a, "i"), d.at(b, "i")
+    prods = (f"transform(sequence(1, 64), i -> {ea} * {eb})" if d.is_spark
+             else f"list_transform(generate_series(1, 64), i -> {ea} * {eb})")
+    return d.fold(prods, "cast(0 as bigint)", "acc + x")
+
+
+def _q251_pts_sql(d: G.Dialect) -> str:
+    arr = d.xform(G.to_double_arr(d, "embedding"),
+                  "cast(floor(x * 1000000) as bigint)")
+    return (f"SELECT vec_id, (vec_id * 48271 + 11) % 1000 AS rel, "
+            f"{arr} AS iv FROM embeddings")
+
+
+def _q251(d: G.Dialect) -> str:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    greedily pick items maximizing relevance MINUS similarity to what is
+    already picked — the relevance-aware twin of q246's pure-diversity
+    k-center.  This is the eval-set / prompt-dedup sampler of a training
+    pipeline: top-quality examples that are not near-copies of each other.
+
+    Integer-exact spec: iv = floor(1e6 * embedding); rel = closed-form
+    per-id relevance in 0..999; similarity = int64 dot(iv, iv); score =
+    7e10*rel - 3*(max-dot-to-selected div 100).  Seed = argmax rel.  Each
+    round is ONE candidates x selected broadcast join (selected <= 6 rows)
+    + per-candidate max + encoded argmax — no all-pairs.  The unrolled-CTE
+    form is the oracle; the Spark path materializes the integer-vector
+    relation once and loops, checkpointing the tiny selected set
+    (`table/views.mat_view`, same shape as q246)."""
+    parts = [f"pts AS ({_q251_pts_sql(d)})",
+             "s0 AS (SELECT vec_id, rel, iv FROM pts WHERE "
+             "(SELECT max(rel * 4096 + (4095 - vec_id)) FROM pts) "
+             "= rel * 4096 + (4095 - vec_id))"]
+    sels = ["SELECT 0 AS round, vec_id, cast(0 as bigint) AS score FROM s0"]
+    for k in range(1, _K251 + 1):
+        parts.append(
+            f"p{k} AS ({_q251_cand_sql(d, 'pts', f's{k - 1}')})")
+        parts.append(
+            f"s{k} AS (SELECT vec_id, rel, iv FROM s{k - 1} UNION ALL "
+            f"SELECT pts.vec_id, pts.rel, pts.iv FROM pts "
+            f"JOIN p{k} ON p{k}.vec_id = pts.vec_id)")
+        sels.append(f"SELECT {k} AS round, vec_id, score FROM p{k}")
+    body = "\nUNION ALL\n".join(sels)
+    return (f"WITH {','.join(parts)}\n"
+            f"SELECT cast(round as int) AS round, vec_id, score "
+            f"FROM ({body}) u ORDER BY round")
+
+
+def _q251_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-loop Spark path for `_q251` (see q246 for why: WITH-CTE
+    inlining re-executes the base relation 2^rounds times otherwise)."""
+    from .table.views import mat_view
+
+    d = G.SPARK
+    register_views(spark, sf_dir)
+    mat_view(spark, "q251_pts", _q251_pts_sql(d))
+    sel = spark.sql(
+        "SELECT vec_id, rel, iv FROM q251_pts WHERE "
+        "(SELECT max(rel * 4096 + (4095 - vec_id)) FROM q251_pts) "
+        "= rel * 4096 + (4095 - vec_id)")
+    sel = sel.localCheckpoint(eager=True)
+    picks = None
+    for k in range(_K251 + 1):
+        sel.createOrReplaceTempView("q251_sel")
+        if k == 0:
+            picks = spark.sql(
+                "SELECT 0 AS round, vec_id, cast(0 as bigint) AS score "
+                "FROM q251_sel")
+            continue
+        pick = spark.sql(_q251_cand_sql(d, "q251_pts", "q251_sel"))
+        pick = pick.localCheckpoint(eager=True)
+        pick.createOrReplaceTempView("q251_pick")
+        picks = picks.unionAll(spark.sql(
+            f"SELECT {k} AS round, vec_id, score FROM q251_pick"))
+        sel = sel.unionAll(spark.sql(
+            "SELECT p.vec_id, p.rel, p.iv FROM q251_pts p "
+            "JOIN q251_pick x ON x.vec_id = p.vec_id"))
+        sel = sel.localCheckpoint(eager=True)
+    picks.createOrReplaceTempView("q251_picks")
+    return spark.sql("SELECT cast(round as int) AS round, vec_id, score "
+                     "FROM q251_picks ORDER BY round")
+
+
+# --------------------------------------------------------------- q255
+
+_R255 = 7   # 128 x 128 cell grid
+_K255 = 24  # facilities
+
+
+def _q255_owner(d: G.Dialect, x: str, y: str) -> str:
+    """Nearest facility (squared cell distance, ties to lowest k) among 24
+    closed-form facilities fcx=(k*97+13)%128, fcy=(k*61+29)%128 — one fold,
+    no join: enc = d2 * 32 + k, min-decode."""
+    n = 1 << _R255
+    fx = f"((x * 97 + 13) % {n})"
+    fy = f"((x * 61 + 29) % {n})"
+    d2 = f"(({x} - {fx}) * ({x} - {fx}) + ({y} - {fy}) * ({y} - {fy}))"
+    folded = d.fold(
+        d.seq("0", str(_K255 - 1)),
+        "cast(9223372036854775807 as bigint)",
+        f"least(acc, {d2} * 32 + x)",
+    )
+    return f"(({folded}) % 32)"
+
+
+def _q255(d: G.Dialect) -> str:
+    """Voronoi service-area audit over the occupied corpus grid: assign
+    every occupied cell to its nearest of 24 facilities (codegen argmin
+    fold — no facility join), then measure each area's size, point mass,
+    and BOUNDARY length (grid edges whose two cells have different
+    owners).  Boundary length is the quantity a partition planner needs:
+    it is the volume of cross-partition neighbor traffic if the corpus is
+    sharded by service area.  Plan shape: scan -> distinct-cell aggregate
+    -> owner fold -> two self-joins on the tiny cell relation (E and N
+    adjacency) -> keyed count; the point corpus is never shuffled."""
+    n = 1 << _R255
+    pts = geo.lineitem_points_sql()
+    # cell coords are named cx/cy: the argmin fold's lambda variable is `x`
+    # (the facility index), which would shadow a cell column named `x`
+    owner = _q255_owner(d, "cx", "cy")
+    return f"""
+WITH pts AS ({pts}),
+cells AS (
+  SELECT cx, cy, count(*) AS n_pts FROM (
+    SELECT cast(floor((lon + 180e0) / 360e0 * {n}) as bigint) AS cx,
+           cast(floor((lat + 90e0) / 180e0 * {n}) as bigint) AS cy
+    FROM pts
+    WHERE lon >= -180 AND lon < 180 AND lat >= -90 AND lat < 90
+  ) g GROUP BY cx, cy
+),
+owned AS (
+  SELECT cx, cy, n_pts, {owner} AS owner FROM cells
+),
+edges AS (
+  SELECT c1.owner AS o1, c2.owner AS o2
+  FROM owned c1 JOIN owned c2 ON c2.cx = c1.cx + 1 AND c2.cy = c1.cy
+  WHERE c1.owner <> c2.owner
+  UNION ALL
+  SELECT c1.owner AS o1, c2.owner AS o2
+  FROM owned c1 JOIN owned c2 ON c2.cx = c1.cx AND c2.cy = c1.cy + 1
+  WHERE c1.owner <> c2.owner
+),
+edge_sides AS (
+  SELECT o1 AS owner FROM edges
+  UNION ALL
+  SELECT o2 AS owner FROM edges
+),
+bnd AS (
+  SELECT owner, count(*) AS boundary_edges FROM edge_sides GROUP BY owner
+)
+SELECT o.owner, count(*) AS n_cells,
+       cast(sum(o.n_pts) as bigint) AS n_pts,
+       cast(coalesce(max(b.boundary_edges), 0) as bigint) AS boundary_edges
+FROM owned o LEFT JOIN bnd b ON b.owner = o.owner
+GROUP BY o.owner
+ORDER BY o.owner
+"""
+
+
+def _dual(gen) -> tuple:
+    def _spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(gen(G.SPARK))
+
+    return _spark, gen(G.DUCK)
+
+
+FLEET_QUERIES = {
+    "q249_reshard_stability": _dual(_q249),
+    "q250_sfc_locality": _dual(_q250),
+    "q251_mmr_selection": (_q251_spark, _q251(G.DUCK)),
+    "q253_dateline_wrap_join": (_q253_spark, _q253(G.DUCK)),
+    "q254_curriculum_interleave": _dual(_q254),
+    "q255_voronoi_boundary": _dual(_q255),
+}

@@ -1043,7 +1043,74 @@ FROM mv GROUP BY doc_id ORDER BY media_id
 """
 
 
+def q256_cross_modal_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal duplication matrix over the image+caption table: every
+    pair that is an exact duplicate in EITHER modality, flagged per
+    modality — (img_dup, cap_dup) = (1,0) is the alt-text-spam pattern
+    (same image re-posted under different captions), (0,1) is caption
+    laundering (same caption on different images), (1,1) is a true row
+    duplicate.  A 10^12-row curation run keys its keep/drop policy on
+    exactly this matrix: image-only dups keep the best caption (q85),
+    caption-only dups are usually fine, full dups are dropped.
+
+    Engine: content key = md5 over REAL encoded payload bytes
+    (`table/images.dup_images_df`), caption key = md5(text); two keyed
+    self-joins (shuffle on 16-byte hashes, group sizes bounded by the dup
+    rate so no skew) + one full-outer merge of the two pair sets.  The
+    oracle never touches bytes: it derives both flags from the synthesis
+    seed (`doc_id % 101`) and the raw text — independent definitions of
+    "identical" in both modalities.
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    img = img_tab.dup_images_df(spark, sf_dir).select(
+        F.expr("cast(substring(image_id, 4) as bigint)").alias("doc_id"),
+        "image_id",
+        F.md5("bytes").alias("ck"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("tk")
+    )
+    keyed = img.join(docs, "doc_id").select("image_id", "ck", "tk")
+
+    def pairs(key: str) -> DataFrame:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        ).select(
+            F.col("a.image_id").alias("id1"),
+            F.col("b.image_id").alias("id2"),
+        )
+
+    ip = pairs("ck").withColumn("img_dup", F.lit(1))
+    tp = pairs("tk").withColumn("cap_dup", F.lit(1))
+    return (
+        ip.join(tp, ["id1", "id2"], "full_outer")
+        .select(
+            "id1", "id2",
+            F.coalesce("img_dup", F.lit(0)).alias("img_dup"),
+            F.coalesce("cap_dup", F.lit(0)).alias("cap_dup"),
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+Q256_SQL = f"""
+SELECT {img_tab.image_id_sql('a.doc_id')} AS id1,
+       {img_tab.image_id_sql('b.doc_id')} AS id2,
+       cast(CASE WHEN a.doc_id % 101 = b.doc_id % 101 THEN 1 ELSE 0 END as int)
+         AS img_dup,
+       cast(CASE WHEN a.text = b.text THEN 1 ELSE 0 END as int) AS cap_dup
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE a.doc_id % 101 = b.doc_id % 101 OR a.text = b.text
+ORDER BY id1, id2
+"""
+
+
 MULTIMODAL_QUERIES = {
+    "q256_cross_modal_dup_matrix": (q256_cross_modal_dup_matrix, Q256_SQL),
     "q240_block_motion": (q240_block_motion, _q240_sql()),
     "q237_audio_onsets": (q237_audio_onsets, _q237_sql()),
     "q228_keyframe_selection": (q228_keyframe_selection, _q228_sql()),

@@ -1,0 +1,139 @@
+"""Semantic invariants for the fleet-scale operational queries
+(queries_fleet.py) beyond the oracle equality already asserted by
+tests/test_queries.py::test_query_matches_oracle.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from geowave_spark.queries_fleet import FLEET_QUERIES
+
+
+def _run(name, spark, sf_dir):
+    return FLEET_QUERIES[name][0](spark, sf_dir).toPandas()
+
+
+def test_q249_hrw_moves_less_than_mod(spark, sf_dir):
+    """Rendezvous hashing must move strictly fewer rows than mod-N on
+    every source, and the corpus-wide HRW move fraction must sit near the
+    theoretical 4/20 = 20% (new-bucket mass), far from mod-N's ~95%."""
+    pdf = _run("q249_reshard_stability", spark, sf_dir)
+    assert (pdf["moved_hrw"] <= pdf["moved_mod"]).all()
+    hrw_frac = pdf["moved_hrw"].sum() / pdf["n"].sum()
+    mod_frac = pdf["moved_mod"].sum() / pdf["n"].sum()
+    assert 0.10 < hrw_frac < 0.35
+    # exact mod-N move rate is 0.8 in the large-N limit (stay iff
+    # doc_id mod 80 < 16); finite corpora sit slightly under
+    assert mod_frac > 0.70
+
+
+def test_q249_hrw_matches_numpy(spark, sf_dir):
+    """HRW winner per doc recomputed with a numpy argmax."""
+    import duckdb
+
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).df()["doc_id"].to_numpy()
+    P = 1000003
+    k = np.arange(20)[None, :]
+    m = (ids[:, None] % P + 104729 * k + 17) % P
+    h = ((m * m % P) * (m * m % P) % P) * m % P
+    enc = h * 64 + (63 - k)
+    hrw20 = 63 - enc.max(axis=1) % 64
+    hrw16 = 63 - enc[:, :16].max(axis=1) % 64
+    moved = int((hrw16 != hrw20).sum())
+    pdf = _run("q249_reshard_stability", spark, sf_dir)
+    assert int(pdf["moved_hrw"].sum()) == moved
+
+
+def test_q250_rowmajor_east_gap_is_one(spark, sf_dir):
+    """Control row: row-major east-neighbor key gap is exactly 1 per pair,
+    and Z-order total E+N gap must beat row-major's (dominated by the
+    2^res north gaps)."""
+    pdf = _run("q250_sfc_locality", spark, sf_dir).set_index("dir")
+    assert pdf.loc["E", "row_max_gap"] == 1
+    assert pdf.loc["E", "row_total_gap"] == pdf.loc["E", "pairs"]
+    assert pdf.loc["N", "row_max_gap"] == 256
+    # the Z-order trade: worse-than-1 east gaps buy better-than-2^res
+    # north gaps (row-major's N gap is always exactly 2^res)
+    assert pdf.loc["E", "z_total_gap"] > pdf.loc["E", "pairs"]
+    assert pdf.loc["N", "z_total_gap"] < 256 * pdf.loc["N", "pairs"]
+
+
+def test_q251_mmr_is_greedy_optimal_stepwise(spark, sf_dir):
+    """Each round's pick recomputed by numpy greedy MMR."""
+    import duckdb
+
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).df()
+    iv = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1_000_000
+    ).astype(np.int64)
+    vid = emb["vec_id"].to_numpy()
+    rel = (vid * 48271 + 11) % 1000
+    seed = np.argmax(rel * 4096 + (4095 - vid))
+    sel = [seed]
+    picks = [(0, vid[seed], 0)]
+    for rnd in range(1, 6):
+        dots = iv @ iv[sel].T  # (n, |sel|)
+        maxsim = dots.max(axis=1)
+        # SQL `div` truncates toward zero (numpy // floors) — matters
+        # when the max dot-product to the selected set is negative
+        msq = np.sign(maxsim) * (np.abs(maxsim) // 100)
+        sc = 7 * rel * 10**10 - 3 * msq
+        sc[sel] = np.iinfo(np.int64).min
+        enc = sc * 4096 + (4095 - vid)
+        j = int(np.argmax(enc))
+        picks.append((rnd, vid[j], int(sc[j])))
+        sel.append(j)
+    pdf = _run("q251_mmr_selection", spark, sf_dir)
+    got = list(pdf.itertuples(index=False, name=None))
+    assert [(r, v) for r, v, _ in picks] == [(r, v) for r, v, _ in got]
+    # scores match from round 1 on (round 0 is the seed, score 0 by spec)
+    assert [s for _, _, s in picks[1:]] == [s for _, _, s in got[1:]]
+
+
+def test_q253_wrap_join_counts_positive_and_wrapped(spark, sf_dir):
+    """Every rect crosses the dateline, so each must pick up points from
+    BOTH sides of it; with 12 rects x ~14 deg lat bands over a uniform
+    corpus, every rect matches something."""
+    pdf = _run("q253_dateline_wrap_join", spark, sf_dir)
+    assert len(pdf) == 12
+    assert (pdf["n_pts"] > 0).all()
+
+
+def test_q254_interleave_is_fair(spark, sf_dir):
+    """The first 240 curriculum positions contain exactly 24 docs of every
+    decile (perfect round-robin), and positions are the dense prefix."""
+    pdf = _run("q254_curriculum_interleave", spark, sf_dir)
+    assert list(pdf["pos"]) == list(range(240))
+    counts = pdf["decile"].value_counts()
+    assert set(counts.index) == set(range(1, 11))
+    assert (counts == 24).all()
+
+
+def test_q255_partition_of_cells(spark, sf_dir):
+    """Owners partition the occupied cells (sum of n_cells = distinct
+    occupied cells) and every boundary edge is counted once per side."""
+    pdf = _run("q255_voronoi_boundary", spark, sf_dir)
+    import duckdb
+
+    from geowave_spark.table import geo
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    n_cells = con.sql(f"""
+        WITH pts AS ({geo.lineitem_points_sql()})
+        SELECT count(*) FROM (
+          SELECT DISTINCT cast(floor((lon + 180) / 360 * 128) as bigint),
+                          cast(floor((lat + 90) / 180 * 128) as bigint)
+          FROM pts
+          WHERE lon >= -180 AND lon < 180 AND lat >= -90 AND lat < 90)
+    """).fetchone()[0]
+    assert int(pdf["n_cells"].sum()) == n_cells
+    # boundary edges are double-counted across owners -> even total
+    assert int(pdf["boundary_edges"].sum()) % 2 == 0
