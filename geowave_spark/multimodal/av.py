@@ -160,6 +160,81 @@ def media_df(spark, sf_dir: str):
     return docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def dup_media_df(spark, sf_dir: str, content_mod: int = 61):
+    """Duplicate-content VIDEO table: pixels derive from
+    ``seed = doc_id % content_mod`` (equal seeds -> byte-identical frame
+    stacks), and every third copy (``(doc_id // content_mod) % 3 == 0``)
+    is TRIMMED — its first frame dropped — so same-seed pairs are either
+    exact duplicates or head-trimmed near-duplicates with frame-set
+    Jaccard (nf-1)/nf.  Independent oracles derive both facts from the
+    seed arithmetic without decoding anything (same pattern as
+    `table/images.dup_images_df`)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = docs.filter("doc_id % 2 = 0")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].to_numpy(dtype=np.int64):
+                d = int(d)
+                seed = d % content_mod
+                fr = gen_video(seed)
+                if (d // content_mod) % 3 == 0:
+                    fr = fr[1:]
+                rows.append(
+                    (f"med{d:010d}", "video", encode_rawvid(fr), "rawvid",
+                     fr.shape[0], fr.shape[2], fr.shape[1], None, "")
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "kind", "bytes", "fmt", "n_frames",
+                             "w", "h", "n_samples", "caption"],
+                )
+
+    return docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+VIDEO_SIG_SCHEMA = (
+    "media_id string, key1 long, key2 long, phashes array<long>"
+)
+
+
+def video_signatures_df(media):
+    """Per-video near-dup signature from one decode pass (narrow
+    mapInPandas, zero shuffle): the ORDERED per-frame phash list collapses
+    to (key1, key2, sorted-distinct phash set) where key1 = min phash over
+    all frames and key2 = min phash over frames[1:].
+
+    key2 is the deterministic drop-head probe: a head-trimmed copy's key1
+    IS the original's key2, so every exact or trimmed duplicate pair
+    shares at least one key — 100% recall by construction, the set-valued
+    analog of q46's Hamming-1 multi-probe (no probabilistic minhash-band
+    recall argument needed)."""
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                if pdf["kind"].iloc[i] != "video":
+                    continue
+                fr = _decode_video(
+                    bytes(pdf["bytes"].iloc[i]), pdf["fmt"].iloc[i]
+                )
+                ph = [int(img_tab.phash64(fr[f])) for f in range(fr.shape[0])]
+                rows.append(
+                    (pdf["media_id"].iloc[i], min(ph), min(ph[1:]),
+                     sorted(set(ph)))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "key1", "key2", "phashes"]
+                )
+
+    return media.mapInPandas(sig, schema=VIDEO_SIG_SCHEMA)
+
+
 # -------------------------------------------------------------- operators
 
 

@@ -1097,6 +1097,79 @@ def q256_cross_modal_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q252_video_set_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level near-duplicate pairs over a corpus with exact AND
+    head-trimmed copies: one decode pass per clip -> per-frame phashes ->
+    per-video (key1, key2, phash set) signature (`av.video_signatures_df`)
+    -> equi-join on the exploded keys -> exact frame-set Jaccard refine
+    (>= 0.5) on the JVM (`array_intersect`/`array_union` over the small
+    per-video arrays).
+
+    Scale shape: pixels never shuffle (signatures are ~10 int64s per
+    clip); the candidate join is a keyed equi-join on 64-bit keys whose
+    group sizes are bounded by the duplicate rate; refine cost is
+    |candidates| x O(nf).  The key2 drop-head probe gives exact recall
+    for exact and first-frame-trimmed duplicates — the dominant re-post
+    patterns — while arbitrary-offset clips would extend the same probe
+    scheme to k keys (documented, not needed for the planted corpus).
+
+    The oracle never decodes: seed arithmetic alone determines which
+    pairs duplicate and their exact Jaccard ((nf-1)/nf when exactly one
+    side is trimmed, 1.0 otherwise — trimmed copies all drop the SAME
+    frame, so trimmed-trimmed pairs are identical sets).
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    sig = av.video_signatures_df(av.dup_media_df(spark, sf_dir))
+    keyed = sig.select(
+        "media_id", "phashes",
+        F.explode(F.array("key1", "key2")).alias("k"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.k") == F.col("b.k"))
+               & (F.col("a.media_id") < F.col("b.media_id")))
+        .select(
+            F.col("a.media_id").alias("id1"),
+            F.col("b.media_id").alias("id2"),
+            F.col("a.phashes").alias("p1"),
+            F.col("b.phashes").alias("p2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn(
+            "jac_micro",
+            F.expr(
+                "cast(floor(1000000.0 * size(array_intersect(p1, p2)) / "
+                "(size(p1) + size(p2) - size(array_intersect(p1, p2)))) "
+                "as bigint)"
+            ),
+        )
+        .filter("jac_micro >= 500000")
+        .select("id1", "id2", "jac_micro")
+        .orderBy("id1", "id2")
+    )
+
+
+Q252_SQL = """
+WITH v AS (
+  SELECT doc_id,
+         doc_id % 61 AS seed,
+         4 + (doc_id % 61) % 5 AS nf,
+         CASE WHEN (doc_id // 61) % 3 = 0 THEN 1 ELSE 0 END AS trim
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT concat('med', lpad(cast(a.doc_id as string), 10, '0')) AS id1,
+       concat('med', lpad(cast(b.doc_id as string), 10, '0')) AS id2,
+       cast(CASE WHEN a.trim = b.trim THEN 1000000
+                 ELSE floor(1000000.0 * (a.nf - 1) / a.nf) END as bigint)
+         AS jac_micro
+FROM v a JOIN v b ON a.seed = b.seed AND a.doc_id < b.doc_id
+ORDER BY id1, id2
+"""
+
+
 Q256_SQL = f"""
 SELECT {img_tab.image_id_sql('a.doc_id')} AS id1,
        {img_tab.image_id_sql('b.doc_id')} AS id2,
@@ -1110,6 +1183,7 @@ ORDER BY id1, id2
 
 
 MULTIMODAL_QUERIES = {
+    "q252_video_set_neardup": (q252_video_set_neardup, Q252_SQL),
     "q256_cross_modal_dup_matrix": (q256_cross_modal_dup_matrix, Q256_SQL),
     "q240_block_motion": (q240_block_motion, _q240_sql()),
     "q237_audio_onsets": (q237_audio_onsets, _q237_sql()),

@@ -173,3 +173,29 @@ def test_q240_block_motion_matches_numpy(spark):
                     ssad += sad
         want["med" + str(int(did)).zfill(10)] = (nb, mnz, ml1, ssad)
     assert got == want and len(got) == 250
+
+
+def test_q252_drop_head_probe_recall(spark, sf_dir):
+    """Every same-seed pair must be recovered (exact + trimmed), and no
+    cross-seed pair may appear; trimmed-vs-untrimmed pairs carry Jaccard
+    (nf-1)/nf < 1, same-trim pairs exactly 1.0."""
+    from geowave_spark.queries_multimodal import MULTIMODAL_QUERIES
+
+    pdf = (MULTIMODAL_QUERIES["q252_video_set_neardup"][0](spark, sf_dir)
+           .toPandas())
+    d1 = pdf["id1"].str[3:].astype(int)
+    d2 = pdf["id2"].str[3:].astype(int)
+    assert ((d1 % 61) == (d2 % 61)).all()
+    trim1 = (d1 // 61) % 3 == 0
+    trim2 = (d2 // 61) % 3 == 0
+    same = trim1 == trim2
+    assert (pdf.loc[same, "jac_micro"] == 1_000_000).all()
+    assert (pdf.loc[~same, "jac_micro"] < 1_000_000).all()
+    # completeness: n*(n-1)/2 pairs per seed class
+    import duckdb
+    n_pairs = duckdb.sql(
+        f"SELECT sum(n * (n - 1) // 2) FROM (SELECT count(*) AS n FROM "
+        f"'{sf_dir}/documents.parquet' WHERE doc_id % 2 = 0 "
+        f"GROUP BY doc_id % 61)"
+    ).fetchone()[0]
+    assert len(pdf) == n_pairs
