@@ -224,7 +224,73 @@ ORDER BY d1, d2
 """
 
 
+def _q257(tok: str, idiv: str, base: str) -> str:
+    """Water-filling token-budget allocator: given per-source token masses
+    and a global budget B = total/2, find the unique cap C with
+    sum(min(tokens_s, C)) = B and allocate exactly B tokens — small
+    sources keep everything, large sources are leveled to the cap, and
+    the integer remainder goes one token each to the first capped sources
+    in (tokens, source) order, so sum(alloc) == B EXACTLY.
+
+    This is how a training mix is actually budgeted (the continuous twin
+    of q76's fixed temperature weights): the cap position j is the
+    smallest sorted rank where P_{i-1} + t_i*(m-i+1) >= B.  Everything is
+    one keyed aggregate + one window over the per-SOURCE relation (m
+    rows, not n) — at 10^12 documents the only corpus-sized work is the
+    first groupBy, which combines map-side.
+    """
+    return f"""
+WITH per AS (
+  SELECT source, cast(sum({tok}) as bigint) AS toks
+  FROM documents GROUP BY source
+),
+b AS (
+  SELECT cast({idiv} as bigint) AS budget,
+         cast(count(*) as bigint) AS m
+  FROM per
+),
+ord AS (
+  SELECT source, toks,
+         cast(row_number() OVER (ORDER BY toks, source) as bigint) AS i,
+         cast(sum(toks) OVER (ORDER BY toks, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+           AS pfx
+  FROM per
+),
+jpos AS (
+  SELECT min(i) AS j FROM ord, b
+  WHERE (pfx - toks) + toks * (m - i + 1) >= budget
+),
+capv AS (
+  SELECT jpos.j AS j,
+         (b.budget - coalesce(
+            (SELECT pfx FROM ord WHERE i = jpos.j - 1), 0)) AS spread,
+         (b.m - jpos.j + 1) AS nc
+  FROM jpos, b
+)
+SELECT o.source, o.toks,
+       cast(CASE
+         WHEN c.j IS NULL OR o.i < c.j THEN o.toks
+         WHEN o.i < c.j + (c.spread % c.nc) THEN {base} + 1
+         ELSE {base}
+       END as bigint) AS alloc,
+       cast(CASE WHEN c.j IS NULL OR o.i < c.j THEN 0 ELSE 1 END as int)
+         AS capped
+FROM ord o, capv c
+ORDER BY o.source
+"""
+
+
+def q257_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_q257(_TOK, "sum(toks) div 2", "(c.spread div c.nc)"))
+
+
+Q257_SQL = _q257(_TOK_DUCK, "sum(toks) // 2", "(c.spread // c.nc)")
+
+
 PIPELINE_QUERIES = {
+    "q257_token_waterfill": (q257_token_waterfill, Q257_SQL),
     "q74_stratified_sample": (q74_stratified_sample, Q74_SQL),
     "q75_reservoir_per_stratum": (q75_reservoir_per_stratum, Q75_SQL),
     "q76_weighted_mixture": (q76_weighted_mixture, Q76_SQL),

@@ -2652,7 +2652,96 @@ def _q246_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "FROM q246_picks ORDER BY round")
 
 
+def _q258(d: G.Dialect) -> str:
+    """IVF recall-vs-nprobe tuning curve: for nprobe in {1, 2, 4}, the
+    recall@1 of q41's fixed-K inverted-file ANN against the brute-force
+    true nearest neighbor, over the sampled query set.  THE operational
+    question of ANN at 10^12 vectors is "how many cells must I probe for
+    the recall I need" — this query IS that curve, computed inside the
+    engine so the tuning loop needs no export.
+
+    Shape: q41's assignment CTEs (vecs x 16 broadcast centroids), per
+    query a centroid ranking (sample x 16), candidate search restricted
+    to the probed cells (equi-join on cent_id), true NN from the
+    brute-force sample x corpus join (the oracle-grade reference, sample
+    is 1/50 of rows so it is O(n*s) not O(n^2)), one hit flag per
+    (nprobe, query).  Integer micro cosine everywhere so ranking ties
+    break identically in both engines (q41 lesson).
+    """
+    dt_ac = G.dot(d, "a.v", "c.v", 64)
+    dt_qc = G.dot(d, "q.v", "c.v", 64)
+    dt_qx = G.dot(d, "q.v", "x.v", 64)
+    npv = "(VALUES (1), (2), (4)) AS np(nprobe)"
+    return f"""
+WITH v0 AS (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v FROM embeddings),
+vecs AS (SELECT vec_id, v, sqrt({G.dot(d, 'v', 'v', 64)}) AS nv FROM v0),
+cent AS (SELECT vec_id AS cent_id, v, nv
+         FROM (SELECT vec_id, v, nv FROM vecs ORDER BY vec_id LIMIT 16) t),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT a.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY cast(floor(1000000.0 * ({dt_ac}) / (a.nv * c.nv)) as bigint) DESC,
+                      c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+  ) t WHERE rn = 1
+),
+cells AS (
+  SELECT s.vec_id, s.v, s.nv, a.cent_id
+  FROM vecs s JOIN assign a ON a.vec_id = s.vec_id
+),
+qs AS (SELECT vec_id, v, nv FROM vecs WHERE vec_id % 50 = 0),
+qrank AS (
+  SELECT q.vec_id AS qid, c.cent_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY cast(floor(1000000.0 * ({dt_qc}) / (q.nv * c.nv)) as bigint) DESC,
+                    c.cent_id ASC
+         ) AS crank
+  FROM qs q CROSS JOIN cent c
+),
+truenn AS (
+  SELECT qid, cid AS true_cid FROM (
+    SELECT q.vec_id AS qid, x.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY cast(floor(1000000.0 * ({dt_qx}) / (q.nv * x.nv)) as bigint) DESC,
+                      x.vec_id ASC
+           ) AS rn
+    FROM qs q JOIN vecs x ON x.vec_id <> q.vec_id
+  ) t WHERE rn = 1
+),
+approx AS (
+  SELECT nprobe, qid, cid AS approx_cid FROM (
+    SELECT np.nprobe, q.vec_id AS qid, x.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY np.nprobe, q.vec_id
+             ORDER BY cast(floor(1000000.0 * ({dt_qx}) / (q.nv * x.nv)) as bigint) DESC,
+                      x.vec_id ASC
+           ) AS rn
+    FROM {npv}
+    CROSS JOIN qs q
+    JOIN qrank r ON r.qid = q.vec_id AND r.crank <= np.nprobe
+    JOIN cells x ON x.cent_id = r.cent_id AND x.vec_id <> q.vec_id
+  ) t WHERE rn = 1
+)
+SELECT a.nprobe,
+       cast(count(*) as bigint) AS n_queries,
+       cast(sum(CASE WHEN a.approx_cid = tn.true_cid THEN 1 ELSE 0 END) as bigint)
+         AS hits,
+       cast(floor(1000.0 * sum(CASE WHEN a.approx_cid = tn.true_cid THEN 1 ELSE 0 END)
+            / count(*)) as bigint) AS recall_milli
+FROM approx a
+JOIN truenn tn ON tn.qid = a.qid
+GROUP BY a.nprobe
+ORDER BY a.nprobe
+"""
+
+
 TEXT_QUERIES = {
+    "q258_ivf_recall_curve": _dual(_q258),
     "q15_exact_dedup": _dual(_q15),
     "q219_ppjoin_similarity": (_q219_spark, _q219_duck_sql()),
     "q222_power_iteration": (_q222_spark, _q222(G.DUCK)),

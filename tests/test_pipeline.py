@@ -139,3 +139,44 @@ def test_pack_oversized_doc_gets_own_pack(spark):
     # the 500-token doc shares no pack with another doc
     big_pack = packs[0]
     assert [p for i, p in packs.items() if p == big_pack] == [big_pack]
+
+
+def test_q257_waterfill_invariants(spark, sf_dir):
+    """Independent python recompute of the water-fill: sum(alloc) == B
+    exactly, uncapped sources keep everything, capped allocations level
+    within 1 token and never exceed capacity."""
+    import duckdb
+
+    from geowave_spark.queries_pipeline import PIPELINE_QUERIES
+
+    pdf = (PIPELINE_QUERIES["q257_token_waterfill"][0](spark, sf_dir)
+           .toPandas())
+    per = duckdb.sql(
+        f"SELECT source, sum(n_chars // 4 + 1) AS toks FROM "
+        f"'{sf_dir}/documents.parquet' GROUP BY source ORDER BY toks, source"
+    ).df()
+    budget = int(per["toks"].sum()) // 2
+    # python water-fill
+    toks = per["toks"].astype(int).tolist()
+    m = len(toks)
+    alloc = dict(zip(per["source"], toks))
+    pfx = 0
+    j = None
+    for i, t in enumerate(toks, start=1):
+        if pfx + t * (m - i + 1) >= budget:
+            j = i
+            break
+        pfx += t
+    if j is not None:
+        spread = budget - pfx
+        nc = m - j + 1
+        base, rem = divmod(spread, nc)
+        for off, src in enumerate(per["source"].tolist()[j - 1:]):
+            alloc[src] = base + 1 if off < rem else base
+    got = dict(zip(pdf["source"], pdf["alloc"].astype(int)))
+    assert got == alloc
+    assert int(pdf["alloc"].sum()) == budget
+    assert (pdf["alloc"] <= pdf["toks"]).all()
+    capped = pdf[pdf["capped"] == 1]["alloc"]
+    if len(capped) > 1:
+        assert capped.max() - capped.min() <= 1

@@ -3542,3 +3542,42 @@ def test_q248_peak_burst_matches_python(spark):
                    - i for i, t in enumerate(us))
         peaks[peak] += 1
     assert got == dict(peaks) and sum(got.values()) == 150
+
+
+def test_q258_recall_monotone_and_numpy_exact(spark, sf_dir):
+    """Recall must be non-decreasing in nprobe, and the nprobe=1 hit set
+    recomputed with a numpy brute-force IVF mirror."""
+    import duckdb
+    import numpy as np
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    pdf = TEXT_QUERIES["q258_ivf_recall_curve"][0](spark, sf_dir).toPandas()
+    assert list(pdf["nprobe"]) == [1, 2, 4]
+    assert (pdf["recall_milli"].diff().dropna() >= 0).all()
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).df()
+    v = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    vid = emb["vec_id"].to_numpy()
+    nv = np.sqrt((v * v).sum(axis=1))
+    sim = np.floor(1e6 * (v @ v.T) / np.outer(nv, nv)).astype(np.int64)
+    cent_idx = np.argsort(vid)[:16]
+    # assignment: max micro-cosine to centroid, ties to lowest cent_id
+    a_enc = sim[:, cent_idx] * 16 - np.arange(16)
+    assign = a_enc.argmax(axis=1)
+    qmask = vid % 50 == 0
+    hits = 0
+    for qi in np.where(qmask)[0]:
+        s = sim[qi].copy()
+        s[qi] = np.iinfo(np.int64).min
+        true_nn = np.argmax(s * 4096 + (4095 - vid))
+        cand = (assign == assign[qi])
+        cand[qi] = False
+        if not cand.any():
+            continue
+        sc = np.where(cand, s, np.iinfo(np.int64).min)
+        approx_nn = np.argmax(sc * 4096 + (4095 - vid))
+        hits += int(approx_nn == true_nn)
+    assert int(pdf.loc[pdf["nprobe"] == 1, "hits"].iloc[0]) == hits
