@@ -451,6 +451,155 @@ ORDER BY o.owner
 """
 
 
+# --------------------------------------------------------------- q259
+
+_R259 = 6   # 64 x 64 statistics grid
+_N259 = 20  # query rects
+
+
+def _q259(d: G.Dialect) -> str:
+    """Join-selectivity estimator audit: predict each rect-join's output
+    size from the per-cell point histogram ALONE (the cost-based-optimizer
+    statistic — GeoWave keeps exactly this per-bin row-count statistic for
+    split planning, `core/store/.../statistics/` + `SplitsProvider`), then
+    run the real join and report estimate vs actual.
+
+    est(rect) = sum of counts of every res-6 cell the rect's bbox touches
+    (an upper bound: boundary cells count fully).  The estimator relation
+    is rects x their covered cells (bounded by rect area / cell area) JOIN
+    the 4096-row histogram — never the point corpus; the exact join is the
+    engine's normal broadcast range join.  err_milli = 1000*est/actual
+    quantifies how much the planner would over-provision per rect.
+    """
+    n = 1 << _R259
+    pts = geo.lineitem_points_sql()
+    # 20 deterministic rects, various sizes
+    rects = f"""
+SELECT r AS rect_id,
+       cast(-170 + (r * 53) % 300 as double) AS lon0,
+       cast(-80 + (r * 37) % 140 as double) AS lat0,
+       cast(4 + (r * 7) % 30 as double) AS dw,
+       cast(3 + (r * 11) % 20 as double) AS dh
+FROM (SELECT {d.explode(d.seq('0', str(_N259 - 1)))} AS r) s
+"""
+    return f"""
+WITH pts AS ({pts}),
+rects AS (
+  SELECT rect_id, lon0, lat0, lon0 + dw AS lon1, lat0 + dh AS lat1
+  FROM ({rects}) rr
+),
+hist AS (
+  SELECT cast(floor((lon + 180e0) / 360e0 * {n}) as bigint) AS cx,
+         cast(floor((lat + 90e0) / 180e0 * {n}) as bigint) AS cy,
+         cast(count(*) as bigint) AS cnt
+  FROM pts
+  WHERE lon >= -180 AND lon < 180 AND lat >= -90 AND lat < 90
+  GROUP BY 1, 2
+),
+cover AS (
+  SELECT r.rect_id, gx.g AS cx, gy.g AS cy
+  FROM rects r,
+       LATERAL (SELECT {d.explode(d.seq(
+           f"cast(floor((r.lon0 + 180e0) / 360e0 * {n}) as bigint)",
+           f"cast(floor((r.lon1 + 180e0) / 360e0 * {n}) as bigint)"))} AS g) gx,
+       LATERAL (SELECT {d.explode(d.seq(
+           f"cast(floor((r.lat0 + 90e0) / 180e0 * {n}) as bigint)",
+           f"cast(floor((r.lat1 + 90e0) / 180e0 * {n}) as bigint)"))} AS g) gy
+),
+est AS (
+  SELECT c.rect_id, cast(sum(h.cnt) as bigint) AS est_rows
+  FROM cover c JOIN hist h ON h.cx = c.cx AND h.cy = c.cy
+  GROUP BY c.rect_id
+),
+act AS (
+  SELECT r.rect_id, cast(count(*) as bigint) AS actual_rows
+  FROM pts p JOIN rects r
+    ON p.lon >= r.lon0 AND p.lon < r.lon1
+   AND p.lat >= r.lat0 AND p.lat < r.lat1
+  GROUP BY r.rect_id
+)
+SELECT r.rect_id,
+       coalesce(e.est_rows, 0) AS est_rows,
+       coalesce(a.actual_rows, 0) AS actual_rows,
+       cast(CASE WHEN coalesce(a.actual_rows, 0) = 0 THEN -1
+            ELSE floor(1000.0 * e.est_rows / a.actual_rows) END as bigint)
+         AS over_milli
+FROM rects r
+LEFT JOIN est e ON e.rect_id = r.rect_id
+LEFT JOIN act a ON a.rect_id = r.rect_id
+ORDER BY r.rect_id
+"""
+
+
+# --------------------------------------------------------------- q260
+
+_CAP260 = 256  # split a cell while it holds more than this many points
+
+
+def _q260(d: G.Dialect) -> str:
+    """Adaptive quadtree tiering: split any cell holding more than CAP
+    points, to depth 4 — the leaf set IS the tier assignment of the
+    reference's statistics-balanced tiered SFC index
+    (`TieredSFCIndexStrategy` + `SplitsProvider.java:284-325`: coarse
+    tiers where data is sparse, fine tiers in hot spots), exposed as an
+    observable query.
+
+    Relational form (no recursion needed): ancestor counts are monotone
+    non-increasing with depth, so a level-k cell is in the tree iff its
+    PARENT count > CAP, and it is a leaf iff additionally its own count
+    <= CAP (or k = maxdepth).  One scan computes the finest-level counts;
+    every coarser level is a 4-to-1 parent roll-up of the previous (the
+    q53 pyramid pattern); leaves fall out of 5 small joins on the cell
+    relations.
+    """
+    # The corpus is cube-compressed toward the origin (lon' = lon^3/180^2)
+    # because the synthetic points are hash-uniform and a uniform density
+    # yields one flat tier; the compression plants the central hot spot
+    # that makes the tiering observable (fine tiers at the center, coarse
+    # at the edges) — the data shape the tiered index exists for.
+    pts = geo.lineitem_points_sql()
+    n4 = 16  # 2^4
+    lvl_cte = [f"""
+skew AS (
+  SELECT lon * lon * lon / 32400e0 AS lon, lat * lat * lat / 8100e0 AS lat
+  FROM pts
+),
+c4 AS (
+  SELECT cast(floor((lon + 180e0) / 360e0 * {n4}) as bigint) AS cx,
+         cast(floor((lat + 90e0) / 180e0 * {n4}) as bigint) AS cy,
+         cast(count(*) as bigint) AS n
+  FROM skew
+  WHERE lon >= -180 AND lon < 180 AND lat >= -90 AND lat < 90
+  GROUP BY 1, 2
+)"""]
+    for k in (3, 2, 1, 0):
+        dv_x = d.intdiv("cx", "2")
+        dv_y = d.intdiv("cy", "2")
+        lvl_cte.append(f"""
+c{k} AS (
+  SELECT {dv_x} AS cx, {dv_y} AS cy, cast(sum(n) as bigint) AS n
+  FROM c{k + 1} GROUP BY 1, 2
+)""")
+    leaves = [f"SELECT 0 AS level, cx, cy, n FROM c0 WHERE n <= {_CAP260}"]
+    for k in (1, 2, 3):
+        pdx = d.intdiv("c.cx", "2")
+        pdy = d.intdiv("c.cy", "2")
+        leaves.append(f"""
+SELECT {k} AS level, c.cx, c.cy, c.n
+FROM c{k} c JOIN c{k - 1} p ON p.cx = {pdx} AND p.cy = {pdy}
+WHERE p.n > {_CAP260} AND c.n <= {_CAP260}""")
+    pdx = d.intdiv("c.cx", "2")
+    pdy = d.intdiv("c.cy", "2")
+    leaves.append(f"""
+SELECT 4 AS level, c.cx, c.cy, c.n
+FROM c4 c JOIN c3 p ON p.cx = {pdx} AND p.cy = {pdy}
+WHERE p.n > {_CAP260}""")
+    body = "\nUNION ALL\n".join(leaves)
+    return (f"WITH pts AS ({pts}),{','.join(lvl_cte)}\n"
+            f"SELECT cast(level as int) AS level, cx, cy, n FROM ({body}) u "
+            f"ORDER BY level, cx, cy")
+
+
 def _dual(gen) -> tuple:
     def _spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -466,4 +615,6 @@ FLEET_QUERIES = {
     "q253_dateline_wrap_join": (_q253_spark, _q253(G.DUCK)),
     "q254_curriculum_interleave": _dual(_q254),
     "q255_voronoi_boundary": _dual(_q255),
+    "q259_selectivity_estimator": _dual(_q259),
+    "q260_quadtree_tiering": _dual(_q260),
 }

@@ -137,3 +137,54 @@ def test_q255_partition_of_cells(spark, sf_dir):
     assert int(pdf["n_cells"].sum()) == n_cells
     # boundary edges are double-counted across owners -> even total
     assert int(pdf["boundary_edges"].sum()) % 2 == 0
+
+
+def test_q259_estimate_upper_bounds_actual(spark, sf_dir):
+    """Full-cell counting over-counts boundary cells, so the estimate is
+    a guaranteed upper bound on the true join size, and it should be
+    within ~one cell-ring of truth for large rects (over_milli >= 1000)."""
+    pdf = _run("q259_selectivity_estimator", spark, sf_dir)
+    has = pdf[pdf["actual_rows"] > 0]
+    assert (has["est_rows"] >= has["actual_rows"]).all()
+    assert (has["over_milli"] >= 1000).all()
+
+
+def test_q260_quadtree_python_recompute(spark, sf_dir):
+    """Leaves partition the in-bounds point mass, never descend from
+    another leaf, and match an independent python quadtree."""
+    import duckdb
+
+    from geowave_spark.table import geo
+
+    pdf = _run("q260_quadtree_tiering", spark, sf_dir)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    pts = con.sql(f"""
+        WITH pts AS ({geo.lineitem_points_sql()})
+        SELECT lon*lon*lon/32400 AS lon, lat*lat*lat/8100 AS lat FROM pts
+    """).df()
+    pts = pts[(pts.lon >= -180) & (pts.lon < 180)
+              & (pts.lat >= -90) & (pts.lat < 90)]
+    import collections
+    cnt = [collections.Counter() for _ in range(5)]
+    for lo, la in zip(pts.lon, pts.lat):
+        x4 = int((lo + 180) / 360 * 16)
+        y4 = int((la + 90) / 180 * 16)
+        for k in range(4, -1, -1):
+            cnt[k][(x4 >> (4 - k), y4 >> (4 - k))] += 1
+    CAP = 256
+    leaves = {}
+    for k in range(5):
+        for (x, y), n in cnt[k].items():
+            parent_split = k == 0 or cnt[k - 1][(x // 2, y // 2)] > CAP
+            own_ok = n <= CAP or k == 4
+            if parent_split and (k == 0 and n <= CAP or k > 0 and own_ok):
+                if k < 4 and n > CAP:
+                    continue
+                leaves[(k, x, y)] = n
+    got = {(int(r.level), int(r.cx), int(r.cy)): int(r.n)
+           for r in pdf.itertuples()}
+    assert got == leaves
+    assert sum(got.values()) == len(pts)
