@@ -159,6 +159,155 @@ ORDER BY dir
 """
 
 
+# --------------------------------------------------------------- q261
+
+
+def hilbert_ctes(d: G.Dialect, src: str, res: int = 8,
+                 carry: str = "") -> list[str]:
+    """Chained CTEs computing the res-bit 2-D Hilbert key of (cx, cy) —
+    the classic iterative rotate/reflect mapping (`sfc/hilbert.py`, after
+    GeoWave's `PrimitiveHilbertSFCOperations.java`) re-expressed as ONE
+    relational pass per bit: each CTE folds one scale s into (hx, hy,
+    acc), state kept in [0, s) by mod-reducing BEFORE the reflection so
+    every intermediate is nonnegative and signed SQL div/mod semantics
+    match the uint64 numpy bit arithmetic exactly (asserted against
+    `sfc.hilbert.encode` in tests).  Linear expression growth (8 chained
+    selects), not the 4^res blowup of a single inlined CASE tree.
+    """
+    cc = f"{carry}, " if carry else ""
+    ctes = [
+        f"h{res} AS (SELECT {cc}cx, cy, cast(cx as bigint) AS hx, "
+        f"cast(cy as bigint) AS hy, cast(0 as bigint) AS acc FROM {src})"
+    ]
+    for k in range(res - 1, -1, -1):
+        s = 1 << k
+        rx = f"({d.intdiv('hx', str(s))})"
+        ry = f"({d.intdiv('hy', str(s))})"
+        xl = f"(hx % {s})" if s > 1 else "0"
+        yl = f"(hy % {s})" if s > 1 else "0"
+        digit = (f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+                 f"WHEN {rx} = 0 THEN 1 WHEN {ry} = 1 THEN 2 ELSE 3 END)")
+        nx = (f"(CASE WHEN {ry} = 1 THEN {xl} "
+              f"WHEN {rx} = 1 THEN {s - 1} - {yl} ELSE {yl} END)")
+        ny = (f"(CASE WHEN {ry} = 1 THEN {yl} "
+              f"WHEN {rx} = 1 THEN {s - 1} - {xl} ELSE {xl} END)")
+        ctes.append(
+            f"h{k} AS (SELECT {cc}cx, cy, {nx} AS hx, {ny} AS hy, "
+            f"acc + {s * s} * {digit} AS acc FROM h{k + 1})"
+        )
+    return ctes
+
+
+def _q261(d: G.Dialect) -> str:
+    """Hilbert-vs-Z locality audit: q250's adjacency key-gap aggregate,
+    now comparing the PRIMARY curve of the reference (Hilbert — GeoWave's
+    default SFC) against Z-order over the same occupied cells.  Hilbert's
+    selling point is exactly this number: every unit step of the curve is
+    a unit step in space, so adjacent-cell key gaps stay small where
+    Z-order pays 'seam' jumps at quadrant boundaries; this query measures
+    the claim on the real corpus instead of asserting it.
+    """
+    n = 1 << _R250
+    pts = geo.lineitem_points_sql()
+    zk1 = _q250_zkey(d, "c1.cx", "c1.cy")
+    zk2 = _q250_zkey(d, "c2.cx", "c2.cy")
+    hc = ",".join(hilbert_ctes(d, "cells", _R250))
+    return f"""
+WITH pts AS ({pts}),
+cells AS (
+  SELECT DISTINCT
+    cast(floor((lon + 180e0) / 360e0 * {n}) as bigint) AS cx,
+    cast(floor((lat + 90e0) / 180e0 * {n}) as bigint) AS cy
+  FROM pts
+  WHERE lon >= -180 AND lon < 180 AND lat >= -90 AND lat < 90
+),
+{hc},
+keyed AS (SELECT cx, cy, acc AS hkey FROM h0),
+pairs AS (
+  SELECT 'E' AS dir,
+         abs(c2.hkey - c1.hkey) AS hgap,
+         abs({zk2} - {zk1}) AS zgap
+  FROM keyed c1 JOIN keyed c2 ON c2.cx = c1.cx + 1 AND c2.cy = c1.cy
+  UNION ALL
+  SELECT 'N' AS dir,
+         abs(c2.hkey - c1.hkey) AS hgap,
+         abs({zk2} - {zk1}) AS zgap
+  FROM keyed c1 JOIN keyed c2 ON c2.cx = c1.cx AND c2.cy = c1.cy + 1
+)
+SELECT dir, count(*) AS pairs,
+       cast(sum(hgap) as bigint) AS h_total_gap, max(hgap) AS h_max_gap,
+       cast(sum(zgap) as bigint) AS z_total_gap, max(zgap) AS z_max_gap,
+       cast(sum(CASE WHEN hgap = 1 THEN 1 ELSE 0 END) as bigint) AS h_unit_steps,
+       cast(sum(CASE WHEN zgap = 1 THEN 1 ELSE 0 END) as bigint) AS z_unit_steps
+FROM pairs
+GROUP BY dir
+ORDER BY dir
+"""
+
+
+# --------------------------------------------------------------- q262
+
+_W262 = 16  # sampled 8x8 query windows
+
+
+def _q262(d: G.Dialect) -> str:
+    """Range-decomposition cluster audit — the metric Hilbert actually
+    wins: for a query window, how many CONTIGUOUS key ranges cover its
+    cells?  Every cluster is one range scan the decomposed query must
+    issue (`BinaryUtils`/range-decomposition in the reference; our
+    `index/cover.py`), so clusters-per-window is the read-amplification
+    constant of the whole tiered-scan design.  q261 shows neighbor GAP
+    totals can favor Z; THIS aggregate is why GeoWave still defaults to
+    Hilbert — fewer, longer runs per window (Moon et al. 2001, the
+    clustering property of Hilbert curves).
+
+    16 deterministic 8x8 windows; for each, all 64 cell keys under
+    Hilbert / Z-order / row-major; clusters = 1 + #(sorted-key diffs >
+    1), via one lag window per curve.  Everything operates on 16*64 =
+    1024 generated rows — the corpus is not involved; this audits the
+    index geometry itself.
+    """
+    n = 1 << _R250
+    zk = _q250_zkey(d, "cx", "cy")
+    hc = ",".join(hilbert_ctes(d, "wcells", _R250, carry="wid"))
+    return f"""
+WITH wins AS (
+  SELECT w AS wid,
+         cast((w * 29) % {n - 8} as bigint) AS ox,
+         cast((w * 37) % {n - 8} as bigint) AS oy
+  FROM (SELECT {d.explode(d.seq('0', str(_W262 - 1)))} AS w) s
+),
+wcells AS (
+  SELECT w.wid, w.ox + dx.g AS cx, w.oy + dy.g AS cy
+  FROM wins w,
+       LATERAL (SELECT {d.explode(d.seq('0', '7'))} AS g) dx,
+       LATERAL (SELECT {d.explode(d.seq('0', '7'))} AS g) dy
+),
+{hc},
+keyed AS (
+  SELECT wid, acc AS hkey, {zk} AS zkey, cy * {n} + cx AS rkey
+  FROM h0
+),
+runs AS (
+  SELECT wid,
+         CASE WHEN hkey - lag(hkey) OVER (PARTITION BY wid ORDER BY hkey)
+                   > 1 THEN 1 ELSE 0 END AS hbrk,
+         CASE WHEN zkey - lag(zkey) OVER (PARTITION BY wid ORDER BY zkey)
+                   > 1 THEN 1 ELSE 0 END AS zbrk,
+         CASE WHEN rkey - lag(rkey) OVER (PARTITION BY wid ORDER BY rkey)
+                   > 1 THEN 1 ELSE 0 END AS rbrk
+  FROM keyed
+)
+SELECT wid,
+       cast(1 + sum(hbrk) as bigint) AS hilbert_clusters,
+       cast(1 + sum(zbrk) as bigint) AS zorder_clusters,
+       cast(1 + sum(rbrk) as bigint) AS rowmajor_clusters
+FROM runs
+GROUP BY wid
+ORDER BY wid
+"""
+
+
 # --------------------------------------------------------------- q253
 
 _N253 = 12  # wrapped query rects
@@ -617,4 +766,6 @@ FLEET_QUERIES = {
     "q255_voronoi_boundary": _dual(_q255),
     "q259_selectivity_estimator": _dual(_q259),
     "q260_quadtree_tiering": _dual(_q260),
+    "q261_hilbert_locality": _dual(_q261),
+    "q262_sfc_window_clusters": _dual(_q262),
 }

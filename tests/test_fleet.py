@@ -188,3 +188,36 @@ def test_q260_quadtree_python_recompute(spark, sf_dir):
            for r in pdf.itertuples()}
     assert got == leaves
     assert sum(got.values()) == len(pts)
+
+
+def test_hilbert_sql_matches_numpy_exhaustive(spark, sf_dir):
+    """The chained-CTE SQL Hilbert encoder must agree with
+    sfc.hilbert.encode on EVERY res-8 cell and be a bijection."""
+    import duckdb
+    import numpy as np
+
+    from geowave_spark.functions import sqlgen as G
+    from geowave_spark.queries_fleet import hilbert_ctes
+    from geowave_spark.sfc import hilbert
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE cells AS SELECT x AS cx, y AS cy FROM "
+            "generate_series(0, 255) s(x), generate_series(0, 255) t(y)")
+    sql = ("WITH " + ",".join(hilbert_ctes(G.DUCK, "cells", 8))
+           + " SELECT cx, cy, acc FROM h0 ORDER BY cx, cy")
+    df = con.sql(sql).df()
+    exp = hilbert.encode(df.cx.to_numpy(), df.cy.to_numpy(),
+                         bits=8).astype(np.int64)
+    assert (df.acc.to_numpy() == exp).all()
+    assert len(set(df.acc)) == 256 * 256
+
+
+def test_q262_hilbert_wins_cluster_count(spark, sf_dir):
+    """Moon et al.'s clustering claim on our curves: averaged over the
+    sampled windows, Hilbert needs no more range scans than Z-order and
+    strictly fewer in aggregate; row-major needs exactly 8 (one per row)
+    for every 8-wide window."""
+    pdf = _run("q262_sfc_window_clusters", spark, sf_dir)
+    assert (pdf["rowmajor_clusters"] == 8).all()
+    assert (pdf["hilbert_clusters"] <= pdf["zorder_clusters"]).all()
+    assert pdf["hilbert_clusters"].sum() < pdf["zorder_clusters"].sum()
