@@ -308,6 +308,84 @@ ORDER BY wid
 """
 
 
+# --------------------------------------------------------------- q263
+
+_R263 = 6   # 64 x 64 planning grid
+_K263 = 8   # target neighbor count
+
+
+def _q263(d: G.Dialect) -> str:
+    """kNN ring-size planner: from the per-cell histogram alone, the
+    minimal Chebyshev ring radius r around each sampled query cell whose
+    cumulative point count reaches k+1 — i.e. how far `knn/knn.py`'s
+    doubling-ring join would have to expand before the window top-k can
+    terminate.  The output distribution (queries per required radius,
+    plus the max) is the planner number that sizes the broadcast
+    ring-cover fan-out at 10^12 rows BEFORE running the join: if p99
+    needs r=1, covering r=4 up front wastes 25x the candidate volume;
+    if the histogram says r=4, start there and skip the doubling
+    iterations.
+
+    Shape: histogram (one keyed aggregate of the corpus) x 81 ring
+    offsets (generated) x sampled queries — the corpus appears once; the
+    planning join touches only cell relations.
+    """
+    n = 1 << _R263
+    pts = geo.lineitem_points_sql()
+    return f"""
+WITH pts AS ({pts}),
+hist AS (
+  SELECT cast(floor((lon + 180e0) / 360e0 * {n}) as bigint) AS cx,
+         cast(floor((lat + 90e0) / 180e0 * {n}) as bigint) AS cy,
+         cast(count(*) as bigint) AS cnt
+  FROM pts
+  WHERE lon >= -180 AND lon < 180 AND lat >= -90 AND lat < 90
+  GROUP BY 1, 2
+),
+qs AS (
+  SELECT DISTINCT
+    cast(floor((lon + 180e0) / 360e0 * {n}) as bigint) AS qx,
+    cast(floor((lat + 90e0) / 180e0 * {n}) as bigint) AS qy
+  FROM pts
+  WHERE pid % 199 = 0
+    AND lon >= -180 AND lon < 180 AND lat >= -90 AND lat < 90
+),
+offs AS (
+  SELECT a.g AS dx, b.g AS dy
+  FROM (SELECT {d.explode(d.seq('-4', '4'))} AS g) a
+  CROSS JOIN (SELECT {d.explode(d.seq('-4', '4'))} AS g) b
+),
+ring AS (
+  SELECT q.qx, q.qy,
+         greatest(abs(o.dx), abs(o.dy)) AS r,
+         coalesce(h.cnt, 0) AS cnt
+  FROM qs q
+  CROSS JOIN offs o
+  LEFT JOIN hist h ON h.cx = q.qx + o.dx AND h.cy = q.qy + o.dy
+),
+rsum AS (
+  SELECT qx, qy, r, cast(sum(cnt) as bigint) AS s
+  FROM ring GROUP BY qx, qy, r
+),
+cum AS (
+  SELECT qx, qy, r,
+         sum(s) OVER (PARTITION BY qx, qy ORDER BY r) AS cum_cnt
+  FROM rsum
+),
+need AS (
+  SELECT qx, qy,
+         coalesce(min(CASE WHEN cum_cnt >= {_K263 + 1} THEN r END), 5)
+           AS r_needed
+  FROM cum GROUP BY qx, qy
+)
+SELECT cast(r_needed as int) AS r_needed,
+       cast(count(*) as bigint) AS n_queries
+FROM need
+GROUP BY r_needed
+ORDER BY r_needed
+"""
+
+
 # --------------------------------------------------------------- q253
 
 _N253 = 12  # wrapped query rects
@@ -768,4 +846,5 @@ FLEET_QUERIES = {
     "q260_quadtree_tiering": _dual(_q260),
     "q261_hilbert_locality": _dual(_q261),
     "q262_sfc_window_clusters": _dual(_q262),
+    "q263_knn_ring_planner": _dual(_q263),
 }

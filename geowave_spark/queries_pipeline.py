@@ -289,8 +289,64 @@ def q257_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q257_SQL = _q257(_TOK_DUCK, "sum(toks) // 2", "(c.spread // c.nc)")
 
 
+def _q264(idiv_1000: str) -> str:
+    """Duplicate-aware sampling audit: naive row-level Bernoulli sampling
+    picks duplicate-cluster members in proportion to CLUSTER SIZE, so an
+    eval set sampled naively over-weights exactly the content that was
+    re-posted most; cluster-aware sampling hashes the CANONICAL id
+    instead, giving every distinct content one ticket.  Per source this
+    reports both samples' sizes and their duplicate mass (rows whose text
+    cluster has > 1 member) — the bias the naive sample would bake into
+    eval metrics.
+
+    Both samples use the same 10% hash rule, so the columns are directly
+    comparable; clusters come from exact text dedup (q15's definition:
+    min doc_id per text is the canonical).  One corpus scan + one
+    text-keyed aggregate; the per-row verdicts are broadcastable joins
+    back to the small cluster relation at any scale because the cluster
+    relation is keyed by text hash, not by row.
+    """
+    return f"""
+WITH clus AS (
+  SELECT text, min(doc_id) AS canonical,
+         cast(count(*) as bigint) AS csize
+  FROM documents GROUP BY text
+),
+rows_ AS (
+  SELECT d.doc_id, d.source, c.canonical, c.csize,
+         CASE WHEN ((d.doc_id * 40503 + 11) % 1000003) % 1000 < 100
+              THEN 1 ELSE 0 END AS naive_pick,
+         CASE WHEN ((c.canonical * 40503 + 11) % 1000003) % 1000 < 100
+                   AND d.doc_id = c.canonical
+              THEN 1 ELSE 0 END AS cluster_pick
+  FROM documents d JOIN clus c ON c.text = d.text
+)
+SELECT source,
+       cast(count(*) as bigint) AS n_rows,
+       cast(count(DISTINCT canonical) as bigint) AS n_clusters,
+       cast(sum(naive_pick) as bigint) AS naive_rows,
+       cast(sum(CASE WHEN naive_pick = 1 AND csize > 1 THEN 1 ELSE 0 END)
+            as bigint) AS naive_dup_rows,
+       cast(sum(cluster_pick) as bigint) AS cluster_rows,
+       cast(sum(CASE WHEN cluster_pick = 1 AND csize > 1 THEN 1 ELSE 0 END)
+            as bigint) AS cluster_dup_rows
+FROM rows_
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q264_cluster_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_q264("div"))
+
+
+Q264_SQL = _q264("//")
+
+
 PIPELINE_QUERIES = {
     "q257_token_waterfill": (q257_token_waterfill, Q257_SQL),
+    "q264_cluster_aware_sample": (q264_cluster_aware_sample, Q264_SQL),
     "q74_stratified_sample": (q74_stratified_sample, Q74_SQL),
     "q75_reservoir_per_stratum": (q75_reservoir_per_stratum, Q75_SQL),
     "q76_weighted_mixture": (q76_weighted_mixture, Q76_SQL),

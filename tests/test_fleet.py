@@ -221,3 +221,47 @@ def test_q262_hilbert_wins_cluster_count(spark, sf_dir):
     assert (pdf["rowmajor_clusters"] == 8).all()
     assert (pdf["hilbert_clusters"] <= pdf["zorder_clusters"]).all()
     assert pdf["hilbert_clusters"].sum() < pdf["zorder_clusters"].sum()
+
+
+def test_q263_ring_planner_consistent_with_histogram(spark, sf_dir):
+    """Total queries accounted for, radii within [0, 5], and a python
+    recompute of the minimal ring radius distribution."""
+    import duckdb
+    import numpy as np
+
+    from geowave_spark.table import geo
+
+    pdf = _run("q263_knn_ring_planner", spark, sf_dir)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    pts = con.sql(
+        f"WITH pts AS ({geo.lineitem_points_sql()}) "
+        "SELECT pid, lon, lat FROM pts WHERE lon >= -180 AND lon < 180 "
+        "AND lat >= -90 AND lat < 90"
+    ).df()
+    cx = np.floor((pts.lon + 180) / 360 * 64).astype(int)
+    cy = np.floor((pts.lat + 90) / 180 * 64).astype(int)
+    hist = {}
+    for x, y in zip(cx, cy):
+        hist[(x, y)] = hist.get((x, y), 0) + 1
+    qcells = sorted({(x, y) for x, y, p in zip(cx, cy, pts.pid)
+                     if p % 199 == 0})
+    from collections import Counter
+    dist = Counter()
+    for qx, qy in qcells:
+        need = 5
+        cum = 0
+        for r in range(5):
+            for dx in range(-r, r + 1):
+                for dy in range(-r, r + 1):
+                    if max(abs(dx), abs(dy)) == r:
+                        cum += hist.get((qx + dx, qy + dy), 0)
+            if cum >= 9:
+                need = r
+                break
+        dist[need] += 1
+    got = dict(zip(pdf["r_needed"].astype(int), pdf["n_queries"].astype(int)))
+    assert got == dict(dist)
+    assert sum(got.values()) == len(qcells)

@@ -180,3 +180,16 @@ def test_q257_waterfill_invariants(spark, sf_dir):
     capped = pdf[pdf["capped"] == 1]["alloc"]
     if len(capped) > 1:
         assert capped.max() - capped.min() <= 1
+
+
+def test_q264_cluster_sample_debiases_dup_mass(spark, sf_dir):
+    """Cluster-aware picks at most one row per cluster, and its dup-mass
+    fraction must not exceed the naive sample's (the bias it removes)."""
+    from geowave_spark.queries_pipeline import PIPELINE_QUERIES
+
+    pdf = (PIPELINE_QUERIES["q264_cluster_aware_sample"][0](spark, sf_dir)
+           .toPandas())
+    assert (pdf["cluster_rows"] <= pdf["n_clusters"]).all()
+    naive = pdf["naive_dup_rows"].sum() / max(pdf["naive_rows"].sum(), 1)
+    clus = pdf["cluster_dup_rows"].sum() / max(pdf["cluster_rows"].sum(), 1)
+    assert clus <= naive + 1e-9
