@@ -386,6 +386,105 @@ ORDER BY r_needed
 """
 
 
+# --------------------------------------------------------------- q265
+
+_R265 = 6
+_TGT265 = 128  # target rows per (cell, salt) shuffle key
+
+
+def _q265(d: G.Dialect) -> str:
+    """Skew-salt planner: `agg/stats.recommend_salt`'s design exposed as
+    an oracle-checked query.  From the per-cell histogram, salt factor =
+    ceil(cnt / target) per cell; the summary compares the worst shuffle
+    key BEFORE (max cell count) and AFTER salting (max ceil(cnt/salt)) —
+    the load-balance number that decides whether the tiered join's
+    hot-cell salting (`join/spatial.py` salted path) is worth its probe
+    fan-out at the current data shape.
+
+    One corpus scan -> histogram; everything after is cell-relation
+    arithmetic.  milli loads are normalized by the MEAN key load so the
+    numbers read as 'x times the ideal balanced load'.
+    """
+    n = 1 << _R265
+    pts = geo.lineitem_points_sql()
+    ceil_div = d.intdiv(f"(cnt + {_TGT265} - 1)", str(_TGT265))
+    return f"""
+WITH pts AS ({pts}),
+hist AS (
+  SELECT cast(floor((lon + 180e0) / 360e0 * {n}) as bigint) AS cx,
+         cast(floor((lat + 90e0) / 180e0 * {n}) as bigint) AS cy,
+         cast(count(*) as bigint) AS cnt
+  FROM pts
+  WHERE lon >= -180 AND lon < 180 AND lat >= -90 AND lat < 90
+  GROUP BY 1, 2
+),
+salted AS (
+  SELECT cnt, cast({ceil_div} as bigint) AS salt,
+         cast({ceil_div} as bigint) AS nkeys
+  FROM hist
+)
+SELECT cast(count(*) as bigint) AS n_cells,
+       cast(sum(CASE WHEN salt > 1 THEN 1 ELSE 0 END) as bigint) AS hot_cells,
+       cast(sum(cnt) as bigint) AS n_rows,
+       cast(sum(nkeys) as bigint) AS shuffle_keys,
+       max(cnt) AS max_key_before,
+       max(cast({d.intdiv('(cnt + salt - 1)', 'salt')} as bigint))
+         AS max_key_after,
+       cast(floor(1000.0 * max(cnt) * count(*) / sum(cnt)) as bigint)
+         AS imbalance_before_milli,
+       cast(floor(1000.0 * max(cast({d.intdiv('(cnt + salt - 1)', 'salt')} as bigint))
+            * sum(nkeys) / sum(cnt)) as bigint) AS imbalance_after_milli
+FROM salted
+"""
+
+
+# --------------------------------------------------------------- q266
+
+
+def _q266(d: G.Dialect) -> str:
+    """Watermark lateness audit: before committing a Structured-Streaming
+    watermark, measure what each candidate watermark would DROP.  Arrival
+    order is the event_id sequence (the ingest log order); an event is
+    late for watermark w if its timestamp is more than w behind the
+    running maximum event time at its arrival — exactly the condition
+    under which the streaming aggregate (`streaming/ingest.windowed_
+    counts`) would discard it.  Reported per event type for w = 1, 5 and
+    15 minutes, plus the max observed disorder, so the operator picks the
+    smallest watermark with acceptable loss instead of guessing.
+
+    One scan + one running-max window over arrival order + one keyed
+    aggregate — the batch twin that makes the streaming config an
+    informed decision.
+    """
+    us = ("unix_micros(cast(ts as timestamp))" if d.is_spark
+          else "epoch_us(ts)")
+    return f"""
+WITH arr AS (
+  SELECT event_type, {us} AS us,
+         max({us}) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high
+  FROM events
+),
+lag_s AS (
+  SELECT event_type,
+         {d.intdiv("(high - us)", "1000000")} AS behind_s
+  FROM arr
+)
+SELECT event_type,
+       cast(count(*) as bigint) AS n_events,
+       max(behind_s) AS max_disorder_s,
+       cast(sum(CASE WHEN behind_s > 60 THEN 1 ELSE 0 END) as bigint)
+         AS late_1m,
+       cast(sum(CASE WHEN behind_s > 300 THEN 1 ELSE 0 END) as bigint)
+         AS late_5m,
+       cast(sum(CASE WHEN behind_s > 900 THEN 1 ELSE 0 END) as bigint)
+         AS late_15m
+FROM lag_s
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------- q253
 
 _N253 = 12  # wrapped query rects
@@ -847,4 +946,6 @@ FLEET_QUERIES = {
     "q261_hilbert_locality": _dual(_q261),
     "q262_sfc_window_clusters": _dual(_q262),
     "q263_knn_ring_planner": _dual(_q263),
+    "q265_skew_salt_planner": _dual(_q265),
+    "q266_watermark_late_audit": _dual(_q266),
 }

@@ -265,3 +265,23 @@ def test_q263_ring_planner_consistent_with_histogram(spark, sf_dir):
     got = dict(zip(pdf["r_needed"].astype(int), pdf["n_queries"].astype(int)))
     assert got == dict(dist)
     assert sum(got.values()) == len(qcells)
+
+
+def test_q265_salting_improves_balance(spark, sf_dir):
+    """Salting must strictly reduce the worst shuffle-key load whenever
+    any cell is hot, and never push the max key below the target-1."""
+    pdf = _run("q265_skew_salt_planner", spark, sf_dir).iloc[0]
+    if pdf["hot_cells"] > 0:
+        assert pdf["max_key_after"] <= pdf["max_key_before"]
+        assert pdf["max_key_after"] <= 128
+        assert pdf["imbalance_after_milli"] <= pdf["imbalance_before_milli"]
+    assert pdf["shuffle_keys"] >= pdf["n_cells"]
+
+
+def test_q266_lateness_monotone(spark, sf_dir):
+    """A larger watermark can only drop fewer events, and nothing can be
+    later than the max observed disorder."""
+    pdf = _run("q266_watermark_late_audit", spark, sf_dir)
+    assert (pdf["late_5m"] <= pdf["late_1m"]).all()
+    assert (pdf["late_15m"] <= pdf["late_5m"]).all()
+    assert (pdf["late_1m"] <= pdf["n_events"]).all()
