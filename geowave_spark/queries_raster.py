@@ -2440,7 +2440,106 @@ part AS (
 """
 
 
+def q267_bitplane_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-preview quality ladder: per format, the exact integer
+    luma MSE of keeping only the top k = 2/4/6 bit planes — the
+    successive-approximation decision a 10^12-image serving tier makes
+    when it streams previews before full decode (JPEG progressive mode's
+    SA scans).  Truncating to the top k bits leaves residual l mod
+    2^(8-k), so MSE is closed-form on BOTH sides: the engine measures it
+    on REAL decoded pixels (one mapInPandas pass, pixels never shuffle,
+    three (k, n, ssd, flag) scalars per image out), the oracle recomputes
+    from the synthesis field with the q6 lossy round-trip modeled
+    (`luma_sql(decoded=True)`, q198's independence pattern).  psnr30 uses
+    the exact integer test ssd * 1000 <= 65025 * n_px (PSNR >= 30 dB), no
+    floating log anywhere.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .raster import codec
+
+    img = images.images_df(spark, sf_dir).select("image_id", "fmt", "bytes")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ks, npx, ssds, flags = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                px = codec.decode(row["bytes"], row["fmt"]).astype(np.int64)
+                luma = (px[:, :, 0] * 299 + px[:, :, 1] * 587
+                        + px[:, :, 2] * 114) // 1000
+                n = int(luma.size)
+                for m, k in ((64, 2), (16, 4), (4, 6)):
+                    r = luma % m
+                    ssd = int((r * r).sum())
+                    fmts.append(row["fmt"]); ks.append(k)
+                    npx.append(n); ssds.append(ssd)
+                    flags.append(1 if ssd * 1000 <= 65025 * n else 0)
+            if fmts:
+                yield pd.DataFrame({
+                    "fmt": pd.Series(fmts, dtype="object"),
+                    "k": pd.Series(ks, dtype="int32"),
+                    "n_px": pd.Series(npx, dtype="int64"),
+                    "ssd": pd.Series(ssds, dtype="int64"),
+                    "psnr30": pd.Series(flags, dtype="int64"),
+                })
+
+    per = img.mapInPandas(
+        stats, schema="fmt string, k int, n_px long, ssd long, psnr30 long"
+    )
+    return (
+        per.groupBy("fmt", "k")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.expr("cast(sum(ssd) * 1000 div sum(n_px) as bigint)")
+            .alias("mse_milli"),
+            F.expr("cast(sum(psnr30) as bigint)").alias("psnr30_images"),
+        )
+        .select("fmt", "k", "n_images", "mse_milli", "psnr30_images")
+        .orderBy("fmt", "k")
+    )
+
+
+def _q267_sql() -> str:
+    luma = images.luma_sql("xs.g", "ys.g", decoded=True)
+    return f"""
+WITH dims AS (
+  SELECT doc_id, {images.fmt_sql()} AS fmt,
+         {images.w_sql()} AS w, {images.h_sql()} AS h
+  FROM documents
+),
+px AS MATERIALIZED (
+  SELECT doc_id, fmt, {luma} AS l
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS g) xs,
+             LATERAL (SELECT unnest(generate_series(0, h - 1)) AS g) ys
+),
+per AS (
+  SELECT doc_id, fmt, cast(count(*) as bigint) AS n,
+         cast(sum((l % 64) * (l % 64)) as bigint) AS s2,
+         cast(sum((l % 16) * (l % 16)) as bigint) AS s4,
+         cast(sum((l % 4) * (l % 4)) as bigint) AS s6
+  FROM px GROUP BY doc_id, fmt
+),
+expanded AS (
+  SELECT fmt, 2 AS k, n, s2 AS ssd FROM per
+  UNION ALL SELECT fmt, 4 AS k, n, s4 AS ssd FROM per
+  UNION ALL SELECT fmt, 6 AS k, n, s6 AS ssd FROM per
+)
+SELECT fmt, cast(k as int) AS k,
+       cast(count(*) as bigint) AS n_images,
+       cast(sum(ssd) * 1000 // sum(n) as bigint) AS mse_milli,
+       cast(sum(CASE WHEN ssd * 1000 <= 65025 * n THEN 1 ELSE 0 END)
+            as bigint) AS psnr30_images
+FROM expanded
+GROUP BY fmt, k
+ORDER BY fmt, k
+"""
+
+
 RASTER_QUERIES = {
+    "q267_bitplane_preview": (q267_bitplane_preview, _q267_sql()),
     "q11_tile_assign_plan": (q11_tile_assign_plan, Q11_SQL),
     "q12_tile_merge_counts": (q12_tile_merge_counts, Q12_SQL),
     "q13_image_scalars": (q13_image_scalars, Q13_SQL),

@@ -679,3 +679,15 @@ def test_q183_footprint_iou_matches_python(spark, sf_dir):
                     inter * 1_000_000 // (areas[fa] + areas[fb] - inter))
     assert got == want and len(got) > 100
     assert all(0 < i <= 1_000_000 for _, i in got.values())
+
+
+def test_q267_bitplane_mse_monotone(spark, sf_dir):
+    """More bit planes can only lower MSE; 6-bit previews of every format
+    must clear PSNR>=30 on the synthetic field (residual < 4 levels)."""
+    from geowave_spark.queries_raster import RASTER_QUERIES
+
+    pdf = RASTER_QUERIES["q267_bitplane_preview"][0](spark, sf_dir).toPandas()
+    piv = pdf.pivot(index="fmt", columns="k", values="mse_milli")
+    assert ((piv[2] >= piv[4]) & (piv[4] >= piv[6])).all()
+    six = pdf[pdf["k"] == 6]
+    assert (six["psnr30_images"] == six["n_images"]).all()
