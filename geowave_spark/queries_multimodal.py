@@ -87,7 +87,12 @@ def q46_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F  # noqa: N812
 
-    img = img_tab.images_df(spark, sf_dir).select("image_id", "phash")
+    # materialize the (image_id, phash) projection before the band/probe
+    # self-join — otherwise both join sides re-run the pixel-synthesis
+    # mapInPandas (the q252 double-decode lesson); 2 int64-ish columns per
+    # image, so the checkpoint is free
+    img = (img_tab.images_df(spark, sf_dir).select("image_id", "phash")
+           .localCheckpoint(eager=True))
     bands = img.select(
         "image_id", "phash",
         F.explode(
@@ -577,8 +582,11 @@ def q131_quadrant_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .multimodal import image_ops
 
+    # materialized before the self-join (q252 double-decode lesson):
+    # 4 small rows per image vs re-running decode+hash on both sides
     qh = image_ops.quadrant_hashes_df(
-        img_tab.dup_images_df(spark, sf_dir)).alias("a")
+        img_tab.dup_images_df(spark, sf_dir)).localCheckpoint(eager=True)
+    qh = qh.alias("a")
     b = qh.alias("b")
     return (
         qh.join(b, F.expr("a.quad = b.quad AND a.qhash = b.qhash "
@@ -1071,7 +1079,11 @@ def q256_cross_modal_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.md5("text").alias("tk")
     )
-    keyed = img.join(docs, "doc_id").select("image_id", "ck", "tk")
+    # materialized: `pairs` references this relation twice per call and
+    # is called twice — without the checkpoint the payload-hashing
+    # mapInPandas would execute 4x (q252 double-decode lesson)
+    keyed = (img.join(docs, "doc_id").select("image_id", "ck", "tk")
+             .localCheckpoint(eager=True))
 
     def pairs(key: str) -> DataFrame:
         a, b = keyed.alias("a"), keyed.alias("b")
@@ -1120,7 +1132,14 @@ def q252_video_set_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F  # noqa: N812
 
+    # materialize signatures BEFORE the self-join: both join sides
+    # reference this relation, and without the checkpoint Spark executes
+    # the decode+phash mapInPandas twice (measured: 4 MapInPandas nodes
+    # in the physical plan vs 0 after; the signature relation is ~10
+    # int64s per clip, so the checkpoint is free while the decode is the
+    # entire cost)
     sig = av.video_signatures_df(av.dup_media_df(spark, sf_dir))
+    sig = sig.localCheckpoint(eager=True)
     keyed = sig.select(
         "media_id", "phashes",
         F.explode(F.array("key1", "key2")).alias("k"),
