@@ -485,6 +485,64 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------- q269
+
+_R269 = 7  # source grid: 128 x 128
+
+
+def _q269(d: G.Dialect) -> str:
+    """Conservative (mass-preserving) regridding between misaligned
+    grids — the climate/raster remap primitive: source res-7 cell masses
+    re-binned onto a 2x-coarser target grid OFFSET BY HALF A SOURCE CELL,
+    so cells do not nest and every even-indexed source cell straddles a
+    target boundary.  Overlap fractions are exact rationals (1, 1/2, 1/4
+    per axis pair), carried as integer quarter-units so total mass is
+    conserved EXACTLY (sum(mass4) == 4 * total points — asserted in
+    tests; float-weighted remaps drift, integer ones cannot).
+
+    Per source cell the fan-out is its 1/2/4 overlapping targets via a
+    generated 2-row axis split — a bounded explode, then one keyed
+    aggregate; the corpus appears once in the histogram scan.  Edge
+    strips fall into target index -1/64, kept so conservation holds.
+    """
+    n = 1 << _R269
+    pts = geo.lineitem_points_sql()
+    return f"""
+WITH pts AS ({pts}),
+hist AS (
+  SELECT cast(floor((lon + 180e0) / 360e0 * {n}) as bigint) AS sx,
+         cast(floor((lat + 90e0) / 180e0 * {n}) as bigint) AS sy,
+         cast(count(*) as bigint) AS cnt
+  FROM pts
+  WHERE lon >= -180 AND lon < 180 AND lat >= -90 AND lat < 90
+  GROUP BY 1, 2
+),
+xparts AS (
+  SELECT h.sx, h.sy, h.cnt,
+         CASE WHEN h.sx % 2 = 0 THEN {d.intdiv('h.sx', '2')} - 1 + s.g
+              ELSE {d.intdiv('(h.sx - 1)', '2')} END AS jx,
+         CASE WHEN h.sx % 2 = 0 THEN 1 ELSE 2 END AS wx2
+  FROM hist h
+  CROSS JOIN (SELECT {d.explode(d.seq('0', '1'))} AS g) s
+  WHERE h.sx % 2 = 0 OR s.g = 0
+),
+parts AS (
+  SELECT x.jx,
+         CASE WHEN x.sy % 2 = 0 THEN {d.intdiv('x.sy', '2')} - 1 + t.g
+              ELSE {d.intdiv('(x.sy - 1)', '2')} END AS jy,
+         x.cnt * x.wx2 *
+           (CASE WHEN x.sy % 2 = 0 THEN 1 ELSE 2 END) AS units
+  FROM xparts x
+  CROSS JOIN (SELECT {d.explode(d.seq('0', '1'))} AS g) t
+  WHERE x.sy % 2 = 0 OR t.g = 0
+)
+SELECT jx, jy, cast(sum(units) as bigint) AS mass4
+FROM parts
+GROUP BY jx, jy
+ORDER BY jx, jy
+"""
+
+
 # --------------------------------------------------------------- q253
 
 _N253 = 12  # wrapped query rects
@@ -948,4 +1006,5 @@ FLEET_QUERIES = {
     "q263_knn_ring_planner": _dual(_q263),
     "q265_skew_salt_planner": _dual(_q265),
     "q266_watermark_late_audit": _dual(_q266),
+    "q269_conservative_regrid": _dual(_q269),
 }

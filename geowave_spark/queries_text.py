@@ -2740,8 +2740,55 @@ ORDER BY a.nprobe
 """
 
 
+def _q268_tail_sql(edges: str) -> str:
+    """Wedge/triangle closure aggregate over an ordered near-dup edge
+    relation (d1 < d2) — identical text in both dialects."""
+    return f"""
+WITH e AS (SELECT d1, d2 FROM ({edges}) p),
+wedge AS (
+  SELECT a.d1 AS x, a.d2 AS y, b.d2 AS z
+  FROM e a JOIN e b ON b.d1 = a.d2
+),
+cl AS (
+  SELECT w.x, w.y, w.z,
+         CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END AS closed
+  FROM wedge w LEFT JOIN e c ON c.d1 = w.x AND c.d2 = w.z
+)
+SELECT cast(count(*) as bigint) AS wedges,
+       cast(sum(closed) as bigint) AS closed,
+       cast(count(*) - sum(closed) as bigint) AS open_wedges,
+       cast(CASE WHEN count(*) = 0 THEN 1000
+            ELSE floor(1000.0 * sum(closed) / count(*)) END as bigint)
+         AS closure_milli
+FROM cl
+"""
+
+
+def _q268_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup transitivity audit: similarity is NOT transitive, but
+    q64's connected-components dedup collapses clusters as if it were —
+    this measures how wrong that is on the actual q16 edge set.  closure
+    = fraction of wedges (a~b~c, ordered) whose closing edge a~c is also
+    a near-dup pair; open wedges are exactly the places where collapsing
+    the component merges documents that are NOT near-dups of each other
+    (chaining drift).  A curation run gates the cheap component collapse
+    on this number and falls back to star-clustering under a threshold.
+
+    Shape: the q16 pair relation (persisted once, the expensive part) +
+    two self-joins on the SMALL edge list — candidate edges are O(n *
+    dup_rate), so the wedge join is bounded by cluster sizes, never the
+    corpus."""
+    from .table.views import mat_view
+
+    edges = _q16_spark(spark, sf_dir).select("d1", "d2")
+    mat_view(spark, "q268_edges", edges)
+    return spark.sql(_q268_tail_sql("SELECT d1, d2 FROM q268_edges"))
+
+
 TEXT_QUERIES = {
     "q258_ivf_recall_curve": _dual(_q258),
+    "q268_neardup_transitivity": (_q268_spark,
+                                  _q268_tail_sql(_q16(G.DUCK))),
     "q15_exact_dedup": _dual(_q15),
     "q219_ppjoin_similarity": (_q219_spark, _q219_duck_sql()),
     "q222_power_iteration": (_q222_spark, _q222(G.DUCK)),

@@ -285,3 +285,35 @@ def test_q266_lateness_monotone(spark, sf_dir):
     assert (pdf["late_5m"] <= pdf["late_1m"]).all()
     assert (pdf["late_15m"] <= pdf["late_5m"]).all()
     assert (pdf["late_1m"] <= pdf["n_events"]).all()
+
+
+def test_q269_mass_conserved_exactly(spark, sf_dir):
+    """Integer quarter-units make conservation exact: sum(mass4) must be
+    exactly 4x the number of in-bounds points."""
+    import duckdb
+
+    from geowave_spark.table import geo
+
+    pdf = _run("q269_conservative_regrid", spark, sf_dir)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    n = con.sql(
+        f"WITH pts AS ({geo.lineitem_points_sql()}) "
+        "SELECT count(*) FROM pts WHERE lon >= -180 AND lon < 180 "
+        "AND lat >= -90 AND lat < 90"
+    ).fetchone()[0]
+    assert int(pdf["mass4"].sum()) == 4 * n
+    assert pdf["jx"].min() >= -1 and pdf["jx"].max() <= 64
+    assert pdf["jy"].min() >= -1 and pdf["jy"].max() <= 64
+
+
+def test_q268_transitivity_sane(spark, sf_dir):
+    """Closure within [0, 1000] and wedges/closed counts consistent."""
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    pdf = (TEXT_QUERIES["q268_neardup_transitivity"][0](spark, sf_dir)
+           .toPandas().iloc[0]) 
+    assert pdf["closed"] + pdf["open_wedges"] == pdf["wedges"]
+    assert 0 <= pdf["closure_milli"] <= 1000
