@@ -543,6 +543,100 @@ ORDER BY jx, jy
 """
 
 
+# --------------------------------------------------------------- q270
+
+_K270 = 64          # sketch size (k minimum values)
+_P270 = 2147483647  # hash modulus (2^31 - 1)
+
+
+def _q270(d: G.Dialect) -> str:
+    """KMV (k-minimum-values) sketch set operations with an exactness
+    audit: per event-type pair, the estimated user-set union, Jaccard and
+    intersection from two merged 64-value sketches, NEXT TO the exact
+    values — the mergeable-and-INTERSECTABLE distinct sketch the
+    HyperLogLog statistic (q25) cannot provide (HLL unions but never
+    intersects; reference statistics keep only per-type cardinalities,
+    `core/store/.../statistics/`).
+
+    At 10^12 rows the sketches are what ships: 64 int64s per partition
+    per type, merged associatively (k smallest of the union of two
+    sketches), estimates are closed-form integer arithmetic —
+    union_est = (k-1) * P / kth_min, jaccard_est = |A_k ∩ B_k ∩ M_k| / k,
+    inter_est = jaccard_est * union_est (Beyer et al. 2007).  The exact
+    side here is the audit that prices the sketch's error (err columns in
+    milli), so an operator knows what 64 values buy before trusting them
+    fleet-wide.  Set elements are ACTIVE (user, day) pairs per type\n    (plain user sets are fully dense at test scale), h = element *\n    2654435761 mod P, deterministic; BOTH sides
+    count in hash space (distinct h, not distinct u), so a hash collision
+    cannot produce a spurious sketch-vs-exact discrepancy — the audit
+    prices the SKETCH truncation error, nothing else.
+    """
+    us = ("unix_micros(cast(ts as timestamp))" if d.is_spark
+          else "epoch_us(ts)")
+    day = d.intdiv(us, "86400000000")
+    return f"""
+WITH uh AS (
+  SELECT DISTINCT event_type,
+         ((user_id * 100000 + {day}) * 2654435761 % {_P270}) AS h
+  FROM events
+),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+  FROM uh
+),
+sk AS (SELECT event_type, h, r FROM rk WHERE r <= {_K270}),
+types AS (SELECT DISTINCT event_type FROM events),
+prs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+merged AS (
+  SELECT p.ta, p.tb, u.h,
+         row_number() OVER (PARTITION BY p.ta, p.tb ORDER BY u.h) AS r
+  FROM prs p
+  JOIN (SELECT event_type, h FROM sk) u
+    ON u.event_type = p.ta OR u.event_type = p.tb
+  GROUP BY p.ta, p.tb, u.h
+),
+mk AS (SELECT ta, tb, h, r FROM merged WHERE r <= {_K270}),
+kth AS (SELECT ta, tb, max(h) AS kmax, count(*) AS km FROM mk GROUP BY ta, tb),
+inter_k AS (
+  SELECT m.ta, m.tb, cast(count(*) as bigint) AS both_k
+  FROM mk m
+  JOIN sk a ON a.event_type = m.ta AND a.h = m.h
+  JOIN sk b ON b.event_type = m.tb AND b.h = m.h
+  GROUP BY m.ta, m.tb
+),
+eu AS (
+  SELECT p.ta, p.tb, u.h,
+         max(CASE WHEN u.event_type = p.ta THEN 1 ELSE 0 END) AS ina,
+         max(CASE WHEN u.event_type = p.tb THEN 1 ELSE 0 END) AS inb
+  FROM prs p JOIN uh u ON u.event_type = p.ta OR u.event_type = p.tb
+  GROUP BY p.ta, p.tb, u.h
+),
+exact AS (
+  SELECT ta, tb, cast(count(*) as bigint) AS x_union,
+         cast(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+              as bigint) AS x_inter
+  FROM eu GROUP BY ta, tb
+)
+SELECT k.ta, k.tb,
+       cast({d.intdiv(f"(({_K270} - 1) * cast({_P270} as bigint))", "k.kmax")}
+            as bigint) AS union_est,
+       cast(coalesce(i.both_k, 0) as bigint) AS both_k,
+       cast({d.intdiv(
+           f"coalesce(i.both_k, 0) * "
+           f"{d.intdiv(f'(({_K270} - 1) * cast({_P270} as bigint))', 'k.kmax')}",
+           str(_K270))} as bigint) AS inter_est,
+       e.x_union AS union_exact,
+       e.x_inter AS inter_exact
+FROM kth k
+JOIN exact e ON e.ta = k.ta AND e.tb = k.tb
+LEFT JOIN inter_k i ON i.ta = k.ta AND i.tb = k.tb
+ORDER BY k.ta, k.tb
+"""
+
+
 # --------------------------------------------------------------- q253
 
 _N253 = 12  # wrapped query rects
@@ -1007,4 +1101,5 @@ FLEET_QUERIES = {
     "q265_skew_salt_planner": _dual(_q265),
     "q266_watermark_late_audit": _dual(_q266),
     "q269_conservative_regrid": _dual(_q269),
+    "q270_kmv_sketch_overlap": _dual(_q270),
 }

@@ -317,3 +317,14 @@ def test_q268_transitivity_sane(spark, sf_dir):
            .toPandas().iloc[0]) 
     assert pdf["closed"] + pdf["open_wedges"] == pdf["wedges"]
     assert 0 <= pdf["closure_milli"] <= 1000
+
+
+def test_q270_kmv_error_bounded(spark, sf_dir):
+    """KMV union estimate must sit within the standard ~3/sqrt(k) band of
+    the exact union (k = 64 -> ~37% hard bound, typical ~12%), and the
+    intersection estimate may never exceed the union estimate."""
+    pdf = _run("q270_kmv_sketch_overlap", spark, sf_dir)
+    rel = (pdf["union_est"] - pdf["union_exact"]).abs() / pdf["union_exact"]
+    assert (rel < 0.4).all()
+    assert (pdf["inter_est"] <= pdf["union_est"]).all()
+    assert (pdf["both_k"] <= 64).all()
