@@ -637,6 +637,96 @@ ORDER BY k.ta, k.tb
 """
 
 
+# --------------------------------------------------------------- q271
+
+_M271 = 256  # bloom bits per file (sized for a visible, measurable fp rate)
+_H271 = 3     # hash functions
+
+
+def _q271_bits(d: G.Dialect, key: str) -> list[str]:
+    """The 3 bloom bit positions of ``key``: double hashing h1 + i*h2
+    (Kirsch-Mitzenmacher), both hashes nonlinear mod-P then folded into
+    [0, 1024)."""
+    h1 = f"(({key} * 2654435761) % 1000003)"
+    h2 = f"((({key} + 7) * 2246822519) % 999983 + 1)"
+    return [f"(({h1} + {i} * {h2}) % {_M271})" for i in range(_H271)]
+
+
+def _q271(d: G.Dialect) -> str:
+    """Bloom-filter file-skipping audit: per 'file' (= source shard of the
+    documents table), a 256-bit / 3-hash bloom over its doc_ids, probed
+    with 100 lookups (half present, half absent by construction), NEXT TO
+    exact membership — reporting files scanned with vs without the bloom
+    and the realized false-positive rate.  This is the parquet-footer /
+    manifest bloom path every lakehouse point-lookup rides
+    (`agg/stats.py`'s bloom builder as an oracle-checked relational
+    query); the audit answers 'what fraction of file opens does the
+    bloom actually save at this key density', which decides whether to
+    pay for blooms in the manifest at 10^12 rows.
+
+    Fully relational bloom: the filter IS the distinct (file, bit)
+    relation (explode keys x 3 positions); a probe hits a file iff all 3
+    of its bits are present — a join + count(*) = 3 group filter.  No
+    bitmap UDF, so the oracle evaluates the identical spec.
+    """
+    kb = _q271_bits(d, "doc_id")
+    pb = _q271_bits(d, "probe_key")
+    kb_rows = " UNION ALL ".join(
+        f"SELECT source, {b} AS bit FROM documents" for b in kb
+    )
+    pb_rows = " UNION ALL ".join(
+        f"SELECT probe_id, probe_key, {b} AS bit FROM probes" for b in pb
+    )
+    return f"""
+WITH fbits AS (
+  SELECT DISTINCT source, bit FROM ({kb_rows}) u
+),
+probes AS (
+  SELECT g AS probe_id,
+         CASE WHEN g % 2 = 0
+              THEN (SELECT min(doc_id) FROM documents) + g * 7
+              ELSE 900000000 + g * 13 END AS probe_key
+  FROM (SELECT {d.explode(d.seq('0', '99'))} AS g) s
+),
+pbits AS ({pb_rows}),
+pq AS (SELECT DISTINCT probe_id, probe_key, bit FROM pbits),
+pcnt AS (
+  -- a probe's 3 hash positions may collide; membership requires all of
+  -- its DISTINCT bits present, not literally 3
+  SELECT probe_id, cast(count(*) as bigint) AS nb FROM pq GROUP BY probe_id
+),
+cand AS (
+  SELECT p.probe_id, p.probe_key, f.source
+  FROM pq p
+  JOIN fbits f ON f.bit = p.bit
+  JOIN pcnt c ON c.probe_id = p.probe_id
+  GROUP BY p.probe_id, p.probe_key, f.source
+  HAVING count(*) = min(c.nb)
+),
+truth AS (
+  SELECT DISTINCT p.probe_id, d2.source
+  FROM probes p JOIN documents d2 ON d2.doc_id = p.probe_key
+),
+joined AS (
+  SELECT c.probe_id, c.source,
+         CASE WHEN t.source IS NOT NULL THEN 1 ELSE 0 END AS real_hit
+  FROM cand c
+  LEFT JOIN truth t ON t.probe_id = c.probe_id AND t.source = c.source
+),
+nfiles AS (SELECT cast(count(DISTINCT source) as bigint) AS nf FROM documents)
+SELECT cast(100 as bigint) AS n_probes,
+       nf.nf AS n_files,
+       cast(100 * nf.nf as bigint) AS opens_without_bloom,
+       cast(count(*) as bigint) AS opens_with_bloom,
+       cast(sum(real_hit) as bigint) AS true_hits,
+       cast(count(*) - sum(real_hit) as bigint) AS false_positives,
+       cast(floor(1000.0 * (count(*) - sum(real_hit))
+            / (100 * nf.nf - sum(real_hit))) as bigint) AS fp_milli
+FROM joined, nfiles nf
+GROUP BY nf.nf
+"""
+
+
 # --------------------------------------------------------------- q253
 
 _N253 = 12  # wrapped query rects
@@ -1102,4 +1192,5 @@ FLEET_QUERIES = {
     "q266_watermark_late_audit": _dual(_q266),
     "q269_conservative_regrid": _dual(_q269),
     "q270_kmv_sketch_overlap": _dual(_q270),
+    "q271_bloom_skipping_audit": _dual(_q271),
 }

@@ -328,3 +328,32 @@ def test_q270_kmv_error_bounded(spark, sf_dir):
     assert (rel < 0.4).all()
     assert (pdf["inter_est"] <= pdf["union_est"]).all()
     assert (pdf["both_k"] <= 64).all()
+
+
+def test_q271_bloom_no_false_negatives(spark, sf_dir):
+    """Blooms may only over-approximate: every true hit must be a
+    candidate (true_hits == exact membership count), opens_with_bloom
+    = true_hits + false_positives, and the bloom must actually save
+    opens at this density."""
+    import duckdb
+
+    pdf = _run("q271_bloom_skipping_audit", spark, sf_dir).iloc[0]
+    assert pdf["opens_with_bloom"] == pdf["true_hits"] + pdf["false_positives"]
+    assert pdf["opens_with_bloom"] < pdf["opens_without_bloom"]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    exact = con.sql("""
+        WITH probes AS (
+          SELECT g AS probe_id,
+                 CASE WHEN g % 2 = 0
+                      THEN (SELECT min(doc_id) FROM documents) + g * 7
+                      ELSE 900000000 + g * 13 END AS probe_key
+          FROM generate_series(0, 99) s(g))
+        SELECT count(*) FROM (
+          SELECT DISTINCT p.probe_id, d.source
+          FROM probes p JOIN documents d ON d.doc_id = p.probe_key)
+    """).fetchone()[0]
+    assert int(pdf["true_hits"]) == exact
