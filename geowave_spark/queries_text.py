@@ -2785,8 +2785,68 @@ def _q268_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q268_tail_sql("SELECT d1, d2 FROM q268_edges"))
 
 
+def _q272(d: G.Dialect) -> str:
+    """Span-to-token alignment under chunking: given labeled CHARACTER
+    spans (the form every PII/NER/regex annotation arrives in — q122's
+    scrubber emits exactly these), recover the covering TOKEN span and
+    its position in the 64-token training chunks (q112's chunking rule),
+    flagging spans that straddle a chunk boundary — the rows a training
+    pipeline must either re-window or drop, because a label split across
+    two training sequences is silently corrupted.
+
+    One deterministic span per doc (chars [a, a+12), a closed-form in
+    doc_id and n_chars — byte offsets, independent of tokenization).
+    Token char extents come from one cumulative-length window over the
+    exploded token rows; alignment is an overlap join (token [s,e) x
+    span [a,b): s < b AND e > a) BOUNDED PER DOC, never cross-doc;
+    chunk ids are pure arithmetic on the token index.  At 10^12 docs
+    every stage is keyed by doc_id — no global anything.
+    """
+    tv = d.split_ws("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, n_chars, {tv} AS tv FROM documents
+),
+trows AS (
+  SELECT doc_id, n_chars, i.g AS ti, {d.at('tv', 'i.g')} AS w
+  FROM toks, LATERAL (SELECT {d.explode(d.seq('1', d.size('tv')))} AS g) i
+),
+pos AS (
+  SELECT doc_id, n_chars, ti, length(w) AS wl,
+         cast(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY ti)
+              - length(w) - 1 as bigint) AS start_c
+  FROM trows
+),
+spans AS (
+  SELECT doc_id,
+         cast((doc_id * 37) % (CASE WHEN n_chars > 20 THEN n_chars - 20
+                                    ELSE 1 END) as bigint) AS a
+  FROM documents
+),
+hit AS (
+  SELECT s.doc_id, s.a,
+         min(p.ti) AS tok_start, max(p.ti) AS tok_end
+  FROM spans s
+  JOIN pos p ON p.doc_id = s.doc_id
+            AND p.start_c < s.a + 12 AND p.start_c + p.wl > s.a
+  GROUP BY s.doc_id, s.a
+)
+SELECT doc_id, a AS char_start,
+       cast(tok_start as bigint) AS tok_start,
+       cast(tok_end as bigint) AS tok_end,
+       cast({d.intdiv('(tok_start - 1)', '64')} as bigint) AS chunk_start,
+       cast({d.intdiv('(tok_end - 1)', '64')} as bigint) AS chunk_end,
+       cast(CASE WHEN {d.intdiv('(tok_start - 1)', '64')}
+                 <> {d.intdiv('(tok_end - 1)', '64')}
+            THEN 1 ELSE 0 END as int) AS crosses_chunk
+FROM hit
+ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES = {
     "q258_ivf_recall_curve": _dual(_q258),
+    "q272_span_token_alignment": _dual(_q272),
     "q268_neardup_transitivity": (_q268_spark,
                                   _q268_tail_sql(_q16(G.DUCK))),
     "q15_exact_dedup": _dual(_q15),

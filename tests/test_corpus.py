@@ -74,3 +74,39 @@ def test_image_tiles_matches_direct_pipeline(spark, sf_dir, table_path):
     ).select("res", "tile_id", "n_src", F.crc32(F.col("px")).alias("h"))
     assert via_scan.count() == direct.count()
     assert via_scan.exceptAll(direct).count() == 0
+
+
+def test_q272_alignment_python_recompute(spark, sf_dir):
+    """Independent python re-derivation of the span->token alignment for
+    every doc: overlap semantics, chunk mapping, crosses flag."""
+    import duckdb
+
+    from geowave_spark.queries_text import TEXT_QUERIES
+
+    pdf = (TEXT_QUERIES["q272_span_token_alignment"][0](spark, sf_dir)
+           .toPandas().set_index("doc_id"))
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).df()
+    checked = 0
+    for _, row in docs.iterrows():
+        did, text, nc = int(row.doc_id), row.text, int(row.n_chars)
+        a = (did * 37) % (nc - 20 if nc > 20 else 1)
+        b = a + 12
+        start = 0
+        toks = []
+        for i, w in enumerate(text.split(" "), start=1):
+            toks.append((i, start, start + len(w)))
+            start += len(w) + 1
+        hit = [i for i, s, e in toks if s < b and e > a]
+        if not hit:
+            assert did not in pdf.index
+            continue
+        got = pdf.loc[did]
+        assert int(got.tok_start) == min(hit)
+        assert int(got.tok_end) == max(hit)
+        assert int(got.chunk_start) == (min(hit) - 1) // 64
+        assert int(got.crosses_chunk) == (
+            1 if (min(hit) - 1) // 64 != (max(hit) - 1) // 64 else 0)
+        checked += 1
+    assert checked > 400
