@@ -727,6 +727,157 @@ GROUP BY nf.nf
 """
 
 
+# --------------------------------------------------------------- q273
+
+_NP273 = 12  # synthesized polygons
+_NV273 = 8   # vertices per ring
+
+
+def _q273(d: G.Dialect) -> str:
+    """Polygon validity/winding audit — the ingest 'make valid' gate
+    (JTS `isValid`/CCW normalization behind GeoWave's geometry adapters,
+    `core/geotime/.../GeometryUtils`): per ring, the integer shoelace
+    signed area (micro-degree^2), detected orientation, a needs_reversal
+    flag against the CCW-exterior convention, squared perimeter mass and
+    the vertex bbox.  Run before indexing a vendor polygon feed: a CW
+    exterior ring silently inverts every containment test downstream, so
+    the fix-up (reverse the ring) must happen at ingest, keyed by this
+    flag.
+
+    12 deterministic star polygons, vertex v of polygon p at angle-step v
+    with radius r(p, v) closed-form; polygons with p % 3 = 0 are emitted
+    REVERSED (the planted defect).  Vertices explode from a seq — the
+    shoelace is one lag window per ring (wrap term added separately), all
+    integer micro coordinates, exact in both engines.
+    """
+    # vertex (p, v): integer micro-degree offsets from a per-polygon center
+    # using a 16-point integer cos/sin table scaled by 1000 (exact in SQL)
+    cos_t = [1000, 924, 707, 383, 0, -383, -707, -924,
+             -1000, -924, -707, -383, 0, 383, 707, 924]
+    sin_t = [0, 383, 707, 924, 1000, 924, 707, 383,
+             0, -383, -707, -924, -1000, -924, -707, -383]
+    cos_c = " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(cos_t))
+    sin_c = " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(sin_t))
+    return f"""
+WITH verts AS (
+  SELECT p.g AS poly_id, v.g AS vi,
+         -- reversed polygons traverse their vertices backwards
+         CASE WHEN p.g % 3 = 0 THEN ({_NV273 - 1} - v.g) * 2 ELSE v.g * 2 END
+           AS step,
+         (1000 + (p.g * 173 + v.g * 97) % 800) AS r
+  FROM (SELECT {d.explode(d.seq('0', str(_NP273 - 1)))} AS g) p
+  CROSS JOIN (SELECT {d.explode(d.seq('0', str(_NV273 - 1)))} AS g) v
+),
+xy AS (
+  SELECT poly_id, vi,
+         cast(r * (CASE step {cos_c} END) as bigint) AS x,
+         cast(r * (CASE step {sin_c} END) as bigint) AS y
+  FROM verts
+),
+seq_xy AS (
+  SELECT poly_id, vi, x, y,
+         lead(x) OVER (PARTITION BY poly_id ORDER BY vi) AS xn,
+         lead(y) OVER (PARTITION BY poly_id ORDER BY vi) AS yn,
+         first_value(x) OVER (PARTITION BY poly_id ORDER BY vi) AS x0,
+         first_value(y) OVER (PARTITION BY poly_id ORDER BY vi) AS y0
+  FROM xy
+),
+terms AS (
+  SELECT poly_id,
+         (x * coalesce(yn, y0) - coalesce(xn, x0) * y) AS cross_t,
+         ((coalesce(xn, x0) - x) * (coalesce(xn, x0) - x)
+          + (coalesce(yn, y0) - y) * (coalesce(yn, y0) - y)) AS seg2
+  FROM seq_xy
+),
+shoe AS (
+  SELECT poly_id,
+         cast(sum(cross_t) as bigint) AS area2_signed,
+         cast(sum(seg2) as bigint) AS perim2_sum
+  FROM terms GROUP BY poly_id
+),
+bbox AS (
+  SELECT poly_id, min(x) AS xmin, max(x) AS xmax,
+         min(y) AS ymin, max(y) AS ymax
+  FROM xy GROUP BY poly_id
+)
+SELECT s.poly_id, s.area2_signed,
+       cast(CASE WHEN s.area2_signed > 0 THEN 1 ELSE 0 END as int) AS is_ccw,
+       cast(CASE WHEN s.area2_signed <= 0 THEN 1 ELSE 0 END as int)
+         AS needs_reversal,
+       s.perim2_sum,
+       b.xmin, b.xmax, b.ymin, b.ymax
+FROM shoe s JOIN bbox b ON b.poly_id = s.poly_id
+ORDER BY s.poly_id
+"""
+
+
+# --------------------------------------------------------------- q274
+
+_W274 = 256  # CMS width
+_D274 = 3    # CMS depth
+
+
+def _q274(d: G.Dialect) -> str:
+    """Count-min sketch heavy-hitters audit: the CMS statistic
+    (`agg/stats.py`, GeoWave's CountMinSketchStatistic) as an
+    oracle-checked relational query — for the top-20 tokens by EXACT
+    count, the 3x256 sketch's estimate next to the truth, plus the
+    overcount.  CMS never undercounts (est = min over depth of the
+    bucket sums that include the key), so est >= exact is a structural
+    invariant the pytest pins; the overcount column is what collisions
+    cost at this width, priced before shipping 3KB sketches instead of
+    full vocab counts from every partition.
+
+    Relational sketch: counters are GROUP BY (row, bucket) sums over the
+    exploded token stream — exactly the map-side-combinable shape that
+    merges associatively across 10^12-row partitions; the estimate is a
+    3-way join of each key's buckets taking the least.
+    """
+    wv = G.WORDVAL.replace("x", "w")
+    rows = []
+    for r in range(_D274):
+        h = (f"(((wv % 1000003) * {2 * r + 3} + {104729 * (r + 1)}) "
+             f"% 1000003) % {_W274}")
+        rows.append(f"SELECT {r} AS rw, {h} AS bkt, wv FROM wvals")
+    wv_rows = " UNION ALL ".join(rows)
+    return f"""
+WITH trows AS (
+  SELECT {d.explode(d.split_ws('text'))} AS w FROM documents
+),
+wvals AS (
+  SELECT w, cast({wv} as bigint) AS wv FROM trows
+),
+keyed AS ({wv_rows}),
+cms AS (
+  SELECT rw, bkt, cast(count(*) as bigint) AS c
+  FROM keyed GROUP BY rw, bkt
+),
+exact AS (
+  SELECT w, min(wv) AS wv, cast(count(*) as bigint) AS n
+  FROM wvals GROUP BY w
+),
+top AS (
+  SELECT w, wv, n FROM (
+    SELECT w, wv, n,
+           row_number() OVER (ORDER BY n DESC, w ASC) AS rk
+    FROM exact
+  ) t WHERE rk <= 20
+),
+kb AS (SELECT DISTINCT rw, bkt, wv FROM keyed),
+est AS (
+  SELECT t.w, t.n, min(c.c) AS est
+  FROM top t
+  JOIN kb k ON k.wv = t.wv
+  JOIN cms c ON c.rw = k.rw AND c.bkt = k.bkt
+  GROUP BY t.w, t.n
+)
+SELECT w AS token, n AS exact_count, cast(est as bigint) AS cms_est,
+       cast(est - n as bigint) AS overcount
+FROM est
+ORDER BY exact_count DESC, token
+"""
+
+
 # --------------------------------------------------------------- q253
 
 _N253 = 12  # wrapped query rects
@@ -1193,4 +1344,6 @@ FLEET_QUERIES = {
     "q269_conservative_regrid": _dual(_q269),
     "q270_kmv_sketch_overlap": _dual(_q270),
     "q271_bloom_skipping_audit": _dual(_q271),
+    "q273_polygon_winding_audit": _dual(_q273),
+    "q274_cms_heavy_hitters": _dual(_q274),
 }

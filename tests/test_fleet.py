@@ -357,3 +357,46 @@ def test_q271_bloom_no_false_negatives(spark, sf_dir):
           FROM probes p JOIN documents d ON d.doc_id = p.probe_key)
     """).fetchone()[0]
     assert int(pdf["true_hits"]) == exact
+
+
+def test_q273_reversed_rings_detected(spark, sf_dir):
+    """Exactly the p % 3 == 0 polygons are CW (planted), all others CCW,
+    and the shoelace matches a python recompute."""
+    import math
+
+    pdf = _run("q273_polygon_winding_audit", spark, sf_dir)
+    assert (pdf["needs_reversal"] == (pdf["poly_id"] % 3 == 0)
+            .astype(int)).all()
+    cos_t = [1000, 924, 707, 383, 0, -383, -707, -924,
+             -1000, -924, -707, -383, 0, 383, 707, 924]
+    sin_t = [0, 383, 707, 924, 1000, 924, 707, 383,
+             0, -383, -707, -924, -1000, -924, -707, -383]
+    for p in range(12):
+        pts = []
+        for v in range(8):
+            step = (7 - v) * 2 if p % 3 == 0 else v * 2
+            r = 1000 + (p * 173 + v * 97) % 800
+            pts.append((r * cos_t[step], r * sin_t[step]))
+        area2 = sum(
+            x * pts[(i + 1) % 8][1] - pts[(i + 1) % 8][0] * y
+            for i, (x, y) in enumerate(pts)
+        )
+        row = pdf[pdf["poly_id"] == p].iloc[0]
+        assert int(row["area2_signed"]) == area2
+        assert math.copysign(1, area2) == (1 if row["is_ccw"] else -1)
+
+
+def test_q274_cms_never_undercounts(spark, sf_dir):
+    """est >= exact per token (structural CMS guarantee) and the top-1
+    token's exact count matches a direct groupBy."""
+    import duckdb
+
+    pdf = _run("q274_cms_heavy_hitters", spark, sf_dir)
+    assert (pdf["cms_est"] >= pdf["exact_count"]).all()
+    assert (pdf["overcount"] >= 0).all()
+    top = duckdb.sql(
+        f"SELECT w, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS w "
+        f"FROM '{sf_dir}/documents.parquet') GROUP BY w ORDER BY n DESC, w LIMIT 1"
+    ).fetchone()
+    assert pdf.iloc[0]["token"] == top[0]
+    assert int(pdf.iloc[0]["exact_count"]) == top[1]
