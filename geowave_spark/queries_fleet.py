@@ -207,22 +207,35 @@ def _q261(d: G.Dialect) -> str:
     Z-order pays 'seam' jumps at quadrant boundaries; this query measures
     the claim on the real corpus instead of asserting it.
     """
+    return (f"WITH keyed AS ({_q261_keyed_sql(d)})"
+            f"{_q261_tail_sql(d)}")
+
+
+def _q261_keyed_sql(d: G.Dialect) -> str:
     n = 1 << _R250
     pts = geo.lineitem_points_sql()
-    zk1 = _q250_zkey(d, "c1.cx", "c1.cy")
-    zk2 = _q250_zkey(d, "c2.cx", "c2.cy")
     hc = ",".join(hilbert_ctes(d, "cells", _R250))
     return f"""
-WITH pts AS ({pts}),
-cells AS (
-  SELECT DISTINCT
-    cast(floor((lon + 180e0) / 360e0 * {n}) as bigint) AS cx,
-    cast(floor((lat + 90e0) / 180e0 * {n}) as bigint) AS cy
-  FROM pts
-  WHERE lon >= -180 AND lon < 180 AND lat >= -90 AND lat < 90
-),
-{hc},
-keyed AS (SELECT cx, cy, acc AS hkey FROM h0),
+SELECT cx, cy, acc AS hkey FROM (
+  WITH pts AS ({pts}),
+  cells AS (
+    SELECT DISTINCT
+      cast(floor((lon + 180e0) / 360e0 * {n}) as bigint) AS cx,
+      cast(floor((lat + 90e0) / 180e0 * {n}) as bigint) AS cy
+    FROM pts
+    WHERE lon >= -180 AND lon < 180 AND lat >= -90 AND lat < 90
+  ),
+  {hc}
+  SELECT cx, cy, acc FROM h0
+) hk
+"""
+
+
+def _q261_tail_sql(d: G.Dialect) -> str:
+    n = 1 << _R250
+    zk1 = _q250_zkey(d, "c1.cx", "c1.cy")
+    zk2 = _q250_zkey(d, "c2.cx", "c2.cy")
+    return f""",
 pairs AS (
   SELECT 'E' AS dir,
          abs(c2.hkey - c1.hkey) AS hgap,
@@ -243,6 +256,21 @@ FROM pairs
 GROUP BY dir
 ORDER BY dir
 """
+
+
+def _q261_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized Spark path for `_q261` (same reason as `_q275_spark`:
+    the keyed relation is referenced twice in the adjacency joins, and
+    inlining the chained Hilbert encoder into both references doubles a
+    Catalyst traversal of an exponentially-substituted tree)."""
+    from .table.views import mat_view
+
+    d = G.SPARK
+    register_views(spark, sf_dir)
+    mat_view(spark, "q261_keyed", _q261_keyed_sql(d))
+    return spark.sql("WITH keyed AS (SELECT cx, cy, hkey FROM q261_keyed)"
+                     + _q261_tail_sql(d))
+
 
 
 # --------------------------------------------------------------- q262
@@ -878,6 +906,101 @@ ORDER BY exact_count DESC, token
 """
 
 
+# --------------------------------------------------------------- q275
+
+
+def _q275(d: G.Dialect) -> str:
+    """Learned-index feasibility audit (RMI/PGM-style): approximate the
+    CDF of the corpus's Hilbert key distribution with an equi-width
+    histogram-interpolated model of B = 16 and 64 buckets, and measure
+    the worst and mean |predicted rank - true rank| — the error bound
+    that IS the learned index's search-window size (Kraska et al. 2018;
+    a PGM/RMI over SFC keys replaces the B-tree fan-in for the tiered
+    range scan).  If max_err is small relative to rows-per-partition,
+    position prediction can skip the per-partition binary search
+    entirely; the two-model output shows how the bound shrinks with
+    model size, which is the whole sizing decision.
+
+    Plan: Hilbert keys of the occupied cells (the chained-CTE encoder,
+    one relational pass), true rank = one global row_number over the
+    SMALL cell relation, model = 16/64-row cumulative histogram joined
+    back by bucket id — corpus appears once in the histogram scan.
+    """
+    return (f"WITH keyed AS ({_q275_keyed_sql(d)})"
+            f"{_q275_tail_sql(d)}")
+
+
+def _q275_keyed_sql(d: G.Dialect) -> str:
+    n = 1 << _R250
+    hc = ",".join(hilbert_ctes(d, "cells", _R250))
+    return f"""
+SELECT acc AS hkey,
+       cast(row_number() OVER (ORDER BY acc) as bigint) AS rk
+FROM (
+  WITH pts AS ({geo.lineitem_points_sql()}),
+  cells AS (
+    SELECT DISTINCT
+      cast(floor((lon + 180e0) / 360e0 * {n}) as bigint) AS cx,
+      cast(floor((lat + 90e0) / 180e0 * {n}) as bigint) AS cy
+    FROM pts
+    WHERE lon >= -180 AND lon < 180 AND lat >= -90 AND lat < 90
+  ),
+  {hc}
+  SELECT acc FROM h0
+) hk
+"""
+
+
+def _q275_tail_sql(d: G.Dialect) -> str:
+    n = 1 << _R250
+    space = n * n
+    parts = []
+    for b in (16, 64):
+        w = space // b
+        parts.append(f"""
+m{b} AS (
+  SELECT {d.intdiv('hkey', str(w))} AS bkt, cast(count(*) as bigint) AS c
+  FROM keyed GROUP BY 1
+),
+cum{b} AS (
+  SELECT bkt, c,
+         cast(sum(c) OVER (ORDER BY bkt) - c as bigint) AS cum_before
+  FROM m{b}
+),
+err{b} AS (
+  SELECT abs(m.cum_before
+             + {d.intdiv(f"(k.hkey - m.bkt * {w}) * m.c", str(w))}
+             + 1 - k.rk) AS e
+  FROM keyed k JOIN cum{b} m ON m.bkt = {d.intdiv('k.hkey', str(w))}
+)""")
+    body = ",".join(parts)
+    sels = " UNION ALL ".join(
+        f"SELECT {b} AS model_buckets, cast(count(*) as bigint) AS n_keys, "
+        f"max(e) AS max_err, "
+        f"cast({d.intdiv('sum(e) * 1000', 'count(*)')} as bigint) "
+        f"AS mean_err_milli FROM err{b}"
+        for b in (16, 64)
+    )
+    return (f",{body}\n"
+            f"SELECT * FROM ({sels}) u ORDER BY model_buckets")
+
+
+def _q275_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized Spark path for `_q275`: the Hilbert-keyed relation is
+    checkpointed BEFORE the model CTEs reference it 4x — inlining the
+    8-level chained encoder into every reference makes Catalyst traverse
+    an exponentially-substituted expression tree (analysis alone hangs;
+    the same reason DuckDB is fine is that it materializes CTEs once).
+    """
+    from .table.views import mat_view
+
+    d = G.SPARK
+    register_views(spark, sf_dir)
+    mat_view(spark, "q275_keyed", _q275_keyed_sql(d))
+    return spark.sql("WITH keyed AS (SELECT hkey, rk FROM q275_keyed)"
+                     + _q275_tail_sql(d))
+
+
 # --------------------------------------------------------------- q253
 
 _N253 = 12  # wrapped query rects
@@ -1336,7 +1459,7 @@ FLEET_QUERIES = {
     "q255_voronoi_boundary": _dual(_q255),
     "q259_selectivity_estimator": _dual(_q259),
     "q260_quadtree_tiering": _dual(_q260),
-    "q261_hilbert_locality": _dual(_q261),
+    "q261_hilbert_locality": (_q261_spark, _q261(G.DUCK)),
     "q262_sfc_window_clusters": _dual(_q262),
     "q263_knn_ring_planner": _dual(_q263),
     "q265_skew_salt_planner": _dual(_q265),
@@ -1346,4 +1469,5 @@ FLEET_QUERIES = {
     "q271_bloom_skipping_audit": _dual(_q271),
     "q273_polygon_winding_audit": _dual(_q273),
     "q274_cms_heavy_hitters": _dual(_q274),
+    "q275_learned_index_audit": (_q275_spark, _q275(G.DUCK)),
 }

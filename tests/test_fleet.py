@@ -400,3 +400,14 @@ def test_q274_cms_never_undercounts(spark, sf_dir):
     ).fetchone()
     assert pdf.iloc[0]["token"] == top[0]
     assert int(pdf.iloc[0]["exact_count"]) == top[1]
+
+
+def test_q275_model_error_shrinks_with_buckets(spark, sf_dir):
+    """A 4x bigger CDF model must not be worse, and the max error bounds
+    the mean (milli) by construction."""
+    pdf = _run("q275_learned_index_audit", spark, sf_dir).set_index(
+        "model_buckets")
+    assert pdf.loc[64, "max_err"] <= pdf.loc[16, "max_err"]
+    assert pdf.loc[64, "mean_err_milli"] <= pdf.loc[16, "mean_err_milli"]
+    for b in (16, 64):
+        assert pdf.loc[b, "mean_err_milli"] <= pdf.loc[b, "max_err"] * 1000
