@@ -1201,7 +1201,82 @@ ORDER BY id1, id2
 """
 
 
+def q276_phash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash distance calibration: the Hamming-distance
+    histogram over DISTINCT-content image pairs (blocked: doc_id within
+    20), in 8-bit buckets — the curve that justifies q46's Hamming<=14
+    near-dup threshold.  Non-duplicate pairs should mass around 32
+    (independent 64-bit hashes); the histogram's low-bucket tail IS the
+    false-positive mass the threshold would admit, measured on the real
+    corpus instead of assumed.  Run it before changing the threshold or
+    the hash (a phash revision that shifts this distribution silently
+    changes dedup recall/precision fleet-wide).
+
+    Engine: real decode -> phash, materialized 2-column projection
+    (double-decode lesson), delta-blocked self-join (bounded fan-out per
+    image, never all-pairs), codegen bit_count.  Oracle: closed-form
+    phash bits from the synthesis field — never decodes.
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    img = (img_tab.images_df(spark, sf_dir)
+           .select(F.expr("cast(substring(image_id, 4) as bigint)")
+                   .alias("d"), "phash")
+           .localCheckpoint(eager=True))
+    a, b = img.alias("a"), img.alias("b")
+    pairs = a.join(
+        b, (F.col("b.d") > F.col("a.d"))
+        & (F.col("b.d") - F.col("a.d") <= 20))
+    return (
+        pairs.select(
+            F.expr("cast(bit_count(a.phash ^ b.phash) as int)").alias("ham"))
+        .groupBy(F.expr("cast(ham div 8 as int)").alias("bucket"))
+        .agg(F.count("*").alias("n_pairs"),
+             F.min("ham").alias("min_ham"),
+             F.max("ham").alias("max_ham"))
+        .orderBy("bucket")
+    )
+
+
+def _q276_sql() -> str:
+    luma = img_tab.luma_sql("x", "y")
+    return f"""
+WITH dims AS (
+  SELECT doc_id, {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, i.g AS idx,
+         ((2 * (i.g % 8) + 1) * w) // 16 AS x,
+         ((2 * (i.g // 8) + 1) * h) // 16 AS y
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, 63)) AS g) i
+),
+lum AS (SELECT doc_id, idx, {luma} AS s FROM samp),
+bits AS (
+  SELECT doc_id, idx,
+         (CASE WHEN s > (sum(s) OVER (PARTITION BY doc_id)) // 64
+               THEN 1 ELSE 0 END) AS bit
+  FROM lum
+),
+hams AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         cast(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) as int) AS ham
+  FROM bits a JOIN bits b
+    ON a.idx = b.idx AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT cast(ham // 8 as int) AS bucket,
+       cast(count(*) as bigint) AS n_pairs,
+       cast(min(ham) as int) AS min_ham,
+       cast(max(ham) as int) AS max_ham
+FROM hams
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 MULTIMODAL_QUERIES = {
+    "q276_phash_calibration": (q276_phash_calibration, _q276_sql()),
     "q252_video_set_neardup": (q252_video_set_neardup, Q252_SQL),
     "q256_cross_modal_dup_matrix": (q256_cross_modal_dup_matrix, Q256_SQL),
     "q240_block_motion": (q240_block_motion, _q240_sql()),

@@ -199,3 +199,17 @@ def test_q252_drop_head_probe_recall(spark, sf_dir):
         f"GROUP BY doc_id % 61)"
     ).fetchone()[0]
     assert len(pdf) == n_pairs
+
+
+def test_q276_distances_mass_at_center(spark, sf_dir):
+    """Distinct-content pairs must mass in the middle buckets (~32 bits)
+    with only a small tail below q46's 14-bit threshold."""
+    from geowave_spark.queries_multimodal import MULTIMODAL_QUERIES
+
+    pdf = (MULTIMODAL_QUERIES["q276_phash_calibration"][0](spark, sf_dir)
+           .toPandas())
+    total = pdf["n_pairs"].sum()
+    low = pdf[pdf["bucket"] <= 1]["n_pairs"].sum()  # ham < 16
+    mid = pdf[pdf["bucket"].isin([3, 4])]["n_pairs"].sum()
+    assert mid > total * 0.5
+    assert low < total * 0.05
