@@ -4003,3 +4003,7 @@ QUERIES.update(MOBILITY_QUERIES)
 from .queries_fleet import FLEET_QUERIES  # noqa: E402
 
 QUERIES.update(FLEET_QUERIES)
+
+from .queries_overlay import OVERLAY_QUERIES  # noqa: E402
+
+QUERIES.update(OVERLAY_QUERIES)

@@ -1,0 +1,637 @@
+"""Overlay-dissolve, track-similarity-DP and training-shuffle queries
+(q277-q279).
+
+- q277 rectangle dissolve / union area: the overlay UNION complement of
+  q101's pairwise intersect-area join (reference answers *whether*
+  geometries intersect — `GeomIntersects`, `GeoWaveSparkSpatialJoinIT` —
+  never the merged footprint).  Classic sweep: coordinate-compressed
+  vertical slabs, then a y-interval union per slab via gaps-and-islands
+  windows.
+- q278 discrete Frechet distance join between user tracks: the ORDERED
+  companion of q164's (set-based) Hausdorff — couplings must walk both
+  tracks monotonically, so reordered visits that Hausdorff cannot
+  distinguish get separated.  DP over an 8x8 grid.
+- q279 bit-reversal epoch shuffle: deterministic global training-data
+  shuffle (a bijective bit-reversal permutation instead of a stored
+  random key) + per-batch source-mixing audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .table import geo
+from .table.views import register_views
+
+# ---------------------------------------------------------------------------
+# q277 — rectangle dissolve (union area) per zone group
+# ---------------------------------------------------------------------------
+
+_Q277_GROUPS = 48
+
+
+def _q277_sql() -> str:
+    """Rectangle dissolve / union area per group (vector overlay UNION).
+
+    The sweep is the textbook algorithm, expressed relationally so BOTH
+    engines run the identical text: (1) coordinate compression — the
+    distinct x-edges of a group's rectangles cut the plane into vertical
+    slabs (`lead` window); (2) a rect covers a slab iff the slab lies
+    inside its x-range (equi-join on the group + range filter — slab
+    edges are exactly rect edges, so coverage is all-or-nothing);
+    (3) within (group, slab) the covered y-length is a classic
+    gaps-and-islands union: running `max(y1)` over the y0-ordered
+    intervals marks island starts, a running sum numbers them, and each
+    island contributes `max(y1)-min(y0)`.  Contributions are floored to
+    integer micro-deg^2 per (slab, island) so the cross-engine hash is
+    exact.
+
+    Scale shape: every window and join is PARTITIONED BY the group key —
+    a planet-scale dissolve first grid-partitions rectangles (clipping
+    at cell borders exactly like `index/cover` clamps covers) so each
+    group holds a bounded rectangle count; within a group the sweep is
+    O(n log n) rows through two window Exchanges that AQE coalesces.
+    The corpus is scanned once (reference:
+    `RasterTileResizeSparkRunner.java` merges per-tile; no dissolve
+    exists for vector footprints).
+    """
+    # NONLINEAR key perturbation: a purely linear key would make each
+    # group's centers an arithmetic progression mod the lon/lat modulus —
+    # equally spaced, zero overlaps, a trivial dissolve (the q249 lesson:
+    # linear hashes are progressions)
+    cx = geo.lon_sql("event_id * 13 + (event_id % 131) * (event_id % 137) + 7")
+    cy = geo.lat_sql("event_id * 17 + (event_id % 127) * (event_id % 139) + 3")
+    w = "(5e-1 + (event_id % 37) / 2e1)"
+    h = "(4e-1 + (event_id % 29) / 2e1)"
+    return f"""
+WITH r AS (
+  SELECT event_id AS rid, cast(event_id % {_Q277_GROUPS} as bigint) AS g,
+         {cx} - {w} AS x0, {cy} - {h} AS y0,
+         {cx} + {w} AS x1, {cy} + {h} AS y1
+  FROM events
+),
+xs AS (
+  SELECT g, x0 AS x FROM r UNION SELECT g, x1 FROM r
+),
+slabs AS (
+  SELECT g, x AS xs, lead(x) OVER (PARTITION BY g ORDER BY x) AS xe FROM xs
+),
+cov AS (
+  SELECT r.g, s.xs, s.xe, r.y0, r.y1, r.rid
+  FROM r JOIN slabs s ON s.g = r.g
+  WHERE s.xe IS NOT NULL AND r.x0 <= s.xs AND s.xe <= r.x1
+),
+marked AS (
+  SELECT g, xs, xe, y0, y1, rid,
+         max(y1) OVER (PARTITION BY g, xs ORDER BY y0, y1, rid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM cov
+),
+isl AS (
+  SELECT g, xs, xe, y0, y1,
+         sum(CASE WHEN prev_max IS NULL OR y0 > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY g, xs ORDER BY y0, y1, rid
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+),
+seg AS (
+  SELECT g, xs, xe, island, min(y0) AS ylo, max(y1) AS yhi
+  FROM isl GROUP BY g, xs, xe, island
+)
+SELECT g, cast(count(*) as bigint) AS n_segments,
+       cast(count(DISTINCT xs) as bigint) AS n_slabs,
+       cast(sum(cast(floor(1000000.0 * (xe - xs) * (yhi - ylo)) as bigint))
+            as bigint) AS union_area_micro
+FROM seg GROUP BY g ORDER BY g
+"""
+
+
+def q277_rect_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q277_sql` (dialect-free SQL)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q277_sql())
+
+
+# ---------------------------------------------------------------------------
+# q278 — discrete Frechet distance join between resampled user tracks
+# ---------------------------------------------------------------------------
+
+_Q278_M = 8          # resampled points per track
+_Q278_HOME_RES = 2   # start-cell blocking resolution (q164's candidate idiom)
+_BIG = 4611686018427387904  # 2^62: +inf stand-in for DP boundary cells
+
+
+def _q278_tracks_spark_sql() -> str:
+    """Per-user resampled track arrays (Spark dialect): events ordered by
+    event_id -> micro-int coordinate arrays -> m evenly spaced indices
+    (1 + i*(n-1) div (m-1), the nearest-rank resample of q113's grid)."""
+    lon = f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint)"
+    lat = f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint)"
+    m = _Q278_M
+    pick = (f"transform(sequence(0, {m - 1}), "
+            f"i -> element_at({{a}}, cast(1 + (i * (size({{a}}) - 1)) div {m - 1} as int)))")
+    return f"""
+SELECT user_id,
+       {pick.format(a="xs")} AS px, {pick.format(a="ys")} AS py,
+       element_at(xs, 1) AS x0, element_at(ys, 1) AS y0
+FROM (
+  SELECT user_id,
+         transform(array_sort(collect_list(struct(event_id AS o, {lon} AS v))), s -> s.v) AS xs,
+         transform(array_sort(collect_list(struct(event_id AS o, {lat} AS v))), s -> s.v) AS ys
+  FROM events GROUP BY user_id
+)
+"""
+
+
+def _q278_cand_spark_sql() -> str:
+    """Candidate pairs: tracks whose FIRST point falls in the same coarse
+    cell (the same-home blocking contract of q164, applied to the track
+    START — Frechet walks both tracks from their starts, so far-apart
+    starts bound the distance from below).  dist is the 64-cell row-major
+    squared-distance matrix, all integer."""
+    n = 1 << _Q278_HOME_RES
+    cell = (f"cast(floor((y0 / 1e6 + 90) / 180 * {n}) as bigint) * {n} "
+            f"+ cast(floor((x0 / 1e6 + 180) / 360 * {n}) as bigint)")
+    m = _Q278_M
+    return f"""
+WITH t AS ({_q278_tracks_spark_sql()}),
+h AS (SELECT user_id, px, py, {cell} AS home FROM t)
+SELECT a.user_id AS u1, b.user_id AS u2,
+       transform(sequence(0, {m * m - 1}), t ->
+         (element_at(a.px, cast(t div {m} + 1 as int)) - element_at(b.px, cast(t % {m} + 1 as int)))
+       * (element_at(a.px, cast(t div {m} + 1 as int)) - element_at(b.px, cast(t % {m} + 1 as int)))
+       + (element_at(a.py, cast(t div {m} + 1 as int)) - element_at(b.py, cast(t % {m} + 1 as int)))
+       * (element_at(a.py, cast(t div {m} + 1 as int)) - element_at(b.py, cast(t % {m} + 1 as int)))
+       ) AS dist
+FROM h a JOIN h b ON b.home = a.home AND a.user_id < b.user_id
+"""
+
+
+def _q278_col_expr(j: int) -> str:
+    """DP column j as a fold (Spark `aggregate`: the accumulator is the
+    growing column array — a type the element type need not match, which
+    is why the Spark path can run the whole recurrence in ONE projection
+    per column while the oracle unrolls antidiagonals).  Recurrence:
+    d[i][j] = max(dist[i][j], min(d[i-1][j], d[i][j-1], d[i-1][j-1])),
+    column j reads column j-1 as the bound column `c` (a real attribute,
+    so the Catalyst tree grows linearly in m — the q275 lesson)."""
+    m = _Q278_M
+
+    def dist(r: str) -> str:  # 1-based row r, fixed column j
+        return f"element_at(dist, cast(({r} - 1) * {m} + {j + 1} as int))"
+
+    if j == 0:
+        base = dist("1")
+        step = f"greatest({dist('r')}, element_at(acc, cast(r - 1 as int)))"
+    else:
+        base = f"greatest({dist('1')}, element_at(c, 1))"
+        step = (f"greatest({dist('r')}, least("
+                f"element_at(c, cast(r as int)), "
+                f"element_at(acc, cast(r - 1 as int)), "
+                f"element_at(c, cast(r - 1 as int))))")
+    return (f"aggregate(sequence(2, {m}), array({base}), "
+            f"(acc, r) -> concat(acc, array({step})))")
+
+
+def q278_track_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Frechet distance between same-start-cell user tracks.
+
+    Spark plan: one scan -> per-user ordered-array aggregate (one keyed
+    shuffle) -> blocked self-join on the start cell -> the 8x8 DP as
+    EIGHT chained projections, each a single `aggregate` fold over the
+    previous column attribute.  No joins inside the DP, no Python; the
+    per-pair cost is a fixed 64-cell recurrence, so the operator scales
+    as O(pairs-per-block), the same contract as q164.
+
+    Oracle: an antidiagonal-unrolled relational DP (15 MATERIALIZED CTE
+    rounds) — an independent formulation of the same recurrence, so a
+    fold-order or index-base bug in either side breaks the hash.
+    """
+    register_views(spark, sf_dir)
+    df = spark.sql(_q278_cand_spark_sql())
+    for j in range(_Q278_M):
+        df = df.withColumn("c", F.expr(_q278_col_expr(j)))
+    return (
+        df.select(
+            "u1", "u2",
+            F.expr(f"element_at(c, {_Q278_M})").alias("frechet_sq"),
+        ).orderBy("u1", "u2")
+    )
+
+
+def _q278_oracle_sql() -> str:
+    """DuckDB twin: same tracks/candidates (DuckDB array idioms), DP
+    unrolled over antidiagonals k=i+j — round k's cells depend only on
+    rounds k-1 and k-2, so each is one small MATERIALIZED CTE join."""
+    lon = f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint)"
+    lat = f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint)"
+    m = _Q278_M
+    n = 1 << _Q278_HOME_RES
+    pick = (f"list_transform(generate_series(0, {m - 1}), "
+            f"i -> {{a}}[1 + (i * (len({{a}}) - 1)) // {m - 1}])")
+    cell = (f"cast(floor((y0 / 1e6 + 90) / 180 * {n}) as bigint) * {n} "
+            f"+ cast(floor((x0 / 1e6 + 180) / 360 * {n}) as bigint)")
+    rounds = []
+    for k in range(1, 2 * m - 1):
+        joins = [f"LEFT JOIN a{k - 1} p1 ON p1.u1 = d.u1 AND p1.u2 = d.u2 AND p1.i = d.i - 1",
+                 f"LEFT JOIN a{k - 1} p2 ON p2.u1 = d.u1 AND p2.u2 = d.u2 AND p2.i = d.i"]
+        p3 = (f"LEFT JOIN a{k - 2} p3 ON p3.u1 = d.u1 AND p3.u2 = d.u2 AND p3.i = d.i - 1"
+              if k >= 2 else "")
+        p3v = "coalesce(p3.v, {B})" if k >= 2 else "{B}"
+        rounds.append(f"""
+a{k} AS MATERIALIZED (
+  SELECT d.u1, d.u2, d.i,
+         greatest(d.d2, least(coalesce(p1.v, {{B}}), coalesce(p2.v, {{B}}), {p3v})) AS v
+  FROM (SELECT * FROM dist WHERE k = {k}) d
+  {joins[0]}
+  {joins[1]}
+  {p3}
+)""".replace("{B}", str(_BIG)))
+    return f"""
+WITH t0 AS (
+  SELECT user_id, list({lon} ORDER BY event_id) AS xs,
+         list({lat} ORDER BY event_id) AS ys
+  FROM events GROUP BY user_id
+),
+t AS (
+  SELECT user_id, {pick.format(a="xs")} AS px, {pick.format(a="ys")} AS py,
+         xs[1] AS x0, ys[1] AS y0
+  FROM t0
+),
+h AS (SELECT user_id, px, py, {cell} AS home FROM t),
+pairs AS (
+  SELECT a.user_id AS u1, b.user_id AS u2, a.px AS ax, a.py AS ay,
+         b.px AS bx, b.py AS by
+  FROM h a JOIN h b ON b.home = a.home AND a.user_id < b.user_id
+),
+dist AS MATERIALIZED (
+  SELECT u1, u2, t // {m} AS i, t % {m} AS j, (t // {m}) + (t % {m}) AS k,
+         (ax[t // {m} + 1] - bx[t % {m} + 1]) * (ax[t // {m} + 1] - bx[t % {m} + 1])
+       + (ay[t // {m} + 1] - by[t % {m} + 1]) * (ay[t // {m} + 1] - by[t % {m} + 1]) AS d2
+  FROM pairs, unnest(generate_series(0, {m * m - 1})) AS u(t)
+),
+a0 AS MATERIALIZED (
+  SELECT u1, u2, i, d2 AS v FROM dist WHERE k = 0
+),{",".join(rounds)}
+SELECT u1, u2, cast(v as bigint) AS frechet_sq
+FROM a{2 * m - 2} ORDER BY u1, u2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q279 — bit-reversal epoch shuffle + per-batch source-mixing audit
+# ---------------------------------------------------------------------------
+
+_Q279_BITS = 10        # permutation width: 1024 interleave classes
+_Q279_BATCH = 64       # documents per training batch
+
+
+def _q279_sql(intdiv: str) -> str:
+    """Deterministic global shuffle for training epochs + mixing audit.
+
+    A training pipeline must feed batches that interleave sources, but a
+    stored random key costs a full-table write per epoch.  Instead:
+    a BIJECTIVE bit-reversal permutation — global_pos = bitrev_10(id mod
+    1024) * ceil(N/1024) + id div 1024 — computed in closed form (ten
+    shift-mask-shift terms, pure codegen; epoch e would add `id -> id
+    XOR e` before the reversal).  Neighbouring ids land ~N/1024 apart,
+    so any ingest-order clustering (per-source contiguous blocks —
+    exactly how corpus dumps arrive) is spread across batches.  The
+    position is CLOSED FORM — no global row_number sort: batch ids come
+    from `gpos div B` directly (positions have gaps only where the final
+    id block is short, so tail batches run slightly light — the price of
+    keeping the shuffle count at exactly one keyed aggregate).
+
+    The audit aggregates per batch: row count, distinct sources, the
+    dominant source's share (micro), and the mean absolute id-gap between
+    batch neighbours (big gap = well spread).  Scale: one scan, one
+    broadcast of the scalar row count, one keyed aggregate on batch.
+    """
+    d = intdiv
+    b = _Q279_BITS
+    terms = " + ".join(
+        f"((doc_id {d} {1 << i}) % 2) * {1 << (b - 1 - i)}" for i in range(b)
+    )
+    return f"""
+WITH n AS (
+  SELECT (count(*) + {(1 << b) - 1}) {d} {1 << b} AS nblk FROM documents
+),
+perm AS (
+  SELECT doc_id, source, ({terms}) AS rev,
+         (doc_id {d} {1 << b}) AS blk
+  FROM documents
+),
+batched AS (
+  SELECT doc_id, source, rev * n.nblk + blk AS gpos,
+         (rev * n.nblk + blk) {d} {_Q279_BATCH} AS batch
+  FROM perm CROSS JOIN n
+),
+gaps AS (
+  SELECT batch, source, doc_id,
+         abs(doc_id - lag(doc_id) OVER (PARTITION BY batch ORDER BY gpos)) AS gap
+  FROM batched
+),
+src AS (
+  SELECT batch, source, count(*) AS ns FROM gaps GROUP BY batch, source
+),
+dom AS (
+  SELECT batch, max(ns) AS max_ns, sum(ns) AS n,
+         count(*) AS n_sources
+  FROM src GROUP BY batch
+),
+spread AS (
+  SELECT batch, cast(sum(gap) {d} count(gap) as bigint) AS mean_gap
+  FROM gaps WHERE gap IS NOT NULL GROUP BY batch
+)
+SELECT d.batch, cast(d.n as bigint) AS n,
+       cast(d.n_sources as bigint) AS n_sources,
+       cast(d.max_ns * 1000000 {d} d.n as bigint) AS dom_share_micro,
+       s.mean_gap
+FROM dom d JOIN spread s ON s.batch = d.batch
+ORDER BY d.batch
+"""
+
+
+def q279_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q279_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q279_sql("div"))
+
+
+# ---------------------------------------------------------------------------
+# q280 — line x line segment-intersection overlay join
+# ---------------------------------------------------------------------------
+
+from .functions import sqlgen as G  # noqa: E402
+
+_Q280_RES = 6  # 64x64 candidate grid; segments are <= ~2.5 deg by construction
+
+
+def _q280_segments_sql() -> str:
+    """Short event-derived segments (aid, axi..byi in micro-int coords):
+    deterministic start + bounded offset, so a segment's bbox covers O(1)
+    cells at the candidate resolution."""
+    ax = geo.lon_sql("event_id * 11 + 5")
+    ay = geo.lat_sql("event_id * 23 + 9")
+    dx = "((1e0 + (event_id % 23) / 1e1) * (cast(event_id % 2 as int) * 2 - 1))"
+    dy = "((5e-1 + (event_id % 17) / 1e1) * (cast(event_id % 3 as int) - 1))"
+    return (
+        f"SELECT event_id AS aid, "
+        f"cast(floor(({ax}) * 1000000) as bigint) AS ax, "
+        f"cast(floor(({ay}) * 1000000) as bigint) AS ay, "
+        f"cast(floor(({ax} + {dx}) * 1000000) as bigint) AS bx, "
+        f"cast(floor(({ay} + {dy}) * 1000000) as bigint) AS by "
+        f"FROM events WHERE event_id % 3 = 0"
+    )
+
+
+def _q280_roads_sql() -> str:
+    """Supplier-derived 'road' segments (bid, cxi..dyi micro-int)."""
+    cx = geo.lon_sql("s_suppkey * 41 + 13")
+    cy = geo.lat_sql("s_suppkey * 43 + 17")
+    dx = "((1e0 + (s_suppkey % 25) / 1e1) * (cast(s_suppkey % 2 as int) * 2 - 1))"
+    dy = "((5e-1 + (s_suppkey % 19) / 1e1) * (cast(s_suppkey % 3 as int) - 1))"
+    return (
+        f"SELECT s_suppkey AS bid, "
+        f"cast(floor(({cx}) * 1000000) as bigint) AS cx, "
+        f"cast(floor(({cy}) * 1000000) as bigint) AS cy, "
+        f"cast(floor(({cx} + {dx}) * 1000000) as bigint) AS dx, "
+        f"cast(floor(({cy} + {dy}) * 1000000) as bigint) AS dy "
+        f"FROM supplier"
+    )
+
+
+_Q280_CROSS = """
+sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+  * sign((bx - ax) * (dy - ay) - (by - ay) * (dx - ax)) < 0
+AND sign((dx - cx) * (ay - cy) - (dy - cy) * (ax - cx))
+  * sign((dx - cx) * (by - cy) - (dy - cy) * (bx - cx)) < 0
+"""
+
+
+def _q280_cover_arr(d: G.Dialect, x0: str, x1: str, y0: str, y1: str) -> str:
+    """Covered-cell array: outer lambda over gx, inner over gy."""
+    n = 1 << _Q280_RES
+    dv = "div" if d.is_spark else "//"
+    gx0 = f"((least({x0}, {x1}) + 180000000) * {n}) {dv} 360000001"
+    gx1 = f"((greatest({x0}, {x1}) + 180000000) * {n}) {dv} 360000001"
+    gy0 = f"((least({y0}, {y1}) + 90000000) * {n}) {dv} 180000001"
+    gy1 = f"((greatest({y0}, {y1}) + 90000000) * {n}) {dv} 180000001"
+    if d.is_spark:
+        return (f"flatten(transform(sequence({gx0}, {gx1}), "
+                f"gx -> transform(sequence({gy0}, {gy1}), gy -> gy * {n} + gx)))")
+    return (f"flatten(list_transform(generate_series({gx0}, {gx1}), "
+            f"gx -> list_transform(generate_series({gy0}, {gy1}), gy -> gy * {n} + gx)))")
+
+
+def _q280_sql(d: G.Dialect, brute: bool = False) -> str:
+    """Segment x segment intersection join (vector overlay 'crossings').
+
+    Engine path: both sides explode their bbox cover at the candidate
+    grid (cell recall for bbox overlap is EXACT — overlapping real
+    intervals have overlapping floored cell ranges), hash equi-join on
+    the cell, pair-dedup by GROUP BY (the SW-owner-cell dedup of
+    `rect_overlay_join` is the zero-shuffle variant at scale), then the
+    exact integer orientation refine: proper crossing iff the endpoint
+    orientation signs differ on both segments — sign() BEFORE the
+    product so the int64 cross products never multiply each other.
+
+    Oracle (`brute=True`): bbox-overlap theta join + the identical
+    refine — independent candidate machinery, same exact result.
+    Reference: overlay intersection is the GeomCrosses predicate of the
+    Geom* UDF surface (`analytics/spark/.../udf/GeomFunction.java`);
+    the reference never materializes crossing PAIRS between two stores.
+    """
+    exp = d.explode(_q280_cover_arr(d, "ax", "bx", "ay", "by"))
+    expb = d.explode(_q280_cover_arr(d, "cx", "dx", "cy", "dy"))
+    if brute:
+        # bbox corners are materialized as plain columns: DuckDB's
+        # inequality join (IEJoin) asserts on non-flat vectors when the
+        # join keys are least()/greatest() expressions (internal error,
+        # observed on 1.x) — and precomputed corners are clearer anyway
+        cand = """
+SELECT a.aid, b.bid, ax, ay, bx, by, cx, cy, dx, dy
+FROM (SELECT aid, ax, ay, bx, by,
+             least(ax, bx) AS alo, greatest(ax, bx) AS ahi,
+             least(ay, by) AS alo2, greatest(ay, by) AS ahi2 FROM a) a
+JOIN (SELECT bid, cx, cy, dx, dy,
+             least(cx, dx) AS blo, greatest(cx, dx) AS bhi,
+             least(cy, dy) AS blo2, greatest(cy, dy) AS bhi2 FROM b) b
+  ON a.alo <= b.bhi AND b.blo <= a.ahi
+ AND a.alo2 <= b.bhi2 AND b.blo2 <= a.ahi2
+"""
+    else:
+        cand = f"""
+SELECT a.aid, b.bid, ax, ay, bx, by, cx, cy, dx, dy
+FROM (SELECT aid, ax, ay, bx, by, {exp} AS cell FROM a) a
+JOIN (SELECT bid, cx, cy, dx, dy, {expb} AS cell FROM b) b
+  ON b.cell = a.cell
+GROUP BY a.aid, b.bid, ax, ay, bx, by, cx, cy, dx, dy
+"""
+    return f"""
+WITH a AS ({_q280_segments_sql()}),
+b AS ({_q280_roads_sql()}),
+cand AS ({cand})
+SELECT aid, bid FROM cand
+WHERE {_Q280_CROSS}
+ORDER BY aid, bid
+"""
+
+
+def q280_segment_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q280_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q280_sql(G.SPARK))
+
+
+# ---------------------------------------------------------------------------
+# q281 — areal interpolation (value reaggregation source zones -> grid)
+# ---------------------------------------------------------------------------
+
+_Q281_RES = 3  # 8x8 target zones
+
+
+def _q281_sql(d: G.Dialect) -> str:
+    """Areal interpolation: transfer a zone-level value onto a target
+    grid proportional to overlap area (the GIS re-aggregation that moves
+    census counts between incompatible zone systems; Goodchild & Lam
+    1980).  Each source rect explodes to the coarse target cells its
+    bbox touches (O(1) cells at res {res}), the overlap area is closed
+    form (rect x rect), and the target aggregates floor(1e6 * value *
+    overlap / zone_area) — the float chain is left-associative in both
+    engines so the hash is exact.
+
+    Scale shape: one explode (bounded fan-out) + one keyed aggregate;
+    no window, no self-join; the value table never shuffles unexploded.
+    """
+    n = 1 << _Q281_RES
+    dv = "div" if d.is_spark else "//"
+    cellw, cellh = 360.0 / n, 180.0 / n
+    gx0 = f"cast(floor((lon0 + 180e0) / {cellw}) as bigint)"
+    gx1 = f"cast(floor((lon1 + 180e0) / {cellw}) as bigint)"
+    gy0 = f"cast(floor((lat0 + 90e0) / {cellh}) as bigint)"
+    gy1 = f"cast(floor((lat1 + 90e0) / {cellh}) as bigint)"
+    if d.is_spark:
+        cells = (f"flatten(transform(sequence(least({gx0}, {n - 1}), least({gx1}, {n - 1})), "
+                 f"gx -> transform(sequence(least({gy0}, {n - 1}), least({gy1}, {n - 1})), "
+                 f"gy -> gy * {n} + gx)))")
+    else:
+        cells = (f"flatten(list_transform(generate_series(least({gx0}, {n - 1}), least({gx1}, {n - 1})), "
+                 f"gx -> list_transform(generate_series(least({gy0}, {n - 1}), least({gy1}, {n - 1})), "
+                 f"gy -> gy * {n} + gx)))")
+    exp = d.explode(cells)
+    clon0 = f"((cell % {n}) * {cellw} - 180e0)"
+    clat0 = f"((cell {dv} {n}) * {cellh} - 90e0)"
+    inter = (f"(least(lon1, {clon0} + {cellw}) - greatest(lon0, {clon0}))"
+             f" * (least(lat1, {clat0} + {cellh}) - greatest(lat0, {clat0}))")
+    return f"""
+WITH z AS (
+  SELECT rid, lon0, lat0, lon1, lat1,
+         cast(rid % 997 + 1 as bigint) AS pop,
+         (lon1 - lon0) * (lat1 - lat0) AS zarea
+  FROM ({geo.supplier_rects_sql()}) r
+),
+e AS (
+  SELECT rid, pop, zarea, lon0, lat0, lon1, lat1, {exp} AS cell FROM z
+)
+SELECT cell,
+       cast(count(*) as bigint) AS n_zones,
+       cast(sum(cast(floor(1000000e0 * pop * ({inter}) / zarea) as bigint))
+            as bigint) AS pop_micro
+FROM e
+WHERE {inter} > 0
+GROUP BY cell ORDER BY cell
+""".replace("{res}", str(_Q281_RES))
+
+
+def q281_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q281_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q281_sql(G.SPARK))
+
+
+# ---------------------------------------------------------------------------
+# q282 — coverage-depth histogram (how much area is covered k-deep)
+# ---------------------------------------------------------------------------
+
+
+def _q282_sql() -> str:
+    """Coverage-depth histogram over the q277 rectangle groups: the area
+    covered by exactly k rectangles, per group — the overlay-depth
+    distribution (sensor/imagery redundancy planning: depth 0 = gap —
+    q94's complement — depth >= 2 = the mosaic/merge mass q12 pays for).
+
+    Same compressed-slab sweep as q277, but instead of merging islands,
+    each covering interval emits +1/-1 boundary events; the running sum
+    between consecutive distinct y-boundaries IS the depth of that
+    segment.  Each (slab, segment) contributes floor-micro area to its
+    depth bucket.  All windows are partitioned by (group, slab).
+    """
+    # NONLINEAR key perturbation: a purely linear key would make each
+    # group's centers an arithmetic progression mod the lon/lat modulus —
+    # equally spaced, zero overlaps, a trivial dissolve (the q249 lesson:
+    # linear hashes are progressions)
+    cx = geo.lon_sql("event_id * 13 + (event_id % 131) * (event_id % 137) + 7")
+    cy = geo.lat_sql("event_id * 17 + (event_id % 127) * (event_id % 139) + 3")
+    w = "(5e-1 + (event_id % 37) / 2e1)"
+    h = "(4e-1 + (event_id % 29) / 2e1)"
+    return f"""
+WITH r AS (
+  SELECT event_id AS rid, cast(event_id % {_Q277_GROUPS} as bigint) AS g,
+         {cx} - {w} AS x0, {cy} - {h} AS y0,
+         {cx} + {w} AS x1, {cy} + {h} AS y1
+  FROM events
+),
+xs AS (
+  SELECT g, x0 AS x FROM r UNION SELECT g, x1 FROM r
+),
+slabs AS (
+  SELECT g, x AS xs, lead(x) OVER (PARTITION BY g ORDER BY x) AS xe FROM xs
+),
+cov AS (
+  SELECT r.g, s.xs, s.xe, r.y0, r.y1
+  FROM r JOIN slabs s ON s.g = r.g
+  WHERE s.xe IS NOT NULL AND r.x0 <= s.xs AND s.xe <= r.x1
+),
+ev AS (
+  SELECT g, xs, xe, y0 AS y, 1 AS delta FROM cov
+  UNION ALL
+  SELECT g, xs, xe, y1 AS y, -1 AS delta FROM cov
+),
+net AS (
+  SELECT g, xs, xe, y, sum(delta) AS d FROM ev GROUP BY g, xs, xe, y
+),
+seg AS (
+  SELECT g, xs, xe, y,
+         lead(y) OVER (PARTITION BY g, xs ORDER BY y) AS ynext,
+         sum(d) OVER (PARTITION BY g, xs ORDER BY y
+                      ROWS UNBOUNDED PRECEDING) AS depth
+  FROM net
+)
+SELECT g, cast(depth as bigint) AS depth,
+       cast(count(*) as bigint) AS n_segments,
+       cast(sum(cast(floor(1000000.0 * (xe - xs) * (ynext - y)) as bigint))
+            as bigint) AS area_micro
+FROM seg
+WHERE ynext IS NOT NULL AND depth > 0
+GROUP BY g, depth ORDER BY g, depth
+"""
+
+
+def q282_coverage_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q282_sql` (dialect-free SQL)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q282_sql())
+
+
+OVERLAY_QUERIES = {
+    "q277_rect_dissolve": (q277_rect_dissolve, _q277_sql()),
+    "q278_track_frechet": (q278_track_frechet, _q278_oracle_sql()),
+    "q279_epoch_shuffle": (q279_epoch_shuffle, _q279_sql("//")),
+    "q280_segment_crossings": (
+        q280_segment_crossings, _q280_sql(G.DUCK, brute=True)),
+    "q281_areal_interp": (q281_areal_interp, _q281_sql(G.DUCK)),
+    "q282_coverage_depth": (q282_coverage_depth, _q282_sql()),
+}

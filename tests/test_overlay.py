@@ -1,0 +1,329 @@
+"""Independent (pure-python) recomputations for the overlay/DP/shuffle
+family (q277-q279) — third implementations, sharing no SQL text with
+either engine."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from geowave_spark.table import geo
+from geowave_spark.queries_overlay import (
+    _Q277_GROUPS,
+    _Q278_HOME_RES,
+    _Q278_M,
+    _Q279_BATCH,
+    _Q279_BITS,
+    q277_rect_dissolve,
+    q278_track_frechet,
+    q279_epoch_shuffle,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lon(k: int) -> float:
+    return ((k % geo.LON_MOD) * geo.LON_MULT % geo.LON_MOD) / 1e6 - 180.0
+
+
+def _lat(k: int) -> float:
+    return ((k % geo.LAT_MOD) * geo.LAT_MULT % geo.LAT_MOD) / 1e6 - 90.0
+
+
+def _events():
+    return duckdb.sql(
+        f"SELECT event_id, user_id FROM '{SF}/events.parquet' ORDER BY event_id"
+    ).fetchall()
+
+
+def test_q277_union_area_matches_python_sweep(spark):
+    rows = {r[0]: r for r in ((g,) for g in range(_Q277_GROUPS))}
+    rects: dict[int, list] = {}
+    for (eid, _u) in _events():
+        cx = _lon(eid * 13 + (eid % 131) * (eid % 137) + 7)
+        cy = _lat(eid * 17 + (eid % 127) * (eid % 139) + 3)
+        w = 0.5 + (eid % 37) / 20.0
+        h = 0.4 + (eid % 29) / 20.0
+        rects.setdefault(eid % _Q277_GROUPS, []).append(
+            (cx - w, cy - h, cx + w, cy + h)
+        )
+    expect = {}
+    for g, rs in rects.items():
+        edges = sorted({r[0] for r in rs} | {r[2] for r in rs})
+        area = 0
+        nseg = 0
+        nslab = 0
+        for xs, xe in zip(edges, edges[1:]):
+            ivals = sorted((r[1], r[3]) for r in rs if r[0] <= xs and xe <= r[2])
+            if not ivals:
+                continue
+            nslab += 1
+            # merge islands (same strictly-greater rule as the SQL)
+            cur_lo, cur_hi = ivals[0]
+            islands = []
+            for lo, hi in ivals[1:]:
+                if lo > cur_hi:
+                    islands.append((cur_lo, cur_hi))
+                    cur_lo, cur_hi = lo, hi
+                else:
+                    cur_hi = max(cur_hi, hi)
+            islands.append((cur_lo, cur_hi))
+            nseg += len(islands)
+            for lo, hi in islands:
+                area += math.floor(1000000.0 * (xe - xs) * (hi - lo))
+        expect[g] = (nseg, nslab, area)
+
+    got = q277_rect_dissolve(spark, SF).collect()
+    assert len(got) == len(expect)
+    for row in got:
+        nseg, nslab, area = expect[row.g]
+        assert (row.n_segments, row.n_slabs, row.union_area_micro) == (
+            nseg, nslab, area), row.g
+
+
+def _resample(vals: list[int]) -> list[int]:
+    n = len(vals)
+    return [vals[(i * (n - 1)) // (_Q278_M - 1)] for i in range(_Q278_M)]
+
+
+def test_q278_frechet_matches_python_dp(spark):
+    tracks: dict[int, list] = {}
+    for (eid, uid) in _events():
+        x = math.floor(_lon(eid) * 1e6)
+        y = math.floor(_lat(eid) * 1e6)
+        tracks.setdefault(uid, []).append((x, y))
+    resampled = {u: ([p[0] for p in _resample(pts)], [p[1] for p in _resample(pts)])
+                 for u, pts in tracks.items()}
+    n = 1 << _Q278_HOME_RES
+    home = {}
+    for u, pts in tracks.items():
+        x0, y0 = pts[0]
+        home[u] = (math.floor((y0 / 1e6 + 90) / 180 * n) * n
+                   + math.floor((x0 / 1e6 + 180) / 360 * n))
+
+    def frechet_sq(u1: int, u2: int) -> int:
+        ax, ay = resampled[u1]
+        bx, by = resampled[u2]
+        m = _Q278_M
+        dist = [[(ax[i] - bx[j]) ** 2 + (ay[i] - by[j]) ** 2
+                 for j in range(m)] for i in range(m)]
+        d = [[0] * m for _ in range(m)]
+        for i in range(m):
+            for j in range(m):
+                if i == 0 and j == 0:
+                    d[i][j] = dist[0][0]
+                elif i == 0:
+                    d[i][j] = max(dist[i][j], d[i][j - 1])
+                elif j == 0:
+                    d[i][j] = max(dist[i][j], d[i - 1][j])
+                else:
+                    d[i][j] = max(dist[i][j],
+                                  min(d[i - 1][j], d[i][j - 1], d[i - 1][j - 1]))
+        return d[m - 1][m - 1]
+
+    expect = {}
+    users = sorted(tracks)
+    for a in users:
+        for b in users:
+            if a < b and home[a] == home[b]:
+                expect[(a, b)] = frechet_sq(a, b)
+
+    got = q278_track_frechet(spark, SF).collect()
+    assert {(r.u1, r.u2): r.frechet_sq for r in got} == expect
+    assert len(got) == len(expect) and len(expect) > 0
+
+
+def test_q278_frechet_at_least_hausdorff_property(spark):
+    """Discrete Frechet >= symmetric Hausdorff over the same resampled
+    points (every coupling is a constrained matching covering both
+    tracks), and >= the pinned endpoint distances (every coupling
+    contains (0,0) and (m-1,m-1))."""
+    tracks: dict[int, list] = {}
+    for (eid, uid) in _events():
+        x = math.floor(_lon(eid) * 1e6)
+        y = math.floor(_lat(eid) * 1e6)
+        tracks.setdefault(uid, []).append((x, y))
+    res = {u: list(zip(*[_resample([p[0] for p in pts]),
+                         _resample([p[1] for p in pts])]))
+           for u, pts in tracks.items()}
+
+    def d2(p, q):
+        return (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+
+    def hausdorff_sq(a, b):
+        h_ab = max(min(d2(p, q) for q in b) for p in a)
+        h_ba = max(min(d2(p, q) for q in a) for p in b)
+        return max(h_ab, h_ba)
+
+    rows = q278_track_frechet(spark, SF).collect()
+    assert rows
+    for r in rows:
+        a, b = res[r.u1], res[r.u2]
+        assert r.frechet_sq >= hausdorff_sq(a, b)
+        assert r.frechet_sq >= d2(a[0], b[0])
+        assert r.frechet_sq >= d2(a[-1], b[-1])
+
+
+def test_q279_bit_reversal_is_a_bijection():
+    b = _Q279_BITS
+    seen = {sum(((v >> i) & 1) << (b - 1 - i) for i in range(b))
+            for v in range(1 << b)}
+    assert seen == set(range(1 << b))
+
+
+def test_q279_epoch_shuffle_matches_python(spark):
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    b = _Q279_BITS
+    nblk = (len(docs) + (1 << b) - 1) // (1 << b)
+    batches: dict[int, list] = {}
+    for doc_id, source in docs:
+        rev = sum((((doc_id >> i) & 1) << (b - 1 - i)) for i in range(b))
+        gpos = rev * nblk + (doc_id >> b)
+        batches.setdefault(gpos // _Q279_BATCH, []).append((gpos, doc_id, source))
+    expect = {}
+    for bid, rows in batches.items():
+        rows.sort()
+        srcs: dict[str, int] = {}
+        for _g, _d, s in rows:
+            srcs[s] = srcs.get(s, 0) + 1
+        gaps = [abs(d2 - d1) for (_, d1, _s1), (_, d2, _s2) in zip(rows, rows[1:])]
+        expect[bid] = (
+            len(rows), len(srcs), max(srcs.values()) * 1000000 // len(rows),
+            sum(gaps) // len(gaps) if gaps else None,
+        )
+    got = q279_epoch_shuffle(spark, SF).collect()
+    assert {r.batch: (r.n, r.n_sources, r.dom_share_micro, r.mean_gap)
+            for r in got} == expect
+    # the shuffle must actually mix: every batch holds multiple sources
+    assert all(r.n_sources > 1 for r in got)
+
+
+SF01 = "/root/testdata/sf0.01"  # q280 needs the bigger supplier table for
+#                                 a non-empty crossing set
+
+
+def _events01():
+    return duckdb.sql(
+        f"SELECT event_id FROM '{SF01}/events.parquet' ORDER BY event_id"
+    ).fetchall()
+
+
+def _seg_a():
+    out = []
+    for (eid,) in _events01():
+        if eid % 3:
+            continue
+        ax, ay = _lon(eid * 11 + 5), _lat(eid * 23 + 9)
+        dx = (1.0 + (eid % 23) / 10.0) * ((eid % 2) * 2 - 1)
+        dy = (0.5 + (eid % 17) / 10.0) * ((eid % 3) - 1)
+        out.append((eid, math.floor(ax * 1e6), math.floor(ay * 1e6),
+                    math.floor((ax + dx) * 1e6), math.floor((ay + dy) * 1e6)))
+    return out
+
+
+def _seg_b():
+    rows = duckdb.sql(
+        f"SELECT s_suppkey FROM '{SF01}/supplier.parquet'"
+    ).fetchall()
+    out = []
+    for (k,) in rows:
+        cx, cy = _lon(k * 41 + 13), _lat(k * 43 + 17)
+        dx = (1.0 + (k % 25) / 10.0) * ((k % 2) * 2 - 1)
+        dy = (0.5 + (k % 19) / 10.0) * ((k % 3) - 1)
+        out.append((k, math.floor(cx * 1e6), math.floor(cy * 1e6),
+                    math.floor((cx + dx) * 1e6), math.floor((cy + dy) * 1e6)))
+    return out
+
+
+def _sign(v: int) -> int:
+    return (v > 0) - (v < 0)
+
+
+def test_q280_crossings_match_python_brute_force(spark):
+    def crosses(a, b):
+        _, ax, ay, bx, by = a
+        _, cx, cy, dx, dy = b
+        o1 = _sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+        o2 = _sign((bx - ax) * (dy - ay) - (by - ay) * (dx - ax))
+        o3 = _sign((dx - cx) * (ay - cy) - (dy - cy) * (ax - cx))
+        o4 = _sign((dx - cx) * (by - cy) - (dy - cy) * (bx - cx))
+        return o1 * o2 < 0 and o3 * o4 < 0
+
+    expect = sorted(
+        (a[0], b[0]) for a in _seg_a() for b in _seg_b() if crosses(a, b)
+    )
+    from geowave_spark.queries_overlay import q280_segment_crossings
+
+    got = [(r.aid, r.bid)
+           for r in q280_segment_crossings(spark, SF01).collect()]
+    assert got == expect and len(expect) > 0
+
+
+def test_q281_areal_interp_conserves_mass_and_matches_python(spark):
+    from geowave_spark.queries_overlay import _Q281_RES, q281_areal_interp
+
+    n = 1 << _Q281_RES
+    cw, ch = 360.0 / n, 180.0 / n
+    zones = duckdb.sql(
+        f"SELECT s_suppkey FROM '{SF}/supplier.parquet'"
+    ).fetchall()
+    expect: dict[int, list] = {}
+    for (k,) in zones:
+        cx, cy = _lon(k * 7919 + 13), _lat(k * 104729 + 7)
+        w, h = 2.0 + (k % 700) / 100.0, 1.0 + (k % 500) / 100.0
+        lon0, lat0 = max(cx - w, -180.0), max(cy - h, -90.0)
+        lon1, lat1 = min(cx + w, 180.0), min(cy + h, 90.0)
+        pop = k % 997 + 1
+        zarea = (lon1 - lon0) * (lat1 - lat0)
+        gx0 = min(int((lon0 + 180.0) // cw), n - 1)
+        gx1 = min(int((lon1 + 180.0) // cw), n - 1)
+        gy0 = min(int((lat0 + 90.0) // ch), n - 1)
+        gy1 = min(int((lat1 + 90.0) // ch), n - 1)
+        for gx in range(gx0, gx1 + 1):
+            for gy in range(gy0, gy1 + 1):
+                cl, cb = gx * cw - 180.0, gy * ch - 90.0
+                inter = ((min(lon1, cl + cw) - max(lon0, cl))
+                         * (min(lat1, cb + ch) - max(lat0, cb)))
+                if inter > 0:
+                    expect.setdefault(gy * n + gx, []).append(
+                        math.floor(1000000.0 * pop * inter / zarea))
+    got = q281_areal_interp(spark, SF).collect()
+    assert {r.cell: (r.n_zones, r.pop_micro) for r in got} == {
+        c: (len(v), sum(v)) for c, v in expect.items()}
+    # mass conservation: every zone's fractions sum to ~its value
+    total = sum(sum(v) for v in expect.values())
+    full = sum((k % 997 + 1) for (k,) in zones) * 1000000
+    assert abs(total - full) < full * 1e-6 + len(zones) * (1 << 2 * _Q281_RES)
+
+
+def test_q282_depth_histogram_consistent_with_q277(spark):
+    """Sum of depth>=1 areas == q277's union area, per group (the depth
+    histogram partitions exactly the dissolved footprint); segment mass
+    at depth>=2 matches the overlap the dissolve merged away."""
+    union = {r.g: r.union_area_micro
+             for r in q277_rect_dissolve(spark, SF).collect()}
+    from geowave_spark.queries_overlay import q282_coverage_depth
+
+    rows = q282_coverage_depth(spark, SF).collect()
+    per_g: dict[int, int] = {}
+    for r in rows:
+        per_g[r.g] = per_g.get(r.g, 0) + r.area_micro
+    assert set(per_g) == set(union)
+    for g, a in per_g.items():
+        # same slabs, different island/floor granularity: equal up to one
+        # micro-unit per floored term
+        assert abs(a - union[g]) <= 4000, (g, a, union[g])
+    assert any(r.depth >= 2 for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name", ["q277", "q278", "q279", "q280", "q281", "q282"])
+def test_overlay_queries_registered(name):
+    from geowave_spark.queries import QUERIES
+
+    full = [k for k in QUERIES if k.startswith(name)]
+    assert len(full) == 1 and QUERIES[full[0]][1] is not None
