@@ -626,6 +626,140 @@ def q282_coverage_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q282_sql())
 
 
+# ---------------------------------------------------------------------------
+# q283 — exact GLOBAL percentiles via value-domain histogram (no sort)
+# ---------------------------------------------------------------------------
+
+
+def _q283_sql(intdiv: str) -> str:
+    """Exact global p50/p90/p99 with NO global sort and NO window over
+    the data: integer cents are a bounded discrete domain, so one keyed
+    histogram aggregate (map-side combinable) collapses the corpus to at
+    most `distinct cents` rows; the cumulative window then runs over the
+    HISTOGRAM relation only (executor-sized by construction — the same
+    collapse `stats.balance_partitions` rides).  Rank r(q) = ceil(q*n)
+    in exact integer arithmetic; answer = least cents with cum >= r.
+
+    q159 gives exact per-group medians via a partitioned window sort;
+    this is the GLOBAL exact quantile, where a window sort would be the
+    single-partition antipattern — the histogram collapse is the
+    100 TB-safe plan (percentile_approx trades exactness for one pass;
+    this is exact AND one pass because the domain is discrete).
+    """
+    d = intdiv
+    qs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    targets = "\nUNION ALL\n".join(
+        f"SELECT '{nm}' AS p, {num} AS qn, {den} AS qd" for nm, num, den in qs
+    )
+    return f"""
+WITH v AS (
+  SELECT cast(floor(value * 100) as bigint) AS cents FROM events
+),
+hist AS (
+  SELECT cents, count(*) AS c FROM v GROUP BY cents
+),
+n AS (SELECT sum(c) AS n FROM hist),
+cum AS (
+  SELECT cents, sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+t AS ({targets})
+SELECT t.p, cast(min(cum.cents) as bigint) AS cents,
+       cast(max(n.n) as bigint) AS n
+FROM t
+CROSS JOIN n
+JOIN cum ON cum.cum >= (n.n * t.qn + t.qd - 1) {d} t.qd
+GROUP BY t.p
+ORDER BY p
+"""
+
+
+def q283_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q283_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q283_sql("div"))
+
+
+# ---------------------------------------------------------------------------
+# q284 — uncertainty-radius spatial join (per-row positional error)
+# ---------------------------------------------------------------------------
+
+def _q284_sql(d: G.Dialect, brute: bool = False) -> str:
+    """Spatial join under positional uncertainty: every point carries its
+    own error radius (GPS fix quality), and a point matches a zone iff
+    its error DISK intersects the zone rect — the per-row-radius
+    generalization of `within_distance_join`'s constant radius (and of
+    the reference's buffered-envelope candidate contract,
+    `GeomWithinDistance.java:30-46`).
+
+    Exact refine: squared distance from the point to the rect-CLAMPED
+    nearest point <= r^2, all micro-int (the clamp is least/greatest —
+    no case analysis).  Engine candidates: each point explodes the cells
+    of its disk's bbox (bounded fan-out — radius is capped by data
+    contract); zones explode their rect cover; hash equi-join on cell +
+    pair GROUP BY.  Oracle: expanded-bbox theta join (flat corner
+    columns — the IEJoin lesson) + the identical refine.
+    """
+    lon = geo.lon_sql("event_id")
+    lat = geo.lat_sql("event_id")
+    pts = (
+        f"SELECT event_id AS pid, "
+        f"cast(floor(({lon}) * 1000000) as bigint) AS px, "
+        f"cast(floor(({lat}) * 1000000) as bigint) AS py, "
+        f"cast((50000 + (event_id % 17) * 25000) as bigint) AS r "
+        f"FROM events WHERE event_id % 5 = 0"
+    )
+    zones = (
+        f"SELECT rid, "
+        f"cast(floor(lon0 * 1000000) as bigint) AS zx0, "
+        f"cast(floor(lat0 * 1000000) as bigint) AS zy0, "
+        f"cast(floor(lon1 * 1000000) as bigint) AS zx1, "
+        f"cast(floor(lat1 * 1000000) as bigint) AS zy1 "
+        f"FROM ({geo.supplier_rects_sql()}) s"
+    )
+    refine = """
+  (px - greatest(zx0, least(px, zx1))) * (px - greatest(zx0, least(px, zx1)))
++ (py - greatest(zy0, least(py, zy1))) * (py - greatest(zy0, least(py, zy1)))
+ <= r * r
+"""
+    if brute:
+        cand = """
+SELECT p.pid, z.rid, px, py, r, zx0, zy0, zx1, zy1
+FROM (SELECT pid, px, py, r,
+             px - r AS bx0, px + r AS bx1, py - r AS by0, py + r AS by1
+      FROM p) p
+JOIN z ON p.bx0 <= z.zx1 AND z.zx0 <= p.bx1
+      AND p.by0 <= z.zy1 AND z.zy0 <= p.by1
+"""
+    else:
+        pexp = d.explode(_q280_cover_arr(d, "px - r", "px + r", "py - r", "py + r"))
+        zexp = d.explode(_q280_cover_arr(d, "zx0", "zx1", "zy0", "zy1"))
+        cand = f"""
+SELECT p.pid, z.rid, px, py, r, zx0, zy0, zx1, zy1
+FROM (SELECT pid, px, py, r, {pexp} AS cell FROM p) p
+JOIN (SELECT rid, zx0, zy0, zx1, zy1, {zexp} AS cell FROM z) z
+  ON z.cell = p.cell
+GROUP BY p.pid, z.rid, px, py, r, zx0, zy0, zx1, zy1
+"""
+    return f"""
+WITH p AS ({pts}),
+z AS ({zones}),
+cand AS ({cand})
+SELECT rid, cast(count(*) as bigint) AS n_points,
+       cast(min(pid) as bigint) AS min_pid,
+       cast(max(r) as bigint) AS max_r
+FROM cand
+WHERE {refine}
+GROUP BY rid ORDER BY rid
+"""
+
+
+def q284_uncertainty_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q284_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q284_sql(G.SPARK))
+
+
 OVERLAY_QUERIES = {
     "q277_rect_dissolve": (q277_rect_dissolve, _q277_sql()),
     "q278_track_frechet": (q278_track_frechet, _q278_oracle_sql()),
@@ -634,4 +768,7 @@ OVERLAY_QUERIES = {
         q280_segment_crossings, _q280_sql(G.DUCK, brute=True)),
     "q281_areal_interp": (q281_areal_interp, _q281_sql(G.DUCK)),
     "q282_coverage_depth": (q282_coverage_depth, _q282_sql()),
+    "q283_exact_percentiles": (q283_exact_percentiles, _q283_sql("//")),
+    "q284_uncertainty_join": (
+        q284_uncertainty_join, _q284_sql(G.DUCK, brute=True)),
 }

@@ -320,8 +320,62 @@ def test_q282_depth_histogram_consistent_with_q277(spark):
     assert any(r.depth >= 2 for r in rows)
 
 
+def test_q283_exact_percentiles_match_python_sort(spark):
+    """The no-sort histogram formulation must equal the definitional
+    sorted-rank answer: least value whose rank >= ceil(q*n)."""
+    from geowave_spark.queries_overlay import q283_exact_percentiles
+
+    vals = sorted(
+        math.floor(v * 100) for (v,) in duckdb.sql(
+            f"SELECT value FROM '{SF}/events.parquet'").fetchall()
+    )
+    n = len(vals)
+
+    def pct(num, den):
+        rank = (n * num + den - 1) // den  # ceil
+        return vals[rank - 1]
+
+    expect = {"p50": pct(1, 2), "p90": pct(9, 10), "p99": pct(99, 100)}
+    got = {r.p: r.cents for r in q283_exact_percentiles(spark, SF).collect()}
+    assert got == expect
+
+
+def test_q284_uncertainty_join_matches_python(spark):
+    from geowave_spark.queries_overlay import q284_uncertainty_join
+
+    pts = []
+    for (eid,) in _events01():  # sf0.01: sf0.001's 10 zones match nothing
+        if eid % 5:
+            continue
+        pts.append((eid, math.floor(_lon(eid) * 1e6),
+                    math.floor(_lat(eid) * 1e6),
+                    50000 + (eid % 17) * 25000))
+    zones = []
+    for (k,) in duckdb.sql(
+            f"SELECT s_suppkey FROM '{SF01}/supplier.parquet'").fetchall():
+        cx, cy = _lon(k * 7919 + 13), _lat(k * 104729 + 7)
+        w, h = 2.0 + (k % 700) / 100.0, 1.0 + (k % 500) / 100.0
+        zones.append((k,
+                      math.floor(max(cx - w, -180.0) * 1e6),
+                      math.floor(max(cy - h, -90.0) * 1e6),
+                      math.floor(min(cx + w, 180.0) * 1e6),
+                      math.floor(min(cy + h, 90.0) * 1e6)))
+    expect: dict[int, list] = {}
+    for rid, zx0, zy0, zx1, zy1 in zones:
+        for pid, px, py, r in pts:
+            nx = max(zx0, min(px, zx1))
+            ny = max(zy0, min(py, zy1))
+            if (px - nx) ** 2 + (py - ny) ** 2 <= r * r:
+                expect.setdefault(rid, []).append((pid, r))
+    got = q284_uncertainty_join(spark, SF01).collect()
+    assert {r.rid: (r.n_points, r.min_pid, r.max_r) for r in got} == {
+        rid: (len(v), min(p for p, _ in v), max(r for _, r in v))
+        for rid, v in expect.items()}
+    assert len(got) > 0
+
+
 @pytest.mark.parametrize(
-    "name", ["q277", "q278", "q279", "q280", "q281", "q282"])
+    "name", ["q277", "q278", "q279", "q280", "q281", "q282", "q283", "q284"])
 def test_overlay_queries_registered(name):
     from geowave_spark.queries import QUERIES
 
