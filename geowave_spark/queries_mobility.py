@@ -211,11 +211,65 @@ def q218_convoy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q218_sql("unix_micros(cast(ts as timestamp))", "div"))
 
 
+def _q286_sql(epoch_us: str, intdiv: str) -> str:
+    """Co-movement DWELL duration: for every user pair sharing a
+    (region, day) bucket, the summed overlap of their presence intervals
+    — the time-weighted refinement of q218's convoy count (q218 counts
+    co-occurrence windows; this measures HOW LONG pairs actually
+    coexisted, the contact-duration statistic of proximity-tracing and
+    ride-sharing analytics).
+
+    Plan: one scan collapses the corpus to per-(user, region, day)
+    presence intervals [min_ts, max_ts] (a keyed aggregate — the
+    interval table is orders of magnitude smaller than the event
+    stream); the pair self-join runs INSIDE (region, day) buckets only,
+    overlap is pure codegen interval arithmetic, and the final rollup is
+    keyed by the pair.  The bucket granularity is the recall dial
+    (exactly q164's blocking contract): finer buckets = fewer candidate
+    pairs but missed cross-boundary dwell."""
+    lon, lat = geo.lon_sql("event_id"), geo.lat_sql("event_id")
+    cell = geo.rowmajor_cell_sql(lon, lat, 2)
+    d = intdiv
+    return f"""
+WITH p AS (
+  SELECT user_id, {cell} AS cell,
+         ({epoch_us}) {d} 86400000000 AS day,
+         {epoch_us} AS tus
+  FROM events
+),
+pres AS (
+  SELECT user_id, cell, day, min(tus) AS t0, max(tus) AS t1
+  FROM p GROUP BY user_id, cell, day
+),
+ov AS (
+  SELECT a.user_id AS u1, b.user_id AS u2,
+         least(a.t1, b.t1) - greatest(a.t0, b.t0) AS ol
+  FROM pres a JOIN pres b
+    ON b.cell = a.cell AND b.day = a.day AND a.user_id < b.user_id
+)
+SELECT u1, u2, cast(sum(ol) as bigint) AS dwell_us,
+       cast(count(*) as bigint) AS n_buckets
+FROM ov WHERE ol > 0
+GROUP BY u1, u2
+HAVING sum(ol) >= 3600000000
+ORDER BY u1, u2
+"""
+
+
+def q286_comovement_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q286_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q286_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
 MOBILITY_QUERIES = {
     "q216_hex_binning": (q216_hex_binning, _q216_sql()),
     "q217_polyline_decimation": (q217_polyline_decimation, _q217_sql()),
     "q218_convoy_pairs": (q218_convoy_pairs,
                           _q218_sql("epoch_us(ts)", "//")),
+    "q286_comovement_dwell": (q286_comovement_dwell,
+                              _q286_sql("epoch_us(ts)", "//")),
 }
 
 

@@ -2844,7 +2844,40 @@ ORDER BY doc_id
 """
 
 
+def _q285(d: G.Dialect) -> str:
+    """Embedding-space benchmark decontamination: flag training vectors
+    cosine-similar to any EVAL vector (the semantic complement of q96's
+    exact-trigram decontamination — paraphrased eval leakage that no
+    n-gram overlap catches; Yang et al. 2023 'rephrased samples').
+
+    Plan: the eval set is small by contract (its cardinality is the eval
+    benchmark's, not the corpus's) — Spark broadcasts it and the train
+    side streams through ONE BroadcastNestedLoopJoin with the fold-based
+    dot product in the join condition; no LSH needed because the
+    candidate set IS the whole cross product eval x train, bounded by
+    |eval| ~ constant.  Per-eval rollup: contaminated-train count,
+    max similarity, and the worst offender (encoded argmax — hash agg,
+    no window)."""
+    dt = G.dot(d, "t.v", "e.v", 64)
+    sim = f"cast(floor(1000000.0 * ({dt}) / (t.nv * e.nv)) as bigint)"
+    return f"""
+WITH {_vec_cte(d)},
+e AS (SELECT * FROM vecs WHERE vec_id % 50 = 17),
+t AS (SELECT * FROM vecs WHERE vec_id % 50 <> 17),
+hits AS (
+  SELECT e.vec_id AS eid, t.vec_id AS tid, {sim} AS sim_micro
+  FROM t JOIN e ON {sim} >= 250000
+)
+SELECT eid, cast(count(*) as bigint) AS n_contaminated,
+       cast(max(sim_micro) as bigint) AS max_sim_micro,
+       cast(min((1000000 - sim_micro) * 10000000000 + tid) % 10000000000
+            as bigint) AS worst_tid
+FROM hits GROUP BY eid ORDER BY eid
+"""
+
+
 TEXT_QUERIES = {
+    "q285_embedding_decontamination": _dual(_q285),
     "q258_ivf_recall_curve": _dual(_q258),
     "q272_span_token_alignment": _dual(_q272),
     "q268_neardup_transitivity": (_q268_spark,

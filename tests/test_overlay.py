@@ -374,8 +374,81 @@ def test_q284_uncertainty_join_matches_python(spark):
     assert len(got) > 0
 
 
+def test_q285_decontamination_matches_numpy(spark):
+    """Full numpy recomputation of the eval x train cosine screen."""
+    import numpy as np
+
+    from geowave_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' "
+        f"ORDER BY vec_id").fetchall()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    nv = np.sqrt((V * V).sum(axis=1))
+    ev = ids % 50 == 17
+    expect = {}
+    for i in np.where(ev)[0]:
+        hits = []
+        for j in np.where(~ev)[0]:
+            s = math.floor(1e6 * float(V[i] @ V[j]) / (nv[i] * nv[j]))
+            if s >= 250000:
+                hits.append((ids[j], s))
+        if hits:
+            best = min((1000000 - s) * 10**10 + t for t, s in hits)
+            expect[ids[i]] = (len(hits), max(s for _, s in hits),
+                              best % 10**10)
+    fn, _sql = QUERIES["q285_embedding_decontamination"]
+    got = fn(spark, SF).collect()
+    assert {r.eid: (r.n_contaminated, r.max_sim_micro, r.worst_tid)
+            for r in got} == expect
+    assert len(got) > 0
+
+
+def test_q286_dwell_matches_python(spark):
+    from geowave_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"SELECT user_id, event_id, epoch_us(ts) FROM '{SF01}/events.parquet'"
+    ).fetchall()
+    n = 1 << 2
+    pres: dict[tuple, list] = {}
+    for uid, eid, tus in rows:
+        lon, lat = _lon(eid), _lat(eid)
+        # the engine's ceil(c*n)-1 normalization (geo.rowmajor_cell_sql)
+        x = min(max(math.ceil((lon + 180.0) / 360.0 * n) - 1, 0), n - 1)
+        y = min(max(math.ceil((lat + 90.0) / 180.0 * n) - 1, 0), n - 1)
+        cell = y * n + x
+        day = tus // 86400000000
+        key = (uid, cell, day)
+        if key in pres:
+            pres[key] = [min(pres[key][0], tus), max(pres[key][1], tus)]
+        else:
+            pres[key] = [tus, tus]
+    expect: dict[tuple, list] = {}
+    keys = sorted(pres)
+    by_bucket: dict[tuple, list] = {}
+    for (uid, cell, day), (t0, t1) in pres.items():
+        by_bucket.setdefault((cell, day), []).append((uid, t0, t1))
+    for bucket, users in by_bucket.items():
+        users.sort()
+        for i, (u1, a0, a1) in enumerate(users):
+            for u2, b0, b1 in users[i + 1:]:
+                ol = min(a1, b1) - max(a0, b0)
+                if ol > 0:
+                    k = (u1, u2)
+                    c, s = expect.get(k, (0, 0))
+                    expect[k] = (c + 1, s + ol)
+    expect = {k: v for k, v in expect.items() if v[1] >= 3600000000}
+    fn, _sql = QUERIES["q286_comovement_dwell"]
+    got = fn(spark, SF01).collect()
+    assert {(r.u1, r.u2): (r.n_buckets, r.dwell_us) for r in got} == expect
+    assert len(got) > 0
+
+
 @pytest.mark.parametrize(
-    "name", ["q277", "q278", "q279", "q280", "q281", "q282", "q283", "q284"])
+    "name", ["q277", "q278", "q279", "q280", "q281", "q282", "q283", "q284",
+             "q285", "q286"])
 def test_overlay_queries_registered(name):
     from geowave_spark.queries import QUERIES
 
