@@ -760,6 +760,116 @@ def q284_uncertainty_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q284_sql(G.SPARK))
 
 
+# ---------------------------------------------------------------------------
+# q287 — multi-epoch shuffle repeat-pair audit
+# ---------------------------------------------------------------------------
+
+_Q287_EPOCHS = (0, 5, 9)
+
+
+def _q287_sql(intdiv: str) -> str:
+    """Cross-epoch batch-diversity audit of the q279 shuffle: how many
+    document PAIRS share a training batch in more than one epoch?  Two
+    documents that repeatedly land in the same batch see correlated
+    gradients every epoch — the failure mode an epoch-seeded shuffle
+    exists to prevent.
+
+    MEASURED TRAPS (the audit's reason to exist — both verified as
+    shared_pairs == pairs before the fix):
+    (1) id XOR e does not remix: bit reversal is GF(2)-linear, so
+        rev(i xor e) = rev(i) xor rev(e), and xor-by-constant followed
+        by `div B` is a bijective RELABELING of batch ids preserving
+        every membership set.
+    (2) id * m_e mod 2^bits (odd multiplier) does not remix either —
+        nor does ANY permutation built from +,* mod 2^bits: reduction
+        mod 16 is a ring homomorphism, so polynomial maps preserve the
+        mod-16 residue classes, and the reversed LOW 4 bits (= the
+        batch id) read exactly that preserved structure.
+    The epoch transform must mix across bit halves: a FEISTEL network
+    on the 10-bit id (lo += F(hi,e); hi += F(lo,e), mod 32) is
+    bijective for any F and breaks the residue-class invariant; five
+    rounds bring cross-epoch shared pairs to ~1.5x the true-random
+    collision floor (round-count measurements in `mix`).
+
+    Scale shape: the co-batch pair relation is LINEAR in the corpus —
+    each batch contributes C(B,2) pairs with B constant (64), so the
+    per-epoch pair table is ~31.5n rows, built by one equi-join on the
+    batch id; the cross-epoch overlap is a pair-key equi-join of two
+    such linear relations.  Nothing is quadratic in n.
+    """
+    d = intdiv
+    b = _Q279_BITS
+
+    h = 1 << (b // 2)  # 32: half-width of the Feistel split
+
+    def mix(e: int) -> str:
+        # 2-round Feistel on the b-bit id, keyed by the epoch, then the
+        # bit reversal.  Expanded as nested closed-form SQL (pure
+        # codegen; each half value appears once per bit extraction).
+        # FIVE rounds, measured: 3 rounds leave ~1800 cross-epoch shared
+        # pairs (the batch id reads only the low half, set by a single
+        # F(hi) at round 3); 4 adds nothing (an even round touches hi,
+        # which the batch id never reads directly); 5 reaches ~650-830
+        # vs ~470 for a true random permutation — the 5-bit Feistel
+        # halves simply need the extra diffusion pass.
+        x = f"(doc_id % {1 << b})"
+        lo = f"({x} % {h})"
+        hi = f"({x} {d} {h})"
+        for r in range(1, 6):
+            f = (f"(((({hi if r % 2 == 1 else lo}) + {e * 40503 + r * 69069})"
+                 f" * 2654435761) {d} 64) % {h}")
+            if r % 2 == 1:
+                lo = f"(({lo} + {f}) % {h})"
+            else:
+                hi = f"(({hi} + {f}) % {h})"
+        return f"({hi} * {h} + {lo})"
+
+    # the Feistel value materializes ONCE per epoch as a column; the ten
+    # bit-reversal extractions then read the column (a nested re-derive
+    # per bit made the statement 47 KB and 4x slower to plan)
+    rev = " + ".join(
+        f"((x1 {d} {1 << i}) % 2) * {1 << (b - 1 - i)}" for i in range(b)
+    )
+    epochs = ",\n".join(
+        f"m{e} AS (SELECT doc_id, {mix(e)} AS x1 FROM documents),\n"
+        f"e{e} AS (SELECT doc_id, (({rev}) * n.nblk + (doc_id {d} {1 << b}))"
+        f" {d} {_Q279_BATCH} AS batch FROM m{e} CROSS JOIN n)"
+        for e in _Q287_EPOCHS
+    )
+    pairs = ",\n".join(
+        f"p{e} AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM e{e} a "
+        f"JOIN e{e} b ON b.batch = a.batch AND a.doc_id < b.doc_id)"
+        for e in _Q287_EPOCHS
+    )
+    combos = [(a, b2) for i, a in enumerate(_Q287_EPOCHS)
+              for b2 in _Q287_EPOCHS[i + 1:]]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {a} AS e1, {b2} AS e2, "
+        f"(SELECT count(*) FROM p{a}) AS pairs_e1, "
+        f"(SELECT count(*) FROM p{a} x JOIN p{b2} y "
+        f" ON y.d1 = x.d1 AND y.d2 = x.d2) AS shared_pairs"
+        for a, b2 in combos
+    )
+    return f"""
+WITH n AS (
+  SELECT (count(*) + {(1 << b) - 1}) {d} {1 << b} AS nblk FROM documents
+),
+{epochs},
+{pairs}
+SELECT cast(e1 as bigint) AS e1, cast(e2 as bigint) AS e2,
+       cast(pairs_e1 as bigint) AS pairs_e1,
+       cast(shared_pairs as bigint) AS shared_pairs
+FROM ({unions}) u
+ORDER BY e1, e2
+"""
+
+
+def q287_epoch_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q287_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q287_sql("div"))
+
+
 OVERLAY_QUERIES = {
     "q277_rect_dissolve": (q277_rect_dissolve, _q277_sql()),
     "q278_track_frechet": (q278_track_frechet, _q278_oracle_sql()),
@@ -771,4 +881,5 @@ OVERLAY_QUERIES = {
     "q283_exact_percentiles": (q283_exact_percentiles, _q283_sql("//")),
     "q284_uncertainty_join": (
         q284_uncertainty_join, _q284_sql(G.DUCK, brute=True)),
+    "q287_epoch_pair_audit": (q287_epoch_pair_audit, _q287_sql("//")),
 }

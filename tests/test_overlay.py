@@ -446,9 +446,65 @@ def test_q286_dwell_matches_python(spark):
     assert len(got) > 0
 
 
+def _feistel_rev(i: int, e: int, b: int = 10) -> int:
+    h = 1 << (b // 2)
+    x = i % (1 << b)
+    lo, hi = x % h, x // h
+    for r in range(1, 6):
+        half = hi if r % 2 == 1 else lo
+        f = (((half + e * 40503 + r * 69069) * 2654435761) // 64) % h
+        if r % 2 == 1:
+            lo = (lo + f) % h
+        else:
+            hi = (hi + f) % h
+    x1 = hi * h + lo
+    return sum(((x1 >> j) & 1) << (b - 1 - j) for j in range(b))
+
+
+def test_q287_feistel_is_bijective_per_epoch():
+    from geowave_spark.queries_overlay import _Q287_EPOCHS
+
+    for e in _Q287_EPOCHS:
+        assert len({_feistel_rev(i, e) for i in range(1024)}) == 1024
+
+
+def test_q287_epoch_audit_matches_python(spark):
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.queries_overlay import _Q279_BATCH, _Q287_EPOCHS
+
+    docs = [d for (d,) in duckdb.sql(
+        f"SELECT doc_id FROM '{SF}/documents.parquet'").fetchall()]
+    nblk = (len(docs) + 1023) // 1024
+    pair_sets = {}
+    for e in _Q287_EPOCHS:
+        batches: dict[int, list] = {}
+        for i in docs:
+            g = _feistel_rev(i, e) * nblk + (i >> 10)
+            batches.setdefault(g // _Q279_BATCH, []).append(i)
+        pairs = set()
+        for s in batches.values():
+            s.sort()
+            for ai in range(len(s)):
+                for bi in range(ai + 1, len(s)):
+                    pairs.add((s[ai], s[bi]))
+        pair_sets[e] = pairs
+    expect = {}
+    es = list(_Q287_EPOCHS)
+    for i, a in enumerate(es):
+        for b2 in es[i + 1:]:
+            expect[(a, b2)] = (len(pair_sets[a]),
+                               len(pair_sets[a] & pair_sets[b2]))
+    fn, _sql = QUERIES["q287_epoch_pair_audit"]
+    got = fn(spark, SF).collect()
+    assert {(r.e1, r.e2): (r.pairs_e1, r.shared_pairs) for r in got} == expect
+    # the audit's point: epochs genuinely remix (no full-batch carryover)
+    for r in got:
+        assert r.shared_pairs < r.pairs_e1
+
+
 @pytest.mark.parametrize(
     "name", ["q277", "q278", "q279", "q280", "q281", "q282", "q283", "q284",
-             "q285", "q286"])
+             "q285", "q286", "q287"])
 def test_overlay_queries_registered(name):
     from geowave_spark.queries import QUERIES
 
