@@ -344,7 +344,93 @@ def q264_cluster_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q264_SQL = _q264("//")
 
 
+def q288_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ANN: the inverted file is a snapshot table built
+    from batch 0 (vec_id % 3 = 0, quantizer frozen from its 16 smallest
+    ids), then batches 1 and 2 are APPENDED through the frozen quantizer
+    — each append is one broadcast assignment join, never a re-cluster
+    (`pipeline/ann_index.py`).  The query set (vec_id % 50 = 0) probes
+    its single cell against the fully-accumulated index.  The oracle is
+    the from-scratch definition: one SQL statement assigning every
+    vector to the same frozen centroids — so the 3-commit incremental
+    path is checked against the one-shot semantics exactly."""
+    import os
+    import shutil
+
+    from .pipeline import ann_index as AX
+    from .table import snapshots as S
+
+    register_views(spark, sf_dir)
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+    )
+    path = os.path.join(
+        scratch,
+        f"ann_idx_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if S.current_snapshot(path) < 3:
+        shutil.rmtree(path, ignore_errors=True)
+        for b in range(3):
+            spark.sql(
+                f"SELECT vec_id, embedding FROM embeddings "
+                f"WHERE vec_id % 3 = {b}"
+            ).createOrReplaceTempView(f"q288_b{b}")
+        AX.build_index(spark, "q288_b0", path)
+        AX.append_batch(spark, path, "q288_b1")
+        AX.append_batch(spark, path, "q288_b2")
+    spark.sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0"
+    ).createOrReplaceTempView("q288_q")
+    return AX.query_topk(spark, path, "q288_q", k=3)
+
+
+def _q288_sql() -> str:
+    from .functions import sqlgen as G
+
+    d = G.DUCK
+    dt_ac = G.dot(d, "a.v", "c.v", 64)
+    dt_qx = G.dot(d, "q.v", "x.v", 64)
+    return f"""
+WITH v0 AS (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v
+            FROM embeddings),
+vecs AS (SELECT vec_id, v, sqrt({G.dot(d, 'v', 'v', 64)}) AS nv FROM v0),
+cent AS (SELECT vec_id AS cent_id, v, nv
+         FROM (SELECT vec_id, v, nv FROM vecs WHERE vec_id % 3 = 0
+               ORDER BY vec_id LIMIT {16}) t),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT a.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ({dt_ac}) / (a.nv * c.nv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+  ) t WHERE rn = 1
+),
+cells AS (
+  SELECT s.vec_id, s.v, s.nv, a.cent_id
+  FROM vecs s JOIN assign a ON a.vec_id = s.vec_id
+)
+SELECT qid, cid, cent_id, sim_micro, rank FROM (
+  SELECT q.vec_id AS qid, x.vec_id AS cid, q.cent_id,
+         cast(floor(1000000.0 * ({dt_qx}) / (q.nv * x.nv)) as bigint)
+           AS sim_micro,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY cast(floor(1000000.0 * ({dt_qx}) / (q.nv * x.nv))
+                         as bigint) DESC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM cells q JOIN cells x
+    ON x.cent_id = q.cent_id AND x.vec_id <> q.vec_id
+  WHERE q.vec_id % 50 = 0
+) t WHERE rank <= 3 ORDER BY qid, rank
+"""
+
+
 PIPELINE_QUERIES = {
+    "q288_incremental_ann": (q288_incremental_ann, _q288_sql()),
     "q257_token_waterfill": (q257_token_waterfill, Q257_SQL),
     "q264_cluster_aware_sample": (q264_cluster_aware_sample, Q264_SQL),
     "q74_stratified_sample": (q74_stratified_sample, Q74_SQL),
