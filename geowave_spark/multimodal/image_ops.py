@@ -77,6 +77,65 @@ def box_thumb_sum(g: np.ndarray) -> tuple[int, int, int]:
     return tw, th, int((block // 4).sum())
 
 
+def bilinear_sum(g: np.ndarray, num: int = 3, den: int = 2
+                 ) -> tuple[int, int, int]:
+    """EXACT-integer bilinear resample of a luma plane to
+    (w*num//den, h*num//den), align-corners: source position of output
+    ox is the RATIONAL ox*(w-1)/(tw-1), carried as (x0 = numerator div
+    T, fx = numerator mod T) with T = tw-1 — no floats anywhere, so a
+    SQL twin reproduces every output pixel bit-for-bit (a float bilinear
+    would drift in the last ulp across engines).  Output pixel =
+    floor(sum of the four corner terms / (T * T2)).  Returns
+    (tw, th, checksum = sum of output pixels)."""
+    h, w = g.shape
+    tw, th = (w * num) // den, (h * num) // den
+    T, T2 = tw - 1, th - 1
+    ox = np.arange(tw, dtype=np.int64)
+    oy = np.arange(th, dtype=np.int64)
+    sxn, syn = ox * (w - 1), oy * (h - 1)
+    x0, fx = sxn // T, sxn % T
+    y0, fy = syn // T2, syn % T2
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    G = g.astype(np.int64)
+    p00 = G[np.ix_(y0, x0)]
+    p10 = G[np.ix_(y0, x1)]
+    p01 = G[np.ix_(y1, x0)]
+    p11 = G[np.ix_(y1, x1)]
+    wx, wy = fx[None, :], fy[:, None]
+    numer = ((T - wx) * (T2 - wy) * p00 + wx * (T2 - wy) * p10
+             + (T - wx) * wy * p01 + wx * wy * p11)
+    return tw, th, int((numer // (T * T2)).sum())
+
+
+def bilinear_sums_df(img: DataFrame, num: int = 3, den: int = 2) -> DataFrame:
+    """Per-image exact-integer bilinear resize checksum via one narrow
+    mapInPandas pass (pixels never shuffle; 4 scalars out per image) —
+    the fractional-scale companion of `thumbnail_sums_df`'s 2x box
+    filter and `raster/tiles.resize_tiles_df`'s nearest resample."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tws, ths, sums = [], [], [], []
+            for _, r in pdf.iterrows():
+                g = gray(codec.decode(r["bytes"], r["fmt"]))
+                tw, th, s = bilinear_sum(g, num, den)
+                ids.append(r["image_id"])
+                tws.append(tw)
+                ths.append(th)
+                sums.append(s)
+            yield pd.DataFrame({
+                "image_id": ids,
+                "tw": np.asarray(tws, dtype=np.int32),
+                "th": np.asarray(ths, dtype=np.int32),
+                "bil_sum": np.asarray(sums, dtype=np.int64),
+            })
+
+    return img.select("image_id", "bytes", "fmt").mapInPandas(
+        rz, schema="image_id string, tw int, th int, bil_sum bigint"
+    )
+
+
 def thumbnail_sums_df(img: DataFrame) -> DataFrame:
     """2x box-filter thumbnail per image, summarized as a checksum
     (`thumb_sum`) plus thumbnail dims — the resize stage's verifiable

@@ -274,6 +274,64 @@ FROM blk GROUP BY image_id, w, h ORDER BY image_id
 """
 
 
+def q289_bilinear_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-scale (3/2) bilinear resize with EXACT integer
+    arithmetic — the fourth rung of the resize ladder (nearest q49,
+    2x box q80, pyramid q14): align-corners source positions carried as
+    rationals (numerator div/mod), so every output pixel is bit-exact
+    against the closed-form SQL twin with no float interpolation to
+    drift between engines.  One narrow mapInPandas; reference analog:
+    `RasterTileResizeSparkRunner.java` (nearest only — GeoWave has no
+    interpolating resample)."""
+    from .multimodal import image_ops
+
+    return image_ops.bilinear_sums_df(
+        img_tab.images_df(spark, sf_dir)
+    ).orderBy("image_id")
+
+
+def _q289_sql() -> str:
+    l00 = img_tab.luma_sql("x0", "y0", decoded=True)
+    l10 = img_tab.luma_sql("x1", "y0", decoded=True)
+    l01 = img_tab.luma_sql("x0", "y1", decoded=True)
+    l11 = img_tab.luma_sql("x1", "y1", decoded=True)
+    val = (f"(((tw - 1) - fx) * ((th - 1) - fy) * {l00}"
+           f" + fx * ((th - 1) - fy) * {l10}"
+           f" + ((tw - 1) - fx) * fy * {l01}"
+           f" + fx * fy * {l11}) // ((tw - 1) * (th - 1))")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {img_tab.image_id_sql()} AS image_id,
+         {img_tab.w_sql()} AS w, {img_tab.h_sql()} AS h
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, image_id, w, h,
+         (w * 3) // 2 AS tw, (h * 3) // 2 AS th
+  FROM base
+),
+op AS MATERIALIZED (
+  SELECT doc_id, image_id, w, h, tw, th,
+         (xs.g * (w - 1)) // (tw - 1) AS x0,
+         (xs.g * (w - 1)) % (tw - 1) AS fx,
+         (ys.g * (h - 1)) // (th - 1) AS y0,
+         (ys.g * (h - 1)) % (th - 1) AS fy
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, tw - 1)) AS g) xs,
+       LATERAL (SELECT unnest(generate_series(0, th - 1)) AS g) ys
+),
+corner AS (
+  SELECT doc_id, image_id, tw, th, fx, fy, x0, y0,
+         least(x0 + 1, w - 1) AS x1, least(y0 + 1, h - 1) AS y1,
+         w, h
+  FROM op
+)
+SELECT image_id, cast(max(tw) as int) AS tw, cast(max(th) as int) AS th,
+       cast(sum({val}) as bigint) AS bil_sum
+FROM corner GROUP BY image_id ORDER BY image_id
+"""
+
+
 def q125_histogram_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram equalization (contrast normalization before training):
     per-image sum/min/max of the EQUALIZED luma — the textbook integer
@@ -1288,6 +1346,7 @@ MULTIMODAL_QUERIES = {
     "q78_image_exact_dedup": (q78_image_exact_dedup, Q78_SQL),
     "q79_image_quality_stats": (q79_image_quality_stats, Q79_SQL),
     "q80_thumbnail_checksum": (q80_thumbnail_checksum, Q80_SQL),
+    "q289_bilinear_resize": (q289_bilinear_resize, _q289_sql()),
     "q85_dup_canonical_by_quality": (q85_dup_canonical_by_quality, Q85_SQL),
     "q125_histogram_equalization": (q125_histogram_equalization, Q125_SQL),
     "q141_isodata_threshold": (q141_isodata_threshold, _q141_sql()),

@@ -295,3 +295,54 @@ def test_vignette_stats_python_recompute(spark, sf_dir):
     # the luma field is globally stationary: ratios cluster near 1e6
     assert sum(abs(v[2] - 1_000_000) < 300_000
                for v in got.values()) > len(got) // 2
+
+
+def test_bilinear_sum_pure_python_recompute():
+    """Exact-integer bilinear vs a per-pixel pure-python fold (no numpy
+    vectorization shared with the implementation)."""
+    from geowave_spark.multimodal.image_ops import bilinear_sum
+
+    rng = np.arange(7 * 10, dtype=np.int64) * 37 % 256
+    g = rng.reshape(7, 10)
+    tw, th, s = bilinear_sum(g, 3, 2)
+    assert (tw, th) == (15, 10)
+    T, T2 = tw - 1, th - 1
+    h, w = g.shape
+    acc = 0
+    for oy in range(th):
+        for ox in range(tw):
+            sxn, syn = ox * (w - 1), oy * (h - 1)
+            x0, fx = sxn // T, sxn % T
+            y0, fy = syn // T2, syn % T2
+            x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
+            num = ((T - fx) * (T2 - fy) * int(g[y0][x0])
+                   + fx * (T2 - fy) * int(g[y0][x1])
+                   + (T - fx) * fy * int(g[y1][x0])
+                   + fx * fy * int(g[y1][x1]))
+            acc += num // (T * T2)
+    assert s == acc
+
+
+def test_bilinear_identity_on_constant_plane():
+    """A constant plane must resample to the same constant everywhere
+    (weights always sum to T*T2)."""
+    from geowave_spark.multimodal.image_ops import bilinear_sum
+
+    g = np.full((8, 12), 77, dtype=np.int64)
+    tw, th, s = bilinear_sum(g, 3, 2)
+    assert s == 77 * tw * th
+
+
+def test_bilinear_df_matches_local_numpy(spark, sf_dir):
+    from geowave_spark.multimodal.image_ops import (
+        bilinear_sum,
+        bilinear_sums_df,
+    )
+
+    img = img_tab.images_df(spark, sf_dir)
+    got = {r["image_id"]: r for r in bilinear_sums_df(img).collect()}
+    for r in img.limit(6).collect():
+        g = img_tab.gray(codec.decode(bytes(r["bytes"]), r["fmt"]))
+        tw, th, s = bilinear_sum(g)
+        e = got[r["image_id"]]
+        assert (e["tw"], e["th"], e["bil_sum"]) == (tw, th, s)
