@@ -263,7 +263,133 @@ def q286_comovement_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q286_sql("unix_micros(cast(ts as timestamp))", "div"))
 
 
+_Q290_T = 6            # observation sequence length per vehicle
+_Q290_K = 4            # candidate road segments per observation
+_Q290_R2 = 9.0         # candidate gate: snap distance^2 <= 9 deg^2
+_Q290_P = 2_000_000    # segment-switch penalty (micro-deg^2 units)
+_Q290_ENC = 68719476736  # 2^36: score/sid encoding base
+_Q290_BIG = 4611686018427387904
+
+
+def _q290_cand_sql() -> str:
+    """Shared relation: the first T observations of every non-road user,
+    each with its top-K nearest road segments (gated at R2, ranked by
+    (emission, sid) — deterministic).  Users missing a candidate at any
+    step are dropped (their DP would have no path).  Single text for
+    both engines."""
+    from .join import spatial
+
+    lon, lat = geo.lon_sql("event_id"), geo.lat_sql("event_id")
+    d2 = spatial.seg_dist2_sql("o.lon", "o.lat", "s.ax", "s.ay",
+                               "s.bx", "s.by")
+    return f"""
+obs AS (
+  SELECT user_id, rn - 1 AS t, lon, lat FROM (
+    SELECT user_id, event_id, {lon} AS lon, {lat} AS lat,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+    FROM events WHERE user_id % 20 <> 0
+  ) e WHERE rn <= {_Q290_T}
+),
+segs AS ({geo.track_segments_sql()}),
+cand0 AS (
+  SELECT o.user_id, o.t, s.sid,
+         cast(floor(({d2}) * 1000000e0) as bigint) AS emis
+  FROM obs o JOIN segs s ON {d2} <= {_Q290_R2}
+),
+ranked AS (
+  SELECT user_id, t, sid, emis,
+         row_number() OVER (PARTITION BY user_id, t
+                            ORDER BY emis, sid) AS rk
+  FROM cand0
+),
+good AS (
+  SELECT user_id FROM (SELECT DISTINCT user_id, t FROM cand0) g
+  GROUP BY user_id HAVING count(*) = {_Q290_T}
+),
+cand AS (
+  SELECT r.user_id, r.t, r.sid, r.emis
+  FROM ranked r JOIN good ON good.user_id = r.user_id
+  WHERE r.rk <= {_Q290_K}
+)"""
+
+
+def _q290_round_sql(prev: str, cand: str, t: int) -> str:
+    """One Viterbi step: score(t, s) = emis(t, s) + min(score(t-1, s),
+    min_all + P).  The two-term form is exact for a same-segment-free /
+    switch-penalty transition: if the overall min m1 comes from s
+    itself, m1 + P >= score(t-1, s), so the first term wins — no
+    second-best bookkeeping needed."""
+    return f"""
+SELECT c.user_id, c.sid,
+       c.emis + least(coalesce(ps.score, {_Q290_BIG}), pm.m1 + {_Q290_P})
+         AS score
+FROM (SELECT * FROM {cand} WHERE t = {t}) c
+JOIN (SELECT user_id, min(score) AS m1 FROM {prev} GROUP BY user_id) pm
+  ON pm.user_id = c.user_id
+LEFT JOIN {prev} ps ON ps.user_id = c.user_id AND ps.sid = c.sid
+"""
+
+
+_Q290_FINAL = f"""
+SELECT user_id,
+       cast(enc {{d}} {_Q290_ENC} as bigint) AS best_score_micro,
+       cast(enc % {_Q290_ENC} as bigint) AS end_sid
+FROM (SELECT user_id, min(score * {_Q290_ENC} + sid) AS enc
+      FROM {{last}} GROUP BY user_id) f
+ORDER BY user_id
+"""
+
+
+def q290_viterbi_map_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi map matching: decode the most-probable road-segment
+    sequence for each vehicle's observation sequence — the HMM form of
+    map matching (Newson & Krumm 2009), where q120's independent
+    per-point snap is the emission-only special case.  Emissions are
+    integer-micro snap distances (`seg_dist2_sql`, the q120 kernel);
+    transitions charge a constant switch penalty, rewarding
+    segment-coherent paths over per-point nearest.
+
+    Plan: candidates = one gated join + one top-K window (the cover
+    join of `spatial.snap_to_segments` is the 100 TB candidate path);
+    then T-1 Viterbi rounds, each ONE keyed min-aggregate + one
+    per-state equi-join on relations bounded by users x K — the
+    materialized-loop pattern (q226/q128), rounds cut with
+    localCheckpoint because each round reads the previous twice.
+    Oracle: the identical rounds as a MATERIALIZED CTE chain.
+    """
+    from .table.views import mat_view
+
+    register_views(spark, sf_dir)
+    mat_view(spark, "q290_cand", f"WITH {_q290_cand_sql()} SELECT * FROM cand")
+    cur = "q290_d0"
+    mat_view(
+        spark, cur,
+        "SELECT user_id, sid, emis AS score FROM q290_cand WHERE t = 0",
+    )
+    for t in range(1, _Q290_T):
+        nxt = f"q290_d{t}"
+        mat_view(spark, nxt, _q290_round_sql(cur, "q290_cand", t))
+        cur = nxt
+    return spark.sql(_Q290_FINAL.format(d="div", last=cur))
+
+
+def _q290_sql() -> str:
+    rounds = ",\n".join(
+        f"d{t} AS MATERIALIZED ({_q290_round_sql(f'd{t - 1}', 'cand', t)})"
+        for t in range(1, _Q290_T)
+    )
+    return f"""
+WITH {_q290_cand_sql()},
+d0 AS MATERIALIZED (
+  SELECT user_id, sid, emis AS score FROM cand WHERE t = 0
+),
+{rounds}
+{_Q290_FINAL.format(d="//", last=f"d{_Q290_T - 1}")}
+"""
+
+
 MOBILITY_QUERIES = {
+    "q290_viterbi_map_matching": (q290_viterbi_map_matching, _q290_sql()),
     "q216_hex_binning": (q216_hex_binning, _q216_sql()),
     "q217_polyline_decimation": (q217_polyline_decimation, _q217_sql()),
     "q218_convoy_pairs": (q218_convoy_pairs,

@@ -502,9 +502,84 @@ def test_q287_epoch_audit_matches_python(spark):
         assert r.shared_pairs < r.pairs_e1
 
 
+def test_q290_viterbi_matches_python_dp(spark):
+    """Independent python Viterbi over the same observations, candidate
+    gate, and switch-penalty transition — including an explicit
+    full-transition-matrix DP (not the two-term min shortcut the SQL
+    uses), so the shortcut's correctness is itself under test."""
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.queries_mobility import (
+        _Q290_K,
+        _Q290_P,
+        _Q290_R2,
+        _Q290_T,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT user_id, event_id FROM '{SF01}/events.parquet' "
+        f"ORDER BY user_id, event_id").fetchall()
+    obs: dict[int, list] = {}
+    segs = []
+    tracks: dict[int, list] = {}
+    for uid, eid in rows:
+        if uid % 20 == 0:
+            tracks.setdefault(uid, []).append((eid, _lon(eid), _lat(eid)))
+        else:
+            if len(obs.get(uid, [])) < _Q290_T:
+                obs.setdefault(uid, []).append((_lon(eid), _lat(eid)))
+    for pts in tracks.values():
+        for (eid, ax, ay), (_e2, bx, by) in zip(pts, pts[1:]):
+            segs.append((eid, ax, ay, bx, by))
+
+    def emis(px, py, ax, ay, bx, by):
+        len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+        dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+        t = 0.0 if len2 == 0 else min(max(dot / len2, 0.0), 1.0)
+        cx, cy = ax + t * (bx - ax), ay + t * (by - ay)
+        d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+        return d2, math.floor(d2 * 1000000.0)
+
+    expect = {}
+    for uid, pts in obs.items():
+        if len(pts) < _Q290_T:
+            continue
+        cands = []
+        ok = True
+        for (px, py) in pts:
+            cs = []
+            for (sid, ax, ay, bx, by) in segs:
+                d2, e = emis(px, py, ax, ay, bx, by)
+                if d2 <= _Q290_R2:
+                    cs.append((e, sid))
+            if not cs:
+                ok = False
+                break
+            cs.sort()
+            cands.append(cs[:_Q290_K])
+        if not ok:
+            continue
+        # full-matrix Viterbi
+        score = {sid: e for e, sid in cands[0]}
+        for t in range(1, _Q290_T):
+            nxt = {}
+            for e, sid in cands[t]:
+                best = min(ps + (0 if psid == sid else _Q290_P)
+                           for psid, ps in score.items())
+                nxt[sid] = e + best
+            score = nxt
+        enc = min(s * 68719476736 + sid for sid, s in score.items())
+        expect[uid] = (enc // 68719476736, enc % 68719476736)
+
+    fn, _sql = QUERIES["q290_viterbi_map_matching"]
+    got = fn(spark, SF01).collect()
+    assert {r.user_id: (r.best_score_micro, r.end_sid)
+            for r in got} == expect
+    assert len(got) > 0
+
+
 @pytest.mark.parametrize(
     "name", ["q277", "q278", "q279", "q280", "q281", "q282", "q283", "q284",
-             "q285", "q286", "q287"])
+             "q285", "q286", "q287", "q290"])
 def test_overlay_queries_registered(name):
     from geowave_spark.queries import QUERIES
 
