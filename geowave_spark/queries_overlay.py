@@ -870,6 +870,62 @@ def q287_epoch_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q287_sql("div"))
 
 
+# ---------------------------------------------------------------------------
+# q291 — windowed exact percentiles (event-time windows, streaming-portable)
+# ---------------------------------------------------------------------------
+
+_Q291_WIN_US = 6 * 3600 * 1_000_000  # tumbling 6-hour windows
+
+
+def _q291_sql(epoch_us: str, intdiv: str) -> str:
+    """Exact per-window p50/p95 latency-style percentiles over tumbling
+    event-time windows — q283's histogram collapse PARTITIONED by the
+    window, which is precisely the aggregation Structured Streaming can
+    maintain incrementally (the histogram is a commutative monoid per
+    (window, cents); `streaming/ingest.windowed_value_histogram` runs
+    the same collapse through foreachBatch, and the stream==batch parity
+    is pinned in tests).  No sort of the data: the cumulative window
+    runs over the per-window HISTOGRAM relation only."""
+    d = intdiv
+    qs = [("p50", 1, 2), ("p95", 19, 20)]
+    targets = "\nUNION ALL\n".join(
+        f"SELECT '{nm}' AS p, {num} AS qn, {den} AS qd" for nm, num, den in qs
+    )
+    return f"""
+WITH v AS (
+  SELECT ({epoch_us}) {d} {_Q291_WIN_US} AS win,
+         cast(floor(value * 100) as bigint) AS cents
+  FROM events
+),
+hist AS (
+  SELECT win, cents, count(*) AS c FROM v GROUP BY win, cents
+),
+n AS (SELECT win, sum(c) AS n FROM hist GROUP BY win),
+cum AS (
+  SELECT win, cents,
+         sum(c) OVER (PARTITION BY win ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+t AS ({targets})
+SELECT cum.win, t.p, cast(min(cum.cents) as bigint) AS cents,
+       cast(max(n.n) as bigint) AS n
+FROM t
+CROSS JOIN n
+JOIN cum ON cum.win = n.win
+        AND cum.cum >= (n.n * t.qn + t.qd - 1) {d} t.qd
+GROUP BY cum.win, t.p
+ORDER BY cum.win, p
+"""
+
+
+def q291_windowed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q291_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q291_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
 OVERLAY_QUERIES = {
     "q277_rect_dissolve": (q277_rect_dissolve, _q277_sql()),
     "q278_track_frechet": (q278_track_frechet, _q278_oracle_sql()),
@@ -882,4 +938,6 @@ OVERLAY_QUERIES = {
     "q284_uncertainty_join": (
         q284_uncertainty_join, _q284_sql(G.DUCK, brute=True)),
     "q287_epoch_pair_audit": (q287_epoch_pair_audit, _q287_sql("//")),
+    "q291_windowed_percentiles": (q291_windowed_percentiles,
+                                  _q291_sql("epoch_us(ts)", "//")),
 }

@@ -69,6 +69,58 @@ def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
     )
 
 
+def windowed_value_histogram(stream_df: DataFrame, ts_col: str = "ts",
+                             window: str = "6 hours",
+                             watermark: str = "1 day") -> DataFrame:
+    """The streaming half of q291's exact windowed percentiles: the
+    per-(window, cents) count histogram as a watermarked streaming
+    aggregation.  The histogram is a commutative monoid, so the state
+    store maintains it incrementally and EXACT percentiles fall out of
+    the final (bounded, per-window) histogram downstream — approximate
+    sketches are unnecessary when the value domain is discrete."""
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("win"),
+            F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+        .select(F.col("win.start").alias("win_start"), "cents", "c")
+    )
+
+
+def percentiles_from_histogram(hist_df: DataFrame,
+                               qs=(("p50", 1, 2), ("p95", 19, 20))
+                               ) -> DataFrame:
+    """Exact per-window percentiles from a (win_start, cents, c)
+    histogram — q291's rank arithmetic, reusable over a batch histogram
+    or the drained result of `windowed_value_histogram`."""
+    spark = hist_df.sparkSession
+    hist_df.createOrReplaceTempView("_wvh")
+    targets = "\nUNION ALL\n".join(
+        f"SELECT '{nm}' AS p, {num} AS qn, {den} AS qd" for nm, num, den in qs
+    )
+    return spark.sql(f"""
+WITH n AS (SELECT win_start, sum(c) AS n FROM _wvh GROUP BY win_start),
+cum AS (
+  SELECT win_start, cents,
+         sum(c) OVER (PARTITION BY win_start ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM _wvh
+),
+t AS ({targets})
+SELECT cum.win_start, t.p, cast(min(cum.cents) as bigint) AS cents,
+       cast(max(n.n) as bigint) AS n
+FROM t
+CROSS JOIN n
+JOIN cum ON cum.win_start = n.win_start
+        AND cum.cum >= (n.n * t.qn + t.qd - 1) div t.qd
+GROUP BY cum.win_start, t.p
+ORDER BY win_start, p
+""")
+
+
 def run_to_memory(result_df: DataFrame, name: str, checkpoint_dir: str,
                   timeout_s: int = 120, mode: str = "complete"):
     """Drive a streaming aggregation into an in-memory table (tests/demos)."""

@@ -425,3 +425,39 @@ def test_streaming_dedup_replayed_batch_lands_exactly_once(spark, sf_dir, dirs):
             f"FROM parquet.`{sf_dir}/events.parquet`").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_windowed_percentiles_match_batch_q291(spark, sf_dir, dirs):
+    """Exact percentiles from the streamed per-window histogram equal
+    the batch q291 operator over the same events — the monoid claim in
+    q291's docstring, proven through a checkpointed availableNow
+    stream."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from geowave_spark.queries_overlay import (
+        _Q291_WIN_US,
+        q291_windowed_percentiles,
+    )
+
+    src, _dest, cp = dirs
+    _sh.copy(f"{sf_dir}/events.parquet", src / "part_a.parquet")
+    schema = _events_schema(spark, sf_dir)
+
+    stream = ingest.indexed_file_stream(spark, str(src), schema)
+    ingest.run_to_memory(
+        ingest.windowed_value_histogram(stream), "wvh", cp)
+    got_df = ingest.percentiles_from_histogram(spark.table("wvh"))
+    got = sorted(
+        (r["win_start"].timestamp() * 1_000_000 // _Q291_WIN_US,
+         r["p"], r["cents"], r["n"])
+        for r in got_df.collect()
+    )
+
+    batch = q291_windowed_percentiles(spark, sf_dir)
+    want = sorted(
+        (float(r["win"]), r["p"], r["cents"], r["n"])
+        for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
