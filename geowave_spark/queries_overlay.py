@@ -31,7 +31,7 @@ from .table.views import register_views
 _Q277_GROUPS = 48
 
 
-def _q277_sql() -> str:
+def _q277_sql(d=None) -> str:
     """Rectangle dissolve / union area per group (vector overlay UNION).
 
     The sweep is the textbook algorithm, expressed relationally so BOTH
@@ -60,10 +60,23 @@ def _q277_sql() -> str:
     # group's centers an arithmetic progression mod the lon/lat modulus —
     # equally spaced, zero overlaps, a trivial dissolve (the q249 lesson:
     # linear hashes are progressions)
+    from .functions import sqlgen as _G
+
+    if d is None:
+        d = _G.SPARK
     cx = geo.lon_sql("event_id * 13 + (event_id % 131) * (event_id % 137) + 7")
     cy = geo.lat_sql("event_id * 17 + (event_id % 127) * (event_id % 139) + 3")
     w = "(5e-1 + (event_id % 37) / 2e1)"
     h = "(4e-1 + (event_id % 29) / 2e1)"
+    # coarse x-bin equi-key for the slab-coverage join: a bare
+    # group-equi-join degenerates to O(rects x slabs) per group
+    # (measured 12s at sf0.1 on the q282 sibling); a rect explodes to
+    # the ~1-2 four-degree bins it spans and meets only slabs whose
+    # LEFT edge shares the bin — exact, because a covered slab's left
+    # edge lies inside the rect's x-range
+    xb = d.explode(d.seq(
+        "cast(floor((x0 + 180e0) / 4e0) as bigint)",
+        "cast(floor((x1 + 180e0) / 4e0) as bigint)"))
     return f"""
 WITH r AS (
   SELECT event_id AS rid, cast(event_id % {_Q277_GROUPS} as bigint) AS g,
@@ -77,10 +90,17 @@ xs AS (
 slabs AS (
   SELECT g, x AS xs, lead(x) OVER (PARTITION BY g ORDER BY x) AS xe FROM xs
 ),
+rb AS (
+  SELECT r.*, {xb} AS xb FROM r
+),
+sb AS (
+  SELECT g, xs, xe, cast(floor((xs + 180e0) / 4e0) as bigint) AS xb
+  FROM slabs WHERE xe IS NOT NULL
+),
 cov AS (
-  SELECT r.g, s.xs, s.xe, r.y0, r.y1, r.rid
-  FROM r JOIN slabs s ON s.g = r.g
-  WHERE s.xe IS NOT NULL AND r.x0 <= s.xs AND s.xe <= r.x1
+  SELECT rb.g, sb.xs, sb.xe, rb.y0, rb.y1, rb.rid
+  FROM rb JOIN sb ON sb.g = rb.g AND sb.xb = rb.xb
+  WHERE rb.x0 <= sb.xs AND sb.xe <= rb.x1
 ),
 marked AS (
   SELECT g, xs, xe, y0, y1, rid,
@@ -110,8 +130,10 @@ FROM seg GROUP BY g ORDER BY g
 
 def q277_rect_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See `_q277_sql` (dialect-free SQL)."""
+    from .functions import sqlgen as _G
+
     register_views(spark, sf_dir)
-    return spark.sql(_q277_sql())
+    return spark.sql(_q277_sql(_G.SPARK))
 
 
 # ---------------------------------------------------------------------------
@@ -557,7 +579,7 @@ def q281_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q282_sql() -> str:
+def _q282_sql(d=None) -> str:
     """Coverage-depth histogram over the q277 rectangle groups: the area
     covered by exactly k rectangles, per group — the overlay-depth
     distribution (sensor/imagery redundancy planning: depth 0 = gap —
@@ -573,10 +595,18 @@ def _q282_sql() -> str:
     # group's centers an arithmetic progression mod the lon/lat modulus —
     # equally spaced, zero overlaps, a trivial dissolve (the q249 lesson:
     # linear hashes are progressions)
+    from .functions import sqlgen as _G
+
+    if d is None:
+        d = _G.SPARK
     cx = geo.lon_sql("event_id * 13 + (event_id % 131) * (event_id % 137) + 7")
     cy = geo.lat_sql("event_id * 17 + (event_id % 127) * (event_id % 139) + 3")
     w = "(5e-1 + (event_id % 37) / 2e1)"
     h = "(4e-1 + (event_id % 29) / 2e1)"
+    # same binned slab-coverage join as q277 (exact; see there)
+    xb = d.explode(d.seq(
+        "cast(floor((x0 + 180e0) / 4e0) as bigint)",
+        "cast(floor((x1 + 180e0) / 4e0) as bigint)"))
     return f"""
 WITH r AS (
   SELECT event_id AS rid, cast(event_id % {_Q277_GROUPS} as bigint) AS g,
@@ -590,10 +620,17 @@ xs AS (
 slabs AS (
   SELECT g, x AS xs, lead(x) OVER (PARTITION BY g ORDER BY x) AS xe FROM xs
 ),
+rb AS (
+  SELECT r.*, {xb} AS xb FROM r
+),
+sb AS (
+  SELECT g, xs, xe, cast(floor((xs + 180e0) / 4e0) as bigint) AS xb
+  FROM slabs WHERE xe IS NOT NULL
+),
 cov AS (
-  SELECT r.g, s.xs, s.xe, r.y0, r.y1
-  FROM r JOIN slabs s ON s.g = r.g
-  WHERE s.xe IS NOT NULL AND r.x0 <= s.xs AND s.xe <= r.x1
+  SELECT rb.g, sb.xs, sb.xe, rb.y0, rb.y1
+  FROM rb JOIN sb ON sb.g = rb.g AND sb.xb = rb.xb
+  WHERE rb.x0 <= sb.xs AND sb.xe <= rb.x1
 ),
 ev AS (
   SELECT g, xs, xe, y0 AS y, 1 AS delta FROM cov
@@ -622,8 +659,10 @@ GROUP BY g, depth ORDER BY g, depth
 
 def q282_coverage_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See `_q282_sql` (dialect-free SQL)."""
+    from .functions import sqlgen as _G
+
     register_views(spark, sf_dir)
-    return spark.sql(_q282_sql())
+    return spark.sql(_q282_sql(_G.SPARK))
 
 
 # ---------------------------------------------------------------------------
@@ -927,13 +966,13 @@ def q291_windowed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OVERLAY_QUERIES = {
-    "q277_rect_dissolve": (q277_rect_dissolve, _q277_sql()),
+    "q277_rect_dissolve": (q277_rect_dissolve, _q277_sql(G.DUCK)),
     "q278_track_frechet": (q278_track_frechet, _q278_oracle_sql()),
     "q279_epoch_shuffle": (q279_epoch_shuffle, _q279_sql("//")),
     "q280_segment_crossings": (
         q280_segment_crossings, _q280_sql(G.DUCK, brute=True)),
     "q281_areal_interp": (q281_areal_interp, _q281_sql(G.DUCK)),
-    "q282_coverage_depth": (q282_coverage_depth, _q282_sql()),
+    "q282_coverage_depth": (q282_coverage_depth, _q282_sql(G.DUCK)),
     "q283_exact_percentiles": (q283_exact_percentiles, _q283_sql("//")),
     "q284_uncertainty_join": (
         q284_uncertainty_join, _q284_sql(G.DUCK, brute=True)),
