@@ -80,6 +80,15 @@ BENCH_QUERIES = [
     # 4 join/aggregate rounds); regressions in checkpoint materialization
     # or the per-round shuffle surface here
     "q231_label_propagation",
+    # round-2 session-8 additions: the sweep-line dissolve (binned
+    # slab-coverage join + two per-group windows), the Viterbi
+    # materialized-loop DP (T-1 keyed-min rounds), and the fold-based
+    # Frechet DP over the blocked track self-join — regressions in the
+    # bin-join fan-out, round materialization, or HOF fold costs surface
+    # here
+    "q277_rect_dissolve",
+    "q290_viterbi_map_matching",
+    "q278_track_frechet",
 ]
 
 

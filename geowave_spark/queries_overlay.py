@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -167,54 +169,74 @@ FROM (
 """
 
 
-def _q278_cand_spark_sql() -> str:
+def _q278_pairs_spark_sql() -> str:
     """Candidate pairs: tracks whose FIRST point falls in the same coarse
     cell (the same-home blocking contract of q164, applied to the track
     START — Frechet walks both tracks from their starts, so far-apart
-    starts bound the distance from below).  dist is the 64-cell row-major
-    squared-distance matrix, all integer."""
+    starts bound the distance from below).  Emits both tracks' resampled
+    coordinate arrays for the vectorized DP kernel."""
     n = 1 << _Q278_HOME_RES
     cell = (f"cast(floor((y0 / 1e6 + 90) / 180 * {n}) as bigint) * {n} "
             f"+ cast(floor((x0 / 1e6 + 180) / 360 * {n}) as bigint)")
-    m = _Q278_M
     return f"""
 WITH t AS ({_q278_tracks_spark_sql()}),
 h AS (SELECT user_id, px, py, {cell} AS home FROM t)
 SELECT a.user_id AS u1, b.user_id AS u2,
-       transform(sequence(0, {m * m - 1}), t ->
-         (element_at(a.px, cast(t div {m} + 1 as int)) - element_at(b.px, cast(t % {m} + 1 as int)))
-       * (element_at(a.px, cast(t div {m} + 1 as int)) - element_at(b.px, cast(t % {m} + 1 as int)))
-       + (element_at(a.py, cast(t div {m} + 1 as int)) - element_at(b.py, cast(t % {m} + 1 as int)))
-       * (element_at(a.py, cast(t div {m} + 1 as int)) - element_at(b.py, cast(t % {m} + 1 as int)))
-       ) AS dist
+       a.px AS px1, a.py AS py1, b.px AS px2, b.py AS py2
 FROM h a JOIN h b ON b.home = a.home AND a.user_id < b.user_id
 """
 
 
-def _q278_col_expr(j: int) -> str:
-    """DP column j as a fold (Spark `aggregate`: the accumulator is the
-    growing column array — a type the element type need not match, which
-    is why the Spark path can run the whole recurrence in ONE projection
-    per column while the oracle unrolls antidiagonals).  Recurrence:
-    d[i][j] = max(dist[i][j], min(d[i-1][j], d[i][j-1], d[i-1][j-1])),
-    column j reads column j-1 as the bound column `c` (a real attribute,
-    so the Catalyst tree grows linearly in m — the q275 lesson)."""
+def _q278_frechet_udf():
+    """Arrow-batched DP kernel: the 8x8 recurrence runs as 64 numpy
+    vector steps ACROSS the whole candidate batch (vectorized over
+    pairs, looped over cells) — all integer, so the result is exactly
+    the relational DP's.
+
+    Measured: the pure-SQL formulation (8 chained `aggregate` folds over
+    the previous column attribute) is CodegenFallback — Spark interprets
+    lambda HOFs — and cost 11.9s at sf0.1 (70k pairs); this kernel runs
+    the same recurrence in ~1s including the Arrow transfer.  (The fold
+    formulation survives as the DuckDB-independent spirit of the oracle;
+    a scalar-column unrolling was rejected because CollapseProject would
+    substitute the 14-deep dependency chain into a 3^14-node tree — the
+    q275 trap.)"""
+    from pyspark.sql.functions import pandas_udf
+
     m = _Q278_M
 
-    def dist(r: str) -> str:  # 1-based row r, fixed column j
-        return f"element_at(dist, cast(({r} - 1) * {m} + {j + 1} as int))"
+    @pandas_udf("long")
+    def frechet_sq(px1: pd.Series, py1: pd.Series,
+                   px2: pd.Series, py2: pd.Series) -> pd.Series:
+        ax = np.stack(px1.to_numpy()).astype(np.int64)
+        ay = np.stack(py1.to_numpy()).astype(np.int64)
+        bx = np.stack(px2.to_numpy()).astype(np.int64)
+        by = np.stack(py2.to_numpy()).astype(np.int64)
+        n = ax.shape[0]
+        dist = np.empty((m, m, n), dtype=np.int64)
+        for i in range(m):
+            for j in range(m):
+                dist[i, j] = ((ax[:, i] - bx[:, j]) ** 2
+                              + (ay[:, i] - by[:, j]) ** 2)
+        prev = np.empty((m, n), dtype=np.int64)
+        cur = np.empty((m, n), dtype=np.int64)
+        for i in range(m):
+            for j in range(m):
+                d = dist[i, j]
+                if i == 0 and j == 0:
+                    cur[j] = d
+                elif i == 0:
+                    cur[j] = np.maximum(d, cur[j - 1])
+                elif j == 0:
+                    cur[j] = np.maximum(d, prev[j])
+                else:
+                    cur[j] = np.maximum(
+                        d, np.minimum(np.minimum(prev[j], cur[j - 1]),
+                                      prev[j - 1]))
+            prev, cur = cur, prev
+        return pd.Series(prev[m - 1])
 
-    if j == 0:
-        base = dist("1")
-        step = f"greatest({dist('r')}, element_at(acc, cast(r - 1 as int)))"
-    else:
-        base = f"greatest({dist('1')}, element_at(c, 1))"
-        step = (f"greatest({dist('r')}, least("
-                f"element_at(c, cast(r as int)), "
-                f"element_at(acc, cast(r - 1 as int)), "
-                f"element_at(c, cast(r - 1 as int))))")
-    return (f"aggregate(sequence(2, {m}), array({base}), "
-            f"(acc, r) -> concat(acc, array({step})))")
+    return frechet_sq
 
 
 def q278_track_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,23 +244,22 @@ def q278_track_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark plan: one scan -> per-user ordered-array aggregate (one keyed
     shuffle) -> blocked self-join on the start cell -> the 8x8 DP as
-    EIGHT chained projections, each a single `aggregate` fold over the
-    previous column attribute.  No joins inside the DP, no Python; the
-    per-pair cost is a fixed 64-cell recurrence, so the operator scales
-    as O(pairs-per-block), the same contract as q164.
+    one Arrow-batched vectorized kernel (`_q278_frechet_udf` — see
+    there for why not pure SQL).  Per-pair cost is a fixed 64-cell
+    recurrence, so the operator scales as O(pairs-per-block), the same
+    contract as q164.
 
     Oracle: an antidiagonal-unrolled relational DP (15 MATERIALIZED CTE
-    rounds) — an independent formulation of the same recurrence, so a
-    fold-order or index-base bug in either side breaks the hash.
+    rounds) — an independent formulation of the same recurrence, so an
+    index-base or recurrence bug in either side breaks the hash.
     """
     register_views(spark, sf_dir)
-    df = spark.sql(_q278_cand_spark_sql())
-    for j in range(_Q278_M):
-        df = df.withColumn("c", F.expr(_q278_col_expr(j)))
+    df = spark.sql(_q278_pairs_spark_sql())
+    fr = _q278_frechet_udf()
     return (
         df.select(
             "u1", "u2",
-            F.expr(f"element_at(c, {_Q278_M})").alias("frechet_sq"),
+            fr("px1", "py1", "px2", "py2").alias("frechet_sq"),
         ).orderBy("u1", "u2")
     )
 
