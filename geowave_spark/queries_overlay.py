@@ -90,7 +90,8 @@ xs AS (
   SELECT g, x0 AS x FROM r UNION SELECT g, x1 FROM r
 ),
 slabs AS (
-  SELECT g, x AS xs, lead(x) OVER (PARTITION BY g ORDER BY x) AS xe FROM xs
+  SELECT g, x AS xs, lead(x) OVER (PARTITION BY g ORDER BY x) AS xe
+  FROM (SELECT /*+ REPARTITION(g) */ * FROM xs) xs1
 ),
 rb AS (
   SELECT r.*, {xb} AS xb FROM r
@@ -100,9 +101,11 @@ sb AS (
   FROM slabs WHERE xe IS NOT NULL
 ),
 cov AS (
-  SELECT rb.g, sb.xs, sb.xe, rb.y0, rb.y1, rb.rid
-  FROM rb JOIN sb ON sb.g = rb.g AND sb.xb = rb.xb
-  WHERE rb.x0 <= sb.xs AND sb.xe <= rb.x1
+  SELECT /*+ REPARTITION(g, xs) */ * FROM (
+    SELECT rb.g, sb.xs, sb.xe, rb.y0, rb.y1, rb.rid
+    FROM rb JOIN sb ON sb.g = rb.g AND sb.xb = rb.xb
+    WHERE rb.x0 <= sb.xs AND sb.xe <= rb.x1
+  ) cov0
 ),
 marked AS (
   SELECT g, xs, xe, y0, y1, rid,
@@ -639,7 +642,8 @@ xs AS (
   SELECT g, x0 AS x FROM r UNION SELECT g, x1 FROM r
 ),
 slabs AS (
-  SELECT g, x AS xs, lead(x) OVER (PARTITION BY g ORDER BY x) AS xe FROM xs
+  SELECT g, x AS xs, lead(x) OVER (PARTITION BY g ORDER BY x) AS xe
+  FROM (SELECT /*+ REPARTITION(g) */ * FROM xs) xs1
 ),
 rb AS (
   SELECT r.*, {xb} AS xb FROM r
@@ -649,9 +653,11 @@ sb AS (
   FROM slabs WHERE xe IS NOT NULL
 ),
 cov AS (
-  SELECT rb.g, sb.xs, sb.xe, rb.y0, rb.y1
-  FROM rb JOIN sb ON sb.g = rb.g AND sb.xb = rb.xb
-  WHERE rb.x0 <= sb.xs AND sb.xe <= rb.x1
+  SELECT /*+ REPARTITION(g, xs) */ * FROM (
+    SELECT rb.g, sb.xs, sb.xe, rb.y0, rb.y1
+    FROM rb JOIN sb ON sb.g = rb.g AND sb.xb = rb.xb
+    WHERE rb.x0 <= sb.xs AND sb.xe <= rb.x1
+  ) cov0
 ),
 ev AS (
   SELECT g, xs, xe, y0 AS y, 1 AS delta FROM cov
