@@ -937,6 +937,68 @@ def q287_epoch_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q292 — skyline / Pareto frontier (multi-criteria dominance)
+# ---------------------------------------------------------------------------
+
+
+def _q292_sql(window: bool) -> str:
+    """2-D skyline (Pareto frontier) over parts: the rows no other row
+    dominates on (price, size) — both minimized; `r` dominates `s` iff
+    r.price <= s.price AND r.size <= s.size AND one is strict.  The
+    multi-criteria shortlist query (Borzsony/Kossmann/Stocker 2001)
+    neither the reference nor plain aggregates express.
+
+    Two INDEPENDENT formulations, hash-compared:
+    - engine (`window=True`): sort-free-of-self-joins — a row survives
+      iff no strictly-cheaper row is as small (prefix `min(size)` over
+      `RANGE ... 1 PRECEDING` on integer cents) and no same-price row
+      is strictly smaller (`min(size)` partitioned by price).  One
+      window pipeline, O(n log n), no n^2 pair work; at 100 TB the
+      prefix-min runs per price-range partition and the per-partition
+      frontiers merge associatively (a frontier is a monoid).
+    - oracle (`window=False`): the textbook NOT EXISTS dominance
+      anti-join — quadratic but definitional.
+    """
+    base = """
+SELECT p_partkey AS pk,
+       cast(floor(p_retailprice * 100) as bigint) AS price_c,
+       cast(p_size as bigint) AS size
+FROM part"""
+    if not window:
+        return f"""
+WITH b AS ({base})
+SELECT pk, price_c, size FROM b r
+WHERE NOT EXISTS (
+  SELECT 1 FROM b s
+  WHERE s.price_c <= r.price_c AND s.size <= r.size
+    AND (s.price_c < r.price_c OR s.size < r.size)
+)
+ORDER BY price_c, size, pk
+"""
+    return f"""
+WITH b AS ({base}),
+w AS (
+  SELECT pk, price_c, size,
+         min(size) OVER (ORDER BY price_c
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS min_sz_cheaper,
+         min(size) OVER (PARTITION BY price_c) AS min_sz_same
+  FROM b
+)
+SELECT pk, price_c, size FROM w
+WHERE (min_sz_cheaper IS NULL OR min_sz_cheaper > size)
+  AND size = min_sz_same
+ORDER BY price_c, size, pk
+"""
+
+
+def q292_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q292_sql` (window formulation)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q292_sql(window=True))
+
+
+# ---------------------------------------------------------------------------
 # q291 — windowed exact percentiles (event-time windows, streaming-portable)
 # ---------------------------------------------------------------------------
 
@@ -1006,4 +1068,5 @@ OVERLAY_QUERIES = {
     "q287_epoch_pair_audit": (q287_epoch_pair_audit, _q287_sql("//")),
     "q291_windowed_percentiles": (q291_windowed_percentiles,
                                   _q291_sql("epoch_us(ts)", "//")),
+    "q292_skyline": (q292_skyline, _q292_sql(window=False)),
 }

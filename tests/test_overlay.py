@@ -577,9 +577,34 @@ def test_q290_viterbi_matches_python_dp(spark):
     assert len(got) > 0
 
 
+def test_q292_skyline_matches_python_brute_force(spark):
+    from geowave_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"SELECT p_partkey, p_retailprice, p_size FROM '{SF}/part.parquet'"
+    ).fetchall()
+    pts = [(pk, math.floor(pr * 100), int(sz)) for pk, pr, sz in rows]
+
+    def dominated(r):
+        return any(
+            s[1] <= r[1] and s[2] <= r[2] and (s[1] < r[1] or s[2] < r[2])
+            for s in pts if s[0] != r[0]
+        )
+
+    expect = sorted(
+        ((p, s, pk) for pk, p, s in pts if not dominated((pk, p, s))))
+    fn, _sql = QUERIES["q292_skyline"]
+    got = [(r.price_c, r.size, r.pk) for r in fn(spark, SF).collect()]
+    assert got == expect and len(expect) > 0
+    # frontier property: sizes are non-increasing along increasing price
+    # (equality only for duplicate points)
+    szs = [s for _p, s, _k in expect]
+    assert szs == sorted(szs, reverse=True)
+
+
 @pytest.mark.parametrize(
     "name", ["q277", "q278", "q279", "q280", "q281", "q282", "q283", "q284",
-             "q285", "q286", "q287", "q290"])
+             "q285", "q286", "q287", "q290", "q291", "q292"])
 def test_overlay_queries_registered(name):
     from geowave_spark.queries import QUERIES
 
