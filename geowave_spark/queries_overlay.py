@@ -937,6 +937,58 @@ def q287_epoch_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q293 — value-concentration audit (Gini + top-decile share) per group
+# ---------------------------------------------------------------------------
+
+
+def _q293_sql(intdiv: str) -> str:
+    """Per-event-type value concentration: exact Gini coefficient (the
+    rank-weighted closed form G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)) over ascending x) plus the top-decile share — the
+    inequality statistics a data-pipeline budget audit runs on source
+    contribution and a marketplace runs on revenue (complement of
+    q274's heavy-hitter COUNTS: this measures how concentrated the
+    MASS is).
+
+    Plan: one ranking window per group (deterministic ties by event_id)
+    feeding one keyed aggregate — both partitioned by the group key, no
+    self-joins; every statistic is a rational of two int64 sums, floored
+    to micro at the end, so the cross-engine hash is exact."""
+    d = intdiv
+    return f"""
+WITH v AS (
+  SELECT event_type, event_id,
+         cast(floor(value * 100) as bigint) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+agg AS (
+  SELECT event_type, max(n) AS n,
+         sum(cents) AS s, sum(rk * cents) AS s1,
+         sum(CASE WHEN rk > n - (n {d} 10) THEN cents ELSE 0 END) AS top_s
+  FROM r GROUP BY event_type
+)
+SELECT event_type, cast(n as bigint) AS n,
+       cast(floor(1000000.0 * (2 * s1 - (n + 1) * s) / (n * s)) as bigint)
+         AS gini_micro,
+       cast(top_s * 1000000 {d} s as bigint) AS top_decile_share_micro
+FROM agg ORDER BY event_type
+"""
+
+
+def q293_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q293_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q293_sql("div"))
+
+
+# ---------------------------------------------------------------------------
 # q292 — skyline / Pareto frontier (multi-criteria dominance)
 # ---------------------------------------------------------------------------
 
@@ -1069,4 +1121,5 @@ OVERLAY_QUERIES = {
     "q291_windowed_percentiles": (q291_windowed_percentiles,
                                   _q291_sql("epoch_us(ts)", "//")),
     "q292_skyline": (q292_skyline, _q292_sql(window=False)),
+    "q293_value_concentration": (q293_value_concentration, _q293_sql("//")),
 }

@@ -602,9 +602,36 @@ def test_q292_skyline_matches_python_brute_force(spark):
     assert szs == sorted(szs, reverse=True)
 
 
+def test_q293_gini_matches_python(spark):
+    from geowave_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"SELECT event_type, event_id, cast(floor(value*100) as bigint) "
+        f"FROM '{SF}/events.parquet'").fetchall()
+    groups: dict[str, list] = {}
+    for et, eid, c in rows:
+        groups.setdefault(et, []).append((c, eid))
+    expect = {}
+    for et, g in groups.items():
+        g.sort()
+        n, s = len(g), sum(c for c, _ in g)
+        s1 = sum((i + 1) * c for i, (c, _) in enumerate(g))
+        gini = math.floor(1e6 * (2 * s1 - (n + 1) * s) / (n * s))
+        top = sum(c for c, _ in g[n - n // 10:])
+        expect[et] = (n, gini, top * 1000000 // s)
+    fn, _sql = QUERIES["q293_value_concentration"]
+    got = fn(spark, SF).collect()
+    assert {r.event_type: (r.n, r.gini_micro, r.top_decile_share_micro)
+            for r in got} == expect
+    # uniform-ish synthetic values: Gini must sit near 1/2... but pin
+    # only the hard invariants: 0 <= G < 1, top-decile share >= 10%
+    for _n, gini, top in expect.values():
+        assert 0 <= gini < 1_000_000 and top >= 100_000
+
+
 @pytest.mark.parametrize(
     "name", ["q277", "q278", "q279", "q280", "q281", "q282", "q283", "q284",
-             "q285", "q286", "q287", "q290", "q291", "q292"])
+             "q285", "q286", "q287", "q290", "q291", "q292", "q293"])
 def test_overlay_queries_registered(name):
     from geowave_spark.queries import QUERIES
 
