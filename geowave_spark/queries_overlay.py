@@ -937,6 +937,62 @@ def q287_epoch_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q294 — weighted sample without replacement (deterministic A-ES)
+# ---------------------------------------------------------------------------
+
+_Q294_K = 200
+
+
+def _q294_sql(intdiv: str) -> str:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each row draws a pseudo-random u and competes with priority u^(1/w)
+    — equivalently rank by u/w in the exponential formulation — and the
+    global top-k priorities win.  Training pipelines use this to sample
+    proportional to quality/importance weights (q74's stratified sample
+    is unweighted Bernoulli; q75's reservoir is per-stratum).
+
+    Determinism without a stored random key: u = a splitmix-style
+    integer hash of the row id, scaled to (0, 1]; priority = u / w as a
+    double (one IEEE division — identical in both engines).  The global
+    smallest-k is ORDER BY + LIMIT — Spark executes that as distributed
+    TakeOrdered (per-partition top-k then a k-row merge on the driver),
+    NOT a full sort; the same merge property makes the sample
+    incrementally maintainable (keep each shard's top-k, merge).
+
+    Output: the selected ids + integer-micro weight mass captured, and
+    per-source selection counts as the proportionality audit.
+    """
+    d = intdiv
+    h = ("cast((((doc_id * 2654435761) % 4294967296) * 40503 + 7919) "
+         f"% 4294967291 as bigint)")
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         cast(1 + n_chars as bigint) AS wt,
+         ({h} + 1) / 4294967292e0 AS u
+  FROM documents
+),
+pri AS (
+  SELECT doc_id, source, wt, u / wt AS priority FROM w
+),
+sel AS (
+  SELECT doc_id, source, wt FROM pri
+  ORDER BY priority, doc_id LIMIT {_Q294_K}
+)
+SELECT source, cast(count(*) as bigint) AS n_sel,
+       cast(sum(wt) as bigint) AS wt_sel,
+       cast(min(doc_id) as bigint) AS min_doc
+FROM sel GROUP BY source ORDER BY source
+"""
+
+
+def q294_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q294_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q294_sql("div"))
+
+
+# ---------------------------------------------------------------------------
 # q293 — value-concentration audit (Gini + top-decile share) per group
 # ---------------------------------------------------------------------------
 
@@ -1122,4 +1178,5 @@ OVERLAY_QUERIES = {
                                   _q291_sql("epoch_us(ts)", "//")),
     "q292_skyline": (q292_skyline, _q292_sql(window=False)),
     "q293_value_concentration": (q293_value_concentration, _q293_sql("//")),
+    "q294_weighted_sample": (q294_weighted_sample, _q294_sql("//")),
 }

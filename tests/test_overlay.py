@@ -629,9 +629,39 @@ def test_q293_gini_matches_python(spark):
         assert 0 <= gini < 1_000_000 and top >= 100_000
 
 
+def test_q294_weighted_sample_matches_python(spark):
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.queries_overlay import _Q294_K
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, n_chars FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    pri = []
+    for doc_id, source, n_chars in rows:
+        h = (((doc_id * 2654435761) % 4294967296) * 40503 + 7919) % 4294967291
+        u = (h + 1) / 4294967292.0
+        wt = 1 + n_chars
+        pri.append((u / wt, doc_id, source, wt))
+    pri.sort()
+    sel = pri[:_Q294_K]
+    expect: dict[str, list] = {}
+    for _p, doc_id, source, wt in sel:
+        expect.setdefault(source, []).append((doc_id, wt))
+    fn, _sql = QUERIES["q294_weighted_sample"]
+    got = fn(spark, SF).collect()
+    assert {r.source: (r.n_sel, r.wt_sel, r.min_doc) for r in got} == {
+        s: (len(v), sum(w for _d, w in v), min(d for d, _w in v))
+        for s, v in expect.items()}
+    # heavier rows must be overrepresented relative to uniform: the
+    # selected mean weight exceeds the corpus mean
+    sel_mean = sum(w for *_x, w in sel) / len(sel)
+    all_mean = sum(1 + n for _d, _s, n in rows) / len(rows)
+    assert sel_mean > all_mean
+
+
 @pytest.mark.parametrize(
     "name", ["q277", "q278", "q279", "q280", "q281", "q282", "q283", "q284",
-             "q285", "q286", "q287", "q290", "q291", "q292", "q293"])
+             "q285", "q286", "q287", "q290", "q291", "q292", "q293", "q294"])
 def test_overlay_queries_registered(name):
     from geowave_spark.queries import QUERIES
 
