@@ -511,3 +511,39 @@ def test_iterative_queries_materialize_base_relations(spark, sf_dir):
         n = plan.count("Scan parquet")
         assert n == 0, f"{name}: {n} parquet scans in final plan"
         assert "CartesianProduct" not in plan, name
+
+
+def test_overlay_family_plans(spark, sf_dir):
+    """Plan pins for the session-8 family: no CartesianProduct anywhere;
+    q280's candidates go through a cell equi-join (hash join, not a
+    nested-loop cross); q292's skyline is window-only (no join at all);
+    q283's percentile windows run over the histogram aggregate, below
+    TWO HashAggregates (partial + final = map-side combine pinned)."""
+    from geowave_spark.queries import QUERIES
+
+    for name, pins in {
+        "q280_segment_crossings": (["BroadcastHashJoin", "ShuffledHashJoin",
+                                    "SortMergeJoin"], ["CartesianProduct"]),
+        "q277_rect_dissolve": (["Window"], ["CartesianProduct",
+                                            "BroadcastNestedLoopJoin"]),
+        "q292_skyline": (["Window"], ["Join", "CartesianProduct"]),
+        "q283_exact_percentiles": (["HashAggregate"], ["CartesianProduct"]),
+    }.items():
+        fn, _sql = QUERIES[name]
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        any_of, none_of = pins
+        assert any(p in plan for p in any_of), (name, plan[:1500])
+        for p in none_of:
+            assert p not in plan, (name, p)
+
+
+def test_q278_single_python_stage(spark, sf_dir):
+    """The Frechet kernel must appear as exactly ONE ArrowEvalPython node
+    (one Arrow round-trip for the whole DP), with the candidate join
+    planned as a real join, not a cross."""
+    from geowave_spark.queries import QUERIES
+
+    fn, _sql = QUERIES["q278_track_frechet"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan[:1500]
+    assert "CartesianProduct" not in plan
