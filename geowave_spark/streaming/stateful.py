@@ -92,3 +92,94 @@ def running_cell_counts(stream_df: DataFrame, cell_col: str = "cell") -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRACK_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_points", LongType()),
+    StructField("x0_micro", LongType()),
+    StructField("y0_micro", LongType()),
+    StructField("x1_micro", LongType()),
+    StructField("y1_micro", LongType()),
+    StructField("path_micro", LongType()),
+])
+
+_TRACK_STATE = StructType([
+    StructField("n", LongType()),
+    StructField("x0", LongType()), StructField("y0", LongType()),
+    StructField("x1", LongType()), StructField("y1", LongType()),
+    StructField("path", LongType()),
+    StructField("last_x", LongType()), StructField("last_y", LongType()),
+    StructField("last_ts", LongType()),
+])
+
+
+def track_assembler(stream_df: DataFrame, gap: str = "1 hour",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Timeout-driven track assembly: accumulate each user's points in
+    state and EMIT the completed track (count, bbox, integer path
+    length) only when the event-time watermark passes `gap` beyond the
+    user's last point — the streaming form of trajectory assembly
+    (`table/trackfiles.gpx_tracks` / the STANAG track rollup), and the
+    third stateful primitive after dedup and running counts: the first
+    to use GroupStateTimeout (EventTimeTimeout), exercising the
+    emit-on-silence contract every session-izing tracker needs.
+
+    State per user is O(1) — aggregates plus the last point, never the
+    point list — so a million concurrent vehicles hold a million small
+    state rows, and a killed job resumes from the state store with its
+    partial tracks intact."""
+    stream_df = stream_df.withColumn("ts", stream_df["ts"].cast("timestamp"))
+    gap_ms = {"1 hour": 3_600_000, "1 day": 86_400_000}.get(gap)
+    if gap_ms is None:
+        raise ValueError(f"unsupported gap: {gap!r}")
+
+    def assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            (n, x0, y0, x1, y1, path, _lx, _ly, _lt) = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_points": [n],
+                "x0_micro": [x0], "y0_micro": [y0],
+                "x1_micro": [x1], "y1_micro": [y1],
+                "path_micro": [path],
+            })
+            return
+        if state.exists:
+            n, x0, y0, x1, y1, path, lx, ly, lt = state.get
+        else:
+            n = path = 0
+            x0 = y0 = x1 = y1 = lx = ly = lt = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for _, r in pdf.iterrows():
+                px = int(r["x_micro"])
+                py = int(r["y_micro"])
+                pt = int(r["ts"].value // 1000)  # micros
+                if n == 0:
+                    x0 = x1 = px
+                    y0 = y1 = py
+                else:
+                    x0, x1 = min(x0, px), max(x1, px)
+                    y0, y1 = min(y0, py), max(y1, py)
+                    # integer planar path step (micro-deg, floor)
+                    path += int(((px - lx) ** 2 + (py - ly) ** 2) ** 0.5)
+                lx, ly, lt = px, py, pt
+                n += 1
+        state.update((n, x0, y0, x1, y1, path, lx, ly, lt))
+        # fire when the watermark passes last event time + gap
+        state.setTimeoutTimestamp(lt // 1000 + gap_ms)
+        return
+        yield  # pragma: no cover — generator form
+
+    return (
+        stream_df.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=TRACK_SCHEMA,
+            stateStructType=_TRACK_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

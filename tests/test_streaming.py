@@ -461,3 +461,56 @@ def test_streaming_windowed_percentiles_match_batch_q291(spark, sf_dir, dirs):
         for r in batch.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_track_assembler_emits_on_event_time_timeout(spark, dirs):
+    """Users silent for > gap emit their assembled track when the
+    watermark passes; users whose data is still fresh stay in state.
+    Two files forced into separate micro-batches (maxFilesPerTrigger=1)
+    so the watermark advances between them."""
+    import math
+    import time as _time
+
+    import pandas as pd
+
+    from geowave_spark.streaming import stateful
+
+    src, _dest, cp = dirs
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def pts(uid, base, coords):
+        return [
+            {"user_id": uid, "ts": base + pd.Timedelta(minutes=i),
+             "x_micro": x, "y_micro": y}
+            for i, (x, y) in enumerate(coords)
+        ]
+
+    early = (pts(1, t0, [(0, 0), (3_000_000, 4_000_000), (6_000_000, 8_000_000)])
+             + pts(2, t0, [(10_000_000, 0), (10_000_000, 1_000_000)]))
+    late = pts(3, t0 + pd.Timedelta(days=3), [(0, 0), (1_000_000, 0)])
+
+    spark.createDataFrame(pd.DataFrame(early)).coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+    _time.sleep(1.1)  # distinct file mtimes -> deterministic batch order
+    spark.createDataFrame(pd.DataFrame(late)).coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, x_micro long, y_micro long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*.parquet")
+    )
+    out = stateful.track_assembler(stream, gap="1 hour")
+    q = (out.writeStream.format("memory").queryName("tracks")
+         .option("checkpointLocation", cp)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["user_id"]: r for r in spark.table("tracks").collect()}
+    assert set(got) == {1, 2}  # user 3 is still fresh -> still in state
+    u1 = got[1]
+    assert (u1["n_points"], u1["x0_micro"], u1["x1_micro"]) == (3, 0, 6_000_000)
+    assert u1["path_micro"] == int(math.sqrt(3e6**2 + 4e6**2)) * 2  # 5M + 5M
+    u2 = got[2]
+    assert (u2["n_points"], u2["path_micro"]) == (2, 1_000_000)
