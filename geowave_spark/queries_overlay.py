@@ -937,6 +937,52 @@ def q287_epoch_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q295 — batch track summaries (the track_assembler's batch twin)
+# ---------------------------------------------------------------------------
+
+
+def _q295_sql(epoch_us: str) -> str:
+    """Per-user assembled-track summary: point count, micro-int bbox and
+    integer path length over the ts-ordered point sequence — EXACTLY the
+    state `streaming/stateful.track_assembler` accumulates, as one lag
+    window + one keyed aggregate, so the stream's emit-on-silence output
+    is checkable against a batch relation (parity pinned in
+    tests/test_streaming.py).  `floor(sqrt(...))` of an int64 sum is
+    IEEE-correctly-rounded in both engines, so the path is hash-exact."""
+    lon = f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint)"
+    lat = f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint)"
+    w = "OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id, {epoch_us} AS ts_us,
+         {lon} AS x, {lat} AS y
+  FROM events
+),
+seg AS (
+  SELECT user_id, x, y,
+         lag(x) {w} AS px, lag(y) {w} AS py
+  FROM (SELECT user_id, event_id, ts_us, x, y FROM p) q
+)
+SELECT user_id, cast(count(*) as bigint) AS n_points,
+       cast(min(x) as bigint) AS x0_micro,
+       cast(min(y) as bigint) AS y0_micro,
+       cast(max(x) as bigint) AS x1_micro,
+       cast(max(y) as bigint) AS y1_micro,
+       cast(sum(CASE WHEN px IS NULL THEN 0 ELSE
+         cast(floor(sqrt(cast((x - px) * (x - px) + (y - py) * (y - py)
+                               as double))) as bigint) END) as bigint)
+         AS path_micro
+FROM seg GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q295_track_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q295_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q295_sql("unix_micros(cast(ts as timestamp))"))
+
+
+# ---------------------------------------------------------------------------
 # q294 — weighted sample without replacement (deterministic A-ES)
 # ---------------------------------------------------------------------------
 
@@ -1179,4 +1225,6 @@ OVERLAY_QUERIES = {
     "q292_skyline": (q292_skyline, _q292_sql(window=False)),
     "q293_value_concentration": (q293_value_concentration, _q293_sql("//")),
     "q294_weighted_sample": (q294_weighted_sample, _q294_sql("//")),
+    "q295_track_summaries": (q295_track_summaries,
+                             _q295_sql("epoch_us(ts)")),
 }

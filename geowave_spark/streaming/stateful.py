@@ -25,6 +25,7 @@ key, which for `cell` keys is exactly what the salting machinery
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -151,7 +152,8 @@ def track_assembler(stream_df: DataFrame, gap: str = "1 hour",
             n = path = 0
             x0 = y0 = x1 = y1 = lx = ly = lt = None
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+            order = [c for c in ("ts", "event_id") if c in pdf.columns]
+            pdf = pdf.sort_values(order, kind="stable")
             for _, r in pdf.iterrows():
                 px = int(r["x_micro"])
                 py = int(r["y_micro"])
@@ -162,8 +164,12 @@ def track_assembler(stream_df: DataFrame, gap: str = "1 hour",
                 else:
                     x0, x1 = min(x0, px), max(x1, px)
                     y0, y1 = min(y0, py), max(y1, py)
-                    # integer planar path step (micro-deg, floor)
-                    path += int(((px - lx) ** 2 + (py - ly) ** 2) ** 0.5)
+                    # integer planar path step (micro-deg, floor);
+                    # math.sqrt is correctly rounded — pow(x, 0.5) is
+                    # NOT guaranteed to be, and must match the batch
+                    # twin's floor(sqrt(...)) exactly (q295 parity)
+                    path += int(math.sqrt(
+                        (px - lx) ** 2 + (py - ly) ** 2))
                 lx, ly, lt = px, py, pt
                 n += 1
         state.update((n, x0, y0, x1, y1, path, lx, ly, lt))

@@ -514,3 +514,55 @@ def test_track_assembler_emits_on_event_time_timeout(spark, dirs):
     assert u1["path_micro"] == int(math.sqrt(3e6**2 + 4e6**2)) * 2  # 5M + 5M
     u2 = got[2]
     assert (u2["n_points"], u2["path_micro"]) == (2, 1_000_000)
+
+
+def test_track_assembler_matches_batch_q295(spark, sf_dir, dirs):
+    """Force every real user to time out (a far-future sentinel file
+    advances the watermark years past the data) and pin the assembled
+    tracks equal to the batch q295 relation over the same events."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geowave_spark.queries_overlay import q295_track_summaries
+    from geowave_spark.streaming import stateful
+    from geowave_spark.table import geo
+
+    src, _dest, cp = dirs
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.expr(f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint)")
+        .alias("x_micro"),
+        F.expr(f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint)")
+        .alias("y_micro"),
+    )
+    ev.coalesce(1).write.parquet(str(src / "a.parquet"))
+    _time.sleep(1.1)
+    sentinel = pd.DataFrame([{
+        "user_id": -1, "event_id": -1,
+        "ts": pd.Timestamp("2034-01-01"), "x_micro": 0, "y_micro": 0,
+    }])
+    spark.createDataFrame(sentinel).coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, "
+            "x_micro long, y_micro long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*.parquet")
+    )
+    out = stateful.track_assembler(stream, gap="1 hour")
+    q = (out.writeStream.format("memory").queryName("tracks295")
+         .option("checkpointLocation", cp)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {r["user_id"]: (r["n_points"], r["x0_micro"], r["y0_micro"],
+                          r["x1_micro"], r["y1_micro"], r["path_micro"])
+           for r in spark.table("tracks295").collect()}
+    want = {r["user_id"]: (r["n_points"], r["x0_micro"], r["y0_micro"],
+                           r["x1_micro"], r["y1_micro"], r["path_micro"])
+            for r in q295_track_summaries(spark, sf_dir).collect()}
+    assert got == want and len(want) > 0
