@@ -526,7 +526,64 @@ ORDER BY phase
 """
 
 
+def q296_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level semantic diff across a NON-APPEND history (the CDC read
+    q91's incremental scan refuses): create -> MERGE (update pid%7=0,
+    insert -pid-1 for pid%11=3) -> copy-on-write DELETE (pid>=0 and
+    pid%5=1), then `snapshots.diff` labels every key added / deleted /
+    updated / unchanged between snapshot 1 and snapshot 3.  Output:
+    per-status counts + key checksum, against the closed-form oracle
+    derived from the same modular construction rules."""
+    li = spark.sql(geo.lineitem_points_sql(sf_dir=sf_dir)).selectExpr(
+        "pid", "cast(qty as bigint) AS qty"
+    )
+    path = os.path.join(_SCRATCH, f"snap_diff_{uuid.uuid4().hex}")
+    try:
+        S.create(li, path, cluster_by=["pid"], num_files=8)
+        src = spark.sql(f"""
+            SELECT pid, cast(qty as bigint) + 1000 AS qty
+            FROM ({geo.lineitem_points_sql(sf_dir=sf_dir)}) WHERE pid % 7 = 0
+            UNION ALL
+            SELECT -pid - 1 AS pid, cast(qty as bigint) AS qty
+            FROM ({geo.lineitem_points_sql(sf_dir=sf_dir)}) WHERE pid % 11 = 3
+        """)
+        S.merge_into(spark, path, src, key_cols=["pid"])
+        S.delete_where(spark, path, "pid >= 0 AND pid % 5 = 1")
+        d = S.diff(spark, path, 1, 3, key_cols=["pid"])
+        out = (
+            d.groupBy("status")
+            .agg(F.count("*").alias("n"),
+                 F.sum("pid").alias("sum_pid"))
+            .orderBy("status")
+        )
+        rows = [(r["status"], r["n"], r["sum_pid"]) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "status string, n bigint, sum_pid bigint").orderBy("status")
+
+
+Q296_SQL = f"""
+WITH base AS (SELECT pid FROM ({geo.lineitem_points_sql()}) t)
+SELECT 'added' AS status,
+       cast(count(*) as bigint) AS n,
+       cast(sum(-pid - 1) as bigint) AS sum_pid
+FROM base WHERE pid % 11 = 3
+UNION ALL
+SELECT 'deleted', cast(count(*) as bigint), cast(sum(pid) as bigint)
+FROM base WHERE pid % 5 = 1
+UNION ALL
+SELECT 'unchanged', cast(count(*) as bigint), cast(sum(pid) as bigint)
+FROM base WHERE pid % 5 <> 1 AND pid % 7 <> 0
+UNION ALL
+SELECT 'updated', cast(count(*) as bigint), cast(sum(pid) as bigint)
+FROM base WHERE pid % 5 <> 1 AND pid % 7 = 0
+ORDER BY status
+"""
+
+
 LAKE_QUERIES = {
+    "q296_snapshot_diff": (q296_snapshot_diff, Q296_SQL),
     "q68_snapshot_prune_scan": (q68_snapshot_prune_scan, Q68_SQL),
     "q69_snapshot_time_travel": (q69_snapshot_time_travel, Q69_SQL),
     "q72_attribute_index_scan": (q72_attribute_index_scan, Q72_SQL),

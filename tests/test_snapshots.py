@@ -412,3 +412,24 @@ def test_q245_snapshot_diff_classifies_changes(spark):
             continue
         want[k] = want.get(k, 0) + 1
     assert got == want and sum(got.values()) > 100
+
+
+def test_diff_labels_all_four_statuses(spark, tmp_path):
+    """snapshots.diff on a toy history: create -> overwrite with one
+    update, one delete, one insert; every status appears with the right
+    key, and all-null value rows are still classified by presence."""
+    import pandas as pd
+
+    from geowave_spark.table import snapshots as S
+
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2, 3, 4], "qty": [10, 20, 30, None]}))
+    S.create(v1, path)
+    v2 = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2, 5, 4], "qty": [10, 99, 50, None]}))
+    S.overwrite(v2, path)
+    d = {r["pid"]: r["status"]
+         for r in S.diff(spark, path, 1, 2, key_cols=["pid"]).collect()}
+    assert d == {1: "unchanged", 2: "updated", 3: "deleted",
+                 4: "unchanged", 5: "added"}
