@@ -937,6 +937,74 @@ def q287_epoch_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q297 — ingest-order vs event-time Spearman (out-of-orderness audit)
+# ---------------------------------------------------------------------------
+
+
+def _q297_sql(epoch_us: str, intdiv: str) -> str:
+    """How out-of-order does each event stream arrive?  Spearman rank
+    correlation between INGEST order (event_id) and EVENT-TIME order per
+    event_type — the scalar that prices a watermark: rho ~ 1 means
+    near-ordered arrival (tight watermark, little state), low rho means
+    heavy reordering (q266's late-audit tells you how MUCH data a given
+    watermark drops; this tells you how disordered the stream
+    intrinsically is).  rho = 1 - 6*sum(d^2)/(n(n^2-1)), exact integer
+    arithmetic floored to micro — first rank-correlation statistic in
+    the registry.
+
+    The testdata arrives perfectly ordered (rho = 1.0 exactly — itself
+    a verified fact), so the audit also reports its own calibration:
+    rho under a BIT-REVERSED replay of the same stream (the q279
+    permutation as an adversarial arrival order), which sits near 0 —
+    the two columns bracket the statistic's range on identical data.
+
+    Plan: three ranking windows per group + one keyed aggregate, all
+    partitioned by event_type; no joins."""
+    b = 14
+    rev = " + ".join(
+        f"((event_id {intdiv} {1 << i}) % 2) * {1 << (b - 1 - i)}"
+        for i in range(b)
+    )
+    return f"""
+WITH p AS (
+  SELECT event_type, event_id, {epoch_us} AS ts_us,
+         ({rev}) * 100000 + event_id AS replay_key
+  FROM events
+),
+r AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+           AS ra,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts_us, event_id) AS rb,
+         row_number() OVER (PARTITION BY event_type ORDER BY replay_key)
+           AS rc
+  FROM p
+),
+agg AS (
+  SELECT event_type, count(*) AS n,
+         sum((ra - rb) * (ra - rb)) AS s2,
+         sum((rc - rb) * (rc - rb)) AS s2_replay
+  FROM r GROUP BY event_type
+)
+SELECT event_type, cast(n as bigint) AS n,
+       cast(floor(1000000.0 * (n * (n * n - 1) - 6 * s2)
+                  / (n * (n * n - 1))) as bigint) AS spearman_micro,
+       cast(floor(1000000.0 * (n * (n * n - 1) - 6 * s2_replay)
+                  / (n * (n * n - 1))) as bigint)
+         AS spearman_replay_micro
+FROM agg ORDER BY event_type
+"""
+
+
+def q297_order_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q297_sql`."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _q297_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+
+# ---------------------------------------------------------------------------
 # q295 — batch track summaries (the track_assembler's batch twin)
 # ---------------------------------------------------------------------------
 
@@ -1227,4 +1295,6 @@ OVERLAY_QUERIES = {
     "q294_weighted_sample": (q294_weighted_sample, _q294_sql("//")),
     "q295_track_summaries": (q295_track_summaries,
                              _q295_sql("epoch_us(ts)")),
+    "q297_order_correlation": (q297_order_correlation,
+                               _q297_sql("epoch_us(ts)", "//")),
 }

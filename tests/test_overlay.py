@@ -659,9 +659,45 @@ def test_q294_weighted_sample_matches_python(spark):
     assert sel_mean > all_mean
 
 
+def test_q297_spearman_matches_python(spark):
+    from geowave_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"SELECT event_type, event_id, epoch_us(ts) "
+        f"FROM '{SF}/events.parquet'").fetchall()
+    groups: dict[str, list] = {}
+    for et, eid, tus in rows:
+        b = 14
+        rev = sum((((eid >> i) & 1) << (b - 1 - i)) for i in range(b))
+        groups.setdefault(et, []).append((eid, tus, rev * 100000 + eid))
+    expect = {}
+    for et, g in groups.items():
+        n = len(g)
+        by_id = sorted(g)
+        by_ts = sorted(g, key=lambda r: (r[1], r[0]))
+        by_replay = sorted(g, key=lambda r: r[2])
+        rank_ts = {r[0]: i + 1 for i, r in enumerate(by_ts)}
+
+        def rho(order):
+            s2 = sum((i + 1 - rank_ts[r[0]]) ** 2 for i, r in enumerate(order))
+            return math.floor(
+                1e6 * (n * (n * n - 1) - 6 * s2) / (n * (n * n - 1)))
+
+        expect[et] = (n, rho(by_id), rho(by_replay))
+    fn, _sql = QUERIES["q297_order_correlation"]
+    got = fn(spark, SF).collect()
+    assert {r.event_type: (r.n, r.spearman_micro, r.spearman_replay_micro)
+            for r in got} == expect
+    # ordered arrival pins rho exactly 1; the shuffled replay sits far
+    # below it (the calibration contrast)
+    for _n, r1, r2 in expect.values():
+        assert r1 == 1_000_000 and abs(r2) < 500_000
+
+
 @pytest.mark.parametrize(
     "name", ["q277", "q278", "q279", "q280", "q281", "q282", "q283", "q284",
-             "q285", "q286", "q287", "q290", "q291", "q292", "q293", "q294"])
+             "q285", "q286", "q287", "q290", "q291", "q292", "q293", "q294",
+             "q295", "q297"])
 def test_overlay_queries_registered(name):
     from geowave_spark.queries import QUERIES
 
