@@ -1,19 +1,18 @@
-"""Overlay-dissolve, track-similarity-DP and training-shuffle queries
-(q277-q279).
+"""Overlay sweeps, track-similarity DPs, order statistics and
+training-shuffle audits (q277-q297, session 8).
 
-- q277 rectangle dissolve / union area: the overlay UNION complement of
-  q101's pairwise intersect-area join (reference answers *whether*
-  geometries intersect — `GeomIntersects`, `GeoWaveSparkSpatialJoinIT` —
-  never the merged footprint).  Classic sweep: coordinate-compressed
-  vertical slabs, then a y-interval union per slab via gaps-and-islands
-  windows.
-- q278 discrete Frechet distance join between user tracks: the ORDERED
-  companion of q164's (set-based) Hausdorff — couplings must walk both
-  tracks monotonically, so reordered visits that Hausdorff cannot
-  distinguish get separated.  DP over an 8x8 grid.
-- q279 bit-reversal epoch shuffle: deterministic global training-data
-  shuffle (a bijective bit-reversal permutation instead of a stored
-  random key) + per-batch source-mixing audit.
+- q277/q282 sweep-line dissolve + coverage-depth histogram (binned
+  slab-coverage join, gaps-and-islands / +1-1 depth events)
+- q278 discrete Frechet DP (Arrow-batched kernel; the ORDERED companion
+  of q164's set-based Hausdorff)
+- q279/q287 bit-reversal epoch shuffle + cross-epoch repeat-pair audit
+  (with the GF(2)-linear and ring-arithmetic broken-seed proofs)
+- q280/q284 segment-crossing and uncertainty-radius cover joins
+- q281 areal interpolation; q283/q291 exact global/windowed percentiles
+  (no-sort histogram collapse; q291 has a streaming twin)
+- q292 skyline; q293 Gini concentration; q294 A-ES weighted sampling;
+  q295 track summaries (the stream assembler's batch twin);
+  q297 Spearman out-of-orderness audit
 """
 
 from __future__ import annotations
