@@ -936,6 +936,100 @@ def q287_epoch_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q298 — corridor join (points within distance of route segments)
+# ---------------------------------------------------------------------------
+
+_Q298_R = 1.5  # corridor half-width, planar degrees
+
+
+def _q298_sql(d, brute: bool = False) -> str:
+    """Corridor join: every point within R of a route segment, rolled up
+    per segment (route monitoring / buffer-along-path — the SELECT-ALL
+    companion of q120's nearest-only snap; the reference expresses this
+    only as GeomWithinDistance against a materialized buffer geometry,
+    `GeomWithinDistance.java:30-46`).
+
+    Engine: segments expand their bbox by R and explode to candidate
+    cells (exact recall: a point within R of the segment lies inside the
+    expanded bbox), points explode to their cell, hash equi-join + pair
+    GROUP BY, then the exact codegen point-to-segment refine
+    (`seg_dist2_sql`, the q120 kernel) and one keyed rollup per segment.
+    Oracle: expanded-bbox theta join (flat corners — the IEJoin lesson)
+    with the identical refine."""
+    from .join import spatial
+
+    pts = (
+        f"SELECT event_id AS eid, {geo.lon_sql('event_id')} AS lon, "
+        f"{geo.lat_sql('event_id')} AS lat, "
+        f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint) AS pxm, "
+        f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint) AS pym "
+        f"FROM events WHERE event_id % 4 = 0"
+    )
+    cx = geo.lon_sql("s_suppkey * 41 + 13")
+    cy = geo.lat_sql("s_suppkey * 43 + 17")
+    dx = "((1e0 + (s_suppkey % 25) / 1e1) * (cast(s_suppkey % 2 as int) * 2 - 1))"
+    dy = "((5e-1 + (s_suppkey % 19) / 1e1) * (cast(s_suppkey % 3 as int) - 1))"
+    rm = int(_Q298_R * 1_000_000)
+    segs = (
+        f"SELECT s_suppkey AS sid, {cx} AS ax, {cy} AS ay, "
+        f"{cx} + {dx} AS bx, {cy} + {dy} AS by, "
+        f"cast(floor(({cx}) * 1000000) as bigint) AS axm, "
+        f"cast(floor(({cy}) * 1000000) as bigint) AS aym, "
+        f"cast(floor(({cx} + {dx}) * 1000000) as bigint) AS bxm, "
+        f"cast(floor(({cy} + {dy}) * 1000000) as bigint) AS bym "
+        f"FROM supplier"
+    )
+    d2 = spatial.seg_dist2_sql("lon", "lat", "ax", "ay", "bx", "by")
+    if brute:
+        cand = f"""
+SELECT s.sid, p.eid, lon, lat, ax, ay, bx, by
+FROM (SELECT *, least(axm, bxm) - {rm} AS lo_x,
+             greatest(axm, bxm) + {rm} AS hi_x,
+             least(aym, bym) - {rm} AS lo_y,
+             greatest(aym, bym) + {rm} AS hi_y FROM s) s
+JOIN p ON p.pxm >= s.lo_x AND p.pxm <= s.hi_x
+      AND p.pym >= s.lo_y AND p.pym <= s.hi_y
+"""
+    else:
+        # expand the MIN and MAX corner, not endpoint a and endpoint b —
+        # a leftward/downward segment (b < a) would otherwise SHRINK its
+        # cover by 2R (measured: 6 of 49 corridor segments lost)
+        sexp = d.explode(_q280_cover_arr(
+            d,
+            f"least(axm, bxm) - {rm}", f"greatest(axm, bxm) + {rm}",
+            f"least(aym, bym) - {rm}", f"greatest(aym, bym) + {rm}"))
+        pexp = d.explode(_q280_cover_arr(d, "pxm", "pxm", "pym", "pym"))
+        cand = f"""
+SELECT s.sid, p.eid, lon, lat, ax, ay, bx, by
+FROM (SELECT sid, ax, ay, bx, by, {sexp} AS cell FROM s) s
+JOIN (SELECT eid, lon, lat, {pexp} AS cell FROM p) p
+  ON p.cell = s.cell
+GROUP BY s.sid, p.eid, lon, lat, ax, ay, bx, by
+"""
+    return f"""
+WITH p AS ({pts}),
+s AS ({segs}),
+cand AS ({cand})
+SELECT sid, cast(count(*) as bigint) AS n_pts,
+       cast(min(cast(floor(({d2}) * 1000000e0) as bigint)) as bigint)
+         AS min_d2_micro,
+       cast(sum(cast(floor(({d2}) * 1000000e0) as bigint)) as bigint)
+         AS sum_d2_micro
+FROM cand
+WHERE {d2} <= {_Q298_R * _Q298_R}
+GROUP BY sid ORDER BY sid
+"""
+
+
+def q298_corridor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q298_sql`."""
+    from .functions import sqlgen as _G
+
+    register_views(spark, sf_dir)
+    return spark.sql(_q298_sql(_G.SPARK))
+
+
+# ---------------------------------------------------------------------------
 # q297 — ingest-order vs event-time Spearman (out-of-orderness audit)
 # ---------------------------------------------------------------------------
 
@@ -1296,4 +1390,5 @@ OVERLAY_QUERIES = {
                              _q295_sql("epoch_us(ts)")),
     "q297_order_correlation": (q297_order_correlation,
                                _q297_sql("epoch_us(ts)", "//")),
+    "q298_corridor_join": (q298_corridor_join, _q298_sql(G.DUCK, brute=True)),
 }

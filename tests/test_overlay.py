@@ -694,10 +694,48 @@ def test_q297_spearman_matches_python(spark):
         assert r1 == 1_000_000 and abs(r2) < 500_000
 
 
+def test_q298_corridor_matches_python_brute_force(spark):
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.queries_overlay import _Q298_R
+
+    pts = []
+    for (eid,) in _events01():
+        if eid % 4:
+            continue
+        pts.append((eid, _lon(eid), _lat(eid)))
+    segs = []
+    for (k,) in duckdb.sql(
+            f"SELECT s_suppkey FROM '{SF01}/supplier.parquet'").fetchall():
+        ax, ay = _lon(k * 41 + 13), _lat(k * 43 + 17)
+        dx = (1.0 + (k % 25) / 10.0) * ((k % 2) * 2 - 1)
+        dy = (0.5 + (k % 19) / 10.0) * ((k % 3) - 1)
+        segs.append((k, ax, ay, ax + dx, ay + dy))
+
+    def d2(px, py, ax, ay, bx, by):
+        len2 = (bx - ax) ** 2 + (by - ay) ** 2
+        dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+        t = 0.0 if len2 == 0 else min(max(dot / len2, 0.0), 1.0)
+        cx, cy = ax + t * (bx - ax), ay + t * (by - ay)
+        return (px - cx) ** 2 + (py - cy) ** 2
+
+    expect: dict[int, list] = {}
+    for sid, ax, ay, bx, by in segs:
+        for _eid, px, py in pts:
+            v = d2(px, py, ax, ay, bx, by)
+            if v <= _Q298_R * _Q298_R:
+                expect.setdefault(sid, []).append(math.floor(v * 1e6))
+    fn, _sql = QUERIES["q298_corridor_join"]
+    got = fn(spark, SF01).collect()
+    assert {r.sid: (r.n_pts, r.min_d2_micro, r.sum_d2_micro)
+            for r in got} == {
+        sid: (len(v), min(v), sum(v)) for sid, v in expect.items()}
+    assert len(got) > 0
+
+
 @pytest.mark.parametrize(
     "name", ["q277", "q278", "q279", "q280", "q281", "q282", "q283", "q284",
              "q285", "q286", "q287", "q290", "q291", "q292", "q293", "q294",
-             "q295", "q297"])
+             "q295", "q297", "q298"])
 def test_overlay_queries_registered(name):
     from geowave_spark.queries import QUERIES
 
