@@ -77,6 +77,33 @@ def box_thumb_sum(g: np.ndarray) -> tuple[int, int, int]:
     return tw, th, int((block // 4).sum())
 
 
+def luma_hist_df(img: DataFrame) -> DataFrame:
+    """(image_id, luma, cnt) from the DECODED payload — one narrow
+    mapInPandas pass emitting <= 256 rows per image (np.bincount), the
+    corpus collapse every histogram-space op downstream (equalization
+    q125, histogram matching q299) operates on instead of pixels."""
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, lumas, cnts = [], [], []
+            for _, r in pdf.iterrows():
+                g = gray(codec.decode(r["bytes"], r["fmt"]))
+                c = np.bincount(g.ravel(), minlength=256)
+                nz = np.nonzero(c)[0]
+                ids.extend([r["image_id"]] * len(nz))
+                lumas.extend(nz.tolist())
+                cnts.extend(c[nz].tolist())
+            yield pd.DataFrame({
+                "image_id": ids,
+                "luma": np.asarray(lumas, dtype=np.int64),
+                "cnt": np.asarray(cnts, dtype=np.int64),
+            })
+
+    return img.select("image_id", "bytes", "fmt").mapInPandas(
+        hist, schema="image_id string, luma bigint, cnt bigint"
+    )
+
+
 def bilinear_sum(g: np.ndarray, num: int = 3, den: int = 2
                  ) -> tuple[int, int, int]:
     """EXACT-integer bilinear resample of a luma plane to

@@ -332,6 +332,71 @@ FROM corner GROUP BY image_id ORDER BY image_id
 """
 
 
+def _q299_tail_sql(lh: str) -> str:
+    """Shared relational tail over an (image_id, luma, cnt) histogram
+    relation: per-image CDF + corpus CDF, the match LUT as a rational
+    first-crossing join (cross-multiplied int64 CDFs — no float
+    quantiles), and the per-image rollup of the matched luma."""
+    return f"""
+n_img AS (SELECT image_id, sum(cnt) AS n FROM {lh} GROUP BY image_id),
+cdf_i AS (
+  SELECT image_id, luma, cnt,
+         sum(cnt) OVER (PARTITION BY image_id ORDER BY luma) AS cdf
+  FROM {lh}
+),
+g AS (SELECT luma, sum(cnt) AS cnt FROM {lh} GROUP BY luma),
+ng AS (SELECT sum(cnt) AS nt FROM g),
+cdf_t AS (SELECT luma AS t, sum(cnt) OVER (ORDER BY luma) AS cdft FROM g),
+lut AS (
+  SELECT c.image_id, c.luma, c.cnt, min(ct.t) AS matched
+  FROM cdf_i c
+  JOIN n_img ni ON ni.image_id = c.image_id
+  CROSS JOIN ng
+  JOIN cdf_t ct ON ct.cdft * ni.n >= c.cdf * ng.nt
+  GROUP BY c.image_id, c.luma, c.cnt
+)
+SELECT image_id, cast(sum(cnt) as bigint) AS n_px,
+       cast(sum(matched * cnt) as bigint) AS sum_matched,
+       cast(min(matched) as bigint) AS min_matched,
+       cast(max(matched) as bigint) AS max_matched
+FROM lut GROUP BY image_id ORDER BY image_id
+"""
+
+
+def q299_histogram_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram matching to the CORPUS reference distribution
+    (radiometric normalization: every image's luma distribution is
+    remapped onto the pooled corpus distribution, so scenes from
+    different sensors/illumination train consistently — the pairwise
+    generalization of q125's per-image equalization, which is matching
+    against the uniform distribution).
+
+    Spark plan: ONE decode pass collapses pixels to <= 256 histogram
+    rows per image (`image_ops.luma_hist_df`); everything after —
+    per-image CDFs, the corpus CDF, the rational first-crossing LUT
+    join (bounded 256-row broadcast side), the rollup — runs on the
+    histogram relation, so pixels never shuffle and the post-decode
+    cost is independent of image size.  The LUT inequality
+    cross-multiplies int64 CDFs: no float quantile anywhere, so the
+    DuckDB twin (closed-form luma, never decodes) is bit-exact."""
+    from .multimodal import image_ops
+
+    image_ops.luma_hist_df(
+        img_tab.images_df(spark, sf_dir)
+    ).createOrReplaceTempView("q299_lh")
+    return spark.sql(f"WITH {_q299_tail_sql('q299_lh')}")
+
+
+Q299_SQL = f"""
+WITH {_photometric_base_sql()},
+lh AS (
+  SELECT image_id, luma, cast(count(*) as bigint) AS cnt
+  FROM px GROUP BY image_id, luma
+),
+{_q299_tail_sql('lh')}
+"""
+
+
 def q125_histogram_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram equalization (contrast normalization before training):
     per-image sum/min/max of the EQUALIZED luma — the textbook integer
@@ -1347,6 +1412,7 @@ MULTIMODAL_QUERIES = {
     "q79_image_quality_stats": (q79_image_quality_stats, Q79_SQL),
     "q80_thumbnail_checksum": (q80_thumbnail_checksum, Q80_SQL),
     "q289_bilinear_resize": (q289_bilinear_resize, _q289_sql()),
+    "q299_histogram_matching": (q299_histogram_matching, Q299_SQL),
     "q85_dup_canonical_by_quality": (q85_dup_canonical_by_quality, Q85_SQL),
     "q125_histogram_equalization": (q125_histogram_equalization, Q125_SQL),
     "q141_isodata_threshold": (q141_isodata_threshold, _q141_sql()),

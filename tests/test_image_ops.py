@@ -346,3 +346,38 @@ def test_bilinear_df_matches_local_numpy(spark, sf_dir):
         tw, th, s = bilinear_sum(g)
         e = got[r["image_id"]]
         assert (e["tw"], e["th"], e["bil_sum"]) == (tw, th, s)
+
+
+def test_q299_histogram_matching_python_recompute(spark, sf_dir):
+    """Third implementation: decode every image in python, build the
+    corpus CDF, apply the rational first-crossing LUT per image, and
+    compare the per-image rollups with the q299 query."""
+    from geowave_spark.queries import QUERIES
+
+    imgs = img_tab.images_df(spark, sf_dir).collect()
+    hists = {}
+    for r in imgs:
+        g = img_tab.gray(codec.decode(bytes(r["bytes"]), r["fmt"]))
+        hists[r["image_id"]] = np.bincount(g.ravel(), minlength=256)
+    corpus = np.sum(list(hists.values()), axis=0)
+    cdft = np.cumsum(corpus)
+    nt = int(cdft[-1])
+
+    expect = {}
+    for iid, h in hists.items():
+        n = int(h.sum())
+        cdf = np.cumsum(h)
+        sum_m = n_px = 0
+        mins, maxs = 255, 0
+        for v in np.nonzero(h)[0]:
+            # least t with cdft[t] * n >= cdf[v] * nt (integer compare)
+            t = int(np.searchsorted(cdft * n, int(cdf[v]) * nt, side="left"))
+            sum_m += t * int(h[v])
+            n_px += int(h[v])
+            mins, maxs = min(mins, t), max(maxs, t)
+        expect[iid] = (n_px, sum_m, mins, maxs)
+
+    fn, _sql = QUERIES["q299_histogram_matching"]
+    got = fn(spark, sf_dir).collect()
+    assert {r["image_id"]: (r["n_px"], r["sum_matched"], r["min_matched"],
+                            r["max_matched"]) for r in got} == expect
