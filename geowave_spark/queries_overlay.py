@@ -1030,6 +1030,97 @@ def q298_corridor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q300 — off-network anti-corridor (points near NO route segment)
+# ---------------------------------------------------------------------------
+
+
+def _q300_sql(d, brute: bool = False) -> str:
+    """Anti-corridor: points within R of NO route segment — off-network
+    detection (GPS spoofing, off-road driving, mis-geocoded records);
+    the anti form of q298 exactly as q30 is the anti form of the rect
+    join.  Rolled up per coarse cell: the spatial distribution of
+    off-network mass is what an anomaly triage map shows.
+
+    Engine: q298's cover-join candidates LEFT ANTI the point set — a
+    point survives iff no candidate pair refines within R; expressed as
+    a left join + HAVING no-match so one text serves both engines
+    (candidates are cover-join or bbox-theta per the q298 contract).
+    """
+    from .join import spatial
+
+    pts = (
+        f"SELECT event_id AS eid, {geo.lon_sql('event_id')} AS lon, "
+        f"{geo.lat_sql('event_id')} AS lat, "
+        f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint) AS pxm, "
+        f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint) AS pym "
+        f"FROM events WHERE event_id % 4 = 0"
+    )
+    cx = geo.lon_sql("s_suppkey * 41 + 13")
+    cy = geo.lat_sql("s_suppkey * 43 + 17")
+    dx = "((1e0 + (s_suppkey % 25) / 1e1) * (cast(s_suppkey % 2 as int) * 2 - 1))"
+    dy = "((5e-1 + (s_suppkey % 19) / 1e1) * (cast(s_suppkey % 3 as int) - 1))"
+    rm = int(_Q298_R * 1_000_000)
+    segs = (
+        f"SELECT s_suppkey AS sid, {cx} AS ax, {cy} AS ay, "
+        f"{cx} + {dx} AS bx, {cy} + {dy} AS by, "
+        f"cast(floor(({cx}) * 1000000) as bigint) AS axm, "
+        f"cast(floor(({cy}) * 1000000) as bigint) AS aym, "
+        f"cast(floor(({cx} + {dx}) * 1000000) as bigint) AS bxm, "
+        f"cast(floor(({cy} + {dy}) * 1000000) as bigint) AS bym "
+        f"FROM supplier"
+    )
+    d2 = spatial.seg_dist2_sql("lon", "lat", "ax", "ay", "bx", "by")
+    if brute:
+        cand = f"""
+SELECT p.eid, lon, lat, ax, ay, bx, by
+FROM p JOIN (SELECT *, least(axm, bxm) - {rm} AS lo_x,
+             greatest(axm, bxm) + {rm} AS hi_x,
+             least(aym, bym) - {rm} AS lo_y,
+             greatest(aym, bym) + {rm} AS hi_y FROM s) s
+  ON p.pxm >= s.lo_x AND p.pxm <= s.hi_x
+ AND p.pym >= s.lo_y AND p.pym <= s.hi_y
+"""
+    else:
+        sexp = d.explode(_q280_cover_arr(
+            d,
+            f"least(axm, bxm) - {rm}", f"greatest(axm, bxm) + {rm}",
+            f"least(aym, bym) - {rm}", f"greatest(aym, bym) + {rm}"))
+        pexp = d.explode(_q280_cover_arr(d, "pxm", "pxm", "pym", "pym"))
+        cand = f"""
+SELECT p.eid, lon, lat, ax, ay, bx, by
+FROM (SELECT sid, ax, ay, bx, by, {sexp} AS cell FROM s) s
+JOIN (SELECT eid, lon, lat, pxm, pym, {pexp} AS cell FROM p) p
+  ON p.cell = s.cell
+GROUP BY p.eid, lon, lat, ax, ay, bx, by
+"""
+    cell8 = geo.rowmajor_cell_sql("lon", "lat", 3)
+    return f"""
+WITH p AS ({pts}),
+s AS ({segs}),
+cand AS ({cand}),
+hit AS (
+  SELECT DISTINCT eid FROM cand WHERE {d2} <= {_Q298_R * _Q298_R}
+),
+off AS (
+  SELECT p.eid, p.lon, p.lat
+  FROM p LEFT JOIN hit ON hit.eid = p.eid
+  WHERE hit.eid IS NULL
+)
+SELECT {cell8} AS cell, cast(count(*) as bigint) AS n_off,
+       cast(min(eid) as bigint) AS min_eid
+FROM off GROUP BY {cell8} ORDER BY cell
+"""
+
+
+def q300_off_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `_q300_sql`."""
+    from .functions import sqlgen as _G
+
+    register_views(spark, sf_dir)
+    return spark.sql(_q300_sql(_G.SPARK))
+
+
+# ---------------------------------------------------------------------------
 # q297 — ingest-order vs event-time Spearman (out-of-orderness audit)
 # ---------------------------------------------------------------------------
 
@@ -1391,4 +1482,5 @@ OVERLAY_QUERIES = {
     "q297_order_correlation": (q297_order_correlation,
                                _q297_sql("epoch_us(ts)", "//")),
     "q298_corridor_join": (q298_corridor_join, _q298_sql(G.DUCK, brute=True)),
+    "q300_off_network": (q300_off_network, _q300_sql(G.DUCK, brute=True)),
 }

@@ -732,10 +732,57 @@ def test_q298_corridor_matches_python_brute_force(spark):
     assert len(got) > 0
 
 
+def test_q300_off_network_complements_q298(spark):
+    """Anti-corridor + corridor partition the point set exactly: every
+    point either hits >= 1 segment (q298's pair set) or appears in
+    q300's off-network rollup."""
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.queries_overlay import _Q298_R
+
+    pts = []
+    for (eid,) in _events01():
+        if eid % 4:
+            continue
+        pts.append((eid, _lon(eid), _lat(eid)))
+    segs = []
+    for (k,) in duckdb.sql(
+            f"SELECT s_suppkey FROM '{SF01}/supplier.parquet'").fetchall():
+        ax, ay = _lon(k * 41 + 13), _lat(k * 43 + 17)
+        dx = (1.0 + (k % 25) / 10.0) * ((k % 2) * 2 - 1)
+        dy = (0.5 + (k % 19) / 10.0) * ((k % 3) - 1)
+        segs.append((ax, ay, ax + dx, ay + dy))
+
+    def near_any(px, py):
+        for ax, ay, bx, by in segs:
+            len2 = (bx - ax) ** 2 + (by - ay) ** 2
+            dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+            t = 0.0 if len2 == 0 else min(max(dot / len2, 0.0), 1.0)
+            cx, cy = ax + t * (bx - ax), ay + t * (by - ay)
+            if (px - cx) ** 2 + (py - cy) ** 2 <= _Q298_R * _Q298_R:
+                return True
+        return False
+
+    n = 1 << 3
+    expect: dict[int, list] = {}
+    for eid, lon, lat in pts:
+        if not near_any(lon, lat):
+            x = min(max(math.ceil((lon + 180.0) / 360.0 * n) - 1, 0), n - 1)
+            y = min(max(math.ceil((lat + 90.0) / 180.0 * n) - 1, 0), n - 1)
+            expect.setdefault(y * n + x, []).append(eid)
+    fn, _sql = QUERIES["q300_off_network"]
+    got = fn(spark, SF01).collect()
+    assert {r.cell: (r.n_off, r.min_eid) for r in got} == {
+        c: (len(v), min(v)) for c, v in expect.items()}
+    # partition property vs q298's hit set
+    n_off = sum(r.n_off for r in got)
+    n_hit = len({eid for eid, lon, lat in pts if near_any(lon, lat)})
+    assert n_off + n_hit == len(pts)
+
+
 @pytest.mark.parametrize(
     "name", ["q277", "q278", "q279", "q280", "q281", "q282", "q283", "q284",
              "q285", "q286", "q287", "q290", "q291", "q292", "q293", "q294",
-             "q295", "q297", "q298"])
+             "q295", "q297", "q298", "q300"])
 def test_overlay_queries_registered(name):
     from geowave_spark.queries import QUERIES
 
