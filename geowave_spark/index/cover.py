@@ -265,3 +265,37 @@ def wkt_bbox_cells_udf(res: int, curve: str = "rowmajor"):
         return pd.Series(out)
 
     return _cov
+
+
+def wkt_bbox_udf():
+    """Vectorized WKT-geometry -> bbox struct (lon0, lat0, lon1, lat1)
+    pandas UDF.  Pairs with `bbox_cells_udf` so the polygon x polygon SQL
+    rewrite (`plans/sqlrewrite.rewrite_polypoly_join`) can compute both
+    the cover cells and the reporting-cell dedup corner from ONE numeric
+    extraction per geometry."""
+    import re as _re
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    _nums = _re.compile(r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?")
+    schema = StructType([
+        StructField("lon0", DoubleType()), StructField("lat0", DoubleType()),
+        StructField("lon1", DoubleType()), StructField("lat1", DoubleType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def _bb(wkt: pd.Series) -> pd.DataFrame:
+        n = len(wkt)
+        lon0 = np.empty(n)
+        lat0 = np.empty(n)
+        lon1 = np.empty(n)
+        lat1 = np.empty(n)
+        for i, w in enumerate(wkt):
+            vals = np.array([float(t) for t in _nums.findall(w)])
+            xs, ys = vals[0::2], vals[1::2]
+            lon0[i], lat0[i] = xs.min(), ys.min()
+            lon1[i], lat1[i] = xs.max(), ys.max()
+        return pd.DataFrame(
+            {"lon0": lon0, "lat0": lat0, "lon1": lon1, "lat1": lat1})
+
+    return _bb

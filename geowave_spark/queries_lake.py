@@ -568,16 +568,16 @@ WITH base AS (SELECT pid FROM ({geo.lineitem_points_sql()}) t)
 SELECT 'added' AS status,
        cast(count(*) as bigint) AS n,
        cast(sum(-pid - 1) as bigint) AS sum_pid
-FROM base WHERE pid % 11 = 3
+FROM base WHERE pid % 11 = 3 HAVING count(*) > 0
 UNION ALL
 SELECT 'deleted', cast(count(*) as bigint), cast(sum(pid) as bigint)
-FROM base WHERE pid % 5 = 1
+FROM base WHERE pid % 5 = 1 HAVING count(*) > 0
 UNION ALL
 SELECT 'unchanged', cast(count(*) as bigint), cast(sum(pid) as bigint)
-FROM base WHERE pid % 5 <> 1 AND pid % 7 <> 0
+FROM base WHERE pid % 5 <> 1 AND pid % 7 <> 0 HAVING count(*) > 0
 UNION ALL
 SELECT 'updated', cast(count(*) as bigint), cast(sum(pid) as bigint)
-FROM base WHERE pid % 5 <> 1 AND pid % 7 = 0
+FROM base WHERE pid % 5 <> 1 AND pid % 7 = 0 HAVING count(*) > 0
 ORDER BY status
 """
 

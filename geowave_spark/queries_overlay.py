@@ -1149,9 +1149,10 @@ def _q297_sql(epoch_us: str, intdiv: str) -> str:
         for i in range(b)
     )
     return f"""
-WITH p AS (
+WITH mx AS (SELECT cast(max(event_id) as bigint) + 1 AS m FROM events),
+p AS (
   SELECT event_type, event_id, {epoch_us} AS ts_us,
-         ({rev}) * 100000 + event_id AS replay_key
+         ({rev}) * (SELECT m FROM mx) + event_id AS replay_key
   FROM events
 ),
 r AS (
@@ -1242,15 +1243,17 @@ _Q294_K = 200
 
 def _q294_sql(intdiv: str) -> str:
     """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
-    each row draws a pseudo-random u and competes with priority u^(1/w)
-    — equivalently rank by u/w in the exponential formulation — and the
-    global top-k priorities win.  Training pipelines use this to sample
-    proportional to quality/importance weights (q74's stratified sample
-    is unweighted Bernoulli; q75's reservoir is per-stratum).
+    each row draws a pseudo-random u and competes with key u^(1/w), the
+    largest k keys winning — equivalently, in the exponential
+    formulation, rank by priority -ln(u)/w ascending (Exp(w) draws; the
+    k smallest win).  Training pipelines use this to sample proportional
+    to quality/importance weights (q74's stratified sample is unweighted
+    Bernoulli; q75's reservoir is per-stratum).
 
     Determinism without a stored random key: u = a splitmix-style
-    integer hash of the row id, scaled to (0, 1]; priority = u / w as a
-    double (one IEEE division — identical in both engines).  The global
+    integer hash of the row id, scaled to (0, 1]; priority = -ln(u)/w
+    as a double (libm log + one IEEE division — identical in both
+    engines on the same host, hash-checked by the gate).  The global
     smallest-k is ORDER BY + LIMIT — Spark executes that as distributed
     TakeOrdered (per-partition top-k then a k-row merge on the driver),
     NOT a full sort; the same merge property makes the sample
@@ -1270,7 +1273,7 @@ WITH w AS (
   FROM documents
 ),
 pri AS (
-  SELECT doc_id, source, wt, u / wt AS priority FROM w
+  SELECT doc_id, source, wt, -ln(u) / wt AS priority FROM w
 ),
 sel AS (
   SELECT doc_id, source, wt FROM pri

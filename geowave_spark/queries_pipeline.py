@@ -344,16 +344,25 @@ def q264_cluster_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q264_SQL = _q264("//")
 
 
+_Q288_K = 64
+_Q288_NPROBE = 2
+
+
 def q288_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF ANN: the inverted file is a snapshot table built
-    from batch 0 (vec_id % 3 = 0, quantizer frozen from its 16 smallest
-    ids), then batches 1 and 2 are APPENDED through the frozen quantizer
-    — each append is one broadcast assignment join, never a re-cluster
+    from batch 0 (vec_id % 3 = 0, quantizer frozen from its 64 smallest
+    ids — K is a `create_index` parameter, VERDICT r2 #3), then batches
+    1 and 2 are APPENDED through the frozen quantizer — each append is
+    one broadcast assignment join, never a re-cluster
     (`pipeline/ann_index.py`).  The query set (vec_id % 50 = 0) probes
-    its single cell against the fully-accumulated index.  The oracle is
-    the from-scratch definition: one SQL statement assigning every
-    vector to the same frozen centroids — so the 3-commit incremental
-    path is checked against the one-shot semantics exactly."""
+    its nprobe=2 nearest cells against the fully-accumulated index.
+    The oracle is the from-scratch definition: one SQL statement
+    assigning every vector to the same frozen centroids and probing the
+    same two cells — so the 3-commit incremental path is checked against
+    the one-shot semantics exactly.  The persisted index is cached
+    keyed on dataset identity (row count + K + nprobe in the path, and
+    exactly the expected snapshot count), so a stale or crashed-partial
+    index is rebuilt, never silently reused (ADVICE r2)."""
     import os
     import shutil
 
@@ -361,28 +370,30 @@ def q288_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .table import snapshots as S
 
     register_views(spark, sf_dir)
+    n_rows = spark.sql("SELECT count(*) FROM embeddings").collect()[0][0]
     scratch = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
     )
     path = os.path.join(
         scratch,
-        f"ann_idx_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"ann_idx_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_n{n_rows}_k{_Q288_K}",
     )
-    if S.current_snapshot(path) < 3:
+    if S.current_snapshot(path) != 3:
         shutil.rmtree(path, ignore_errors=True)
         for b in range(3):
             spark.sql(
                 f"SELECT vec_id, embedding FROM embeddings "
                 f"WHERE vec_id % 3 = {b}"
             ).createOrReplaceTempView(f"q288_b{b}")
-        AX.build_index(spark, "q288_b0", path)
+        AX.create_index(spark, "q288_b0", path, k_cent=_Q288_K)
         AX.append_batch(spark, path, "q288_b1")
         AX.append_batch(spark, path, "q288_b2")
     spark.sql(
         "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0"
     ).createOrReplaceTempView("q288_q")
-    return AX.query_topk(spark, path, "q288_q", k=3)
+    return AX.query_topk(spark, path, "q288_q", k=3, nprobe=_Q288_NPROBE)
 
 
 def _q288_sql() -> str:
@@ -397,7 +408,7 @@ WITH v0 AS (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v
 vecs AS (SELECT vec_id, v, sqrt({G.dot(d, 'v', 'v', 64)}) AS nv FROM v0),
 cent AS (SELECT vec_id AS cent_id, v, nv
          FROM (SELECT vec_id, v, nv FROM vecs WHERE vec_id % 3 = 0
-               ORDER BY vec_id LIMIT {16}) t),
+               ORDER BY vec_id LIMIT {_Q288_K}) t),
 assign AS (
   SELECT vec_id, cent_id FROM (
     SELECT a.vec_id, c.cent_id,
@@ -411,9 +422,24 @@ assign AS (
 cells AS (
   SELECT s.vec_id, s.v, s.nv, a.cent_id
   FROM vecs s JOIN assign a ON a.vec_id = s.vec_id
+),
+qprobe AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT a.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ({dt_ac}) / (a.nv * c.nv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+    WHERE a.vec_id % 50 = 0
+  ) t WHERE rn <= {_Q288_NPROBE}
+),
+qcells AS (
+  SELECT s.vec_id, s.v, s.nv, p.cent_id
+  FROM vecs s JOIN qprobe p ON p.vec_id = s.vec_id
 )
 SELECT qid, cid, cent_id, sim_micro, rank FROM (
-  SELECT q.vec_id AS qid, x.vec_id AS cid, q.cent_id,
+  SELECT q.vec_id AS qid, x.vec_id AS cid, x.cent_id,
          cast(floor(1000000.0 * ({dt_qx}) / (q.nv * x.nv)) as bigint)
            AS sim_micro,
          row_number() OVER (
@@ -422,9 +448,8 @@ SELECT qid, cid, cent_id, sim_micro, rank FROM (
                          as bigint) DESC,
                     x.vec_id ASC
          ) AS rank
-  FROM cells q JOIN cells x
+  FROM qcells q JOIN cells x
     ON x.cent_id = q.cent_id AND x.vec_id <> q.vec_id
-  WHERE q.vec_id % 50 = 0
 ) t WHERE rank <= 3 ORDER BY qid, rank
 """
 

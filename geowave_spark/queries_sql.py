@@ -333,7 +333,84 @@ WHERE (value BETWEEN 50 AND 120 AND NOT contains(event_type, 'i'))
 """
 
 
+def _rect_wkt_view_sql(base_sql: str, id_expr: str) -> str:
+    """Rectangle table with BOTH a WKT geometry column (the SQL-surface
+    input) and the raw bounds (what the DuckDB oracle interval-tests)."""
+    return (
+        f"SELECT {id_expr} AS rid, lon0, lat0, lon1, lat1, "
+        "concat('POLYGON ((', lon0, ' ', lat0, ', ', lon1, ' ', lat0, ', ',"
+        " lon1, ' ', lat1, ', ', lon0, ' ', lat1, ', ',"
+        " lon0, ' ', lat0, '))') AS geom "
+        f"FROM ({base_sql}) b"
+    )
+
+
+def _q301_rects_a_sql() -> str:
+    """Supplier-keyed query rects with the lon/lat LCG multipliers SWAPPED
+    vs `geo.supplier_rects_sql`: the standard rects share the image
+    footprints' 7919 longitude lattice and provably never overlap them
+    (both sets sit on interleaved residue classes — measured 0 pairs at
+    every sf).  Swapping the multipliers decorrelates the lattices."""
+    cx = geo.lon_sql("s_suppkey * 104729 + 31")
+    cy = geo.lat_sql("s_suppkey * 7919 + 101")
+    w = "(2e0 + (s_suppkey % 700) / 1e2)"
+    h = "(1e0 + (s_suppkey % 500) / 1e2)"
+    return (
+        f"SELECT s_suppkey AS rid, "
+        f"greatest({cx} - {w}, -180e0) AS lon0, "
+        f"greatest({cy} - {h}, -90e0) AS lat0, "
+        f"least({cx} + {w}, 180e0) AS lon1, "
+        f"least({cy} + {h}, 90e0) AS lat1 FROM supplier"
+    )
+
+
+def q301_sql_polypoly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon x polygon JOIN through the SQL surface — BOTH sides carry a
+    WKT geometry COLUMN, so neither the literal prefilter nor the pip-join
+    rewrite can fire and the naive plan is a cartesian UDF theta-join
+    (BroadcastNestedLoopJoin).  `rewrite_polypoly_join` re-registers both
+    views with their bbox-cover cells exploded and re-plugs a cell hash
+    equi-join with reporting-cell dedup in front of the exact Geom UDF
+    refine (plan swap pinned in tests/test_plans.py) — closing the last
+    SQL auto-acceleration gap vs `SqlQueryRunner.java:109-245` (VERDICT
+    r2 #4).  Geometries are the supplier query rects x the image
+    footprints (as WKT rectangles), so the DuckDB oracle is the exact
+    closed-interval overlap join on the raw bounds."""
+    from .table import images as images_mod
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        _rect_wkt_view_sql(_q301_rects_a_sql(), "rid")
+    ).createOrReplaceTempView("gw_recta")
+    spark.sql(
+        _rect_wkt_view_sql(images_mod.images_base_sql(), "doc_id")
+    ).createOrReplaceTempView("gw_rectb")
+    sql = """
+        SELECT a.rid AS aid, cast(count(*) as bigint) AS n_hits,
+               cast(min(b.rid) as bigint) AS min_bid
+        FROM gw_recta a JOIN gw_rectb b ON GeomIntersects(a.geom, b.geom)
+        GROUP BY a.rid ORDER BY aid
+    """
+    return sqlrewrite.spatial_sql(spark, sql, optimize=True)
+
+
+def _q301_sql() -> str:
+    from .table import images as images_mod
+
+    return f"""
+WITH a AS ({_rect_wkt_view_sql(_q301_rects_a_sql(), "rid")}),
+b AS ({_rect_wkt_view_sql(images_mod.images_base_sql(), "doc_id")})
+SELECT a.rid AS aid, cast(count(*) as bigint) AS n_hits,
+       cast(min(b.rid) as bigint) AS min_bid
+FROM a JOIN b
+  ON a.lon0 <= b.lon1 AND b.lon0 <= a.lon1
+ AND a.lat0 <= b.lat1 AND b.lat0 <= a.lat1
+GROUP BY a.rid ORDER BY aid
+"""
+
+
 SQL_QUERIES = {
+    "q301_sql_polypoly_join": (q301_sql_polypoly_join, _q301_sql()),
     "q31_sql_geom_filter": (q31_sql_geom_filter, Q31_SQL),
     "q32_sql_geom_distance": (q32_sql_geom_distance, Q32_SQL),
     "q51_sql_within_distance": (q51_sql_within_distance, Q51_SQL),

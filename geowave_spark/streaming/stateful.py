@@ -95,6 +95,24 @@ def running_cell_counts(stream_df: DataFrame, cell_col: str = "cell") -> DataFra
     )
 
 
+_INTERVAL_UNIT_MS = {
+    "second": 1_000, "seconds": 1_000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _interval_ms(interval: str) -> int:
+    """Parse a Spark-style '<n> <unit>' interval to milliseconds,
+    raising on anything Spark's own parser would reject — keeps the
+    Python-side timeout arithmetic and `withWatermark` in agreement."""
+    parts = str(interval).split()
+    if len(parts) == 2 and parts[0].isdigit() and parts[1] in _INTERVAL_UNIT_MS:
+        return int(parts[0]) * _INTERVAL_UNIT_MS[parts[1]]
+    raise ValueError(f"unsupported interval: {interval!r}")
+
+
 TRACK_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("n_points", LongType()),
@@ -131,9 +149,8 @@ def track_assembler(stream_df: DataFrame, gap: str = "1 hour",
     state rows, and a killed job resumes from the state store with its
     partial tracks intact."""
     stream_df = stream_df.withColumn("ts", stream_df["ts"].cast("timestamp"))
-    gap_ms = {"1 hour": 3_600_000, "1 day": 86_400_000}.get(gap)
-    if gap_ms is None:
-        raise ValueError(f"unsupported gap: {gap!r}")
+    gap_ms = _interval_ms(gap)
+    _interval_ms(watermark)  # validate before handing to Spark
 
     def assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -179,7 +196,7 @@ def track_assembler(stream_df: DataFrame, gap: str = "1 hour",
         yield  # pragma: no cover — generator form
 
     return (
-        stream_df.withWatermark("ts", "10 minutes")
+        stream_df.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             assemble,

@@ -547,3 +547,44 @@ def test_q278_single_python_stage(spark, sf_dir):
     plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_q301_polypoly_join_rewrite_replaces_cartesian(spark, sf_dir):
+    """q301: geometry-COLUMN x geometry-COLUMN join.  Unoptimized, the
+    Geom* UDF is the only join condition -> nested-loop cartesian;
+    `rewrite_polypoly_join` must re-plug the cover cell hash equi-join
+    with the reporting-cell dedup (no dropDuplicates shuffle), and the
+    rewritten result must equal the brute force row for row."""
+    from geowave_spark.plans import sqlrewrite
+    from geowave_spark.queries_sql import (
+        _q301_rects_a_sql, _rect_wkt_view_sql)
+    from geowave_spark.table import images as images_mod
+    from geowave_spark.table.views import register_views
+
+    # sf0.01: the default sf0.001 has only 10 suppliers and the brute/
+    # rewritten comparison would be vacuous (0 pairs)
+    register_views(spark, "/root/testdata/sf0.01")
+    spark.sql(
+        _rect_wkt_view_sql(_q301_rects_a_sql(), "rid")
+    ).createOrReplaceTempView("gw_recta")
+    spark.sql(
+        _rect_wkt_view_sql(images_mod.images_base_sql(), "doc_id")
+    ).createOrReplaceTempView("gw_rectb")
+    sql = """
+        SELECT a.rid AS aid, b.rid AS bid
+        FROM gw_recta a JOIN gw_rectb b ON GeomIntersects(a.geom, b.geom)
+    """
+    slow = sqlrewrite.spatial_sql(spark, sql, optimize=False)
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert ("BroadcastNestedLoopJoin" in slow_plan
+            or "CartesianProduct" in slow_plan)
+    fast = sqlrewrite.spatial_sql(spark, sql, optimize=True)
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in fast_plan
+    assert "CartesianProduct" not in fast_plan
+    assert "HashJoin" in fast_plan
+    # reporting-cell dedup, not a dropDuplicates: no aggregate on the pair
+    assert "dropDuplicates" not in fast_plan
+    a = sorted(map(tuple, slow.toPandas().to_numpy().tolist()))
+    b = sorted(map(tuple, fast.toPandas().to_numpy().tolist()))
+    assert a == b and len(a) > 0

@@ -566,3 +566,27 @@ def test_track_assembler_matches_batch_q295(spark, sf_dir, dirs):
                            r["x1_micro"], r["y1_micro"], r["path_micro"])
             for r in q295_track_summaries(spark, sf_dir).collect()}
     assert got == want and len(want) > 0
+
+
+def test_track_assembler_honors_watermark_parameter(spark):
+    """Regression (ADVICE r2): the `watermark` argument must reach
+    `withWatermark`, not be silently replaced by a 10-minute default,
+    and bad intervals fail fast like bad gaps do."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geowave_spark.streaming import stateful
+
+    # must be a real stream source: Spark silently drops EventTimeWatermark
+    # from batch plans, which is exactly how the original bug hid
+    df = (spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+          .select(F.col("value").alias("user_id"),
+                  F.col("timestamp").alias("ts"),
+                  F.lit(0).alias("x_micro"), F.lit(0).alias("y_micro")))
+    out = stateful.track_assembler(df, gap="1 hour", watermark="45 minutes")
+    plan = out._jdf.queryExecution().logical().toString()
+    assert "45 minutes" in plan and "10 minutes" not in plan
+    with _pytest.raises(ValueError):
+        stateful.track_assembler(df, gap="1 hour", watermark="sometimes")
+    with _pytest.raises(ValueError):
+        stateful.track_assembler(df, gap="1 fortnight")
