@@ -204,19 +204,32 @@ def parse_shapefile_pair(shp: bytes, dbf: bytes | None,
     })
 
 
-def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
+def read_shapefile(spark: SparkSession, path: str,
+                   crs: str | None = None) -> DataFrame:
     """Directory (or glob) of shapefiles -> feature DataFrame, parsed
-    fully distributed: binaryFile lists .shp/.dbf members, a groupBy on
-    the file stem re-unites each sidecar pair on one executor, and the
+    fully distributed: binaryFile lists .shp/.dbf/.prj members, a groupBy
+    on the file stem re-unites each sidecar set on one executor, and the
     pair parses there.  One task per shapefile — the format's own
     parallelism unit (records are variable-length, the file is not
-    splittable), so a 10k-file directory fans out 10k-wide."""
+    splittable), so a 10k-file directory fans out 10k-wide.
+
+    `crs`: source CRS of the coordinates.  None = already EPSG:4326;
+    "auto" = sniff each file's .prj sidecar (identity when absent);
+    anything else = a spec `sfc/utm.parse_crs` resolves (e.g.
+    "EPSG:32632" or raw .prj WKT) applied to every file.  Geometries are
+    reprojected to EPSG:4326 inside the same distributed parse task —
+    the reference's ingest-time GeoTools transform
+    (`GeometryUtils.java`; `CustomCRSKDERasterResizeIT.java`)."""
+    from ..sfc import utm
+
+    if crs not in (None, "auto"):
+        utm.parse_crs(crs)  # fail fast on the driver
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{shp,dbf}")
+        .option("pathGlobFilter", "*.{shp,dbf,prj}")
         .load(path)
         .select(
-            F.regexp_replace("path", r"\.(shp|dbf)$", "").alias("stem"),
+            F.regexp_replace("path", r"\.(shp|dbf|prj)$", "").alias("stem"),
             F.element_at(F.split("path", r"\."), -1).alias("ext"),
             "content",
         )
@@ -229,9 +242,19 @@ def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
                 columns=["src", "recno", "geom_type", "geom_wkt",
                          "properties"])
         src = key[0].rsplit("/", 1)[-1]
-        return parse_shapefile_pair(
+        out = parse_shapefile_pair(
             bytes(by_ext["shp"]),
             bytes(by_ext["dbf"]) if "dbf" in by_ext else None, src)
+        file_crs = crs
+        if crs == "auto":
+            file_crs = (bytes(by_ext["prj"]).decode("utf-8", "replace")
+                        if "prj" in by_ext else None)
+        if file_crs is not None and len(out):
+            kind, _z, _n = utm.parse_crs(file_crs)
+            if kind != "lonlat":
+                out["geom_wkt"] = [
+                    utm.reproject_wkt(w, file_crs) for w in out["geom_wkt"]]
+        return out
 
     return files.groupBy("stem").applyInPandas(
         assemble, schema=SHAPEFILE_SCHEMA)
