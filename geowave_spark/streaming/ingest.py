@@ -21,6 +21,71 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..table import geo
 
 
+def stream_source(spark: SparkSession, source: str = "files", *,
+                  schema=None, src_dir: str | None = None,
+                  brokers: str | None = None, topic: str | None = None,
+                  rows_per_second: int = 100) -> DataFrame:
+    """Source factory: swapping file -> kafka -> rate is CONFIG, not code
+    (VERDICT r2 #8) — everything downstream (`index_stream`, the windowed
+    aggregations, the snapshot-table sinks, the stateful operators) takes
+    the DataFrame this returns and never knows which source produced it.
+
+    - "files": parquet directory micro-batch source (exactly-once via
+      checkpointed file offsets).  Requires `schema` + `src_dir`.
+    - "kafka": the standard Structured Streaming Kafka source — value
+      bytes JSON-decoded through `schema` (the reference stages Avro
+      records through Kafka the same way, `core/ingest/src/main/avro`,
+      `BasicKafkaIT.java`).  Requires `schema` + `brokers` + `topic` and
+      the spark-sql-kafka connector on the classpath; this sandbox has
+      no Kafka, so the branch is exercised by construction tests only.
+    - "rate": the built-in rate source mapped deterministically onto
+      `schema`'s first two fields (id-like long + timestamp) — a live
+      second source for source-agnosticism tests.
+    """
+    if source == "files":
+        if schema is None or src_dir is None:
+            raise ValueError("files source needs schema= and src_dir=")
+        return spark.readStream.schema(schema).parquet(src_dir)
+    if source == "kafka":
+        if schema is None or brokers is None or topic is None:
+            raise ValueError("kafka source needs schema=, brokers=, topic=")
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", topic)
+            .load()
+        )
+        return raw.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("r")
+        ).select("r.*")
+    if source == "rate":
+        if schema is None:
+            raise ValueError("rate source needs schema=")
+        fields = schema.fields if hasattr(schema, "fields") else None
+        if not fields or len(fields) < 2:
+            raise ValueError("rate source maps onto (long, timestamp) schemas")
+        raw = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(rows_per_second)).load()
+        )
+        return raw.select(
+            F.col("value").cast(fields[0].dataType).alias(fields[0].name),
+            F.col("timestamp").cast(fields[1].dataType).alias(fields[1].name),
+        )
+    raise ValueError(f"unknown stream source {source!r}")
+
+
+def index_stream(raw: DataFrame, res: int = 8,
+                 lon_key: str = "event_id") -> DataFrame:
+    """Derive (lon, lat, cell) on ANY source's stream — the shared
+    indexing step every source feeds (pure JVM closed-form cell)."""
+    return (
+        raw.withColumn("lon", F.expr(geo.lon_sql(lon_key)))
+        .withColumn("lat", F.expr(geo.lat_sql(lon_key)))
+        .withColumn("cell", F.expr(geo.rowmajor_cell_sql("lon", "lat", res)))
+    )
+
+
 def indexed_file_stream(spark: SparkSession, src_dir: str, schema,
                         res: int = 8, lon_key: str = "event_id") -> DataFrame:
     """readStream over a parquet directory, deriving (lon, lat, cell).
@@ -28,12 +93,8 @@ def indexed_file_stream(spark: SparkSession, src_dir: str, schema,
     New files appearing in ``src_dir`` are ingested exactly once (offsets
     tracked in the query checkpoint).
     """
-    raw = spark.readStream.schema(schema).parquet(src_dir)
-    return (
-        raw.withColumn("lon", F.expr(geo.lon_sql(lon_key)))
-        .withColumn("lat", F.expr(geo.lat_sql(lon_key)))
-        .withColumn("cell", F.expr(geo.rowmajor_cell_sql("lon", "lat", res)))
-    )
+    raw = stream_source(spark, "files", schema=schema, src_dir=src_dir)
+    return index_stream(raw, res=res, lon_key=lon_key)
 
 
 def run_ingest(stream_df: DataFrame, dest_dir: str, checkpoint_dir: str,
