@@ -43,6 +43,13 @@ BENCH_QUERIES = [
     "q41_ann_ivf",
     "q56_bigbig_salted_join",
     "q58_polygon_polygon_join",
+    # round-3 skew stress: a Zipf-hot cell (30% of 2.4M points in one
+    # res-7 cell, 80% of rects stacked on it) through the salted big-big
+    # join (q302, 16-way split) vs the identical unsalted join (q303, one
+    # reducer owns the hot cell) — the with/without-salt straggler A/B at
+    # sf0.1 measured 3.0s vs 10.7s (3.6x)
+    "q302_skew_salted_join",
+    "q303_skew_unsalted_join",
     # the iterative connected-components dedup clustering (q16 pairs ->
     # large-star/small-star contraction): the only multi-job operator in
     # the suite, so driver-loop overhead regressions surface here

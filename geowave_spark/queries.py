@@ -444,6 +444,98 @@ GROUP BY r.rid ORDER BY r.rid
 """
 
 
+# --- hot-cell skew stress (VERDICT r2 #5) ---------------------------------
+# A Zipf-hot spatial distribution: 30% of all points land inside ONE
+# res-7 cell (a dense city against empty ocean), and half the query
+# rects stack on the same cell, so the candidate join concentrates ~x00k
+# pairs on a single (cell) key.  q302 runs the engine's salted big-big
+# join (16-way hot-cell split); q303 is the IDENTICAL join with
+# salt_buckets=1 — the unsalted control the skew bench compares against
+# (reference analog: statistics-driven split balancing,
+# `SplitsProvider.java:284-325`, and the HashKeyIndexStrategy partition
+# prefix).  Same oracle for both: the brute-force interval join.
+
+_SKEW_HOT_LON = 10.15
+_SKEW_HOT_LAT = 45.15
+
+
+def _skew_pts_sql() -> str:
+    """Lineitem points, 4x amplified with distinct ids, with a 30% hot
+    cluster inside one res-7 cell; pure integer arithmetic, identical in
+    Spark SQL and DuckDB."""
+    hot_lon = f"({_SKEW_HOT_LON!r} + (((pid * 4 + k) * 37) % 1000) / 1e3 - 0.5e0)"
+    hot_lat = f"({_SKEW_HOT_LAT!r} + (((pid * 4 + k) * 59) % 600) / 1e3 - 0.3e0)"
+    return f"""
+SELECT pid * 4 + k AS pid, qty,
+       CASE WHEN pid % 10 < 3 THEN {hot_lon} ELSE lon END AS lon,
+       CASE WHEN pid % 10 < 3 THEN {hot_lat} ELSE lat END AS lat
+FROM ({geo.lineitem_points_sql()}) p
+CROSS JOIN (VALUES (0), (1), (2), (3)) amp(k)
+"""
+
+
+def _skew_rects_sql() -> str:
+    """Supplier rects: 80% of rids are small windows stacked on the hot
+    cell; the rest are the globe-spread decorrelated rects."""
+    hot_cx = f"({_SKEW_HOT_LON!r} + ((s_suppkey * 53) % 100) / 1e2 - 0.5e0)"
+    hot_cy = f"({_SKEW_HOT_LAT!r} + ((s_suppkey * 71) % 60) / 1e2 - 0.3e0)"
+    hw = "(0.05e0 + (s_suppkey % 20) / 1e2)"
+    cold_cx = geo.lon_sql("s_suppkey * 104729 + 31")
+    cold_cy = geo.lat_sql("s_suppkey * 7919 + 101")
+    cw = "(2e0 + (s_suppkey % 700) / 1e2)"
+    ch = "(1e0 + (s_suppkey % 500) / 1e2)"
+    return f"""
+SELECT s_suppkey AS rid,
+  CASE WHEN s_suppkey % 5 <> 0 THEN {hot_cx} - {hw}
+       ELSE greatest({cold_cx} - {cw}, -180e0) END AS lon0,
+  CASE WHEN s_suppkey % 5 <> 0 THEN {hot_cy} - {hw}
+       ELSE greatest({cold_cy} - {ch}, -90e0) END AS lat0,
+  CASE WHEN s_suppkey % 5 <> 0 THEN {hot_cx} + {hw}
+       ELSE least({cold_cx} + {cw}, 180e0) END AS lon1,
+  CASE WHEN s_suppkey % 5 <> 0 THEN {hot_cy} + {hw}
+       ELSE least({cold_cy} + {ch}, 90e0) END AS lat1
+FROM supplier
+"""
+
+
+def _skew_join(spark: SparkSession, sf_dir: str,
+               salt_buckets: int) -> DataFrame:
+    register_views(spark, sf_dir)
+    pts = spark.sql(_skew_pts_sql())
+    rects = spark.sql(_skew_rects_sql())
+    pairs = spatial.point_in_rects_join_salted(
+        spark, pts, rects, res=7, salt_buckets=salt_buckets,
+        keep_cols=["qty"])
+    return (
+        pairs.groupBy("rid")
+        .agg(F.count("*").alias("n_points"),
+             F.sum(F.col("qty").cast("bigint")).alias("sum_qty"))
+        .orderBy("rid")
+    )
+
+
+def q302_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell big-big join WITH 16-way salting (see module comment)."""
+    return _skew_join(spark, sf_dir, salt_buckets=16)
+
+
+def q303_skew_unsalted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q302 join with salt_buckets=1 — the unsalted straggler
+    control; identical output, one reducer owns the whole hot cell."""
+    return _skew_join(spark, sf_dir, salt_buckets=1)
+
+
+def _q302_sql() -> str:
+    return f"""
+WITH p AS ({_skew_pts_sql()}), r AS ({_skew_rects_sql()})
+SELECT r.rid, cast(count(*) as bigint) AS n_points,
+       cast(sum(cast(p.qty as bigint)) as bigint) AS sum_qty
+FROM p JOIN r
+  ON p.lon BETWEEN r.lon0 AND r.lon1 AND p.lat BETWEEN r.lat0 AND r.lat1
+GROUP BY r.rid ORDER BY r.rid
+"""
+
+
 def _hex_b_sql() -> str:
     return geo.hex_b_sql()
 
@@ -3870,6 +3962,8 @@ QUERIES = {
     "q54_polygon_join": (q54_polygon_join, _q54_sql()),
     "q55_image_polygon_join": (q55_image_polygon_join, _q55_sql()),
     "q56_bigbig_salted_join": (q56_bigbig_salted_join, _q56_sql()),
+    "q302_skew_salted_join": (q302_skew_salted_join, _q302_sql()),
+    "q303_skew_unsalted_join": (q303_skew_unsalted_join, _q302_sql()),
     "q58_polygon_polygon_join": (q58_polygon_polygon_join, _q58_sql()),
     "q65_polygon_bigbig_join": (q65_polygon_bigbig_join, _q65_sql()),
     "q57_geodesic_distance_join": (q57_geodesic_distance_join, _q57_sql()),
