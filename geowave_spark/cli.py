@@ -48,7 +48,14 @@ def _make_spark(cpus: str | None = None):
     )
 
 
+_DEFAULT_EMIT_CAP = 100_000
+
+
 def _emit(df, fmt: str, limit: int | None) -> None:
+    # an uncapped collect of an arbitrary query is a driver OOM waiting to
+    # happen at scale; --limit 0 opts out explicitly
+    if limit is None:
+        limit = _DEFAULT_EMIT_CAP
     if limit:
         df = df.limit(limit)
     rows = df.collect()

@@ -37,6 +37,7 @@ def knn_join(
     max_iters: int = 8,
     broadcast_queries: bool | str = "auto",
     salt_buckets: int = 8,
+    brute_tail_max: int = 10_000,
 ) -> DataFrame:
     """For each query point, the k nearest data points (planar metric).
 
@@ -128,7 +129,18 @@ def knn_join(
         ring *= 2
     else:
         # fall back to brute force for stubborn queries (e.g. k > points in
-        # a huge neighborhood) — correctness over speed for the tail
+        # a huge neighborhood) — correctness over speed for the tail.  The
+        # tail is explicitly BOUNDED: a full-scan cross join per stubborn
+        # query is only affordable for a residue, and at 10^9 queries an
+        # unbounded tail would silently become the whole job — fail loudly
+        # instead so the caller raises max_iters/initial_ring.
+        n_tail = remaining.limit(brute_tail_max + 1).count()
+        if n_tail > brute_tail_max:
+            raise RuntimeError(
+                f"knn_join brute-force tail exceeds brute_tail_max="
+                f"{brute_tail_max} ({n_tail}+ queries unresolved after "
+                f"{max_iters} ring doublings); raise max_iters, "
+                f"initial_ring, or brute_tail_max")
         cand = pts_c.crossJoin(F.broadcast(remaining))
         topk = (
             cand.withColumn("dist", dist)
@@ -151,6 +163,7 @@ def knn_join_geodesic(
     res: int = 6,
     r0_km: float = 400.0,
     max_iters: int = 8,
+    brute_tail_max: int = 10_000,
 ) -> DataFrame:
     """kNN under the GEODESIC (haversine km) metric — the reference's
     actual kNN metric (`OrthodromicDistancePartitioner.java` +
@@ -205,6 +218,13 @@ def knn_join_geodesic(
             break
         r *= 2
     else:
+        # bounded brute tail — same contract as knn_join above
+        n_tail = remaining.limit(brute_tail_max + 1).count()
+        if n_tail > brute_tail_max:
+            raise RuntimeError(
+                f"knn_join_geodesic brute-force tail exceeds "
+                f"brute_tail_max={brute_tail_max} ({n_tail}+ queries "
+                f"unresolved after {max_iters} ring doublings)")
         cand = pts_c.crossJoin(F.broadcast(remaining))
         topk = (
             cand.withColumn("dist", dist)

@@ -110,6 +110,98 @@ ORDER BY path, row_n, cloud_milli, scene_id
 """
 
 
+# --- Sentinel2 catalog shape (VERDICT r2 missing #4) -----------------------
+# The Sentinel2 CLI's scene schema adds collection/platform/
+# processingLevel, snow+water cover, orbit numbers, and a BANDS string
+# that `BandFeatureIterator` expands into one feature per band with an
+# optional band filter (`SceneFeatureIterator.java:40-126`,
+# `BandFeatureIterator.java:37-160` in /root/reference).  The catalog is
+# synthesized from orders on an MGRS-like lattice; all fields closed-form.
+
+_S2_CATALOG_SQL = """
+SELECT o_orderkey AS scene_id,
+       concat('S2A_MSIL1C_', cast(o_orderkey as string)) AS entity_id,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'SENTINEL2A' ELSE 'SENTINEL2B'
+            END AS platform,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'LEVEL2A' ELSE 'LEVEL1C'
+            END AS processing_level,
+       cast((o_orderkey * 13) % 60 + 1 as bigint) AS utm_zone,
+       cast((o_orderkey * 29) % 110 as bigint) AS band_tile,
+       cast((o_orderkey * 37) % 100000 as bigint) AS cloud_milli,
+       cast((o_orderkey * 41) % 100000 as bigint) AS snow_milli,
+       cast((o_orderkey * 43) % 100000 as bigint) AS water_milli,
+       cast((o_orderkey * 7) % 143 + 1 as bigint) AS rel_orbit,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'B02,B03,B04,B08'
+            WHEN o_orderkey % 3 = 1 THEN 'B05,B06,B07,B8A,B11,B12'
+            ELSE 'B01,B09,B10' END AS bands,
+       CASE WHEN o_orderkey % 3 = 0 THEN 10
+            WHEN o_orderkey % 3 = 1 THEN 20 ELSE 60 END AS resolution,
+       o_orderdate AS acq_ts
+FROM orders
+"""
+
+
+def q304_sentinel2_band_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel2 scene + band selection: filter the catalog on the
+    Sentinel2-specific fields (platform, processingLevel, cloud AND snow
+    cover ceilings), keep the best scene per (utm_zone, band_tile) by
+    cloud cover, then EXPAND the bands string into one row per band and
+    apply a band filter — the reference's SceneFeatureIterator +
+    BandFeatureIterator pipeline (`BandFeatureIterator.java:94-160`
+    SceneToBandFeatureTransform; band filter at :103-118) as one window
+    + one explode.  Output: (entity_id, band, resolution, cloud_milli)
+    per selected band feature."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    register_views(spark, sf_dir)
+    spark.sql(_S2_CATALOG_SQL).createOrReplaceTempView("s2_scenes")
+    best = spark.sql(f"""
+        WITH hits AS (
+          SELECT * FROM s2_scenes
+          WHERE platform = 'SENTINEL2A' AND processing_level = 'LEVEL1C'
+            AND cloud_milli < 40000 AND snow_milli < 60000
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY utm_zone, band_tile
+                                       ORDER BY cloud_milli, scene_id) AS rk
+          FROM hits
+        )
+        SELECT entity_id, bands, resolution, cloud_milli
+        FROM ranked WHERE rk <= 1
+    """)
+    return (
+        best.withColumn("band", F.explode(F.split("bands", ",")))
+        .filter(F.col("band").isin("B02", "B03", "B04", "B08", "B11"))
+        .select("entity_id", "band", "resolution", "cloud_milli")
+        .orderBy("entity_id", "band")
+    )
+
+
+def _q304_sql() -> str:
+    return f"""
+WITH scenes AS ({_S2_CATALOG_SQL}),
+hits AS (
+  SELECT * FROM scenes
+  WHERE platform = 'SENTINEL2A' AND processing_level = 'LEVEL1C'
+    AND cloud_milli < 40000 AND snow_milli < 60000
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY utm_zone, band_tile
+                               ORDER BY cloud_milli, scene_id) AS rk
+  FROM hits
+)
+SELECT entity_id, band, resolution, cloud_milli FROM (
+  SELECT entity_id, unnest(string_split(bands, ',')) AS band,
+         resolution, cloud_milli
+  FROM ranked WHERE rk <= 1
+) t
+WHERE band IN ('B02', 'B03', 'B04', 'B08', 'B11')
+ORDER BY entity_id, band
+"""
+
+
 SCENE_QUERIES = {
     "q109_scene_selection": (q109_scene_selection, _q109_sql()),
+    "q304_sentinel2_band_selection": (q304_sentinel2_band_selection,
+                                      _q304_sql()),
 }

@@ -25,13 +25,19 @@ LINEITEM_KEY = "(((l_orderkey * 8 + l_linenumber) * 200000 + l_partkey) * 10000 
 
 
 def lon_sql(key: str) -> str:
-    """Key -> longitude in [-180, 180): identical in Spark SQL and DuckDB."""
-    return f"((({key} % {LON_MOD}) * {LON_MULT} % {LON_MOD}) / 1e6 - 180e0)"
+    """Key -> longitude in [-180, 180): identical in Spark SQL and DuckDB.
+
+    The key expression is parenthesized before the mod so composite keys
+    like ``doc_id * 104729 + 19`` reduce BEFORE the avalanche multiply —
+    without it, % binds tighter than + and the unreduced product
+    overflows int64 once keys reach ~4e9 (DuckDB raises, Spark ANSI
+    raises; found by the sf1 scale run)."""
+    return f"(((({key}) % {LON_MOD}) * {LON_MULT} % {LON_MOD}) / 1e6 - 180e0)"
 
 
 def lat_sql(key: str) -> str:
     """Key -> latitude in [-90, 90)."""
-    return f"((({key} % {LAT_MOD}) * {LAT_MULT} % {LAT_MOD}) / 1e6 - 90e0)"
+    return f"(((({key}) % {LAT_MOD}) * {LAT_MULT} % {LAT_MOD}) / 1e6 - 90e0)"
 
 
 def lineitem_points_sql(sf_dir: str | None = None, table: str = "lineitem") -> str:

@@ -641,7 +641,7 @@ def test_q294_weighted_sample_matches_python(spark):
         h = (((doc_id * 2654435761) % 4294967296) * 40503 + 7919) % 4294967291
         u = (h + 1) / 4294967292.0
         wt = 1 + n_chars
-        pri.append((u / wt, doc_id, source, wt))
+        pri.append((-math.log(u) / wt, doc_id, source, wt))
     pri.sort()
     sel = pri[:_Q294_K]
     expect: dict[str, list] = {}
@@ -669,9 +669,11 @@ def test_q297_spearman_matches_python(spark):
     for et, eid, tus in rows:
         b = 14
         rev = sum((((eid >> i) & 1) << (b - 1 - i)) for i in range(b))
-        groups.setdefault(et, []).append((eid, tus, rev * 100000 + eid))
+        groups.setdefault(et, []).append((eid, tus, rev, eid))
     expect = {}
+    max_id1 = max(eid for _et, eid, _t in rows) + 1
     for et, g in groups.items():
+        g = [(eid, tus, rev * max_id1 + eid) for eid, tus, rev, _e in g]
         n = len(g)
         by_id = sorted(g)
         by_ts = sorted(g, key=lambda r: (r[1], r[0]))
