@@ -285,6 +285,7 @@ def main() -> None:
         # comparisons have a stabler statistic than noisy minima.
         reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
         for name in BENCH_QUERIES:
+            print(f"BENCH_PROGRESS {name}", file=sys.stderr, flush=True)
             samples = sorted(run_query(spark, name, SF_DIR) for _ in range(reps))
             times[name] = round(samples[0], 3)
             medians[name] = round(samples[len(samples) // 2], 3)

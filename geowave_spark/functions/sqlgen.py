@@ -95,7 +95,14 @@ class Dialect:
         return f"array_min({arr})" if self.is_spark else f"list_min({arr})"
 
     def intdiv(self, a: str, b: str) -> str:
-        return f"({a} div {b})" if self.is_spark else f"({a} // {b})"
+        # operands are parenthesized: div/// share precedence with *, so
+        # an unwrapped `x * y div p * q` left-associates into
+        # `((x*y div p) * q)` — a silent MULTIPLY by the divisor's second
+        # factor.  Both dialects made the same mistake so the dual-engine
+        # gate agreed; the sf1 scale run exposed it as an int64 overflow
+        # in q185's lift sum (values ~1e18 instead of ~1e6).
+        return (f"(({a}) div ({b}))" if self.is_spark
+                else f"(({a}) // ({b}))")
 
     def explode(self, arr: str) -> str:
         """Array -> rows generator usable in a SELECT list."""
