@@ -158,6 +158,13 @@ def q277_rect_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q278_M = 8          # resampled points per track
 _Q278_HOME_RES = 2   # start-cell blocking resolution (q164's candidate idiom)
+
+# shared adaptive-blocking CTE (both dialects): grid doubles per 4x users
+_Q278_PARAMS = (
+    "params AS (SELECT CASE WHEN count(DISTINCT user_id) <= 2000 THEN 1 "
+    "WHEN count(DISTINCT user_id) <= 8000 THEN 2 "
+    "WHEN count(DISTINCT user_id) <= 32000 THEN 4 "
+    "ELSE 8 END AS s FROM events)")
 _BIG = 4611686018427387904  # 2^62: +inf stand-in for DP boundary cells
 
 
@@ -189,11 +196,17 @@ def _q278_pairs_spark_sql() -> str:
     START — Frechet walks both tracks from their starts, so far-apart
     starts bound the distance from below).  Emits both tracks' resampled
     coordinate arrays for the vectorized DP kernel."""
-    n = 1 << _Q278_HOME_RES
+    # home-cell resolution SCALES with the fleet: the same-home blocker
+    # at a fixed 16 cells goes quadratic as users/cell grows (sf1
+    # measured 13.2x wall at 10x rows); doubling the grid per 4x users
+    # keeps users-per-cell ~constant.  <= 2000 users (every sf <= 0.1)
+    # is byte-identical to the fixed-res text.
+    n = f"({1 << _Q278_HOME_RES} * (SELECT s FROM params))"
     cell = (f"cast(floor((y0 / 1e6 + 90) / 180 * {n}) as bigint) * {n} "
             f"+ cast(floor((x0 / 1e6 + 180) / 360 * {n}) as bigint)")
     return f"""
-WITH t AS ({_q278_tracks_spark_sql()}),
+WITH {_Q278_PARAMS},
+t AS ({_q278_tracks_spark_sql()}),
 h AS (SELECT user_id, px, py, {cell} AS home FROM t)
 SELECT a.user_id AS u1, b.user_id AS u2,
        a.px AS px1, a.py AS py1, b.px AS px2, b.py AS py2
@@ -285,7 +298,7 @@ def _q278_oracle_sql() -> str:
     lon = f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint)"
     lat = f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint)"
     m = _Q278_M
-    n = 1 << _Q278_HOME_RES
+    n = f"({1 << _Q278_HOME_RES} * (SELECT s FROM params))"
     pick = (f"list_transform(generate_series(0, {m - 1}), "
             f"i -> {{a}}[1 + (i * (len({{a}}) - 1)) // {m - 1}])")
     cell = (f"cast(floor((y0 / 1e6 + 90) / 180 * {n}) as bigint) * {n} "
@@ -307,7 +320,8 @@ a{k} AS MATERIALIZED (
   {p3}
 )""".replace("{B}", str(_BIG)))
     return f"""
-WITH t0 AS (
+WITH {_Q278_PARAMS},
+t0 AS (
   SELECT user_id, list({lon} ORDER BY event_id) AS xs,
          list({lat} ORDER BY event_id) AS ys
   FROM events GROUP BY user_id
