@@ -588,3 +588,37 @@ def test_q301_polypoly_join_rewrite_replaces_cartesian(spark, sf_dir):
     a = sorted(map(tuple, slow.toPandas().to_numpy().tolist()))
     b = sorted(map(tuple, fast.toPandas().to_numpy().tolist()))
     assert a == b and len(a) > 0
+
+
+def test_polypoly_rewrite_passthrough_on_unmatched_sql(spark, sf_dir):
+    """The polygon x polygon rewrite is constrained-shape string surgery:
+    SQL it does not recognize must pass through UNTOUCHED (same contract
+    as the reference's parsed-WHERE surgery)."""
+    from geowave_spark.plans import sqlrewrite
+
+    for sql in [
+        "SELECT 1 AS x",
+        # predicate references a third alias -> not a two-view join shape
+        "FROM a x JOIN b y ON GeomIntersects(z.geom, y.geom)",
+        # GeomPoint argument -> pip shape, not polypoly
+        "FROM a x JOIN b y ON GeomIntersects(GeomPoint(x.lon, x.lat), y.g)",
+        # non-bbox-implying predicate name
+        "FROM a x JOIN b y ON GeomDisjoint(x.geom, y.geom)",
+    ]:
+        assert sqlrewrite.rewrite_polypoly_join(spark, sql) == sql
+
+
+def test_skew_pair_plans_differ_only_in_salt(spark):
+    """q302/q303 are the same join at salt 16 vs 1: both plans must be
+    ShuffledHashJoins (no broadcast of either side, no cartesian), so
+    the measured 3.6x is the salt, not a plan-shape change."""
+    from geowave_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    for name in ("q302_skew_salted_join", "q303_skew_unsalted_join"):
+        fn, _ = QUERIES[name]
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # (a BroadcastNestedLoopJoin IS present: the 4-row VALUES
+        # amplifier cross join — build side is 4 literal rows, fine)
