@@ -54,11 +54,22 @@ _DEFAULT_EMIT_CAP = 100_000
 def _emit(df, fmt: str, limit: int | None) -> None:
     # an uncapped collect of an arbitrary query is a driver OOM waiting to
     # happen at scale; --limit 0 opts out explicitly
+    implicit_cap = limit is None
     if limit is None:
         limit = _DEFAULT_EMIT_CAP
     if limit:
-        df = df.limit(limit)
-    rows = df.collect()
+        # fetch cap+1 so the implicit-cap case can WARN instead of silently
+        # passing off truncated output as complete results
+        rows = df.limit(limit + 1).collect()
+        if len(rows) > limit:
+            rows = rows[:limit]
+            if implicit_cap:
+                print(
+                    f"warning: output truncated to {limit} rows "
+                    f"(implicit cap; pass --limit 0 for all rows)",
+                    file=sys.stderr)
+    else:
+        rows = df.collect()
     cols = df.columns
     if fmt == "json":
         for r in rows:

@@ -57,18 +57,24 @@ def bbox_cells_udf(res: int, curve: str = "hilbert"):
 
     @F.pandas_udf(ArrayType(LongType()))
     def _cov(lon0: pd.Series, lat0: pd.Series, lon1: pd.Series, lat1: pd.Series) -> pd.Series:
-        row, cells = grid.cover_bbox(
-            lon0.to_numpy(), lat0.to_numpy(), lon1.to_numpy(), lat1.to_numpy(), res, curve
-        )
-        cells = cells.astype(np.int64)
+        a0, b0 = lon0.to_numpy(np.float64), lat0.to_numpy(np.float64)
+        a1, b1 = lon1.to_numpy(np.float64), lat1.to_numpy(np.float64)
         out = [[] for _ in range(len(lon0))]
-        if len(row):
-            # split the flat (row, cell) pairs into per-row lists (numpy split
-            # on the row-change boundaries — no per-element Python loop)
-            bounds = np.flatnonzero(np.diff(row)) + 1
-            chunks = np.split(cells, bounds)
-            for r, ch in zip(row[np.concatenate(([0], bounds))], chunks):
-                out[int(r)] = ch.tolist()
+        # NaN bboxes (null/empty source geometry) cover nothing — the
+        # uint64 cast of NaN is platform garbage, so mask them out first
+        vidx = np.flatnonzero(
+            np.isfinite(a0) & np.isfinite(b0) & np.isfinite(a1) & np.isfinite(b1))
+        if len(vidx):
+            row, cells = grid.cover_bbox(
+                a0[vidx], b0[vidx], a1[vidx], b1[vidx], res, curve)
+            cells = cells.astype(np.int64)
+            if len(row):
+                # split the flat (row, cell) pairs into per-row lists (numpy
+                # split on row-change boundaries — no per-element Python loop)
+                bounds = np.flatnonzero(np.diff(row)) + 1
+                chunks = np.split(cells, bounds)
+                for r, ch in zip(row[np.concatenate(([0], bounds))], chunks):
+                    out[int(vidx[int(r)])] = ch.tolist()
         return pd.Series(out)
 
     return _cov
@@ -249,19 +255,29 @@ def wkt_bbox_cells_udf(res: int, curve: str = "rowmajor"):
         lat0 = np.empty(n)
         lon1 = np.empty(n)
         lat1 = np.empty(n)
+        valid = np.zeros(n, dtype=bool)
         for i, w in enumerate(wkt):
-            vals = np.array([float(t) for t in _nums.findall(w)])
-            xs, ys = vals[0::2], vals[1::2]
+            # NULL / EMPTY / numberless WKT -> empty cover (row drops at the
+            # explode), mirroring add_point_cells' null handling
+            vals = _nums.findall(w) if isinstance(w, str) else None
+            if not vals:
+                continue
+            v = np.array([float(t) for t in vals])
+            xs, ys = v[0::2], v[1::2]
             lon0[i], lat0[i] = xs.min(), ys.min()
             lon1[i], lat1[i] = xs.max(), ys.max()
-        row, cells = grid.cover_bbox(lon0, lat0, lon1, lat1, res, curve)
-        cells = cells.astype(np.int64)
+            valid[i] = True
         out = [[] for _ in range(n)]
-        if len(row):
-            bounds = np.flatnonzero(np.diff(row)) + 1
-            chunks = np.split(cells, bounds)
-            for r, ch in zip(row[np.concatenate(([0], bounds))], chunks):
-                out[int(r)] = ch.tolist()
+        vidx = np.flatnonzero(valid)
+        if len(vidx):
+            row, cells = grid.cover_bbox(
+                lon0[vidx], lat0[vidx], lon1[vidx], lat1[vidx], res, curve)
+            cells = cells.astype(np.int64)
+            if len(row):
+                bounds = np.flatnonzero(np.diff(row)) + 1
+                chunks = np.split(cells, bounds)
+                for r, ch in zip(row[np.concatenate(([0], bounds))], chunks):
+                    out[int(vidx[int(r)])] = ch.tolist()
         return pd.Series(out)
 
     return _cov
@@ -291,8 +307,15 @@ def wkt_bbox_udf():
         lon1 = np.empty(n)
         lat1 = np.empty(n)
         for i, w in enumerate(wkt):
-            vals = np.array([float(t) for t in _nums.findall(w)])
-            xs, ys = vals[0::2], vals[1::2]
+            # NULL / EMPTY / numberless WKT -> NaN bbox; downstream covers
+            # (bbox_cells_udf) emit no cells for NaN, so the row drops at
+            # the explode instead of crashing the rewritten plan
+            vals = _nums.findall(w) if isinstance(w, str) else None
+            if not vals:
+                lon0[i] = lat0[i] = lon1[i] = lat1[i] = np.nan
+                continue
+            v = np.array([float(t) for t in vals])
+            xs, ys = v[0::2], v[1::2]
             lon0[i], lat0[i] = xs.min(), ys.min()
             lon1[i], lat1[i] = xs.max(), ys.max()
         return pd.DataFrame(

@@ -37,7 +37,7 @@ def knn_join(
     max_iters: int = 8,
     broadcast_queries: bool | str = "auto",
     salt_buckets: int = 8,
-    brute_tail_max: int = 10_000,
+    brute_tail_max: int | None = 10_000,
 ) -> DataFrame:
     """For each query point, the k nearest data points (planar metric).
 
@@ -51,6 +51,12 @@ def knn_join(
     path when the query set itself is beyond broadcast size (reference:
     `TieredSpatialJoin.java:168-172` hash-partitions both sides).  The
     remaining/done bookkeeping joins stay on the (shrinking) query side.
+
+    ``brute_tail_max`` bounds the brute-force fallback for queries still
+    unresolved after ``max_iters`` ring doublings: if more than this many
+    remain, raise instead of silently turning the job into a cross join
+    (default 10_000).  Pass ``None`` for the pre-r3 always-correct
+    unbounded contract.
     """
     cell_h = 180.0 / (1 << res)
     from ..join.spatial import resolve_query_side
@@ -134,8 +140,9 @@ def knn_join(
         # query is only affordable for a residue, and at 10^9 queries an
         # unbounded tail would silently become the whole job — fail loudly
         # instead so the caller raises max_iters/initial_ring.
-        n_tail = remaining.limit(brute_tail_max + 1).count()
-        if n_tail > brute_tail_max:
+        if brute_tail_max is not None and (
+                remaining.limit(brute_tail_max + 1).count() > brute_tail_max):
+            n_tail = brute_tail_max
             raise RuntimeError(
                 f"knn_join brute-force tail exceeds brute_tail_max="
                 f"{brute_tail_max} ({n_tail}+ queries unresolved after "
@@ -163,7 +170,7 @@ def knn_join_geodesic(
     res: int = 6,
     r0_km: float = 400.0,
     max_iters: int = 8,
-    brute_tail_max: int = 10_000,
+    brute_tail_max: int | None = 10_000,
 ) -> DataFrame:
     """kNN under the GEODESIC (haversine km) metric — the reference's
     actual kNN metric (`OrthodromicDistancePartitioner.java` +
@@ -176,7 +183,8 @@ def knn_join_geodesic(
     guard is exact by the disk's conservative cover: any point outside
     the covered cells is farther than r, so a proven query can never be
     beaten by an unexplored point.  Stubborn queries fall back to brute
-    force (correctness over speed for the tail).
+    force (correctness over speed for the tail), bounded by
+    ``brute_tail_max`` (None = unbounded, the pre-r3 contract).
     """
     from ..join.spatial import haversine_km_sql
     from ..table import geo as geo_sql
@@ -219,8 +227,9 @@ def knn_join_geodesic(
         r *= 2
     else:
         # bounded brute tail — same contract as knn_join above
-        n_tail = remaining.limit(brute_tail_max + 1).count()
-        if n_tail > brute_tail_max:
+        if brute_tail_max is not None and (
+                remaining.limit(brute_tail_max + 1).count() > brute_tail_max):
+            n_tail = brute_tail_max
             raise RuntimeError(
                 f"knn_join_geodesic brute-force tail exceeds "
                 f"brute_tail_max={brute_tail_max} ({n_tail}+ queries "

@@ -455,8 +455,12 @@ GROUP BY r.rid ORDER BY r.rid
 # `SplitsProvider.java:284-325`, and the HashKeyIndexStrategy partition
 # prefix).  Same oracle for both: the brute-force interval join.
 
-_SKEW_HOT_LON = 10.15
-_SKEW_HOT_LAT = 45.15
+# centers chosen so the full point spread (lon ±0.5, lat ±0.3) stays
+# strictly inside ONE res-7 cell: lon cell [9.84375, 11.25), lat cell
+# [43.59375, 45.0) — the old 45.15 center straddled the exact lat
+# boundary at 45.0 and split the hot mass over two cells
+_SKEW_HOT_LON = 10.55
+_SKEW_HOT_LAT = 44.3
 
 
 def _skew_pts_sql() -> str:

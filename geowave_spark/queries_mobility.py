@@ -14,6 +14,7 @@ stay IEEE-identical by construction, outputs are integerized.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from .table import geo
@@ -271,50 +272,36 @@ _Q290_ENC = 68719476736  # 2^36: score/sid encoding base
 _Q290_BIG = 4611686018427387904
 
 
-def _q290_cand_sql() -> str:
-    """Shared relation: the first T observations of every non-road user,
-    each with its top-K nearest road segments (gated at R2, ranked by
-    (emission, sid) — deterministic).  Users missing a candidate at any
-    step are dropped (their DP would have no path).  Single text for
-    both engines."""
-    from .join import spatial
+_Q290_NSEG = 20_000    # fixed road-network size (does not grow with sf)
+_Q290_RES = 6          # blocking cell res: 2.8125-deg cells vs R = 3 deg
 
+
+def _q290_obs_sql() -> str:
+    """Observation side: the first T points of every fleet user — ONE
+    text for both engines."""
     lon, lat = geo.lon_sql("event_id"), geo.lat_sql("event_id")
-    d2 = spatial.seg_dist2_sql("o.lon", "o.lat", "s.ax", "s.ay",
-                               "s.bx", "s.by")
     return f"""
-obs AS (
   SELECT user_id, rn - 1 AS t, lon, lat FROM (
     SELECT user_id, event_id, {lon} AS lon, {lat} AS lat,
            row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
     FROM events WHERE user_id % 20 <> 0
-  ) e WHERE rn <= {_Q290_T}
-),
-segs AS (
-  -- the road network is a FIXED asset: the fleet (obs side) grows with
-  -- the data, the map does not.  sid < 100000 keeps every sf <= 0.1
-  -- byte-identical (event ids top out at 99,999 there) and pins the
-  -- network at that size for larger factors, so the R-gated candidate
-  -- join scales linearly in the observation count instead of
-  -- obs x segs quadratically (the sf1 scale run measured 18.8x at 10x
-  -- data before the cap; the synthetic "roads" are global-scale chords,
-  -- so cell banding cannot bound this join — a real road network is
-  -- local AND fixed, and this models the fixed half)
-  SELECT * FROM ({geo.track_segments_sql()}) allsegs WHERE sid < 100000
-),
-cand0 AS (
-  SELECT o.user_id, o.t, s.sid,
-         cast(floor(({d2}) * 1000000e0) as bigint) AS emis
-  FROM obs o JOIN segs s ON {d2} <= {_Q290_R2}
-),
+  ) e WHERE rn <= {_Q290_T}"""
+
+
+def _q290_rank_sql(cand0_rel: str) -> str:
+    """Top-K ranking + complete-sequence gate over a candidate relation
+    (user_id, t, sid, emis) — shared text; ties break on (emis, sid)
+    deterministically.  Users missing a candidate at any step drop
+    (their DP would have no path)."""
+    return f"""
 ranked AS (
   SELECT user_id, t, sid, emis,
          row_number() OVER (PARTITION BY user_id, t
                             ORDER BY emis, sid) AS rk
-  FROM cand0
+  FROM {cand0_rel}
 ),
 good AS (
-  SELECT user_id FROM (SELECT DISTINCT user_id, t FROM cand0) g
+  SELECT user_id FROM (SELECT DISTINCT user_id, t FROM {cand0_rel}) g
   GROUP BY user_id HAVING count(*) = {_Q290_T}
 ),
 cand AS (
@@ -322,6 +309,72 @@ cand AS (
   FROM ranked r JOIN good ON good.user_id = r.user_id
   WHERE r.rk <= {_Q290_K}
 )"""
+
+
+def _q290_cand_sql() -> str:
+    """ORACLE-side candidate relation: brute-force R-gated join of every
+    observation against the full fixed road network (DuckDB at gate sf
+    only) — deliberately shares NO candidate-generation logic with the
+    engine's cell-cover blocking path, so the gate independently proves
+    the blocking has exact recall."""
+    from .join import spatial
+
+    d2 = spatial.seg_dist2_sql("o.lon", "o.lat", "s.ax", "s.ay",
+                               "s.bx", "s.by")
+    return f"""
+obs AS ({_q290_obs_sql()}
+),
+segs AS ({geo.road_segments_sql(_Q290_NSEG)}),
+cand0 AS (
+  SELECT o.user_id, o.t, s.sid,
+         cast(floor(({d2}) * 1000000e0) as bigint) AS emis
+  FROM obs o JOIN segs s ON {d2} <= {_Q290_R2}
+),
+{_q290_rank_sql("cand0")}"""
+
+
+def _q290_candidates(spark: SparkSession) -> DataFrame:
+    """ENGINE-side candidate relation (user_id, t, sid, emis): the q120
+    cell-cover blocking path.  Segment bboxes expand by R and cover to
+    res-6 cells (exact recall: any point within R of a segment lies
+    inside the expanded bbox, hence inside its cover); observations
+    compute their single cell closed-form in JVM; ONE broadcast hash
+    equi-join on cell (the road network is the fixed small side — pass a
+    bigger network through `snap_to_segments(broadcast_segments=False)`
+    for the salted shuffle variant), then the exact gate + integer-micro
+    emission refine in codegen.  Candidates are unique by construction
+    (one cell per obs, distinct cover cells per segment), so no dedup
+    shuffle.  This replaces the r3 fixture-capped obs x segs
+    BroadcastNestedLoopJoin: candidate volume is now bounded by network
+    density x disk area per observation, not by network size."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from .index import cover as cov
+    from .join import spatial
+
+    r = float(np.sqrt(_Q290_R2))
+    obs = spark.sql(f"SELECT * FROM ({_q290_obs_sql()}) o")
+    segs = spark.sql(geo.road_segments_sql(_Q290_NSEG))
+    s = segs.select(
+        "sid", "ax", "ay", "bx", "by",
+        F.explode(
+            cov.bbox_cells_udf(_Q290_RES, curve="rowmajor")(
+                F.expr(f"least(ax, bx) - {r!r}"),
+                F.expr(f"least(ay, by) - {r!r}"),
+                F.expr(f"greatest(ax, bx) + {r!r}"),
+                F.expr(f"greatest(ay, by) + {r!r}"))
+        ).alias("cell"),
+    )
+    obs_c = cov.add_point_cells_jvm(obs, "lon", "lat", _Q290_RES)
+    d2 = spatial.seg_dist2_sql("lon", "lat", "ax", "ay", "bx", "by")
+    return (
+        obs_c.join(F.broadcast(s), "cell")
+        .filter(F.expr(f"{d2} <= {_Q290_R2}"))
+        .select(
+            "user_id", "t", "sid",
+            F.expr(f"cast(floor(({d2}) * 1000000e0) as bigint)")
+            .alias("emis"))
+    )
 
 
 def _q290_round_sql(prev: str, cand: str, t: int) -> str:
@@ -360,18 +413,24 @@ def q290_viterbi_map_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitions charge a constant switch penalty, rewarding
     segment-coherent paths over per-point nearest.
 
-    Plan: candidates = one gated join + one top-K window (the cover
-    join of `spatial.snap_to_segments` is the 100 TB candidate path);
-    then T-1 Viterbi rounds, each ONE keyed min-aggregate + one
-    per-state equi-join on relations bounded by users x K — the
-    materialized-loop pattern (q226/q128), rounds cut with
-    localCheckpoint because each round reads the previous twice.
-    Oracle: the identical rounds as a MATERIALIZED CTE chain.
+    Plan: candidates via `_q290_candidates` — the q120 cell-cover
+    blocking path (segment bbox + R -> cover cells -> ONE broadcast hash
+    equi-join; exact recall, no BroadcastNestedLoopJoin, plan-pinned in
+    tests) — then one top-K window; then T-1 Viterbi rounds, each ONE
+    keyed min-aggregate + one per-state equi-join on relations bounded
+    by users x K — the materialized-loop pattern (q226/q128), rounds cut
+    with localCheckpoint because each round reads the previous twice.
+    Oracle: BRUTE-FORCE candidates (no blocking logic shared) + the
+    identical rank/round texts as a MATERIALIZED CTE chain, so the gate
+    independently proves blocking recall.
     """
     from .table.views import mat_view
 
     register_views(spark, sf_dir)
-    mat_view(spark, "q290_cand", f"WITH {_q290_cand_sql()} SELECT * FROM cand")
+    _q290_candidates(spark).createOrReplaceTempView("q290_cand0")
+    mat_view(
+        spark, "q290_cand",
+        f"WITH {_q290_rank_sql('q290_cand0')} SELECT * FROM cand")
     cur = "q290_d0"
     mat_view(
         spark, cur,

@@ -176,3 +176,26 @@ def test_table_wap_publish_and_tag(tmp_path):
         "tag": "prod", "snapshot": 2}
     out = run_cli("table", "tag", dest)
     assert json.loads(out.strip().splitlines()[-1]) == {"prod": 2}
+
+
+def test_emit_implicit_cap_warns(spark, capsys, monkeypatch):
+    """ADVICE r3: the implicit 100k emit cap must announce itself on stderr
+    so capped output is never mistaken for complete results."""
+    from geowave_spark import cli
+
+    monkeypatch.setattr(cli, "_DEFAULT_EMIT_CAP", 5)
+    df = spark.range(10).selectExpr("id")
+    cli._emit(df, "csv", None)
+    cap = capsys.readouterr()
+    assert len(cap.out.strip().splitlines()) == 6  # header + 5 rows
+    assert "truncated" in cap.err and "--limit 0" in cap.err
+
+    # explicit --limit: silent (user asked for it)
+    cli._emit(df, "csv", 5)
+    cap = capsys.readouterr()
+    assert "truncated" not in cap.err
+
+    # under the cap: no warning, all rows
+    cli._emit(spark.range(3).selectExpr("id"), "csv", None)
+    cap = capsys.readouterr()
+    assert cap.err == ""

@@ -515,21 +515,25 @@ def test_q290_viterbi_matches_python_dp(spark):
         _Q290_T,
     )
 
+    from geowave_spark.queries_mobility import _Q290_NSEG
+
     rows = duckdb.sql(
         f"SELECT user_id, event_id FROM '{SF01}/events.parquet' "
         f"ORDER BY user_id, event_id").fetchall()
     obs: dict[int, list] = {}
-    segs = []
-    tracks: dict[int, list] = {}
     for uid, eid in rows:
-        if uid % 20 == 0:
-            tracks.setdefault(uid, []).append((eid, _lon(eid), _lat(eid)))
-        else:
-            if len(obs.get(uid, [])) < _Q290_T:
-                obs.setdefault(uid, []).append((_lon(eid), _lat(eid)))
-    for pts in tracks.values():
-        for (eid, ax, ay), (_e2, bx, by) in zip(pts, pts[1:]):
-            segs.append((eid, ax, ay, bx, by))
+        if uid % 20 != 0 and len(obs.get(uid, [])) < _Q290_T:
+            obs.setdefault(uid, []).append((_lon(eid), _lat(eid)))
+    # independent python recompute of the fixed road-network fixture
+    # (r4: local segments replace the old global-chord track segments)
+    segs = []
+    for sid in range(_Q290_NSEG):
+        ax, ay = _lon(sid * 7919 + 13), _lat(sid * 104729 + 7)
+        dx = ((sid * 53) % 101) / 101.0 * 0.6 - 0.3
+        dy = ((sid * 71) % 89) / 89.0 * 0.6 - 0.3
+        bx = min(max(ax + dx, -180.0), 180.0)
+        by = min(max(ay + dy, -90.0), 90.0)
+        segs.append((sid, ax, ay, bx, by))
 
     def emis(px, py, ax, ay, bx, by):
         len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
@@ -790,3 +794,96 @@ def test_overlay_queries_registered(name):
 
     full = [k for k in QUERIES if k.startswith(name)]
     assert len(full) == 1 and QUERIES[full[0]][1] is not None
+
+
+def test_q290_candidate_plan_is_blocked_hash_join(spark):
+    """VERDICT r3 item 1: the map-matching candidate join must be the
+    cell-cover blocked hash equi-join — never a BroadcastNestedLoopJoin
+    or cartesian against the whole road network."""
+    from geowave_spark.queries_mobility import _q290_candidates
+    from geowave_spark.table.views import register_views
+
+    register_views(spark, SF01)
+    cand = _q290_candidates(spark)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+    assert cand.limit(1).count() == 1
+
+
+# ------------------------------------------------- adaptive-knob boundaries
+
+
+def _synth_sf_dir(tmp_path, n_events: int, n_users: int) -> str:
+    """A temp sf-dir: every table copied from sf0.001 except events, which
+    is synthesized with exactly ``n_events`` rows over ``n_users`` users —
+    the only way to park the input exactly ON an adaptive-knob boundary."""
+    import datetime
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / f"sf_ev{n_events}_u{n_users}"
+    d.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    eid = np.arange(n_events, dtype=np.int64)
+    tbl = pa.table({
+        "event_id": eid,
+        "ts": pa.array(
+            [datetime.datetime(2024, 1, 1)] * n_events, pa.timestamp("us")),
+        "user_id": (eid % n_users).astype(np.int64),
+        "event_type": pa.array(["click"] * n_events),
+        "value": (eid % 997).astype(np.float64),
+        "props": pa.array(["{}"] * n_events),
+    })
+    pq.write_table(tbl, d / "events.parquet")
+    return str(d)
+
+
+def _gate_one(spark, tmp_path, qname: str, n_events: int, n_users: int):
+    """Run the engine query AND its DuckDB oracle on the synthesized
+    dir; return (engine rows, oracle rows) as sorted tuple lists."""
+    from geowave_spark.queries import QUERIES
+
+    sf_dir = _synth_sf_dir(tmp_path, n_events, n_users)
+    fn, sql = QUERIES[qname]
+    got = sorted(map(tuple, fn(spark, sf_dir).toPandas().to_numpy().tolist()))
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    exp = sorted(map(tuple, con.sql(sql).df().to_numpy().tolist()))
+    con.close()
+    return got, exp
+
+
+def test_q277_adaptive_groups_boundary(spark, tmp_path):
+    """VERDICT r3 item 7: the group-count multiplier flips 1 -> 2 at
+    exactly 200_000 events (count div 100_000).  Both engines must agree
+    ON the boundary and one past it, and the knob must actually switch
+    (48 vs 96 distinct groups)."""
+    got_lo, exp_lo = _gate_one(spark, tmp_path, "q277_rect_dissolve",
+                               199_999, 500)
+    assert got_lo == exp_lo
+    got_hi, exp_hi = _gate_one(spark, tmp_path, "q277_rect_dissolve",
+                               200_000, 500)
+    assert got_hi == exp_hi
+    assert len(got_lo) == 48 and len(got_hi) == 96
+
+
+def test_q278_adaptive_grid_boundary(spark, tmp_path):
+    """The home-cell blocking scale flips 1 -> 2 at 2001 distinct users.
+    Both engines must agree on each side of the boundary, and the finer
+    grid must prune pairs (strictly fewer or equal candidates)."""
+    got_lo, exp_lo = _gate_one(spark, tmp_path, "q278_track_frechet",
+                               20_000, 2_000)
+    assert got_lo == exp_lo
+    got_hi, exp_hi = _gate_one(spark, tmp_path, "q278_track_frechet",
+                               20_010, 2_001)
+    assert got_hi == exp_hi
+    assert len(got_lo) > 0 and len(got_hi) <= len(got_lo)

@@ -622,3 +622,48 @@ def test_skew_pair_plans_differ_only_in_salt(spark):
         assert "CartesianProduct" not in plan
         # (a BroadcastNestedLoopJoin IS present: the 4-row VALUES
         # amplifier cross join — build side is 4 literal rows, fine)
+
+
+def test_sql_rewrite_survives_null_and_empty_geometry(spark, sf_dir):
+    """ADVICE r3: wkt_bbox_udf / wkt_bbox_cells_udf used to crash the whole
+    rewritten plan on NULL or numberless (EMPTY) WKT.  Both must now emit
+    an empty cover (row drops at the explode), so the optimized plan keeps
+    the unoptimized plan's semantics on nullable geometry columns."""
+    from geowave_spark.plans import sqlrewrite
+    from geowave_spark.queries_sql import _hex_wkt_view_sql
+    from geowave_spark.table import geo
+    from geowave_spark.table.views import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(geo.lineitem_points_sql()).createOrReplaceTempView("gw_pts_n")
+    spark.sql(
+        f"SELECT aid, geom FROM ({_hex_wkt_view_sql()}) "
+        "UNION ALL SELECT 'nul' AS aid, cast(NULL as string) AS geom "
+        "UNION ALL SELECT 'emp' AS aid, 'POLYGON EMPTY' AS geom"
+    ).createOrReplaceTempView("gw_zones_n")
+    sql = """
+        SELECT z.aid, cast(count(*) as bigint) AS n_points
+        FROM gw_pts_n p JOIN gw_zones_n z
+          ON GeomContains(z.geom, GeomPoint(p.lon, p.lat))
+        GROUP BY z.aid ORDER BY aid
+    """
+    fast = sqlrewrite.spatial_sql(spark, sql, optimize=True, join_res=7)
+    rows = fast.toPandas()
+    assert len(rows) > 0
+    assert "nul" not in set(rows["aid"]) and "emp" not in set(rows["aid"])
+
+    # polygon x polygon rewrite: NULL/EMPTY rows on one side must drop, not
+    # crash the bbox-struct UDF
+    spark.sql(
+        f"SELECT aid AS bid, geom FROM ({_hex_wkt_view_sql()}) LIMIT 40"
+    ).createOrReplaceTempView("gw_zones_n2")
+    sql2 = """
+        SELECT z.aid, cast(count(*) as bigint) AS n_overlaps
+        FROM gw_zones_n z JOIN gw_zones_n2 w
+          ON GeomIntersects(z.geom, w.geom)
+        GROUP BY z.aid ORDER BY aid
+    """
+    fast2 = sqlrewrite.spatial_sql(spark, sql2, optimize=True, join_res=5)
+    rows2 = fast2.toPandas()
+    assert len(rows2) > 0
+    assert "nul" not in set(rows2["aid"]) and "emp" not in set(rows2["aid"])
