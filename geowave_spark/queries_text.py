@@ -504,37 +504,65 @@ ORDER BY id1, id2
 
 def _q41(d: G.Dialect) -> str:
     """IVF-bucketed ANN (coarse quantizer, nprobe=1): centroids are a
-    FIXED-K deterministic subset (the K=16 smallest vec_ids — K independent
-    of table size, so the assignment join is always vecs x 16 broadcast
-    rows; the round-1 version's vec_id %% 31 == 0 rule grew the centroid
-    count linearly with n, making assignment O(n^2/31)).  Every vector is
-    assigned to its max-cosine centroid (the inverted-file cell); queries
-    search only their own cell.  Spark auto-broadcasts the small centroid
-    side of the assignment join; the per-cell top-k is a window — at
-    100 TB this is the classic IVF layout: one shuffle to co-locate cells,
-    then local ranking.  Formula-identical oracle (q20 pattern).
+    deterministic prefix of the (dense) vec_id space whose count SCALES
+    as sqrt(n) — K = 16 * max(1, floor(sqrt(n / 2000))), the IVF design
+    point.  Fixed K made both the assignment join (n x K) and the
+    per-cell probe (n/50 x n/K) quadratic overall (the r3 sf1 run
+    measured 8.8x at 10x data); K ~ sqrt(n) bounds total work at
+    n^1.5, the published IVF trade.  Byte-identical to the fixed-16
+    text at every sf <= 0.1 (n <= 2000 -> multiplier 1).  Every vector
+    is assigned to its max-cosine centroid (the inverted-file cell);
+    queries search only their own cell.  Spark auto-broadcasts the
+    small centroid side of the assignment join; the per-cell top-k is a
+    window — at 100 TB this is the classic IVF layout: one shuffle to
+    co-locate cells, then local ranking.  Formula-identical oracle
+    (q20 pattern).
     """
-    dt_ac = G.dot(d, "a.v", "c.v", 64)
-    dt_qx = G.dot(d, "q.v", "x.v", 64)
     return f"""
-WITH v0 AS (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v FROM embeddings),
-vecs AS (SELECT vec_id, v, sqrt({G.dot(d, 'v', 'v', 64)}) AS nv FROM v0),
-cent AS (SELECT vec_id AS cent_id, v, nv
-         FROM (SELECT vec_id, v, nv FROM vecs ORDER BY vec_id LIMIT 16) t),
-assign AS (
+WITH vecs AS ({_q41_vecs_sql(d)}),
+cells AS ({_q41_cells_sql(d, "vecs")})
+{_q41_probe_sql(d, "cells")}
+"""
+
+
+_Q41_K = ("(SELECT 16 * greatest(cast(1 as bigint), "
+          "cast(floor(sqrt(cast(count(*) as double) / 2000e0)) as bigint)) "
+          "FROM embeddings)")
+
+
+def _q41_vecs_sql(d: G.Dialect) -> str:
+    """Decoded double vectors + norm — the ONE pass over the raw arrays.
+    The Spark fn materializes this relation (localCheckpoint): CTE
+    inlining would re-run the interpreted 64-element HOF decode once per
+    reference (5x at sf1 — measured 8.5 s of a 13.7 s wall)."""
+    return (f"SELECT vec_id, v, sqrt({G.dot(d, 'v', 'v', 64)}) AS nv "
+            f"FROM (SELECT vec_id, {G.to_double_arr(d, 'embedding')} AS v "
+            f"FROM embeddings) v0")
+
+
+def _q41_cells_sql(d: G.Dialect, vecs: str) -> str:
+    """Inverted file: every vector labeled with its max-cosine centroid."""
+    dt_ac = G.dot(d, "a.v", "c.v", 64)
+    return f"""
+SELECT s.vec_id, s.v, s.nv, a.cent_id
+FROM {vecs} s JOIN (
   SELECT vec_id, cent_id FROM (
     SELECT a.vec_id, c.cent_id,
            row_number() OVER (
              PARTITION BY a.vec_id
              ORDER BY ({dt_ac}) / (a.nv * c.nv) DESC, c.cent_id ASC
            ) AS rn
-    FROM vecs a CROSS JOIN cent c
+    FROM {vecs} a CROSS JOIN
+         (SELECT vec_id AS cent_id, v, nv
+          FROM {vecs} WHERE vec_id < {_Q41_K}) c
   ) t WHERE rn = 1
-),
-cells AS (
-  SELECT s.vec_id, s.v, s.nv, a.cent_id
-  FROM vecs s JOIN assign a ON a.vec_id = s.vec_id
-)
+) a ON a.vec_id = s.vec_id"""
+
+
+def _q41_probe_sql(d: G.Dialect, cells: str) -> str:
+    """nprobe=1 probe: each sampled query ranks only its own cell."""
+    dt_qx = G.dot(d, "q.v", "x.v", 64)
+    return f"""
 SELECT qid, cid, cent_id, sim_micro, rank FROM (
   SELECT q.vec_id AS qid, x.vec_id AS cid, q.cent_id,
          cast(floor(1000000.0 * ({dt_qx}) / (q.nv * x.nv)) as bigint) AS sim_micro,
@@ -543,11 +571,27 @@ SELECT qid, cid, cent_id, sim_micro, rank FROM (
            ORDER BY cast(floor(1000000.0 * ({dt_qx}) / (q.nv * x.nv)) as bigint) DESC,
                     x.vec_id ASC
          ) AS rank
-  FROM cells q JOIN cells x
+  FROM {cells} q JOIN {cells} x
     ON x.cent_id = q.cent_id AND x.vec_id <> q.vec_id
   WHERE q.vec_id % 50 = 0
-) t WHERE rank <= 3 ORDER BY qid, rank
-"""
+) t WHERE rank <= 3 ORDER BY qid, rank"""
+
+
+def _q41_spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine side of q41: the SAME piece texts as the oracle, but vecs
+    and cells MATERIALIZE once (mat_view / localCheckpoint) instead of
+    re-running per CTE reference, and the one-file embeddings scan
+    repartitions to the cluster width before the interpreted HOF decode
+    (a single input split would serialize it)."""
+    from .table.views import mat_view
+
+    register_views(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    mat_view(spark, "q41_vecs",
+             spark.sql(_q41_vecs_sql(G.SPARK)).repartition(par))
+    mat_view(spark, "q41_cells",
+             spark.sql(_q41_cells_sql(G.SPARK, "q41_vecs")))
+    return spark.sql(_q41_probe_sql(G.SPARK, "q41_cells"))
 
 
 def shingle_rows_sql_spark(extra_cols: str = "") -> str:
@@ -2900,7 +2944,7 @@ TEXT_QUERIES = {
     "q23_fingerprint_dedup": _dual(_q23),
     "q39_simhash_neardup": (_q39_spark, _q39_duck()),
     "q40_embedding_neardup": _dual(_q40),
-    "q41_ann_ivf": _dual(_q41),
+    "q41_ann_ivf": (_q41_spark_fn, _q41(G.DUCK)),
     "q50_text_search": _dual(_q50),
     "q63_quality_score": _dual(_q63),
     "q64_dup_clusters": (_q64_spark, _q64_duck()),

@@ -1,0 +1,242 @@
+"""Conic CRS family: Lambert Conformal Conic (2SP) and Albers Equal-Area
+(2SP), closed-form ellipsoidal, pure vectorized numpy — the state-plane /
+continental-grid projections that show up in shapefile `.prj` files.
+
+The reference reprojects any GeoTools-resolvable CRS at ingest
+(`core/geotime/.../GeometryUtils.java` transform plumbing; exercised by
+`test/.../CustomCRSKDERasterResizeIT.java` in /root/reference).  This
+engine carries the math itself (same contract as `sfc/utm.py`): the
+formulas are Snyder, "Map Projections — A Working Manual", USGS PP 1395
+(1987), eqs. 14-1..14-21 (Albers) and 15-1..15-11 (LCC), the exact
+series PROJ's `lcc` / `aea` implement.  Golden tests pin Snyder's own
+worked numerical examples (Clarke 1866) plus round-trip and
+conformal/equal-area property checks in tests/test_crs_conic.py.
+
+Parameters come from a parsed `.prj` PROJCS (PROJECTION +
+PARAMETER[...] + SPHEROID[...]) or a small table of common EPSG codes;
+`utm.parse_crs` dispatches here so shapefile/GeoTIFF ingest sniffs
+conic CRSs exactly like the UTM family.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+# WGS84 / GRS80 (GRS80 differs from WGS84 only in 1/f's 8th decimal)
+_WGS84 = (6378137.0, 1.0 / 298.257223563)
+_GRS80 = (6378137.0, 1.0 / 298.257222101)
+
+
+@dataclass(frozen=True)
+class ConicParams:
+    """2SP conic parameters (degrees / meters) + ellipsoid."""
+
+    kind: str          # "lcc" | "albers"
+    lat1: float        # standard parallel 1
+    lat2: float        # standard parallel 2
+    lat0: float        # latitude of origin
+    lon0: float        # central meridian
+    fe: float = 0.0    # false easting
+    fn: float = 0.0    # false northing
+    a: float = _GRS80[0]
+    f: float = _GRS80[1]
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+
+def _m(phi, e):
+    """Snyder 14-15: radius of the parallel / a."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - (e * s) ** 2)
+
+
+def _t(phi, e):
+    """Snyder 15-9: isometric-latitude exponential for LCC."""
+    s = np.sin(phi)
+    return (np.tan(np.pi / 4.0 - phi / 2.0)
+            / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+
+
+def _q(phi, e):
+    """Snyder 3-12: authalic-latitude q for Albers."""
+    s = np.sin(phi)
+    return (1.0 - e * e) * (
+        s / (1.0 - (e * s) ** 2)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s)))
+
+
+# --------------------------------------------------------------- LCC 2SP
+
+
+def _lcc_consts(p: ConicParams):
+    e = p.e
+    p1, p2, p0 = map(math.radians, (p.lat1, p.lat2, p.lat0))
+    m1, m2 = _m(p1, e), _m(p2, e)
+    t1, t2, t0 = _t(p1, e), _t(p2, e), _t(p0, e)
+    if abs(p.lat1 - p.lat2) < 1e-10:
+        n = math.sin(p1)
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    big_f = m1 / (n * t1**n)
+    rho0 = p.a * big_f * t0**n
+    return n, big_f, rho0
+
+
+def lcc_forward(lon, lat, p: ConicParams):
+    """(lon, lat) degrees -> (x, y) meters.  Snyder 15-1..15-4."""
+    n, big_f, rho0 = _lcc_consts(p)
+    e = p.e
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p.lon0)
+    rho = p.a * big_f * _t(phi, e) ** n
+    th = n * lam
+    return p.fe + rho * np.sin(th), p.fn + rho0 - rho * np.cos(th)
+
+
+def lcc_inverse(x, y, p: ConicParams):
+    """(x, y) meters -> (lon, lat) degrees.  Snyder 15-5..15-11 with the
+    fixed-point phi iteration (7-9; converges to double precision in <8
+    steps for |phi| < 89.9)."""
+    n, big_f, rho0 = _lcc_consts(p)
+    e = p.e
+    dx = np.asarray(x, dtype=np.float64) - p.fe
+    dy = rho0 - (np.asarray(y, dtype=np.float64) - p.fn)
+    rho = np.sign(n) * np.hypot(dx, dy)
+    th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    tp = (rho / (p.a * big_f)) ** (1.0 / n)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+    for _ in range(8):
+        s = e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            tp * ((1.0 - s) / (1.0 + s)) ** (e / 2.0))
+    return np.degrees(th / n) + p.lon0, np.degrees(phi)
+
+
+# ------------------------------------------------------------ Albers 2SP
+
+
+def _albers_consts(p: ConicParams):
+    e = p.e
+    p1, p2, p0 = map(math.radians, (p.lat1, p.lat2, p.lat0))
+    m1, m2 = _m(p1, e), _m(p2, e)
+    q1, q2, q0 = _q(p1, e), _q(p2, e), _q(p0, e)
+    if abs(p.lat1 - p.lat2) < 1e-10:
+        n = math.sin(p1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    big_c = m1 * m1 + n * q1
+    rho0 = p.a * math.sqrt(big_c - n * q0) / n
+    return n, big_c, rho0
+
+
+def albers_forward(lon, lat, p: ConicParams):
+    """(lon, lat) degrees -> (x, y) meters.  Snyder 14-1..14-4."""
+    n, big_c, rho0 = _albers_consts(p)
+    e = p.e
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p.lon0)
+    rho = p.a * np.sqrt(big_c - n * _q(phi, e)) / n
+    th = n * lam
+    return p.fe + rho * np.sin(th), p.fn + rho0 - rho * np.cos(th)
+
+
+def albers_inverse(x, y, p: ConicParams):
+    """(x, y) meters -> (lon, lat) degrees.  Snyder 14-8..14-11 + the
+    Newton phi iteration (3-16); 6 steps reach double precision away
+    from the poles."""
+    n, big_c, rho0 = _albers_consts(p)
+    e = p.e
+    dx = np.asarray(x, dtype=np.float64) - p.fe
+    dy = rho0 - (np.asarray(y, dtype=np.float64) - p.fn)
+    rho = np.sign(n) * np.hypot(dx, dy)
+    th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    qp = (big_c - (rho * n / p.a) ** 2) / n
+    # Snyder 3-16 Newton iteration from the authalic-sphere start
+    phi = np.arcsin(np.clip(qp / 2.0, -1.0, 1.0))
+    e2 = e * e
+    for _ in range(6):
+        s = np.sin(phi)
+        den = 1.0 - e2 * s * s
+        phi = phi + (den * den / (2.0 * np.cos(phi))) * (
+            qp / (1.0 - e2)
+            - s / den
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s)))
+    return np.degrees(th / n) + p.lon0, np.degrees(phi)
+
+
+def conic_forward(lon, lat, p: ConicParams):
+    fwd = lcc_forward if p.kind == "lcc" else albers_forward
+    return fwd(lon, lat, p)
+
+
+def conic_inverse(x, y, p: ConicParams):
+    inv = lcc_inverse if p.kind == "lcc" else albers_inverse
+    return inv(x, y, p)
+
+
+# ------------------------------------------------------------- CRS lookup
+
+# common continental/national grids (parameters are published EPSG facts)
+EPSG_CONIC: dict[int, ConicParams] = {
+    # NAD83 / Conus Albers (the USGS national grid)
+    5070: ConicParams("albers", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0, *_GRS80),
+    # NAD83 / California Albers
+    3310: ConicParams("albers", 34.0, 40.5, 0.0, -120.0, 0.0, -4000000.0,
+                      *_GRS80),
+    # RGF93 / Lambert-93 (France national LCC)
+    2154: ConicParams("lcc", 49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0,
+                      *_GRS80),
+    # ETRS89-extended / LCC Europe
+    3034: ConicParams("lcc", 35.0, 65.0, 52.0, 10.0, 4000000.0, 2800000.0,
+                      *_GRS80),
+}
+
+_PROJ_RE = re.compile(r'PROJECTION\s*\[\s*"([^"]+)"', re.I)
+_PARAM_RE = re.compile(r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-\d.eE+]+)', re.I)
+_SPHEROID_RE = re.compile(
+    r'SPHEROID\s*\[\s*"[^"]*"\s*,\s*([-\d.eE+]+)\s*,\s*([-\d.eE+]+)', re.I)
+
+_LCC_NAMES = {"lambert_conformal_conic", "lambert_conformal_conic_2sp"}
+_ALBERS_NAMES = {"albers", "albers_conic_equal_area", "albers_equal_area"}
+
+
+def parse_prj_conic(wkt: str) -> ConicParams | None:
+    """Sniff a `.prj` PROJCS string for an LCC/Albers definition; None if
+    the projection is a different family."""
+    m = _PROJ_RE.search(wkt)
+    if not m:
+        return None
+    name = m.group(1).strip().lower()
+    if name in _LCC_NAMES:
+        kind = "lcc"
+    elif name in _ALBERS_NAMES:
+        kind = "albers"
+    else:
+        return None
+    params = {k.lower(): float(v) for k, v in _PARAM_RE.findall(wkt)}
+    sph = _SPHEROID_RE.search(wkt)
+    a, f = _WGS84
+    if sph:
+        a = float(sph.group(1))
+        inv_f = float(sph.group(2))
+        f = 0.0 if inv_f == 0 else 1.0 / inv_f
+
+    def get(*names, default=0.0):
+        for n in names:
+            if n in params:
+                return params[n]
+        return default
+
+    lat1 = get("standard_parallel_1")
+    lat2 = get("standard_parallel_2", default=lat1)
+    return ConicParams(
+        kind, lat1, lat2,
+        get("latitude_of_origin", "latitude_of_center"),
+        get("central_meridian", "longitude_of_center"),
+        get("false_easting"), get("false_northing"), a, f)

@@ -155,6 +155,8 @@ def parse_crs(crs: str | int) -> tuple[str, int, bool]:
     north/south), bare integer codes, or ESRI .prj WKT text (sniffed for
     the UTM zone name or a trailing EPSG authority code — the same two
     signals GeoTools' CRS.decode path keys on)."""
+    from . import conic as _conic
+
     if isinstance(crs, int):
         crs = f"EPSG:{crs}"
     m = _EPSG_RE.match(crs.strip())
@@ -166,11 +168,17 @@ def parse_crs(crs: str | int) -> tuple[str, int, bool]:
             return "utm", code - 32600, True
         if 32701 <= code <= 32760:
             return "utm", code - 32700, False
+        if code in _conic.EPSG_CONIC:
+            # conic family: the params object rides in the zone slot
+            return "conic", _conic.EPSG_CONIC[code], True
         raise ValueError(f"unsupported CRS code EPSG:{code}")
     # .prj WKT text
     m = _PRJ_UTM_RE.search(crs)
     if m:
         return "utm", int(m.group(1)), m.group(2).upper() == "N"
+    cp = _conic.parse_prj_conic(crs)
+    if cp is not None:
+        return "conic", cp, True
     m = _PRJ_EPSG_RE.search(crs.strip())
     if m:
         return parse_crs(int(m.group(1)))
@@ -185,6 +193,10 @@ def reproject_xy(x, y, crs: str | int):
     if kind == "lonlat":
         return (np.asarray(x, dtype=np.float64),
                 np.asarray(y, dtype=np.float64))
+    if kind == "conic":
+        from . import conic as _conic
+
+        return _conic.conic_inverse(x, y, zone)
     return utm_inverse(x, y, zone, north)
 
 
@@ -201,7 +213,7 @@ def reproject_wkt(wkt: str, crs: str | int) -> str:
         return wkt
     nums = _WKT_NUMS.findall(wkt)
     vals = np.array([float(v) for v in nums], dtype=np.float64)
-    lon, lat = utm_inverse(vals[0::2], vals[1::2], zone, north)
+    lon, lat = reproject_xy(vals[0::2], vals[1::2], crs)
     out = np.empty(len(vals))
     out[0::2] = lon
     out[1::2] = lat
