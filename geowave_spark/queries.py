@@ -4119,7 +4119,7 @@ QUERIES.update(OVERLAY_QUERIES)
 # a few rounds instead of re-sampling the same head (VERDICT r2 #7).
 # Every entry keeps its oracle; this reorders, never drops.
 
-_DRIVER_SCORED_R1_R2 = frozenset({
+_DRIVER_SCORED_R1_R3 = frozenset({
     "q01_pricing_summary",
     "q02_top_revenue_orders",
     "q03_top_customers_per_nation",
@@ -4129,24 +4129,38 @@ _DRIVER_SCORED_R1_R2 = frozenset({
     "q07_distance_join_agg",
     "q08_knn",
     "q09_binned_agg",
+    "q100_hotspots_gi",
+    "q101_rect_overlay",
+    "q102_emerging_hotspots",
+    "q103_focal_sobel",
+    "q104_contour_segments",
+    "q108_raster_warp",
     "q10_bbox_agg",
     "q113_trajectory_resample",
+    "q114_temporal_composite",
     "q117_trending_cells",
     "q119_spatiotemporal_join",
     "q11_tile_assign_plan",
     "q120_map_matching",
+    "q121_focal_hillshade",
     "q126_rasterize_polygons",
     "q128_cost_distance",
     "q129_spatiotemporal_knn",
     "q12_tile_merge_counts",
     "q130_local_supplier_revenue",
+    "q132_flow_direction",
     "q133_flow_accumulation",
     "q134_watershed_basins",
     "q135_strahler_order",
     "q136_sessionization",
+    "q137_harris_corners",
+    "q138_edge_thinning",
+    "q139_morph_gradient",
     "q13_image_scalars",
+    "q140_lbp_texture",
     "q144_stay_points",
     "q145_od_transitions",
+    "q146_patch_extraction",
     "q147_kdop_hull_extremes",
     "q149_heading_reversals",
     "q14_pyramid_counts",
@@ -4170,19 +4184,47 @@ _DRIVER_SCORED_R1_R2 = frozenset({
     "q171_mobility_profile",
     "q172_interevent_moments",
     "q173_weekly_retention",
+    "q174_hog_orientation",
+    "q175_tile_complexity",
+    "q176_home_work_anchors",
+    "q177_hourly_seasonality",
+    "q178_conversion_funnel",
     "q17_simhash",
+    "q180_nearest_facility",
+    "q181_benford_audit",
+    "q182_cusum_changepoint",
+    "q183_footprint_iou",
+    "q186_gravity_model",
+    "q187_kcore",
+    "q188_ripley_k",
+    "q189_ssim_pairs",
     "q18_ngram_jaccard",
+    "q190_path_interpolation",
+    "q191_grayworld",
+    "q192_theil_sen",
+    "q194_attribution",
+    "q198_psnr_verify",
+    "q199_kanon_od",
     "q19_ann_bruteforce_topk",
+    "q200_focal_median",
+    "q202_blur_laplacian",
+    "q209_hist_signature_join",
     "q20_ann_lsh_bucketed",
+    "q210_cc_blobs",
+    "q211_segment_intersections",
+    "q212_hough_lines",
     "q21_text_stats",
     "q22_langid",
     "q23_fingerprint_dedup",
     "q24_kde_heatmap",
     "q25_numeric_stats",
+    "q267_bitplane_preview",
     "q26_value_histogram",
     "q27_cell_histogram",
     "q28_temporal_predicates",
     "q29_subsample_resolution",
+    "q302_skew_salted_join",
+    "q303_skew_unsalted_join",
     "q30_pip_rect_anti",
     "q31_sql_geom_filter",
     "q32_sql_geom_distance",
@@ -4209,10 +4251,18 @@ _DRIVER_SCORED_R1_R2 = frozenset({
     "q58_polygon_polygon_join",
     "q60_knn_geodesic",
     "q65_polygon_bigbig_join",
+    "q87_zonal_stats",
     "q88_trajectory_stats",
+    "q89_idw_interpolation",
+    "q90_change_detection",
+    "q93_spatial_autocorrelation",
+    "q94_coverage_gaps",
+    "q95_band_math",
+    "q97_json_props_rollup",
+    "q98_focal_mean",
 })
 
 _undriven = {k: v for k, v in QUERIES.items()
-             if k not in _DRIVER_SCORED_R1_R2}
-_driven = {k: v for k, v in QUERIES.items() if k in _DRIVER_SCORED_R1_R2}
+             if k not in _DRIVER_SCORED_R1_R3}
+_driven = {k: v for k, v in QUERIES.items() if k in _DRIVER_SCORED_R1_R3}
 QUERIES = {**_undriven, **_driven}
