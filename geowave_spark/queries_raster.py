@@ -2578,3 +2578,146 @@ RASTER_QUERIES = {
     "q230_integral_image": (q230_integral_image, _q230_sql()),
     "q239_block_transform_energy": (q239_block_transform_energy, _q239_sql()),
 }
+
+
+# ---------------------------------------------- q305 custom-CRS KDE + resize
+
+
+def _q305_consts():
+    """Albers EPSG:5070 projection constants, computed ONCE on the driver
+    and embedded as repr literals — the engine's numpy UDF and the
+    oracle's SQL transcendentals both start from the identical doubles."""
+    from .sfc import conic as conic_mod
+
+    p = conic_mod.EPSG_CONIC[5070]
+    n, big_c, rho0 = conic_mod._albers_consts(p)
+    return p, n, big_c, rho0
+
+
+_Q305_N = 128                                    # fine grid (coarse = 64)
+_Q305_X0, _Q305_X1 = -2_400_000, 2_400_000       # CONUS envelope, meters
+_Q305_Y0, _Q305_Y1 = 100_000, 3_300_000
+_Q305_WIN = (-120.0, -75.0, 25.0, 49.0)
+
+
+def _q305_points_sql() -> str:
+    from .table import geo
+
+    lon, lat = geo.lon_sql("event_id"), geo.lat_sql("event_id")
+    w = _Q305_WIN
+    return (f"SELECT {lon} AS lon, {lat} AS lat FROM events "
+            f"WHERE {lon} BETWEEN {w[0]!r} AND {w[1]!r} "
+            f"AND {lat} BETWEEN {w[2]!r} AND {w[3]!r}")
+
+
+def q305_custom_crs_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDE heatmap computed in a CUSTOM projected CRS (EPSG:5070 CONUS
+    Albers) + a 2x raster resize — the closed-form PySpark analog of the
+    reference's `test/.../CustomCRSKDERasterResizeIT.java` (KDERunner on
+    a GeoTools-decoded CRS, then RasterResize), the last item on the r3
+    missing list.
+
+    Engine: points project lon/lat -> equal-area meters in ONE
+    Arrow-batched pandas UDF (`sfc/conic.albers_forward`, vectorized
+    numpy — evaluated once, fields split in a following select so the
+    ArrowEvalPython node never duplicates), floor to integer meters,
+    then pure-JVM integer grid ordinates, the k=2 kernel splat against a
+    broadcast 25-row offset table, one keyed sum per fine cell, and the
+    2x parent rollup (the RasterResize) with a second tiny keyed sum.
+    Only Python on the data path is the projection itself.
+
+    Oracle: DuckDB evaluates the SAME Albers closed form in SQL
+    (sin/cos/ln/sqrt on the identical embedded constants) — a fully
+    independent implementation of the projection, agreeing after the
+    floor-to-meter integerization (transcendental ulp drift is ~1e-9 m
+    against a 1 m floor grid).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .agg.kde import _offsets_df
+    from .sfc import conic as conic_mod
+    from .table.views import register_views
+
+    register_views(spark, sf_dir)
+    p, _n, _c, _rho0 = _q305_consts()
+
+    @F.pandas_udf("x double, y double")
+    def _proj(lon, lat):  # no hints: module has future-annotations
+        x, y = conic_mod.albers_forward(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), p)
+        return pd.DataFrame({"x": x, "y": y})
+
+    # nondeterministic flag stops CollapseProject from inlining the struct
+    # into its two field accesses, which would run the projection TWICE
+    # (same idiom as cover.point_disk_cells_udf)
+    _proj = _proj.asNondeterministic()
+
+    n, x0, x1, y0, y1 = _Q305_N, _Q305_X0, _Q305_X1, _Q305_Y0, _Q305_Y1
+    pts = spark.sql(_q305_points_sql())
+    g = (
+        pts.select(_proj("lon", "lat").alias("pxy"))
+        .select(F.expr("cast(floor(pxy.x) as bigint)").alias("xm"),
+                F.expr("cast(floor(pxy.y) as bigint)").alias("ym"))
+        .filter(f"xm >= {x0} AND xm < {x1} AND ym >= {y0} AND ym < {y1}")
+        .select(F.expr(f"(xm - {x0}) * {n} div {x1 - x0}").alias("gx"),
+                F.expr(f"(ym - {y0}) * {n} div {y1 - y0}").alias("gy"))
+    )
+    splat = (
+        g.join(F.broadcast(_offsets_df(spark, 2)))
+        .select((F.col("gx") + F.col("dx")).alias("nx"),
+                (F.col("gy") + F.col("dy")).alias("ny"),
+                F.expr("cast(1000000 as bigint) div "
+                       "cast(1 + dx * dx + dy * dy as bigint)").alias("w"))
+        .filter((F.col("nx") >= 0) & (F.col("nx") < n)
+                & (F.col("ny") >= 0) & (F.col("ny") < n))
+    )
+    fine = (splat.select((F.col("ny") * n + F.col("nx")).alias("cell"), "w")
+            .groupBy("cell").agg(F.sum("w").alias("w")))
+    half = n // 2
+    return (
+        fine.select(
+            F.expr(f"(cell div {n} div 2) * {half} + (cell % {n}) div 2")
+            .alias("pcell"), "w")
+        .groupBy("pcell")
+        .agg(F.sum("w").alias("weight"), F.count("*").alias("n_children"))
+        .orderBy("pcell")
+    )
+
+
+def _q305_sql() -> str:
+    """DuckDB oracle: the Albers forward as SQL transcendentals."""
+    p, cn, cc, rho0 = _q305_consts()
+    e = p.e
+    n, x0, x1, y0, y1 = _Q305_N, _Q305_X0, _Q305_X1, _Q305_Y0, _Q305_Y1
+    q_expr = (f"({1.0 - e * e!r}) * (s / (1.0 - {e * e!r} * s * s) "
+              f"- (1.0 / {2.0 * e!r}) * ln((1.0 - {e!r} * s) "
+              f"/ (1.0 + {e!r} * s)))")
+    half = n // 2
+    return f"""
+WITH p0 AS ({_q305_points_sql()}),
+tr AS (SELECT sin(radians(lat)) AS s,
+              {cn!r} * radians(lon - {p.lon0!r}) AS th FROM p0),
+rh AS (SELECT {p.a!r} * sqrt({cc!r} - {cn!r} * ({q_expr})) / {cn!r} AS rho,
+              th FROM tr),
+m AS (SELECT cast(floor(rho * sin(th)) as bigint) AS xm,
+             cast(floor({rho0!r} - rho * cos(th)) as bigint) AS ym FROM rh),
+g AS (SELECT (xm - {x0}) * {n} // {x1 - x0} AS gx,
+             (ym - {y0}) * {n} // {y1 - y0} AS gy
+      FROM m WHERE xm >= {x0} AND xm < {x1} AND ym >= {y0} AND ym < {y1}),
+o AS (SELECT (i % 5) - 2 AS dx, (i // 5) - 2 AS dy FROM
+      (SELECT unnest(range(0, 25)) AS i) oo),
+s AS (SELECT gx + dx AS nx, gy + dy AS ny,
+             cast(1000000 as bigint) // cast(1 + dx * dx + dy * dy as bigint) AS w
+      FROM g CROSS JOIN o
+      WHERE gx + dx >= 0 AND gx + dx < {n} AND gy + dy >= 0 AND gy + dy < {n}),
+fine AS (SELECT ny * {n} + nx AS cell, cast(sum(w) as bigint) AS w
+         FROM s GROUP BY 1)
+SELECT (cell // {n} // 2) * {half} + (cell % {n}) // 2 AS pcell,
+       cast(sum(w) as bigint) AS weight,
+       cast(count(*) as bigint) AS n_children
+FROM fine GROUP BY 1 ORDER BY pcell
+"""
+
+
+RASTER_QUERIES["q305_custom_crs_kde"] = (q305_custom_crs_kde, _q305_sql())

@@ -691,3 +691,82 @@ def test_q267_bitplane_mse_monotone(spark, sf_dir):
     assert ((piv[2] >= piv[4]) & (piv[4] >= piv[6])).all()
     six = pdf[pdf["k"] == 6]
     assert (six["psnr30_images"] == six["n_images"]).all()
+
+
+def test_q305_custom_crs_kde_matches_scalar_python(spark):
+    """Third implementation of the custom-CRS KDE + resize (q305): scalar
+    `math`-module Albers forward + dict splat — shares no code with the
+    engine's vectorized numpy UDF and no SQL with the DuckDB oracle."""
+    import math
+
+    import duckdb
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.queries_raster import (
+        _Q305_N,
+        _Q305_WIN,
+        _Q305_X0,
+        _Q305_X1,
+        _Q305_Y0,
+        _Q305_Y1,
+        _q305_consts,
+    )
+    from geowave_spark.table import geo
+
+    sf = "/root/testdata/sf0.01"
+    p, cn, cc, rho0 = _q305_consts()
+    e = p.e
+
+    def lonlat(k):
+        lon = ((k % geo.LON_MOD) * geo.LON_MULT % geo.LON_MOD) / 1e6 - 180.0
+        lat = ((k % geo.LAT_MOD) * geo.LAT_MULT % geo.LAT_MOD) / 1e6 - 90.0
+        return lon, lat
+
+    fine = {}
+    n = _Q305_N
+    for (eid,) in duckdb.sql(
+            f"SELECT event_id FROM '{sf}/events.parquet'").fetchall():
+        lon, lat = lonlat(eid)
+        w = _Q305_WIN
+        if not (w[0] <= lon <= w[1] and w[2] <= lat <= w[3]):
+            continue
+        s = math.sin(math.radians(lat))
+        q = (1.0 - e * e) * (s / (1.0 - e * e * s * s)
+                             - (1.0 / (2.0 * e))
+                             * math.log((1.0 - e * s) / (1.0 + e * s)))
+        rho = p.a * math.sqrt(cc - cn * q) / cn
+        th = cn * math.radians(lon - p.lon0)
+        xm = math.floor(rho * math.sin(th))
+        ym = math.floor(rho0 - rho * math.cos(th))
+        if not (_Q305_X0 <= xm < _Q305_X1 and _Q305_Y0 <= ym < _Q305_Y1):
+            continue
+        gx = (xm - _Q305_X0) * n // (_Q305_X1 - _Q305_X0)
+        gy = (ym - _Q305_Y0) * n // (_Q305_Y1 - _Q305_Y0)
+        for dx in range(-2, 3):
+            for dy in range(-2, 3):
+                nx, ny = gx + dx, gy + dy
+                if 0 <= nx < n and 0 <= ny < n:
+                    c = ny * n + nx
+                    fine[c] = fine.get(c, 0) + 1000000 // (1 + dx * dx + dy * dy)
+    coarse = {}
+    for c, w in fine.items():
+        pc = (c // n // 2) * (n // 2) + (c % n) // 2
+        a = coarse.setdefault(pc, [0, 0])
+        a[0] += w
+        a[1] += 1
+    fn, _sql = QUERIES["q305_custom_crs_kde"]
+    got = {r.pcell: (r.weight, r.n_children) for r in fn(spark, sf).collect()}
+    assert got == {k: tuple(v) for k, v in coarse.items()} and got
+
+
+def test_q305_plan_single_python_eval(spark):
+    """The projection UDF must appear exactly ONCE in the physical plan
+    (the fields-split select prevents ArrowEvalPython duplication), and
+    the splat join must be a broadcast, not a shuffle."""
+    from geowave_spark.queries import QUERIES
+
+    fn, _sql = QUERIES["q305_custom_crs_kde"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
