@@ -666,15 +666,28 @@ GROUP BY qid ORDER BY qid
 
 
 def q08_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN join: 5 nearest lineitem points per sampled customer point."""
+    """kNN join: 5 nearest lineitem points per sampled customer point.
+
+    The cell resolution SCALES with point density (one extra level per
+    4x rows past the sf0.1 size) — exact kNN output is res-invariant
+    (the ring-expansion guard proves completeness at any res), but a
+    FIXED res lets points-per-cell grow linearly with the corpus and
+    the candidate join goes quadratic: the sf3 scale run measured 62x
+    wall at 30x data on res=6 (4,400 points/cell); adaptive res keeps
+    ~150/cell and the ratio linear.  Row count comes from parquet
+    metadata (no scan)."""
     register_views(spark, sf_dir)
+    import math
+
+    n_raw = spark.table("lineitem").count()  # metadata-only count
+    res_knn = 6 + max(0, math.ceil(math.log(max(n_raw / 600_000, 1.0), 4)))
     pts = spark.sql(geo.lineitem_points_sql())
     qs = (
         spark.sql(geo.customer_points_sql())
         .filter(F.col("cid") % 15 == 0)
         .withColumnRenamed("cid", "qid")
     )
-    res = knn_mod.knn_join(spark, pts, qs, k=5, qid_col="qid", res=6)
+    res = knn_mod.knn_join(spark, pts, qs, k=5, qid_col="qid", res=res_knn)
     return res.select(
         "qid", "pid",
         F.expr("cast(floor(dist * 1000000) as bigint)").alias("dist_micro"),

@@ -318,12 +318,17 @@ FROM f GROUP BY fp ORDER BY canonical_id
 
 
 def _q39_sig_sql(d: G.Dialect) -> str:
-    """Shared signature relation: 64-bit SimHash as two 32-bit halves."""
-    lo, hi = G.simhash64_halves_from(d, "v")
+    """Shared signature relation: 64-bit SimHash as two 32-bit halves,
+    voted over the doc's DISTINCT 3-gram shingles (q16's feature set —
+    see `simhash64_halves_from` for why unigram word values degenerate
+    at scale)."""
+    lo, hi = G.simhash64_halves_from(d, "sh")
+    sh = d.arr_distinct(G.shingles3_from(d, "v"))
     return (
         f"SELECT doc_id, cast({lo} as bigint) AS lo, cast({hi} as bigint) AS hi "
-        f"FROM (SELECT doc_id, {G.wordvals(d)} AS v FROM documents) wv "
-        f"WHERE {d.size('v')} >= 1"
+        f"FROM (SELECT doc_id, {sh} AS sh "
+        f"FROM (SELECT doc_id, {G.wordvals(d)} AS v FROM documents) wv0 "
+        f"WHERE {d.size('v')} >= 3) wv"
     )
 
 
@@ -343,17 +348,17 @@ ORDER BY d1, d2
 
 
 def _q39_sig_sql_spark_fast() -> str:
-    """Spark-side twin of `_q39_sig_sql`, whole-stage codegen: words
-    explode to rows once and the 64 bit votes become 64 SUM aggregates
-    (map-side partial) instead of 64 HOF folds per document
-    (CodegenFallback, interpreted).  The vote sum is order-independent,
-    so the signature is bit-identical to the fold formulation; parity is
-    the q39 oracle itself plus test_q39_sig_codegen_matches_fold."""
-    wv = ("cast(961 * length(w) + 31 * ascii(w) + "
-          "ascii(substr(w, length(w), 1)) as bigint)")
+    """Spark-side twin of `_q39_sig_sql`, whole-stage codegen: DISTINCT
+    shingle rows from `shingle_rows_sql_spark` (posexplode + lead — the
+    codegen formulation proven set-equal to the HOF shingles) and the 64
+    bit votes become 64 SUM aggregates (map-side partial) instead of 64
+    HOF folds per document (CodegenFallback, interpreted).  The vote sum
+    is order-independent, so the signature is bit-identical to the fold
+    formulation; parity is the q39 oracle itself plus
+    test_q39_sig_codegen_matches_fold."""
     sums = ", ".join(
-        f"sum(case when (x * 2654435761 + {b} * 2246822519) % 2147483648"
-        f" >= 1073741824 then 1 else -1 end) AS s{b}"
+        f"sum(case when ((shingle % 2147483648) * {G.SIMHASH64_MULTS[b]})"
+        f" % 2147483648 >= 1073741824 then 1 else -1 end) AS s{b}"
         for b in range(64))
     lo = " + ".join(
         f"(case when s{b} > 0 then {1 << b} else 0 end)" for b in range(32))
@@ -364,8 +369,7 @@ def _q39_sig_sql_spark_fast() -> str:
 SELECT doc_id, cast({lo} as bigint) AS lo, cast({hi} as bigint) AS hi
 FROM (
   SELECT doc_id, {sums}
-  FROM (SELECT doc_id, {wv} AS x
-        FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents))
+  FROM ({shingle_rows_sql_spark()})
   GROUP BY doc_id
 )
 """
