@@ -116,10 +116,38 @@ DUCK = Dialect("duck")
 # ---------------------------------------------------------------------------
 # shared formulas (engine-independent once built through a Dialect)
 
-WORDVAL = (
-    "cast(961 * length(x) + 31 * ascii(x) + ascii(substr(x, length(x), 1)) "
-    "as bigint)"
-)
+def _splitmix31(i: int) -> int:
+    """Deterministic odd 31-bit multiplier per bit index (splitmix64
+    finalizer, truncated; forced odd)."""
+    x = (i * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    return (x & 0x7FFFFFFF) | 1
+
+
+SIMHASH64_MULTS = tuple(_splitmix31(b + 1) for b in range(64))
+
+
+# Per-position odd coefficients for the word-hash character polynomial
+# (python-generated, embedded as literals in one shared text).  The old
+# (961*len + 31*first + last) hash had only ~2k distinct values over a
+# real vocabulary, which collapsed the 3-gram shingle space into a
+# low-entropy Zipf set — at sf10 the MinHash band buckets degenerated to
+# ~930 docs each (230M LSH candidate pairs from 500k documents) and the
+# SimHash vote vectors converged corpus-wide.  A full-word polynomial
+# over the first 16 characters (ascii(substr) of a missing position is 0
+# in BOTH engines, verified) has ~2^31 effective range and fixes both.
+def _wordval_expr(var: str) -> str:
+    terms = [f"{_splitmix31(100 + i) % 500_000 | 1} * "
+             f"ascii(substr({var}, {i + 1}, 1))" for i in range(16)]
+    terms.append(f"{_splitmix31(99) % 500_000 | 1} * length({var})")
+    return "cast(" + " + ".join(terms) + " as bigint)"
+
+
+WORDVAL = _wordval_expr("x")
 
 
 def tokens(d: Dialect, text: str = "text") -> str:
@@ -127,13 +155,14 @@ def tokens(d: Dialect, text: str = "text") -> str:
 
 
 def wordvals(d: Dialect, text: str = "text") -> str:
-    """Array of integer word hashes (length/first-char/last-char mix)."""
+    """Array of integer word hashes (16-char coefficient polynomial)."""
     return d.xform(tokens(d, text), WORDVAL)
 
 
 def shingles3_from(d: Dialect, vals: str) -> str:
     """3-gram shingle hashes from a word-value array *column*:
-    s_i = ((v_i*1009 + v_{i+1})*1009 + v_{i+2}), bounded ~4.3e13.
+    s_i = ((v_i*1009 + v_{i+1})*1009 + v_{i+2}), bounded ~2.2e15
+    (wordvals < ~2.1e9).
 
     ``vals`` must be a cheap reference (a projected column), NOT a nested
     expression: element access happens 3x per index, so inlining the
@@ -203,21 +232,6 @@ def simhash16_from(d: Dialect, v: str) -> str:
         s = d.fold(vote, "cast(0 as bigint)", "acc + x")
         bits.append(f"(case when {s} > 0 then {1 << b} else 0 end)")
     return "(" + " + ".join(bits) + ")"
-
-
-def _splitmix31(i: int) -> int:
-    """Deterministic odd 31-bit multiplier per bit index (splitmix64
-    finalizer, truncated; forced odd)."""
-    x = (i * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-    x ^= x >> 30
-    x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-    x ^= x >> 27
-    x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-    x ^= x >> 31
-    return (x & 0x7FFFFFFF) | 1
-
-
-SIMHASH64_MULTS = tuple(_splitmix31(b + 1) for b in range(64))
 
 
 def simhash64_halves_from(d: Dialect, v: str) -> tuple[str, str]:

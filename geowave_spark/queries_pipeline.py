@@ -203,9 +203,18 @@ def q81_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
     )
+    # the path carries a fingerprint of the shared hash formula: a change
+    # to WORDVAL/minhash text must invalidate the persisted index, or the
+    # new-formula batch bands would probe a stale-formula index (r4: the
+    # wordval entropy fix silently broke the cached index until this key)
+    import hashlib
+
+    from .functions import sqlgen as G
+
+    fp = hashlib.md5(G.WORDVAL.encode()).hexdigest()[:8]
     path = os.path.join(
         scratch,
-        f"dedup_idx_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"dedup_idx_{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
     )
     if S.current_snapshot(path) == 0:
         shutil.rmtree(path, ignore_errors=True)

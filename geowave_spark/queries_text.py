@@ -608,8 +608,9 @@ def shingle_rows_sql_spark(extra_cols: str = "") -> str:
     keeps the array formulation."""
     d = G.SPARK
     ec = f"{extra_cols}, " if extra_cols else ""
-    wv = ("cast(961 * length(w) + 31 * ascii(w) + "
-          "ascii(substr(w, length(w), 1)) as bigint)")
+    from .functions.sqlgen import _wordval_expr
+
+    wv = _wordval_expr("w")
     return f"""
 SELECT DISTINCT doc_id, {ec}((v1 * 1009 + v2) * 1009 + v3) AS shingle
 FROM (

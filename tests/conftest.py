@@ -15,6 +15,10 @@ def spark():
     s = (
         SparkSession.builder.master("local[8]")
         .appName("geowave-spark-tests")
+        # the default 1g driver heap dies on the adaptive-knob boundary
+        # tests (200k-event dissolve in the SHARED session after ~800
+        # accumulated tests); the box has 128 GiB
+        .config("spark.driver.memory", "8g")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

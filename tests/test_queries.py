@@ -443,7 +443,11 @@ def test_q96_decontamination_matches_python_shingles(spark, sf_dir):
         "doc_id", "text").toPandas()
 
     def wv(w):
-        return 961 * len(w) + 31 * ord(w[0]) + ord(w[-1])
+        import geowave_spark.functions.sqlgen as _G
+        coeffs = [_G._splitmix31(100 + i) % 500_000 | 1 for i in range(16)]
+        clen = _G._splitmix31(99) % 500_000 | 1
+        return (sum(c * ord(w[i]) for i, c in enumerate(coeffs) if i < len(w))
+                + clen * len(w))
 
     def tri(text):
         v = [wv(w) for w in text.split()]
@@ -723,7 +727,11 @@ def test_q108_raster_warp_pixel_exact(spark, sf_dir):
 
 
 def _wordval(w: str) -> int:
-    return 961 * len(w) + 31 * ord(w[0]) + ord(w[-1])
+    import geowave_spark.functions.sqlgen as _G
+    coeffs = [_G._splitmix31(100 + i) % 500_000 | 1 for i in range(16)]
+    clen = _G._splitmix31(99) % 500_000 | 1
+    return (sum(c * ord(w[i]) for i, c in enumerate(coeffs) if i < len(w))
+            + clen * len(w))
 
 
 def test_q110_spans_match_python_bruteforce(spark, sf_dir):
