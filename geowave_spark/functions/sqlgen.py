@@ -141,10 +141,21 @@ SIMHASH64_MULTS = tuple(_splitmix31(b + 1) for b in range(64))
 # over the first 16 characters (ascii(substr) of a missing position is 0
 # in BOTH engines, verified) has ~2^31 effective range and fixes both.
 def _wordval_expr(var: str) -> str:
+    # Each ascii()/length() operand is widened to BIGINT *before* the
+    # coefficient multiply: with ~4e5 coefficients, any codepoint
+    # >= ~5351 (CJK etc.) overflows INT32 — DuckDB raises, Spark
+    # (non-ANSI) silently wraps, so the engines would diverge on
+    # non-ASCII text.  The final % 2^31 bounds the value so downstream
+    # shingle arithmetic (v*1009^2) stays far inside int64 even for
+    # max-codepoint input; for ASCII tokens the sum is < 2^31 (16
+    # terms * 5e5 * 127 + 5e5 * len), so existing hash values are
+    # unchanged.
     terms = [f"{_splitmix31(100 + i) % 500_000 | 1} * "
-             f"ascii(substr({var}, {i + 1}, 1))" for i in range(16)]
-    terms.append(f"{_splitmix31(99) % 500_000 | 1} * length({var})")
-    return "cast(" + " + ".join(terms) + " as bigint)"
+             f"cast(ascii(substr({var}, {i + 1}, 1)) as bigint)"
+             for i in range(16)]
+    terms.append(f"{_splitmix31(99) % 500_000 | 1} * "
+                 f"cast(length({var}) as bigint)")
+    return "((" + " + ".join(terms) + ") % 2147483648)"
 
 
 WORDVAL = _wordval_expr("x")

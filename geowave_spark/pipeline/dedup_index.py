@@ -57,6 +57,22 @@ def _bands_union(src: str) -> str:
     )
 
 
+def formula_fingerprint() -> str:
+    """Short digest of the FULL band-building formula (shingle SQL +
+    minhash schedule + band fold) — everything a persisted index's rows
+    depend on.  Callers key index paths on this so ANY formula change
+    (wordval coefficients, minhash constants, band layout, SIMHASH
+    multipliers reaching the shingle text) invalidates the cache instead
+    of probing a stale-formula index — the exact r4 failure mode, which
+    a WORDVAL-only fingerprint would not catch for the other constants."""
+    import hashlib
+
+    from .. import queries_text as qt
+
+    text = qt.shingle_rows_sql_spark() + "\n" + _MINS + "\n" + _bands_union("sig")
+    return hashlib.md5(text.encode()).hexdigest()[:8]
+
+
 def band_rows(spark: SparkSession, docs_view: str) -> DataFrame:
     """(doc_id, band, bh) band rows for every doc in `docs_view`
     (a registered view with doc_id + text columns)."""

@@ -15,6 +15,8 @@ Design rules (learned via the driver contract + verification):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .join import spatial
@@ -25,6 +27,20 @@ from .table import geo
 # helpers
 
 from .table.views import TABLES, register_views  # noqa: E402,F401
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet footer metadata only — no Spark job, no
+    data scan.  Handles both a single .parquet file and a directory of
+    part files (Spark-written datasets)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,9 +472,10 @@ GROUP BY r.rid ORDER BY r.rid
 # prefix).  Same oracle for both: the brute-force interval join.
 
 # centers chosen so the full point spread (lon ±0.5, lat ±0.3) stays
-# strictly inside ONE res-7 cell: lon cell [9.84375, 11.25), lat cell
-# [43.59375, 45.0) — the old 45.15 center straddled the exact lat
-# boundary at 45.0 and split the hot mass over two cells
+# strictly inside ONE res-7 cell (res-7 lon boundaries are multiples of
+# 2.8125°): lon cell [8.4375, 11.25), lat cell [43.59375, 45.0) — the
+# old 45.15 center straddled the exact lat boundary at 45.0 and split
+# the hot mass over two cells
 _SKEW_HOT_LON = 10.55
 _SKEW_HOT_LAT = 44.3
 
@@ -674,12 +691,14 @@ def q08_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIXED res lets points-per-cell grow linearly with the corpus and
     the candidate join goes quadratic: the sf3 scale run measured 62x
     wall at 30x data on res=6 (4,400 points/cell); adaptive res keeps
-    ~150/cell and the ratio linear.  Row count comes from parquet
-    metadata (no scan)."""
+    ~150/cell and the ratio linear.  Row count comes from the parquet
+    footer via pyarrow (a `df.count()` here would run a real scan job,
+    breaking the audit invariant that queries() builds plans without
+    executing actions)."""
     register_views(spark, sf_dir)
     import math
 
-    n_raw = spark.table("lineitem").count()  # metadata-only count
+    n_raw = _parquet_num_rows(os.path.join(sf_dir, "lineitem.parquet"))
     res_knn = 6 + max(0, math.ceil(math.log(max(n_raw / 600_000, 1.0), 4)))
     pts = spark.sql(geo.lineitem_points_sql())
     qs = (
@@ -4126,13 +4145,14 @@ QUERIES.update(OVERLAY_QUERIES)
 
 # ---------------------------------------------------------------------------
 # Registry ordering: queries the driver's correctness sampler has NEVER
-# scored (rounds 1-2 covered 90 of ~300; the sampler reads the registry
-# in order) rotate to the FRONT, so each round's 50-query window lands on
-# fresh families first and the whole registry becomes driver-audited over
-# a few rounds instead of re-sampling the same head (VERDICT r2 #7).
+# scored rotate to the FRONT (the sampler reads the registry in order),
+# followed by queries whose SEMANTICS OR PLAN CHANGED since the round
+# that last scored them, so each round's 50-query window lands on fresh
+# or re-validation-worthy families first (VERDICT r2 #7 + r4 "next" #2).
 # Every entry keeps its oracle; this reorders, never drops.
 
-_DRIVER_SCORED_R1_R3 = frozenset({
+# union of CORRECTNESS_r01..r04 keys (190 driver-scored queries)
+_DRIVER_SCORED_R1_R4 = frozenset({
     "q01_pricing_summary",
     "q02_top_revenue_orders",
     "q03_top_customers_per_nation",
@@ -4149,13 +4169,20 @@ _DRIVER_SCORED_R1_R3 = frozenset({
     "q104_contour_segments",
     "q108_raster_warp",
     "q10_bbox_agg",
+    "q110_exact_span_dedup",
+    "q111_repetition_signals",
+    "q112_token_chunking",
     "q113_trajectory_resample",
     "q114_temporal_composite",
+    "q115_zipf_vocab",
+    "q116_embedding_outliers",
     "q117_trending_cells",
+    "q118_graph_centrality",
     "q119_spatiotemporal_join",
     "q11_tile_assign_plan",
     "q120_map_matching",
     "q121_focal_hillshade",
+    "q122_pii_scrub",
     "q126_rasterize_polygons",
     "q128_cost_distance",
     "q129_spatiotemporal_knn",
@@ -4171,14 +4198,18 @@ _DRIVER_SCORED_R1_R3 = frozenset({
     "q139_morph_gradient",
     "q13_image_scalars",
     "q140_lbp_texture",
+    "q142_bpe_merge_rounds",
     "q144_stay_points",
     "q145_od_transitions",
     "q146_patch_extraction",
     "q147_kdop_hull_extremes",
     "q149_heading_reversals",
     "q14_pyramid_counts",
+    "q152_embedding_covariance",
     "q153_cover_compaction",
     "q154_viewshed_rays",
+    "q155_class_separation",
+    "q156_fuzzy_dedup",
     "q157_semivariogram",
     "q158_cooccurrence_lift",
     "q159_exact_median",
@@ -4207,6 +4238,8 @@ _DRIVER_SCORED_R1_R3 = frozenset({
     "q181_benford_audit",
     "q182_cusum_changepoint",
     "q183_footprint_iou",
+    "q184_collocations",
+    "q185_dsir_importance",
     "q186_gravity_model",
     "q187_kcore",
     "q188_ripley_k",
@@ -4215,29 +4248,57 @@ _DRIVER_SCORED_R1_R3 = frozenset({
     "q190_path_interpolation",
     "q191_grayworld",
     "q192_theil_sen",
+    "q193_domain_shift",
     "q194_attribution",
+    "q195_leakage_safe_split",
+    "q196_lsh_recall_audit",
+    "q197_source_overlap",
     "q198_psnr_verify",
     "q199_kanon_od",
     "q19_ann_bruteforce_topk",
     "q200_focal_median",
+    "q201_heaps_law",
     "q202_blur_laplacian",
+    "q203_hard_negatives",
+    "q204_int8_quant",
+    "q205_lexicon_screen",
+    "q206_containment_dedup",
+    "q207_skyline_selection",
     "q209_hist_signature_join",
     "q20_ann_lsh_bucketed",
     "q210_cc_blobs",
     "q211_segment_intersections",
     "q212_hough_lines",
+    "q213_template_match",
+    "q214_otsu_threshold",
+    "q215_bayer_dither",
+    "q219_ppjoin_similarity",
     "q21_text_stats",
+    "q222_power_iteration",
+    "q223_random_projection",
+    "q224_phrase_search",
+    "q225_palette_extraction",
     "q22_langid",
+    "q230_integral_image",
+    "q238_truncation_audit",
+    "q239_block_transform_energy",
     "q23_fingerprint_dedup",
+    "q243_tfidf_keywords",
+    "q246_kcenter_coreset",
     "q24_kde_heatmap",
+    "q258_ivf_recall_curve",
     "q25_numeric_stats",
     "q267_bitplane_preview",
+    "q268_neardup_transitivity",
     "q26_value_histogram",
+    "q272_span_token_alignment",
     "q27_cell_histogram",
+    "q285_embedding_decontamination",
     "q28_temporal_predicates",
     "q29_subsample_resolution",
     "q302_skew_salted_join",
     "q303_skew_unsalted_join",
+    "q305_custom_crs_kde",
     "q30_pip_rect_anti",
     "q31_sql_geom_filter",
     "q32_sql_geom_distance",
@@ -4263,7 +4324,14 @@ _DRIVER_SCORED_R1_R3 = frozenset({
     "q57_geodesic_distance_join",
     "q58_polygon_polygon_join",
     "q60_knn_geodesic",
+    "q62_mercator_tiles",
+    "q63_quality_score",
+    "q64_dup_clusters",
     "q65_polygon_bigbig_join",
+    "q67_sessionize",
+    "q82_ann_pq_adc",
+    "q83_semantic_dedup",
+    "q84_lm_familiarity",
     "q87_zonal_stats",
     "q88_trajectory_stats",
     "q89_idw_interpolation",
@@ -4271,11 +4339,31 @@ _DRIVER_SCORED_R1_R3 = frozenset({
     "q93_spatial_autocorrelation",
     "q94_coverage_gaps",
     "q95_band_math",
+    "q96_decontamination",
     "q97_json_props_rollup",
     "q98_focal_mean",
+    "q99_bm25_scoring",
 })
 
+# placed at the VERY FRONT (ahead of the never-scored pool) so the
+# driver's sample window re-validates them this round: scored only in
+# r1, but their shared hash text / plan knobs changed in
+# r4 (WORDVAL entropy fix, adaptive kNN res, sqrt(n) IVF) and r5 (bigint
+# widening + % 2^31 bound in WORDVAL): the driver should re-score these
+# right after the never-scored pool.
+_CHANGED_SINCE_SCORED = (
+    "q08_knn",
+    "q16_minhash_lsh_pairs",
+    "q39_simhash_neardup",
+    "q41_ann_ivf",
+    "q64_dup_clusters",
+    "q81_incremental_dedup",
+    "q185_dsir_importance",
+)
+
+_changed = {k: QUERIES[k] for k in _CHANGED_SINCE_SCORED if k in QUERIES}
 _undriven = {k: v for k, v in QUERIES.items()
-             if k not in _DRIVER_SCORED_R1_R3}
-_driven = {k: v for k, v in QUERIES.items() if k in _DRIVER_SCORED_R1_R3}
-QUERIES = {**_undriven, **_driven}
+             if k not in _DRIVER_SCORED_R1_R4 and k not in _changed}
+_driven = {k: v for k, v in QUERIES.items()
+           if k in _DRIVER_SCORED_R1_R4 and k not in _changed}
+QUERIES = {**_changed, **_undriven, **_driven}

@@ -35,12 +35,23 @@ def _adaptive_groups_sql(d) -> str:
     """Group-count expression that SCALES with the input: the dissolve's
     documented scale path ("a planet-scale dissolve first grid-partitions
     so each group holds a bounded rectangle count") made concrete.  At
-    <= 100k events the multiplier is 1 — byte-identical to the fixed-48
-    text at every gate/bench sf up to 0.1; at sf1 it is 10 (480 groups),
-    which turned the measured 15.5x sf0.1->sf1 wall ratio
-    (density-quadratic sweep pairs at fixed group count) linear."""
+    <= 25k events the multiplier is 1 — byte-identical to the fixed-48
+    text at the sf0.001/sf0.01 gate sfs.
+
+    Divisor history: r3 shipped 100k (group size n_g ~ 2083), which
+    turned the density-quadratic sweep linear — but with a large
+    constant: the sweep's TOTAL mass is n_rects x (slabs covered per
+    rect), and slabs-covered-per-rect = rect_width x (2 n_g / 360)
+    ~ 22 at n_g = 2083 — the coverage mass per GROUP grows with n_g^2,
+    so bounding the rect COUNT still left a 22-rows-per-rect multiplier
+    flowing through the slab join and both windows (q277's sf10 wall
+    ratio sat at 35x vs the ~10-20x flagship band, VERDICT r4).  r5
+    shrinks the divisor to 25k (n_g ~ 520, coverage ~ 5.5 rows/rect):
+    a strict 4x cut of window+join mass at every sf >= 0.1, while the
+    per-slab expected depth stays ~ 2.7 — still a real dissolve (the
+    q249 non-triviality lesson)."""
     return (f"({_Q277_GROUPS} * (SELECT greatest(cast(1 as bigint), "
-            f"{d.intdiv('cast(count(*) as bigint)', '100000')}) "
+            f"{d.intdiv('cast(count(*) as bigint)', '25000')}) "
             f"FROM events))")
 
 
@@ -68,6 +79,20 @@ def _q277_sql(d=None) -> str:
     The corpus is scanned once (reference:
     `RasterTileResizeSparkRunner.java` merges per-tile; no dissolve
     exists for vector footprints).
+
+    r5 plan surgery (the VERDICT r4 "name the term" item — the sf10
+    ratio was 35x vs the ~10-20x flagship band): (1) the named term was
+    coverage mass ~ 22 slab-coverage rows PER RECT at group size 2083
+    (see `_adaptive_groups_sql` — now ~ 5.5 at n_g ~ 520); (2) the
+    global `xs` UNION-distinct Exchange is gone — duplicate edges flow
+    into the SAME per-group lead() window that builds slabs, and the
+    `xe > xs` filter yields the identical distinct slab set (for a run
+    of k equal edges, only the last gets the next distinct value as its
+    lead; the rest produce zero-width rows the filter drops); (3) the
+    slab-join bin width follows the density (1 deg at n_g ~ 520, where
+    candidates/rect = (B + w)(2 n_g / 360 B-occupancy) + explode rows
+    is minimized) so the bin join stays within ~2x of the true
+    coverage output.
     """
     # NONLINEAR key perturbation: a purely linear key would make each
     # group's centers an arithmetic progression mod the lon/lat modulus —
@@ -81,15 +106,15 @@ def _q277_sql(d=None) -> str:
     cy = geo.lat_sql("event_id * 17 + (event_id % 127) * (event_id % 139) + 3")
     w = "(5e-1 + (event_id % 37) / 2e1)"
     h = "(4e-1 + (event_id % 29) / 2e1)"
-    # coarse x-bin equi-key for the slab-coverage join: a bare
-    # group-equi-join degenerates to O(rects x slabs) per group
-    # (measured 12s at sf0.1 on the q282 sibling); a rect explodes to
-    # the ~1-2 four-degree bins it spans and meets only slabs whose
-    # LEFT edge shares the bin — exact, because a covered slab's left
-    # edge lies inside the rect's x-range
+    # x-bin equi-key for the slab-coverage join: a bare group-equi-join
+    # degenerates to O(rects x slabs) per group (measured 12s at sf0.1
+    # on the q282 sibling); a rect explodes to the 1-degree bins it
+    # spans and meets only slabs whose LEFT edge shares the bin —
+    # exact, because a covered slab's left edge lies inside the rect's
+    # x-range
     xb = d.explode(d.seq(
-        "cast(floor((x0 + 180e0) / 4e0) as bigint)",
-        "cast(floor((x1 + 180e0) / 4e0) as bigint)"))
+        "cast(floor(x0 + 180e0) as bigint)",
+        "cast(floor(x1 + 180e0) as bigint)"))
     return f"""
 WITH r AS (
   SELECT event_id AS rid, cast(event_id % {_adaptive_groups_sql(d)} as bigint) AS g,
@@ -98,7 +123,7 @@ WITH r AS (
   FROM events
 ),
 xs AS (
-  SELECT g, x0 AS x FROM r UNION SELECT g, x1 FROM r
+  SELECT g, x0 AS x FROM r UNION ALL SELECT g, x1 FROM r
 ),
 slabs AS (
   SELECT g, x AS xs, lead(x) OVER (PARTITION BY g ORDER BY x) AS xe
@@ -108,8 +133,8 @@ rb AS (
   SELECT r.*, {xb} AS xb FROM r
 ),
 sb AS (
-  SELECT g, xs, xe, cast(floor((xs + 180e0) / 4e0) as bigint) AS xb
-  FROM slabs WHERE xe IS NOT NULL
+  SELECT g, xs, xe, cast(floor(xs + 180e0) as bigint) AS xb
+  FROM slabs WHERE xe IS NOT NULL AND xe > xs
 ),
 cov AS (
   SELECT /*+ REPARTITION(g, xs) */ * FROM (
@@ -652,10 +677,11 @@ def _q282_sql(d=None) -> str:
     cy = geo.lat_sql("event_id * 17 + (event_id % 127) * (event_id % 139) + 3")
     w = "(5e-1 + (event_id % 37) / 2e1)"
     h = "(4e-1 + (event_id % 29) / 2e1)"
-    # same binned slab-coverage join as q277 (exact; see there)
+    # same binned slab-coverage join as q277 (exact; dedup-free slab
+    # build + density-matched 1-degree bins — see there)
     xb = d.explode(d.seq(
-        "cast(floor((x0 + 180e0) / 4e0) as bigint)",
-        "cast(floor((x1 + 180e0) / 4e0) as bigint)"))
+        "cast(floor(x0 + 180e0) as bigint)",
+        "cast(floor(x1 + 180e0) as bigint)"))
     return f"""
 WITH r AS (
   SELECT event_id AS rid, cast(event_id % {_adaptive_groups_sql(d)} as bigint) AS g,
@@ -664,7 +690,7 @@ WITH r AS (
   FROM events
 ),
 xs AS (
-  SELECT g, x0 AS x FROM r UNION SELECT g, x1 FROM r
+  SELECT g, x0 AS x FROM r UNION ALL SELECT g, x1 FROM r
 ),
 slabs AS (
   SELECT g, x AS xs, lead(x) OVER (PARTITION BY g ORDER BY x) AS xe
@@ -674,8 +700,8 @@ rb AS (
   SELECT r.*, {xb} AS xb FROM r
 ),
 sb AS (
-  SELECT g, xs, xe, cast(floor((xs + 180e0) / 4e0) as bigint) AS xb
-  FROM slabs WHERE xe IS NOT NULL
+  SELECT g, xs, xe, cast(floor(xs + 180e0) as bigint) AS xb
+  FROM slabs WHERE xe IS NOT NULL AND xe > xs
 ),
 cov AS (
   SELECT /*+ REPARTITION(g, xs) */ * FROM (

@@ -203,15 +203,13 @@ def q81_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
     )
-    # the path carries a fingerprint of the shared hash formula: a change
-    # to WORDVAL/minhash text must invalidate the persisted index, or the
-    # new-formula batch bands would probe a stale-formula index (r4: the
-    # wordval entropy fix silently broke the cached index until this key)
-    import hashlib
-
-    from .functions import sqlgen as G
-
-    fp = hashlib.md5(G.WORDVAL.encode()).hexdigest()[:8]
+    # the path carries a fingerprint of the FULL band formula (shingle
+    # SQL + minhash schedule + band fold): a change to ANY of it must
+    # invalidate the persisted index, or the new-formula batch bands
+    # would probe a stale-formula index (r4: the wordval entropy fix
+    # silently broke the cached index until this key; a WORDVAL-only
+    # hash would miss changes to the minhash/band constants)
+    fp = DX.formula_fingerprint()
     path = os.path.join(
         scratch,
         f"dedup_idx_{os.path.basename(os.path.normpath(sf_dir))}_{fp}",

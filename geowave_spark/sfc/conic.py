@@ -64,8 +64,16 @@ def _t(phi, e):
 
 
 def _q(phi, e):
-    """Snyder 3-12: authalic-latitude q for Albers."""
+    """Snyder 3-12: authalic-latitude q for Albers.
+
+    e == 0 (a spherical SPHEROID with inverse-flattening 0, e.g.
+    Sphere_ARC_INFO `.prj` definitions) is the well-defined limit
+    q = 2 sin(phi) — the 1/(2e) form divides by zero, so the sphere
+    branch is explicit rather than NaN (Snyder's 14-3 sphere equations
+    are exactly this limit)."""
     s = np.sin(phi)
+    if e < 1e-12:
+        return 2.0 * s
     return (1.0 - e * e) * (
         s / (1.0 - (e * s) ** 2)
         - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s)))
@@ -163,10 +171,14 @@ def albers_inverse(x, y, p: ConicParams):
     for _ in range(6):
         s = np.sin(phi)
         den = 1.0 - e2 * s * s
+        # sphere limit of (1/2e)·ln((1-es)/(1+es)) is -s (see _q)
+        log_term = (-s if e < 1e-12 else
+                    (1.0 / (2.0 * e))
+                    * np.log((1.0 - e * s) / (1.0 + e * s)))
         phi = phi + (den * den / (2.0 * np.cos(phi))) * (
             qp / (1.0 - e2)
             - s / den
-            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s)))
+            + log_term)
     return np.degrees(th / n) + p.lon0, np.degrees(phi)
 
 

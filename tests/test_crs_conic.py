@@ -93,6 +93,54 @@ def test_albers_preserves_area():
     assert np.abs(h * k - 1.0).max() < 1e-5    # equal-area: h*k == 1
 
 
+def test_albers_sphere_limit_matches_snyder_sphere_example():
+    """e == 0 (spherical SPHEROID, inverse-flattening 0) previously
+    produced silent NaN via the 1/(2e) division in _q (ADVICE r4).  The
+    explicit sphere-limit branch must reproduce Snyder PP 1395's
+    SPHERICAL Albers worked example (p.291-292: R=1, parallels
+    29.5/45.5, origin 23/-96, point 35N 75W -> x=0.2952720,
+    y=0.2416774), round-trip, and be the continuous limit of the
+    ellipsoidal forms as f -> 0."""
+    sp = conic.ConicParams("albers", 29.5, 45.5, 23.0, -96.0,
+                           0.0, 0.0, 1.0, 0.0)
+    x, y = conic.albers_forward(-75.0, 35.0, sp)
+    assert abs(float(x) - 0.2952720) < 5e-7
+    assert abs(float(y) - 0.2416774) < 5e-7
+    lon, lat = conic.albers_inverse(x, y, sp)
+    assert abs(float(lon) + 75.0) < 1e-9 and abs(float(lat) - 35.0) < 1e-9
+    # continuity: a vanishing-flattening ellipsoid converges to the sphere
+    pe = conic.ConicParams("albers", 29.5, 45.5, 23.0, -96.0,
+                           0.0, 0.0, 1.0, 1e-10)
+    xe, ye = conic.albers_forward(-75.0, 35.0, pe)
+    assert abs(float(xe) - float(x)) < 1e-9
+    assert abs(float(ye) - float(y)) < 1e-9
+
+
+def test_parse_prj_spherical_albers_no_nan():
+    """A Sphere_ARC_INFO-style .prj (authalic sphere, flattening 0) must
+    come back finite through parse + forward + inverse, not NaN."""
+    prj = (
+        'PROJCS["Sphere_Albers",GEOGCS["GCS_Sphere_ARC_INFO",'
+        'DATUM["D_Sphere_ARC_INFO",'
+        'SPHEROID["Sphere_ARC_INFO",6370997.0,0.0]]],'
+        'PROJECTION["Albers"],'
+        'PARAMETER["False_Easting",0.0],'
+        'PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",-96.0],'
+        'PARAMETER["Standard_Parallel_1",29.5],'
+        'PARAMETER["Standard_Parallel_2",45.5],'
+        'PARAMETER["Latitude_Of_Origin",23.0],UNIT["Meter",1.0]]')
+    p = conic.parse_prj_conic(prj)
+    assert p is not None and p.f == 0.0 and p.e == 0.0
+    lon = np.array([-120.0, -96.0, -75.0])
+    lat = np.array([30.0, 40.0, 48.0])
+    x, y = conic.conic_forward(lon, lat, p)
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+    lon2, lat2 = conic.conic_inverse(x, y, p)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
 def test_parse_crs_conic_codes_and_prj():
     kind, params, _ = utm.parse_crs("EPSG:5070")
     assert kind == "conic" and params.kind == "albers"

@@ -863,15 +863,16 @@ def _gate_one(spark, tmp_path, qname: str, n_events: int, n_users: int):
 
 
 def test_q277_adaptive_groups_boundary(spark, tmp_path):
-    """VERDICT r3 item 7: the group-count multiplier flips 1 -> 2 at
-    exactly 200_000 events (count div 100_000).  Both engines must agree
-    ON the boundary and one past it, and the knob must actually switch
-    (48 vs 96 distinct groups)."""
+    """VERDICT r3 item 7 (knob re-tuned r5): the group-count multiplier
+    flips 1 -> 2 at exactly 50_000 events (count div 25_000 — the r5
+    divisor that bounds per-group COVERAGE mass, not just rect count).
+    Both engines must agree ON the boundary and one past it, and the
+    knob must actually switch (48 vs 96 distinct groups)."""
     got_lo, exp_lo = _gate_one(spark, tmp_path, "q277_rect_dissolve",
-                               199_999, 500)
+                               49_999, 500)
     assert got_lo == exp_lo
     got_hi, exp_hi = _gate_one(spark, tmp_path, "q277_rect_dissolve",
-                               200_000, 500)
+                               50_000, 500)
     assert got_hi == exp_hi
     assert len(got_lo) == 48 and len(got_hi) == 96
 

@@ -731,7 +731,30 @@ def _wordval(w: str) -> int:
     coeffs = [_G._splitmix31(100 + i) % 500_000 | 1 for i in range(16)]
     clen = _G._splitmix31(99) % 500_000 | 1
     return (sum(c * ord(w[i]) for i, c in enumerate(coeffs) if i < len(w))
-            + clen * len(w))
+            + clen * len(w)) % 2**31
+
+
+def test_wordval_non_ascii_cross_engine(spark):
+    """WORDVAL must agree across Spark / DuckDB / python for tokens with
+    codepoints >= ~5351 (CJK etc.): the pre-fix expression multiplied
+    ascii() by ~4e5 coefficients in INT32, so DuckDB raised an overflow
+    error while Spark silently wrapped — the engines diverged on any
+    non-ASCII text (ADVICE r4, medium).  Per-term bigint widening + the
+    % 2^31 bound fixes it without changing any ASCII hash value."""
+    import duckdb
+
+    import geowave_spark.functions.sqlgen as G
+
+    words = ["hello", "中文词", "naïve", "Ωmega", "日本語のテキスト",
+             "кириллица", "x" * 40]
+    con = duckdb.connect()
+    for w in words:
+        lit = "'" + w + "'"
+        sv = spark.sql(f"SELECT {G._wordval_expr(lit)} AS v").collect()[0].v
+        dv = con.execute("SELECT " + G._wordval_expr(lit)).fetchone()[0]
+        pv = _wordval(w)
+        assert sv == dv == pv, (w, sv, dv, pv)
+        assert 0 <= sv < 2**31
 
 
 def test_q110_spans_match_python_bruteforce(spark, sf_dir):
