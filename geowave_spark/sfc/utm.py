@@ -156,6 +156,7 @@ def parse_crs(crs: str | int) -> tuple[str, int, bool]:
     the UTM zone name or a trailing EPSG authority code — the same two
     signals GeoTools' CRS.decode path keys on)."""
     from . import conic as _conic
+    from . import polar as _polar
 
     if isinstance(crs, int):
         crs = f"EPSG:{crs}"
@@ -171,6 +172,8 @@ def parse_crs(crs: str | int) -> tuple[str, int, bool]:
         if code in _conic.EPSG_CONIC:
             # conic family: the params object rides in the zone slot
             return "conic", _conic.EPSG_CONIC[code], True
+        if code in _polar.EPSG_POLAR:
+            return "polar", _polar.EPSG_POLAR[code], True
         raise ValueError(f"unsupported CRS code EPSG:{code}")
     # .prj WKT text
     m = _PRJ_UTM_RE.search(crs)
@@ -179,6 +182,9 @@ def parse_crs(crs: str | int) -> tuple[str, int, bool]:
     cp = _conic.parse_prj_conic(crs)
     if cp is not None:
         return "conic", cp, True
+    pp = _polar.parse_prj_polar(crs)
+    if pp is not None:
+        return "polar", pp, True
     m = _PRJ_EPSG_RE.search(crs.strip())
     if m:
         return parse_crs(int(m.group(1)))
@@ -197,6 +203,10 @@ def reproject_xy(x, y, crs: str | int):
         from . import conic as _conic
 
         return _conic.conic_inverse(x, y, zone)
+    if kind == "polar":
+        from . import polar as _polar
+
+        return _polar.polar_inverse(x, y, zone)
     return utm_inverse(x, y, zone, north)
 
 
