@@ -264,10 +264,47 @@ def _run_scaling_level(cores: int) -> dict[str, list]:
     raise RuntimeError(f"scaling worker produced no result: {out.stderr[-2000:]}")
 
 
+def _isolated_query_worker(name: str) -> None:
+    """Child process: run ONE query in a fresh JVM, print its samples.
+
+    Spill-domain isolation (the sf10 lesson, BASELINE §8.3): a heavy
+    query that exhausts `spark.local.dir` takes every later query in the
+    same JVM down with it — its shuffle/spill files share one disk
+    budget and one block manager.  `--isolate q16,q64` gives the listed
+    queries their own JVM (own spill dir lifecycle, own heap), the
+    single-box analog of running them as separate cluster applications.
+    """
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(spark)
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    samples = sorted(run_query(spark, name, SF_DIR) for _ in range(reps))
+    spark.stop()
+    print("ISOLATED_RESULT " + json.dumps({name: samples}))
+
+
+def _run_isolated(name: str) -> list[float]:
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--isolated-query", name]
+    out = subprocess.run(cmd, env=dict(os.environ), capture_output=True,
+                         text=True, check=True)
+    for line in reversed(out.stdout.splitlines()):
+        if line.startswith("ISOLATED_RESULT "):
+            return json.loads(line[len("ISOLATED_RESULT "):])[name]
+    raise RuntimeError(f"isolated worker produced no result: {out.stderr[-2000:]}")
+
+
 def main() -> None:
     if "--scaling-worker" in sys.argv:
         _scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
         return
+    if "--isolated-query" in sys.argv:
+        _isolated_query_worker(sys.argv[sys.argv.index("--isolated-query") + 1])
+        return
+    isolate: set[str] = set()
+    if "--isolate" in sys.argv:
+        isolate = set(
+            sys.argv[sys.argv.index("--isolate") + 1].split(","))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -286,7 +323,11 @@ def main() -> None:
         reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
         for name in BENCH_QUERIES:
             print(f"BENCH_PROGRESS {name}", file=sys.stderr, flush=True)
-            samples = sorted(run_query(spark, name, SF_DIR) for _ in range(reps))
+            if name in isolate:
+                samples = sorted(_run_isolated(name))
+            else:
+                samples = sorted(
+                    run_query(spark, name, SF_DIR) for _ in range(reps))
             times[name] = round(samples[0], 3)
             medians[name] = round(samples[len(samples) // 2], 3)
         spark.stop()
