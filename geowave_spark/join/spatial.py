@@ -510,6 +510,38 @@ def resolve_query_side(spark: SparkSession, queries: DataFrame,
     return queries.limit(cap + 1).count() <= cap
 
 
+def _bigbig_cand(spark, pts_c, q_cover, pid_col, per_row, queries,
+                 salt_buckets, shuffle_strategy):
+    """Big-big candidate join: build-side-sized strategy pick (the r5
+    sf10 sweep's lesson).
+
+    The salted ShuffledHashJoin replicates the whole query cover
+    ``salt_buckets`` times and builds an in-memory hash map per
+    partition — fastest when that build fits (hash maps never sort),
+    but SHJ has NO spill: a 100x query side pushed the per-partition
+    build past executor memory (q07 sf10: "There is not enough memory
+    to build hash map").  Past a ~256 MB estimated build the join
+    flips to an UNSALTED sort-merge on the cell key: SMJ sorts spill
+    gracefully and AQE's skew-join splitting (enabled session-wide)
+    replaces the salt for hot cells.  ``shuffle_strategy``: "auto"
+    (LIMIT-count estimate), "hash", or "merge" (callers that know the
+    size from table metadata pass it explicitly, keeping plan build
+    action-free)."""
+    if shuffle_strategy == "auto":
+        cap = max(1, (256 << 20) // (per_row * salt_buckets))
+        use_hash = queries.limit(cap + 1).count() <= cap
+    else:
+        use_hash = shuffle_strategy == "hash"
+    if use_hash:
+        q_cover = q_cover.withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+        )
+        pts_c = cov.salted(pts_c, pid_col, salt_buckets)
+        return pts_c.join(q_cover.hint("shuffle_hash"), ["cell", "salt"])
+    return pts_c.join(q_cover.hint("merge"), "cell")
+
+
 def within_distance_join(
     spark: SparkSession,
     pts: DataFrame,
@@ -521,6 +553,7 @@ def within_distance_join(
     res: int = 8,
     broadcast_queries: bool | str = "auto",
     salt_buckets: int = 8,
+    shuffle_strategy: str = "auto",
 ) -> DataFrame:
     """All (point, query) pairs with planar distance <= radius.
 
@@ -563,12 +596,9 @@ def within_distance_join(
     if broadcast_queries:
         cand = pts_c.join(F.broadcast(q_cover), "cell")
     else:
-        q_cover = q_cover.withColumn(
-            "salt",
-            F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
-        )
-        pts_c = cov.salted(pts_c, pid_col, salt_buckets)
-        cand = pts_c.join(q_cover.hint("shuffle_hash"), ["cell", "salt"])
+        cand = _bigbig_cand(spark, pts_c, q_cover, pid_col,
+                            48 * (2 * k + 1) ** 2, queries,
+                            salt_buckets, shuffle_strategy)
     # (a-b)*(a-b), not pow(a-b, 2): Multiply is bit-identical to the SQL
     # oracle's formulation; Math.pow may differ in the last ulp
     dx = F.col("lon") - F.col("qlon")
@@ -914,6 +944,7 @@ def within_distance_join_geodesic(
     res: int = 7,
     broadcast_queries: bool | str = "auto",
     salt_buckets: int = 8,
+    shuffle_strategy: str = "auto",
 ) -> DataFrame:
     """All (point, query) pairs within a GEODESIC radius in km — the
     "within 5 km" query planar degrees cannot express.
@@ -940,12 +971,10 @@ def within_distance_join_geodesic(
     if broadcast_queries:
         cand = pts_c.join(F.broadcast(q_cover), "cell")
     else:
-        q_cover = q_cover.withColumn(
-            "salt",
-            F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
-        )
-        pts_c = cov.salted(pts_c, pid_col, salt_buckets)
-        cand = pts_c.join(q_cover.hint("shuffle_hash"), ["cell", "salt"])
+        k_geo = int(np.ceil(radius_km / cell_h_km))
+        cand = _bigbig_cand(spark, pts_c, q_cover, pid_col,
+                            48 * (2 * k_geo + 1) ** 2, queries,
+                            salt_buckets, shuffle_strategy)
     dist = F.expr(haversine_km_sql("lon", "lat", "qlon", "qlat"))
     return (
         cand.withColumn("dist_km", dist)

@@ -614,13 +614,29 @@ def q07_distance_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     pts = spark.sql(geo.lineitem_points_sql())
     qs = spark.sql(geo.customer_points_sql()).withColumnRenamed("cid", "qid")
-    # explicit broadcast: the query side is the customer sample (~1.5% of
-    # points, ~35 MB of cover rows at sf0.1) — comfortably executor-sized
-    # but past the conservative 10 MB autoBroadcastJoinThreshold, where
-    # the "auto" default would fall back to the salted shuffle (measured
-    # 2x slower here; the zero-shuffle plan is pinned in tests/test_plans)
+    # SIZE-DERIVED build side (metadata-only, no scan job): the query
+    # side is the full customer table, whose cover is ~35 MB at sf0.1 —
+    # comfortably executor-sized but past the conservative 10 MB
+    # autoBroadcastJoinThreshold (the "auto" fallback measured 2x
+    # slower there), so rounds 1-4 pinned broadcast=True.  The r5 sf10
+    # sweep killed that pin: at 100x the same cover is ~3.5 GB and the
+    # fixed broadcast dies of GC overhead — the classic
+    # broadcast-a-growing-side scale bug.  The choice now mirrors
+    # resolve_query_side's estimate with an executor-honest 64 MB cap:
+    # broadcast through sf0.1, salted shuffle beyond (plan equality is
+    # asserted in tests/test_spatial_join.py).
+    import math as _math
+
+    k_disk = int(_math.ceil(2.0 / (180.0 / (1 << 8))))
+    per_row = 48 * (2 * k_disk + 1) ** 2
+    n_q = _parquet_num_rows(os.path.join(sf_dir, "customer.parquet"))
+    bcast = per_row * n_q <= (64 << 20)
+    # past broadcast, pick hash vs merge from the same metadata count
+    # (explicit strategy keeps plan build action-free for the audit)
+    strat = "hash" if per_row * n_q * 8 <= (256 << 20) else "merge"
     pairs = spatial.within_distance_join(spark, pts, qs, radius=2.0, qid_col="qid",
-                                         res=8, broadcast_queries=True)
+                                         res=8, broadcast_queries=bcast,
+                                         shuffle_strategy=strat)
     return (
         pairs.groupBy("qid")
         .agg(

@@ -1690,13 +1690,24 @@ def _q185(d: G.Dialect) -> str:
     bucket aggregates, and the bucket table is FIXED at 1024 rows — the
     lift join back onto the token stream is always a broadcast, so the
     whole operator is two keyed aggregates over the corpus regardless of
-    scale.  (At 10^12 docs the bigint products stay safe: counts enter
-    the lift as per-bucket values <= total tokens ~ 10^15 only inside
-    (ct+1)*1e6, bounded 1e21 — production would flip to the per-rate
-    micro form; at bench scales the exact product form is used.)
-    Reference analog: none — GeoWave has no corpus ops; this is the
-    data-mixing primitive next to q77's source sampler."""
+    scale.
+
+    The lift is the PER-RATE micro form: bucket rates rt/rr in micro
+    units via a pre-divided denominator (den = n div 1000 + 1, rate =
+    count * 1000 div den), then l_micro = (rt+1)*1e6 div (rr+1).  Every
+    intermediate is bounded — rate <= ~1e6, products <= ~1e12, count *
+    1000 safe to ~9e15 tokens (petabyte-scale text).  History: round 4
+    shipped the exact product form (ct+1)*(nr+1024)*1e6 with a comment
+    deferring the rate form to "production"; the round-5 sf10 sweep
+    DID overflow it — a Zipf-heavy bucket at 27M tokens pushed the
+    product past int64 (Spark ANSI raised, and DuckDB would raise on
+    the same text) — so "production" is any corpus past ~10M tokens
+    and the rate form is now the only form.  Reference analog: none —
+    GeoWave has no corpus ops; this is the data-mixing primitive next
+    to q77's source sampler."""
     bucket = d.xform("v", "x % 1024")
+    rt = d.intdiv("a.ct * 1000", "tots.dent")
+    rr = d.intdiv("a.cr * 1000", "tots.denr")
     return f"""
 WITH wv AS (SELECT doc_id, lang, {G.wordvals(d)} AS v FROM documents),
 tok AS (SELECT doc_id, lang, {d.explode(bucket)} AS b FROM wv),
@@ -1706,13 +1717,13 @@ allc AS (
   FROM tok GROUP BY b
 ),
 tots AS (
-  SELECT cast(sum(cr) as bigint) AS nr, cast(sum(ct) as bigint) AS nt
+  SELECT {d.intdiv('cast(sum(cr) as bigint)', '1000')} + 1 AS denr,
+         {d.intdiv('cast(sum(ct) as bigint)', '1000')} + 1 AS dent
   FROM allc
 ),
 lift AS (
   SELECT a.b,
-         cast({d.intdiv('(a.ct + 1) * (tots.nr + 1024) * 1000000',
-                        '(a.cr + 1) * (tots.nt + 1024)')} as bigint) AS l_micro
+         cast({d.intdiv(f'(({rt}) + 1) * 1000000', f'(({rr}) + 1)')} as bigint) AS l_micro
   FROM allc a CROSS JOIN tots
 )
 SELECT t.doc_id, cast(count(*) as bigint) AS n_tok,
@@ -1751,6 +1762,8 @@ def _q185_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = G.SPARK
     wv = _wordval_expr("w")
+    rt = d.intdiv("a.ct * 1000", "tots.dent")
+    rr = d.intdiv("a.cr * 1000", "tots.denr")
     return spark.sql(f"""
 WITH tok AS (
   SELECT doc_id, en, ({wv}) % 1024 AS b
@@ -1764,13 +1777,13 @@ allc AS (
   FROM tok GROUP BY b
 ),
 tots AS (
-  SELECT cast(sum(cr) as bigint) AS nr, cast(sum(ct) as bigint) AS nt
+  SELECT {d.intdiv('cast(sum(cr) as bigint)', '1000')} + 1 AS denr,
+         {d.intdiv('cast(sum(ct) as bigint)', '1000')} + 1 AS dent
   FROM allc
 ),
 lift AS (
   SELECT a.b,
-         cast({d.intdiv('(a.ct + 1) * (tots.nr + 1024) * 1000000',
-                        '(a.cr + 1) * (tots.nt + 1024)')} as bigint) AS l_micro
+         cast({d.intdiv(f'(({rt}) + 1) * 1000000', f'(({rr}) + 1)')} as bigint) AS l_micro
   FROM allc a CROSS JOIN tots
 )
 SELECT t.doc_id, cast(count(*) as bigint) AS n_tok,

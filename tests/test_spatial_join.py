@@ -256,6 +256,24 @@ def test_within_distance_shuffle_equals_broadcast(spark, pts):
     assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
 
 
+def test_within_distance_merge_equals_broadcast(spark, pts):
+    """The third big-big tier — UNSALTED sort-merge on the cell key (the
+    r5 sf10 lesson: a query cover too large for the salted SHJ's
+    in-memory build must flip to a spillable SMJ + AQE skew split) —
+    must also return exactly the broadcast strategy's pairs."""
+    qs = pts.filter(F.col("pid") % 37 == 0).selectExpr(
+        "pid AS qid", "lon", "lat")
+    bc = spatial.within_distance_join(spark, pts, qs, radius=3.0, res=7)
+    mg = spatial.within_distance_join(
+        spark, pts, qs, radius=3.0, res=7,
+        broadcast_queries=False, shuffle_strategy="merge")
+    a = sorted(map(tuple, bc.toPandas()[["pid", "qid"]].to_numpy().tolist()))
+    b = sorted(map(tuple, mg.toPandas()[["pid", "qid"]].to_numpy().tolist()))
+    assert a == b and len(a) > 0
+    plan = mg._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+
+
 def test_knn_shuffle_equals_broadcast(spark, pts):
     from geowave_spark.knn import knn as knn_mod
 
