@@ -4368,6 +4368,11 @@ _DRIVER_SCORED_R1_R4 = frozenset({
 # widening + % 2^31 bound in WORDVAL): the driver should re-score these
 # right after the never-scored pool.
 _CHANGED_SINCE_SCORED = (
+    # brand-new in r5 (polar + oblique CRS families): never scored, and
+    # their whole family (custom-CRS registry entries) has exactly one
+    # prior driver sample (q305 in r4) — score them first
+    "q306_polar_crs_grid",
+    "q307_oblique_crs_grid",
     "q08_knn",
     "q16_minhash_lsh_pairs",
     "q39_simhash_neardup",

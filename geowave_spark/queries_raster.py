@@ -2721,3 +2721,249 @@ FROM fine GROUP BY 1 ORDER BY pcell
 
 
 RASTER_QUERIES["q305_custom_crs_kde"] = (q305_custom_crs_kde, _q305_sql())
+
+
+# ------------------------------- q306/q307 polar + oblique CRS grid stats
+#
+# The two CRS families round 5 added (sfc/polar.py, sfc/oblique.py) get
+# driver-scorable registry entries in the q305 mold: the engine projects
+# in ONE Arrow-batched pandas UDF (the only Python on the data path) and
+# aggregates per projected-meter grid cell in pure JVM; the oracle
+# re-derives the same projection as DuckDB SQL transcendentals from the
+# identical embedded constants — a fully independent second
+# implementation (reference parity: GeoTools-resolvable-CRS ingest,
+# `core/geotime/.../util/GeometryUtils.java` in /root/reference).
+# All literals are cast(:: as double) so DuckDB never parses them as
+# DECIMAL (a bare `6378137.0 * ...` overflows DECIMAL(18) multiply).
+
+
+def _dlit(v: float) -> str:
+    return f"cast({v!r} as double)"
+
+
+# q306: NSIDC sea-ice grid (EPSG:3413, polar stereographic north).
+# 200 km cells over the [-3.2e6, 3.2e6)^2 envelope (the standard sea-ice
+# grid extent); per-cell event count, exact milli-value mass, and the
+# projected-meter bbox (per-tile bounds statistics, the
+# BoundingBoxStatistic analog in projected space).
+_Q306_CELL = 200_000
+_Q306_X0, _Q306_X1 = -3_200_000, 3_200_000
+_Q306_NX = (_Q306_X1 - _Q306_X0) // _Q306_CELL
+
+
+def _q306_consts():
+    from .sfc import polar as polar_mod
+
+    p = polar_mod.EPSG_POLAR[3413]
+    return p, polar_mod._rho_scale(p)
+
+
+def _q306_points_sql() -> str:
+    from .table import geo
+
+    lon, lat = geo.lon_sql("event_id"), geo.lat_sql("event_id")
+    return (f"SELECT {lon} AS lon, {lat} AS lat, "
+            f"cast(floor(value * 1000e0) as bigint) AS val_milli "
+            f"FROM events WHERE {lat} >= 60e0")
+
+
+def q306_polar_crs_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polar-region binned statistics in EPSG:3413 (WGS 84 / NSIDC Sea
+    Ice Polar Stereographic North): events above 60N project through the
+    ellipsoidal polar forward (`sfc/polar.polar_forward`, vectorized
+    numpy in one Arrow batch UDF), floor to integer meters, bin into the
+    200 km sea-ice grid, and aggregate count + value mass + the
+    projected bbox per cell — everything after the projection is
+    whole-stage-codegen JVM."""
+    import numpy as np
+    import pandas as pd
+
+    from .sfc import polar as polar_mod
+    from .table.views import register_views
+
+    register_views(spark, sf_dir)
+    p, _c = _q306_consts()
+
+    @F.pandas_udf("x double, y double")
+    def _proj(lon, lat):  # no hints: module has future-annotations
+        x, y = polar_mod.polar_forward(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), p)
+        return pd.DataFrame({"x": x, "y": y})
+
+    _proj = _proj.asNondeterministic()   # single ArrowEvalPython (q305 idiom)
+
+    cell, x0, x1, nx = _Q306_CELL, _Q306_X0, _Q306_X1, _Q306_NX
+    pts = spark.sql(_q306_points_sql())
+    g = (
+        pts.select(_proj("lon", "lat").alias("pxy"), "val_milli")
+        .select(F.expr("cast(floor(pxy.x) as bigint)").alias("xm"),
+                F.expr("cast(floor(pxy.y) as bigint)").alias("ym"),
+                "val_milli")
+        .filter(f"xm >= {x0} AND xm < {x1} AND ym >= {x0} AND ym < {x1}")
+        .select(F.expr(f"((ym - {x0}) div {cell}) * {nx} "
+                       f"+ (xm - {x0}) div {cell}").alias("cell_id"),
+                "xm", "ym", "val_milli")
+    )
+    return (
+        g.groupBy("cell_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("val_milli").alias("val_milli"),
+             F.min("xm").alias("xm_min"), F.max("xm").alias("xm_max"),
+             F.min("ym").alias("ym_min"), F.max("ym").alias("ym_max"))
+        .orderBy("cell_id")
+    )
+
+
+def _q306_sql() -> str:
+    """DuckDB oracle: the polar-stereographic forward (Snyder 21-30/31/
+    33/34) as SQL transcendentals on the embedded constants."""
+    p, c = _q306_consts()
+    e = p.e
+    a_c = _dlit(p.a * c)
+    el, e2l, lon0 = _dlit(e), _dlit(e / 2.0), _dlit(p.lon0)
+    cell, x0, x1, nx = _Q306_CELL, _Q306_X0, _Q306_X1, _Q306_NX
+    return f"""
+WITH p0 AS ({_q306_points_sql()}),
+tr AS (SELECT val_milli,
+  {a_c} * tan(pi()/4.0 - radians(lat)/2.0)
+    / pow((1.0 - {el} * sin(radians(lat))) / (1.0 + {el} * sin(radians(lat))), {e2l}) AS rho,
+  radians(lon - {lon0}) AS th FROM p0),
+m AS (SELECT val_milli,
+  cast(floor(rho * sin(th)) as bigint) AS xm,
+  cast(floor(-rho * cos(th)) as bigint) AS ym FROM tr),
+g AS (SELECT val_milli, xm, ym,
+  ((ym - {x0}) // {cell}) * {nx} + (xm - {x0}) // {cell} AS cell_id
+  FROM m WHERE xm >= {x0} AND xm < {x1} AND ym >= {x0} AND ym < {x1})
+SELECT cell_id, cast(count(*) as bigint) AS n_events,
+       cast(sum(val_milli) as bigint) AS val_milli,
+       min(xm) AS xm_min, max(xm) AS xm_max,
+       min(ym) AS ym_min, max(ym) AS ym_max
+FROM g GROUP BY 1 ORDER BY cell_id
+"""
+
+
+RASTER_QUERIES["q306_polar_crs_grid"] = (q306_polar_crs_grid, _q306_sql())
+
+
+# q307: RSO Borneo (EPSG:29873, Hotine oblique Mercator variant B on
+# Everest 1830).  100 km cells over the rotated national grid; per-cell
+# event count, distinct users, and exact milli-value mass.
+_Q307_CELL = 100_000
+_Q307_X0, _Q307_X1 = -400_000, 1_600_000
+_Q307_Y0, _Q307_Y1 = -600_000, 1_400_000
+_Q307_NX = (_Q307_X1 - _Q307_X0) // _Q307_CELL
+_Q307_WIN = (100.0, 125.0, -5.0, 10.0)    # lon0 lon1 lat0 lat1 (Borneo zone)
+
+
+def _q307_consts():
+    from .sfc import oblique as oblique_mod
+
+    p = oblique_mod.EPSG_HOTINE[29873]
+    return p, oblique_mod._consts(p)
+
+
+def _q307_points_sql() -> str:
+    from .table import geo
+
+    lon, lat = geo.lon_sql("event_id"), geo.lat_sql("event_id")
+    w = _Q307_WIN
+    return (f"SELECT {lon} AS lon, {lat} AS lat, user_id, "
+            f"cast(floor(value * 1000e0) as bigint) AS val_milli "
+            f"FROM events WHERE {lon} BETWEEN {w[0]!r} AND {w[1]!r} "
+            f"AND {lat} BETWEEN {w[2]!r} AND {w[3]!r}")
+
+
+def q307_oblique_crs_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated-grid binned statistics in EPSG:29873 (Timbalai 1948 / RSO
+    Borneo, Hotine oblique Mercator variant B): events in the Borneo
+    window project through `sfc/oblique.hotine_forward` (one Arrow batch
+    UDF), floor to integer meters, bin into 100 km rotated-grid cells,
+    and aggregate count + distinct users + value mass per cell."""
+    import numpy as np
+    import pandas as pd
+
+    from .sfc import oblique as oblique_mod
+    from .table.views import register_views
+
+    register_views(spark, sf_dir)
+    p, _k = _q307_consts()
+
+    @F.pandas_udf("x double, y double")
+    def _proj(lon, lat):  # no hints: module has future-annotations
+        x, y = oblique_mod.hotine_forward(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), p)
+        return pd.DataFrame({"x": x, "y": y})
+
+    _proj = _proj.asNondeterministic()
+
+    cell, nx = _Q307_CELL, _Q307_NX
+    x0, x1, y0, y1 = _Q307_X0, _Q307_X1, _Q307_Y0, _Q307_Y1
+    pts = spark.sql(_q307_points_sql())
+    g = (
+        pts.select(_proj("lon", "lat").alias("pxy"), "user_id", "val_milli")
+        .select(F.expr("cast(floor(pxy.x) as bigint)").alias("xm"),
+                F.expr("cast(floor(pxy.y) as bigint)").alias("ym"),
+                "user_id", "val_milli")
+        .filter(f"xm >= {x0} AND xm < {x1} AND ym >= {y0} AND ym < {y1}")
+        .select(F.expr(f"((ym - {y0}) div {cell}) * {nx} "
+                       f"+ (xm - {x0}) div {cell}").alias("cell_id"),
+                "user_id", "val_milli")
+    )
+    return (
+        g.groupBy("cell_id")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.sum("val_milli").alias("val_milli"))
+        .orderBy("cell_id")
+    )
+
+
+def _q307_sql() -> str:
+    """DuckDB oracle: the Hotine forward (Snyder 9-25..9-34) as SQL
+    transcendentals on the embedded B/A/E/gamma0/lam0/u_c constants.
+    The longitude wrap `(dl + pi) % 2pi - pi` is kept even though the
+    Borneo window makes it a no-op range-wise: numpy applied it, and
+    dropping it would change `dl`'s last-ulp rounding."""
+    import math
+
+    p, (big_b, big_a, big_e, g0, lam0, uc) = _q307_consts()
+    e = p.e
+    gc = math.radians(p.gamma_c)
+    el, e2l = _dlit(e), _dlit(e / 2.0)
+    bl, al, eel = _dlit(big_b), _dlit(big_a), _dlit(big_e)
+    sg0, cg0 = _dlit(math.sin(g0)), _dlit(math.cos(g0))
+    sgc, cgc = _dlit(math.sin(gc)), _dlit(math.cos(gc))
+    lam0l, ucl, b2l = _dlit(lam0), _dlit(uc), _dlit(2.0 * big_b)
+    cell, nx = _Q307_CELL, _Q307_NX
+    x0, x1, y0, y1 = _Q307_X0, _Q307_X1, _Q307_Y0, _Q307_Y1
+    return f"""
+WITH p0 AS ({_q307_points_sql()}),
+t1 AS (SELECT user_id, val_milli,
+  (radians(lon) - {lam0l} + pi()) % (2.0*pi()) - pi() AS dl,
+  tan(pi()/4.0 - radians(lat)/2.0)
+    / pow((1.0 - {el} * sin(radians(lat))) / (1.0 + {el} * sin(radians(lat))), {e2l}) AS t
+  FROM p0),
+t2 AS (SELECT user_id, val_milli, dl, {eel} / pow(t, {bl}) AS q FROM t1),
+t3 AS (SELECT user_id, val_milli, dl, (q - 1.0/q)/2.0 AS s,
+  (q + 1.0/q)/2.0 AS tt, sin({bl} * dl) AS v FROM t2),
+t4 AS (SELECT user_id, val_milli, dl, s, v,
+  (-v * {cg0} + s * {sg0}) / tt AS u_ FROM t3),
+t5 AS (SELECT user_id, val_milli,
+  {al} * ln((1.0 - u_)/(1.0 + u_)) / {b2l} AS vv,
+  {al} * atan2(s * {cg0} + v * {sg0}, cos({bl} * dl)) / {bl} - {ucl} AS uu
+  FROM t4),
+m AS (SELECT user_id, val_milli,
+  cast(floor(vv * {cgc} + uu * {sgc} + {_dlit(p.fe)}) as bigint) AS xm,
+  cast(floor(uu * {cgc} - vv * {sgc} + {_dlit(p.fn)}) as bigint) AS ym
+  FROM t5),
+g AS (SELECT user_id, val_milli,
+  ((ym - {y0}) // {cell}) * {nx} + (xm - {x0}) // {cell} AS cell_id
+  FROM m WHERE xm >= {x0} AND xm < {x1} AND ym >= {y0} AND ym < {y1})
+SELECT cell_id, cast(count(*) as bigint) AS n_events,
+       cast(count(DISTINCT user_id) as bigint) AS n_users,
+       cast(sum(val_milli) as bigint) AS val_milli
+FROM g GROUP BY 1 ORDER BY cell_id
+"""
+
+
+RASTER_QUERIES["q307_oblique_crs_grid"] = (q307_oblique_crs_grid, _q307_sql())

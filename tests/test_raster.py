@@ -770,3 +770,137 @@ def test_q305_plan_single_python_eval(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def _scalar_lonlat(k):
+    from geowave_spark.table import geo
+
+    lon = ((k % geo.LON_MOD) * geo.LON_MULT % geo.LON_MOD) / 1e6 - 180.0
+    lat = ((k % geo.LAT_MOD) * geo.LAT_MULT % geo.LAT_MOD) / 1e6 - 90.0
+    return lon, lat
+
+
+def test_q306_polar_grid_matches_scalar_python(spark):
+    """Third implementation of the EPSG:3413 grid stats (q306): scalar
+    `math`-module polar forward + dict aggregation — shares no code with
+    the engine's numpy UDF and no SQL with the DuckDB oracle."""
+    import math
+
+    import duckdb
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.queries_raster import (
+        _Q306_CELL,
+        _Q306_NX,
+        _Q306_X0,
+        _Q306_X1,
+        _q306_consts,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    p, c = _q306_consts()
+    e = p.e
+    cells = {}
+    for eid, val in duckdb.sql(
+            f"SELECT event_id, value FROM '{sf}/events.parquet'").fetchall():
+        lon, lat = _scalar_lonlat(eid)
+        if lat < 60.0:
+            continue
+        s = math.sin(math.radians(lat))
+        t = (math.tan(math.pi / 4.0 - math.radians(lat) / 2.0)
+             / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+        rho = p.a * c * t
+        th = math.radians(lon - p.lon0)
+        xm = math.floor(rho * math.sin(th))
+        ym = math.floor(-rho * math.cos(th))
+        if not (_Q306_X0 <= xm < _Q306_X1 and _Q306_X0 <= ym < _Q306_X1):
+            continue
+        cid = ((ym - _Q306_X0) // _Q306_CELL) * _Q306_NX \
+            + (xm - _Q306_X0) // _Q306_CELL
+        a = cells.setdefault(cid, [0, 0, xm, xm, ym, ym])
+        a[0] += 1
+        a[1] += math.floor(val * 1000.0)
+        a[2] = min(a[2], xm)
+        a[3] = max(a[3], xm)
+        a[4] = min(a[4], ym)
+        a[5] = max(a[5], ym)
+    fn, _sql = QUERIES["q306_polar_crs_grid"]
+    got = {r.cell_id: [r.n_events, r.val_milli, r.xm_min, r.xm_max,
+                       r.ym_min, r.ym_max]
+           for r in fn(spark, sf).collect()}
+    assert got == cells and got
+
+
+def test_q307_oblique_grid_matches_scalar_python(spark):
+    """Third implementation of the EPSG:29873 grid stats (q307): scalar
+    `math`-module Hotine forward + dict aggregation."""
+    import math
+
+    import duckdb
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.queries_raster import (
+        _Q307_CELL,
+        _Q307_NX,
+        _Q307_WIN,
+        _Q307_X0,
+        _Q307_X1,
+        _Q307_Y0,
+        _Q307_Y1,
+        _q307_consts,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    p, (big_b, big_a, big_e, g0, lam0, uc) = _q307_consts()
+    e = p.e
+    gc = math.radians(p.gamma_c)
+    cells = {}
+    for eid, uid, val in duckdb.sql(
+            f"SELECT event_id, user_id, value FROM '{sf}/events.parquet'"
+    ).fetchall():
+        lon, lat = _scalar_lonlat(eid)
+        w = _Q307_WIN
+        if not (w[0] <= lon <= w[1] and w[2] <= lat <= w[3]):
+            continue
+        s = math.sin(math.radians(lat))
+        t = (math.tan(math.pi / 4.0 - math.radians(lat) / 2.0)
+             / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+        dl = (math.radians(lon) - lam0 + math.pi) % (2.0 * math.pi) - math.pi
+        q = big_e / t ** big_b
+        sv = (q - 1.0 / q) / 2.0
+        tv = (q + 1.0 / q) / 2.0
+        vv = math.sin(big_b * dl)
+        u_ = (-vv * math.cos(g0) + sv * math.sin(g0)) / tv
+        v = big_a * math.log((1.0 - u_) / (1.0 + u_)) / (2.0 * big_b)
+        u = big_a * math.atan2(sv * math.cos(g0) + vv * math.sin(g0),
+                               math.cos(big_b * dl)) / big_b - uc
+        xm = math.floor(v * math.cos(gc) + u * math.sin(gc) + p.fe)
+        ym = math.floor(u * math.cos(gc) - v * math.sin(gc) + p.fn)
+        if not (_Q307_X0 <= xm < _Q307_X1 and _Q307_Y0 <= ym < _Q307_Y1):
+            continue
+        cid = ((ym - _Q307_Y0) // _Q307_CELL) * _Q307_NX \
+            + (xm - _Q307_X0) // _Q307_CELL
+        a = cells.setdefault(cid, [0, set(), 0])
+        a[0] += 1
+        a[1].add(uid)
+        a[2] += math.floor(val * 1000.0)
+    want = {k: [n, len(us), vm] for k, (n, us, vm) in cells.items()}
+    fn, _sql = QUERIES["q307_oblique_crs_grid"]
+    got = {r.cell_id: [r.n_events, r.n_users, r.val_milli]
+           for r in fn(spark, sf).collect()}
+    assert got == want and got
+
+
+def test_q306_q307_plan_single_python_eval(spark):
+    """Each CRS-grid query's physical plan must evaluate the projection
+    UDF exactly ONCE (the fields-split select prevents ArrowEvalPython
+    duplication) and contain exactly the keyed-agg exchange — no join,
+    no extra Python."""
+    from geowave_spark.queries import QUERIES
+
+    for name in ("q306_polar_crs_grid", "q307_oblique_crs_grid"):
+        fn, _sql = QUERIES[name]
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, name
+        assert "Join" not in plan, name
