@@ -178,6 +178,10 @@ def parse_crs(crs: str | int) -> tuple[str, int, bool]:
 
         if code in _obl.EPSG_HOTINE:
             return "hotine", _obl.EPSG_HOTINE[code], True
+        from . import pseudocyl as _pc
+
+        if code in _pc.EPSG_EQC:
+            return "eqc", _pc.EPSG_EQC[code], True
         raise ValueError(f"unsupported CRS code EPSG:{code}")
     # .prj WKT text
     m = _PRJ_UTM_RE.search(crs)
@@ -194,6 +198,12 @@ def parse_crs(crs: str | int) -> tuple[str, int, bool]:
     hp = _obl.parse_prj_hotine(crs)
     if hp is not None:
         return "hotine", hp, True
+    from . import pseudocyl as _pc
+
+    pcp = _pc.parse_prj_pseudocyl(crs)
+    if pcp is not None:
+        kind = "sinu" if isinstance(pcp, _pc.SinusoidalParams) else "eqc"
+        return kind, pcp, True
     m = _PRJ_EPSG_RE.search(crs.strip())
     if m:
         return parse_crs(int(m.group(1)))
@@ -220,6 +230,14 @@ def reproject_xy(x, y, crs: str | int):
         from . import oblique as _obl
 
         return _obl.hotine_inverse(x, y, zone)
+    if kind == "sinu":
+        from . import pseudocyl as _pc
+
+        return _pc.sinusoidal_inverse(x, y, zone)
+    if kind == "eqc":
+        from . import pseudocyl as _pc
+
+        return _pc.equirect_inverse(x, y, zone)
     return utm_inverse(x, y, zone, north)
 
 
