@@ -4373,6 +4373,7 @@ _CHANGED_SINCE_SCORED = (
     # prior driver sample (q305 in r4) — score them first
     "q306_polar_crs_grid",
     "q307_oblique_crs_grid",
+    "q308_modis_tile_binning",
     "q08_knn",
     "q16_minhash_lsh_pairs",
     "q39_simhash_neardup",

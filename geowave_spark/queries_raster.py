@@ -2967,3 +2967,89 @@ FROM g GROUP BY 1 ORDER BY cell_id
 
 
 RASTER_QUERIES["q307_oblique_crs_grid"] = (q307_oblique_crs_grid, _q307_sql())
+
+
+# q308: MODIS sinusoidal land-tile binning.  Unlike q305-q307 (whose
+# projections need numpy), the spherical sinusoidal forward is two
+# trig expressions — so the ENGINE runs entirely in whole-stage-codegen
+# JVM builtins (zero Python anywhere in the plan), the shape a 100 TB
+# scan wants.  Tile math is NASA's published grid: 36 x 18 tiles of
+# width pi*R/18 over x in [-pi*R, pi*R], y in [-pi*R/2, pi*R/2],
+# R = 6,371,007.181 (`sfc/pseudocyl.MODIS_RADIUS`).
+def _q308_consts():
+    import math
+
+    from .sfc.pseudocyl import MODIS_RADIUS as r
+
+    return r, -math.pi * r, math.pi * r / 18.0, math.pi * r / 2.0
+
+
+def _q308_points_sql() -> str:
+    from .table import geo
+
+    lon, lat = geo.lon_sql("event_id"), geo.lat_sql("event_id")
+    return (f"SELECT {lon} AS lon, {lat} AS lat, user_id, "
+            f"cast(floor(value * 1000e0) as bigint) AS val_milli "
+            f"FROM events")
+
+
+def q308_modis_tile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events binned into the MODIS sinusoidal land grid (h, v) tiles
+    with per-tile count / distinct users / value mass — the raster->
+    vector tile-assignment economics of `raster/tiles.py` expressed on
+    the real satellite-science grid.  The whole plan is JVM codegen:
+    scan -> project (trig) -> hash aggregate; no Python, no join, one
+    exchange on the 648-key tile space."""
+    from .table.views import register_views
+
+    register_views(spark, sf_dir)
+    # _dlit casts on the Spark side too: Spark parses bare fractional
+    # literals as DECIMAL, which would silently run the tile division in
+    # decimal arithmetic with engine-specific scale rules; the explicit
+    # double casts make both engines evaluate the identical IEEE doubles
+    r, x0, t, y1 = _q308_consts()
+    pts = spark.sql(_q308_points_sql())
+    m = pts.select(
+        F.expr(f"cast(floor({_dlit(r)} * radians(lon) * cos(radians(lat))) "
+               "as bigint)").alias("xm"),
+        F.expr(f"cast(floor({_dlit(r)} * radians(lat)) as bigint)").alias("ym"),
+        "user_id", "val_milli")
+    tiles_df = m.select(
+        F.expr(f"least(cast(floor((cast(xm as double) - {_dlit(x0)}) "
+               f"/ {_dlit(t)}) as bigint), cast(35 as bigint))").alias("h"),
+        F.expr(f"least(cast(floor(({_dlit(y1)} - cast(ym as double)) "
+               f"/ {_dlit(t)}) as bigint), cast(17 as bigint))").alias("v"),
+        "user_id", "val_milli")
+    return (
+        tiles_df.groupBy("h", "v")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.sum("val_milli").alias("val_milli"))
+        .orderBy("h", "v")
+    )
+
+
+def _q308_sql() -> str:
+    """DuckDB oracle: identical grid math as SQL text (the engine side
+    is DataFrame-API expressions; dual-dialect floor boundaries agree
+    because both evaluate the same double constants — gated at sf0.01
+    and sf0.1, plus a scalar-math recompute pytest)."""
+    r, x0, t, y1 = _q308_consts()
+    return f"""
+WITH p0 AS ({_q308_points_sql()}),
+m AS (SELECT user_id, val_milli,
+  cast(floor({_dlit(r)} * radians(lon) * cos(radians(lat))) as bigint) AS xm,
+  cast(floor({_dlit(r)} * radians(lat)) as bigint) AS ym FROM p0),
+t AS (SELECT user_id, val_milli,
+  least(cast(floor((xm - {_dlit(x0)}) / {_dlit(t)}) as bigint), 35) AS h,
+  least(cast(floor(({_dlit(y1)} - ym) / {_dlit(t)}) as bigint), 17) AS v
+  FROM m)
+SELECT h, v, cast(count(*) as bigint) AS n_events,
+       cast(count(DISTINCT user_id) as bigint) AS n_users,
+       cast(sum(val_milli) as bigint) AS val_milli
+FROM t GROUP BY 1, 2 ORDER BY h, v
+"""
+
+
+RASTER_QUERIES["q308_modis_tile_binning"] = (
+    q308_modis_tile_binning, _q308_sql())

@@ -904,3 +904,51 @@ def test_q306_q307_plan_single_python_eval(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("ArrowEvalPython") == 1, name
         assert "Join" not in plan, name
+
+
+def test_q308_modis_tiles_match_scalar_python(spark):
+    """Third implementation of the MODIS tile binning (q308): scalar
+    `math`-module sinusoidal forward + dict aggregation."""
+    import math
+
+    import duckdb
+
+    from geowave_spark.queries import QUERIES
+    from geowave_spark.queries_raster import _q308_consts
+
+    sf = "/root/testdata/sf0.01"
+    r, x0, t, y1 = _q308_consts()
+    cells = {}
+    for eid, uid, val in duckdb.sql(
+            f"SELECT event_id, user_id, value FROM '{sf}/events.parquet'"
+    ).fetchall():
+        lon, lat = _scalar_lonlat(eid)
+        xm = math.floor(r * math.radians(lon) * math.cos(math.radians(lat)))
+        ym = math.floor(r * math.radians(lat))
+        h = min(math.floor((xm - x0) / t), 35)
+        v = min(math.floor((y1 - ym) / t), 17)
+        a = cells.setdefault((h, v), [0, set(), 0])
+        a[0] += 1
+        a[1].add(uid)
+        a[2] += math.floor(val * 1000.0)
+    want = {k: [n, len(us), vm] for k, (n, us, vm) in cells.items()}
+    fn, _sql = QUERIES["q308_modis_tile_binning"]
+    got = {(r_.h, r_.v): [r_.n_events, r_.n_users, r_.val_milli]
+           for r_ in fn(spark, sf).collect()}
+    assert got == want and got
+
+
+def test_q308_plan_pure_jvm(spark):
+    """q308's physical plan must contain ZERO Python nodes (the whole
+    sinusoidal grid math runs in whole-stage codegen) and no join."""
+    from geowave_spark.queries import QUERIES
+
+    fn, _sql = QUERIES["q308_modis_tile_binning"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan          # no Arrow/Batch Python nodes
+    assert "Join" not in plan
+    # the tile math must run in double, not Spark's default decimal
+    # literal arithmetic (engine-specific scale rules would diverge
+    # from the oracle's IEEE doubles near floor boundaries)
+    assert "decimal" not in plan.lower()
