@@ -4374,6 +4374,9 @@ _CHANGED_SINCE_SCORED = (
     "q306_polar_crs_grid",
     "q307_oblique_crs_grid",
     "q308_modis_tile_binning",
+    # r5 scale-sweep fix: sum(pid) -> sum(pid % 1000003) (raw composite
+    # keys burst int64 at sf0.1); semantics changed, re-score first
+    "q296_snapshot_diff",
     "q08_knn",
     "q16_minhash_lsh_pairs",
     "q39_simhash_neardup",

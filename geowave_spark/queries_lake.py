@@ -533,7 +533,16 @@ def q296_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     pid%5=1), then `snapshots.diff` labels every key added / deleted /
     updated / unchanged between snapshot 1 and snapshot 3.  Output:
     per-status counts + key checksum, against the closed-form oracle
-    derived from the same modular construction rules."""
+    derived from the same modular construction rules.
+
+    The checksum is sum(pid % 1000003), NOT sum(pid): pid is the
+    composite lineitem key (~1e15 at sf0.1, growing with orderkey), so
+    a raw sum bursts int64 once a status group passes ~10^4 rows — the
+    r5 full-registry scale sweep caught exactly that (ANSI Spark and
+    DuckDB both raise; sf0.01 sat just under the edge, which is why
+    the small-scale gate stayed green).  The mod keeps per-row terms
+    under 1e6, safe to ~9e12 rows per group; both dialects use
+    truncation-mod so negative 'added' keys agree."""
     li = spark.sql(geo.lineitem_points_sql(sf_dir=sf_dir)).selectExpr(
         "pid", "cast(qty as bigint) AS qty"
     )
@@ -553,7 +562,7 @@ def q296_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (
             d.groupBy("status")
             .agg(F.count("*").alias("n"),
-                 F.sum("pid").alias("sum_pid"))
+                 F.sum(F.expr("pid % 1000003")).alias("sum_pid"))
             .orderBy("status")
         )
         rows = [(r["status"], r["n"], r["sum_pid"]) for r in out.collect()]
@@ -567,16 +576,16 @@ Q296_SQL = f"""
 WITH base AS (SELECT pid FROM ({geo.lineitem_points_sql()}) t)
 SELECT 'added' AS status,
        cast(count(*) as bigint) AS n,
-       cast(sum(-pid - 1) as bigint) AS sum_pid
+       cast(sum((-pid - 1) % 1000003) as bigint) AS sum_pid
 FROM base WHERE pid % 11 = 3 HAVING count(*) > 0
 UNION ALL
-SELECT 'deleted', cast(count(*) as bigint), cast(sum(pid) as bigint)
+SELECT 'deleted', cast(count(*) as bigint), cast(sum(pid % 1000003) as bigint)
 FROM base WHERE pid % 5 = 1 HAVING count(*) > 0
 UNION ALL
-SELECT 'unchanged', cast(count(*) as bigint), cast(sum(pid) as bigint)
+SELECT 'unchanged', cast(count(*) as bigint), cast(sum(pid % 1000003) as bigint)
 FROM base WHERE pid % 5 <> 1 AND pid % 7 <> 0 HAVING count(*) > 0
 UNION ALL
-SELECT 'updated', cast(count(*) as bigint), cast(sum(pid) as bigint)
+SELECT 'updated', cast(count(*) as bigint), cast(sum(pid % 1000003) as bigint)
 FROM base WHERE pid % 5 <> 1 AND pid % 7 = 0 HAVING count(*) > 0
 ORDER BY status
 """
