@@ -234,6 +234,25 @@ NOTES = {
         "dimension: Catalyst broadcasts all four dimension joins "
         "(lineitem is the only big side), no SortMergeJoin."
     ),
+    "q306_polar_crs_grid": (
+        "EPSG:3413 polar grid stats: exactly ONE ArrowEvalPython (the "
+        "vectorized polar forward), everything after it JVM codegen — "
+        "filter, 200 km binning, and a single keyed aggregate exchange "
+        "over the <=1024-cell key space.  No join anywhere."
+    ),
+    "q307_oblique_crs_grid": (
+        "EPSG:29873 Hotine rotated-grid stats: same single-UDF shape as "
+        "q306; the countDistinct adds the usual expand/two-phase "
+        "aggregate, still one data shuffle over a 400-cell key space."
+    ),
+    "q308_modis_tile_binning": (
+        "MODIS (h, v) tile binning with ZERO Python nodes: the "
+        "spherical sinusoidal forward is trig builtins inside "
+        "whole-stage codegen (explicit double casts keep Spark's "
+        "decimal-literal arithmetic out of the tile division), one "
+        "exchange over the 648-tile key space.  The shape a 100 TB "
+        "scan wants: scan -> project -> hash aggregate."
+    ),
 }
 
 
