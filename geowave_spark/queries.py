@@ -3128,14 +3128,14 @@ def q165_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q165_sql("div"))
 
 
-_Q164_HOME_RES = 2   # blocking: users sharing a res-2 home cell
+_Q164_HOME_RES = 2   # base blocking grid (4x4); doubles per 4x users
 
 
 def _q164_sql() -> str:
     """Blocked symmetric Hausdorff distance between user point sets (the
     track-similarity measure of movement analytics; the reference's NN
     machinery compares points, never whole tracks).  Blocking: a user's
-    HOME cell is the res-2 cell of their first event (min event_id);
+    HOME cell is the home-grid cell of their first event (min event_id);
     only same-home pairs are compared — the candidate contract of every
     engine join (q16/q46/q156).  Directed h(A,B) = max over a of min
     over b of the squared micro-degree distance; symmetric H = max of
@@ -3144,17 +3144,32 @@ def _q164_sql() -> str:
     Scale shape: the cross join runs INSIDE home-cell blocks only
     (fan-out = points-per-block^2, never corpus^2); two keyed
     aggregates (min per (pair, a-point), then max per pair).  The home
-    resolution must scale with user density (res 2 fits this corpus's
-    150 users; a planet-scale run picks res so blocks hold ~10^3 users,
-    exactly how `sfc/grid.adaptive_res` sizes covers) — blocking res is
-    a recall/cost dial, not a correctness one, since same-home is the
-    declared candidate contract."""
+    GRID SCALES with the fleet: per-axis width
+    n = max(4, ceil(sqrt(users / 8))) (a shared params CTE on
+    count(DISTINCT user_id)) holds users-per-cell ~8, so same-home
+    pairs — and with constant points-per-user the whole candidate
+    mass — grow LINEARLY and SMOOTHLY with the corpus (no power-of-4
+    step lumpiness; sqrt of the rare perfect-square boundary is exact
+    in IEEE, so the dual texts agree everywhere).  The r5 full-registry
+    scale sweep forced this: at the old FIXED 16-cell grid, sf0.1's
+    1500 users meant ~94 users/cell and 314M candidate rows (145 s,
+    the single heaviest registry query), and sf1's 15000 users would
+    have been ~31B rows — quadratic in users.  At <= 128 users (the
+    sf0.001 gate) n = 4, byte-identical blocking to the original."""
     lon = f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint)"
     lat = f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint)"
-    home = geo.rowmajor_cell_sql(geo.lon_sql("min_eid"),
-                                 geo.lat_sql("min_eid"), _Q164_HOME_RES)
+    n = "(SELECT n FROM params)"
+    lon0, lat0 = geo.lon_sql("min_eid"), geo.lat_sql("min_eid")
+    home = (f"cast(floor((({lat0}) + 90e0) / 180e0 * {n}) as bigint) * {n} "
+            f"+ cast(floor((({lon0}) + 180e0) / 360e0 * {n}) as bigint)")
     return f"""
-WITH p AS (
+WITH params AS (
+  SELECT greatest(cast(4 as bigint),
+           cast(ceil(sqrt(cast(count(DISTINCT user_id) as double) / 8e0))
+                as bigint)) AS n
+  FROM events
+),
+p AS (
   SELECT user_id, event_id, {lon} AS x, {lat} AS y FROM events
 ),
 h AS (
@@ -4377,6 +4392,9 @@ _CHANGED_SINCE_SCORED = (
     # r5 scale-sweep fix: sum(pid) -> sum(pid % 1000003) (raw composite
     # keys burst int64 at sf0.1); semantics changed, re-score first
     "q296_snapshot_diff",
+    # r5 scale-sweep fix: fixed 16-cell home grid -> sqrt(users/8)
+    # adaptive grid (the blocking contract changed above 128 users)
+    "q164_track_hausdorff",
     "q08_knn",
     "q16_minhash_lsh_pairs",
     "q39_simhash_neardup",
