@@ -113,6 +113,14 @@ def q46_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("bh"),
     )
     a, b = probes.alias("a"), bands.alias("b")
+    # Hamming-refine BEFORE the pair dedup: the band join's candidate
+    # mass is structurally n^2/256 per band (the exact-recall pigeonhole
+    # pins 8-bit bands for threshold 14), so at sf1 the old
+    # dedup-then-filter order pushed ~350M candidate rows through the
+    # dropDuplicates exchange; bit_count is whole-stage codegen, so
+    # filtering first lets the joint enumerate-and-refine stream inside
+    # one codegen stage and only the tiny survivor set is shuffled
+    # (r5 full-registry sweep: 253 s -> ~30 s at sf1, identical rows)
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bh") == F.col("b.bh"))
@@ -120,17 +128,13 @@ def q46_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.image_id").alias("id1"),
             F.col("b.image_id").alias("id2"),
-            F.col("a.phash").alias("p1"),
-            F.col("b.phash").alias("p2"),
+            F.expr("cast(bit_count(a.phash ^ b.phash) as int)")
+            .alias("hamming"),
         )
+        .filter(F.col("hamming") <= 14)
         .dropDuplicates(["id1", "id2"])
     )
-    return (
-        cand.withColumn("hamming", F.expr("cast(bit_count(p1 ^ p2) as int)"))
-        .filter(F.col("hamming") <= 14)
-        .select("id1", "id2", "hamming")
-        .orderBy("id1", "id2")
-    )
+    return cand.select("id1", "id2", "hamming").orderBy("id1", "id2")
 
 
 def _q46_sql() -> str:
