@@ -1072,7 +1072,14 @@ def _q241_sql(intdiv: str) -> str:
 
     Scale shape: blocking bounds the quadratic — pair counts are
     sum of per-block sizes squared, never |A| x |B|; scoring is one
-    codegen projection over the candidate join."""
+    codegen projection over the candidate join.  Both passes carry
+    `b.name = a.name` in the join key: the agreement weights make name
+    agreement NECESSARY for a link (the best non-name score is
+    -8 + 10 + 3 = 5 < 25), so the predicate is output-identical — and
+    without it the nationkey pass is n^2/25 blocking on a
+    25-value field (the r5 full-registry sweep measured 1057 s at sf1,
+    ~900M candidate pairs through the DISTINCT; with name in the key,
+    blocks hold ~1 customer and candidates are linear)."""
     return f"""
 WITH a AS (
   SELECT c_custkey AS akey, c_name AS name, c_nationkey AS nat,
@@ -1094,11 +1101,13 @@ b AS (
   FROM customer WHERE c_custkey % 5 < 4
 ),
 p1 AS (
-  SELECT a.akey, b.bkey FROM a JOIN b ON b.nat = a.nat
+  SELECT a.akey, b.bkey FROM a
+  JOIN b ON b.name = a.name AND b.nat = a.nat
 ),
 p2 AS (
   SELECT a.akey, b.bkey FROM a
-  JOIN b ON b.seg = a.seg AND (b.bal {intdiv} 10000) = (a.bal {intdiv} 10000)
+  JOIN b ON b.name = a.name AND b.seg = a.seg
+        AND (b.bal {intdiv} 10000) = (a.bal {intdiv} 10000)
 ),
 cand AS (SELECT DISTINCT akey, bkey FROM (
   SELECT * FROM p1 UNION ALL SELECT * FROM p2) u
