@@ -4395,6 +4395,10 @@ _CHANGED_SINCE_SCORED = (
     # r5 scale-sweep fix: fixed 16-cell home grid -> sqrt(users/8)
     # adaptive grid (the blocking contract changed above 128 users)
     "q164_track_hausdorff",
+    # r5 scale-sweep fix: fraction-of-corpus eval/query panels pinned to
+    # fixed sets (byte-identical below sf1; linear above)
+    "q285_embedding_decontamination",
+    "q258_ivf_recall_curve",
     "q08_knn",
     "q16_minhash_lsh_pairs",
     "q39_simhash_neardup",
