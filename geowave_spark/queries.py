@@ -4399,6 +4399,8 @@ _CHANGED_SINCE_SCORED = (
     # fixed sets (byte-identical below sf1; linear above)
     "q285_embedding_decontamination",
     "q258_ivf_recall_curve",
+    # r5 scale-sweep fix: INT32 rank squares + dual-decimal rho boundary
+    "q297_order_correlation",
     "q08_knn",
     "q16_minhash_lsh_pairs",
     "q39_simhash_neardup",

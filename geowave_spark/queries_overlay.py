@@ -1209,13 +1209,17 @@ p AS (
   FROM events
 ),
 r AS (
+  -- ranks cast to bigint: Spark's row_number is INT32 (DuckDB's is
+  -- already BIGINT), so the (ra-rb)^2 squares overflow 32-bit once a
+  -- group's rank displacement passes ~46k — ANSI Spark raised at sf1
+  -- (r5 full-registry sweep) while sf0.1 sat just under the edge
   SELECT event_type,
-         row_number() OVER (PARTITION BY event_type ORDER BY event_id)
-           AS ra,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY ts_us, event_id) AS rb,
-         row_number() OVER (PARTITION BY event_type ORDER BY replay_key)
-           AS rc
+         cast(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY event_id) as bigint) AS ra,
+         cast(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY ts_us, event_id) as bigint) AS rb,
+         cast(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY replay_key) as bigint) AS rc
   FROM p
 ),
 agg AS (
@@ -1225,13 +1229,22 @@ agg AS (
   FROM r GROUP BY event_type
 )
 SELECT event_type, cast(n as bigint) AS n,
-       cast(floor(1000000.0 * (n * (n * n - 1) - 6 * s2)
-                  / (n * (n * n - 1))) as bigint) AS spearman_micro,
-       cast(floor(1000000.0 * (n * (n * n - 1) - 6 * s2_replay)
-                  / (n * (n * n - 1))) as bigint)
+       cast(floor(1000000e0 * cast(n * (n * n - 1) - 6 * s2 as double)
+                  / cast(n * (n * n - 1) as double)) as bigint)
+         AS spearman_micro,
+       cast(floor(1000000e0 * cast(n * (n * n - 1) - 6 * s2_replay as double)
+                  / cast(n * (n * n - 1) as double)) as bigint)
          AS spearman_replay_micro
 FROM agg ORDER BY event_type
 """
+# ^ the 1e6 scaling runs in IEEE double with explicit casts: a bare
+# `1000000.0 *` literal is DECIMAL in BOTH engines, and their decimal
+# division scale/rounding rules differ — at rho == 1 exactly (s2 = 0)
+# Spark printed 1000000 and DuckDB 999999.  Double ops on identical
+# text round identically everywhere.  The n(n^2-1) core stays exact
+# int64, which holds to ~2.09e6 rows per event_type (the sf10 fixture's
+# 2.0e6/type just fits); past that the whole statistic needs the double
+# form — documented ceiling, not a silent wrap (ANSI raises).
 
 
 def q297_order_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
