@@ -4401,6 +4401,9 @@ _CHANGED_SINCE_SCORED = (
     "q258_ivf_recall_curve",
     # r5 scale-sweep fix: INT32 rank squares + dual-decimal rho boundary
     "q297_order_correlation",
+    # r5 scale-sweep fix: metadata-adaptive as-of bin (plan-only,
+    # bin-size-invariant result)
+    "q48_asof_join",
     "q08_knn",
     "q16_minhash_lsh_pairs",
     "q39_simhash_neardup",

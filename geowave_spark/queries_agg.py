@@ -366,16 +366,35 @@ def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. coalesce(in-bin winner, fallback).
 
     Oracle: brute-force `row_number() over (order by tq desc)` theta-join.
+
+    The bin size is METADATA-ADAPTIVE (the q08 idiom in the time
+    dimension): the fixture's quotes all land in a FIXED 29-day span, so
+    with a fixed day bin both quotes-per-bin and events-per-bin grow
+    with sf and the in-bin candidate join is quadratic — the r5
+    full-registry sweep measured 154 s at sf1 (~100x candidate mass at
+    10x data).  Shrinking the bin as quote density grows (86400 /
+    (n_quotes // 4000), floored to an hour) holds quotes-per-bin
+    ~constant; the as-of result is bin-size INVARIANT (any event's
+    latest-at-or-before quote is found in its bin or the cumulative
+    fallback), so the oracle and all gate results are unchanged — at
+    <= 4000 quotes (every gate sf) the divisor is 1 and the plan is
+    byte-identical.
     """
+    import os
+
     from .join.temporal import asof_join
+    from .queries import _parquet_num_rows
 
     register_views(spark, sf_dir)
+    n_quotes = _parquet_num_rows(os.path.join(sf_dir, "orders.parquet")) // 40
+    bin_size = max(3600, 86_400 // max(1, n_quotes // 4000))
     q = spark.sql(_QUOTES)
     ev = spark.table("events").select(
         "event_id", F.expr("unix_timestamp(ts)").alias("ts_s")
     )
     return (
-        asof_join(ev, q, left_ts="ts_s", right_ts="tq", how="inner")
+        asof_join(ev, q, left_ts="ts_s", right_ts="tq", how="inner",
+                  bin_size=bin_size)
         .select(
             "event_id",
             F.col("tq").alias("quote_ts_s"),
