@@ -2313,11 +2313,25 @@ def _q219_spark(spark, sf_dir):
     fan-out is bounded by rare-shingle co-occurrence.  The threshold
     test is integer-exact (2*inter >= union); only the reported
     jac_micro divides, with one shared expression text.
+
+    Two lossless scale guards (r5 full-registry sweep: 604 s at sf1,
+    47M candidates = 116x at 10x data — the FIXED synthetic vocabulary
+    saturates the shingle space, so even the df-rarest shingles' prefix
+    frequency grows with the corpus and sum(pdf^2) goes quadratic; a
+    Heaps-law vocabulary keeps prefixes selective, so this is the
+    corpus's adversarial regime, not the operator's typical one):
+    (1) the canonical SSJoin LENGTH filter in the candidate join
+    (J >= 1/2 forces 2*min(n_x, n_y) >= max(n_x, n_y)); (2) the verify
+    step intersects PER-PAIR SORTED ARRAYS (two hash lookups + one
+    array_intersect per candidate) instead of re-joining the token
+    table per pair, which shuffled ~candidates x tokens-per-doc rows
+    (~2.4B at sf1).  Both leave the result set exactly equal to the
+    brute-force oracle's.
     """
     d = G.SPARK
     register_views(spark, sf_dir)
-    # tok is referenced by df, ranked and BOTH sides of the verify join —
-    # materialize it once (Spark inlines CTEs; see `mat_view`).
+    # tok is referenced by df, ranked and the array build — materialize
+    # it once (Spark inlines CTEs; see `mat_view`).
     from .table.views import mat_view
 
     sh = G.shingles3_from(d, "v")
@@ -2336,14 +2350,32 @@ ranked AS (
   FROM tok t JOIN df f ON f.w = t.w JOIN sz s ON s.doc_id = t.doc_id
 ),
 pref AS (
-  SELECT doc_id, w FROM ranked
+  SELECT doc_id, w, n FROM ranked
   WHERE r <= n - {d.intdiv('(n + 1)', '2')} + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM pref a JOIN pref b ON b.w = a.w AND a.doc_id < b.doc_id
+   AND 2 * least(a.n, b.n) >= greatest(a.n, b.n)
 ),
-{_q219_core(d, 'cand')}"""
+arr AS (
+  SELECT doc_id, sort_array(collect_list(w)) AS ws,
+         cast(count(*) as bigint) AS n
+  FROM tok GROUP BY doc_id
+),
+inter AS (
+  SELECT c.d1, c.d2,
+         cast(size(array_intersect(x.ws, y.ws)) as bigint) AS ninter,
+         x.n AS n1, y.n AS n2
+  FROM cand c JOIN arr x ON x.doc_id = c.d1
+              JOIN arr y ON y.doc_id = c.d2
+)
+SELECT d1, d2, ninter,
+       cast(floor(1000000.0 * ninter / (n1 + n2 - ninter))
+            as bigint) AS jac_micro
+FROM inter
+WHERE 2 * ninter >= (n1 + n2 - ninter)
+ORDER BY d1, d2"""
     return spark.sql(sql)
 
 
