@@ -179,10 +179,17 @@ def _vec_cte(d: G.Dialect) -> str:
 
 
 def _q19(d: G.Dialect) -> str:
+    """Brute-force cosine top-5 over the FULL corpus per panel query —
+    the exact-baseline op of the ANN ladder (the corpus side must stay
+    whole; that is the operator's meaning).  The query panel is pinned
+    to the fixed id set below 2000 (40 queries above sf0.1; every
+    gate-scale id is under the cap, so gate results are byte-identical
+    to the old 1/50 sample) — the r5 sweep caught the fraction-based
+    panel making the scan O(n^2/50), the q258/q285 disease."""
     dt = G.dot(d, "q.v", "c.v", 64)
     return f"""
 WITH {_vec_cte(d)},
-q AS (SELECT * FROM vecs WHERE vec_id % 50 = 0),
+q AS (SELECT * FROM vecs WHERE vec_id % 50 = 0 AND vec_id < 2000),
 sims AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
          cast(floor(1000000.0 * ({dt}) / (q.nv * c.nv)) as bigint) AS sim_micro
