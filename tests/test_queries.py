@@ -2061,8 +2061,12 @@ def test_q163_triangles_match_python(spark):
 
 def test_q164_hausdorff_matches_python(spark):
     """Python recompute of the blocked symmetric Hausdorff distances,
-    plus the metric sanity H(A,B) >= directed halves >= 0."""
-    from geowave_spark.queries import QUERIES, _Q164_HOME_RES
+    plus the metric sanity H(A,B) >= directed halves >= 0.  The home
+    grid is the ADAPTIVE width max(4, ceil(sqrt(users/8))) (r5 scale
+    fix), recomputed here in scalar math."""
+    import math
+
+    from geowave_spark.queries import QUERIES
     from geowave_spark.table import geo
 
     sf_dir = "/root/testdata/sf0.01"
@@ -2075,13 +2079,19 @@ def test_q164_hausdorff_matches_python(spark):
         f"cast(floor(({geo.lon_sql('event_id')}) * 1000000) as bigint) AS x, "
         f"cast(floor(({geo.lat_sql('event_id')}) * 1000000) as bigint) AS y "
         f"FROM parquet.`{sf_dir}/events.parquet`").toPandas()
-    home_pdf = spark.sql(
-        f"SELECT user_id, "
-        f"{geo.rowmajor_cell_sql(geo.lon_sql('min_eid'), geo.lat_sql('min_eid'), _Q164_HOME_RES)} AS home "
+    first_pdf = spark.sql(
+        f"SELECT user_id, {geo.lon_sql('min_eid')} AS lon0, "
+        f"{geo.lat_sql('min_eid')} AS lat0 "
         f"FROM (SELECT user_id, min(event_id) AS min_eid "
         f"      FROM parquet.`{sf_dir}/events.parquet` GROUP BY 1)"
     ).toPandas()
-    home = dict(zip(home_pdf["user_id"], home_pdf["home"]))
+    n_grid = max(4, math.ceil(math.sqrt(len(first_pdf) / 8.0)))
+    home = {
+        u: math.floor((la + 90.0) / 180.0 * n_grid) * n_grid
+        + math.floor((lo + 180.0) / 360.0 * n_grid)
+        for u, lo, la in zip(first_pdf["user_id"], first_pdf["lon0"],
+                             first_pdf["lat0"])
+    }
     pts = {}
     for uid, grp in pdf.groupby("user_id"):
         pts[uid] = list(zip(grp["x"].tolist(), grp["y"].tolist()))
